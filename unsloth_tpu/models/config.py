@@ -1,0 +1,326 @@
+"""Model configuration.
+
+One config dataclass covers the decoder-only archetype family the reference
+patches per-architecture (reference: unsloth/models/{llama,mistral,qwen2,
+qwen3,qwen3_moe,gemma,gemma2,cohere,granite}.py — SURVEY §2c). Instead of one
+hand-patched class per arch, architectural differences are expressed as
+config knobs consumed by a single functional forward:
+
+  * GQA             — num_kv_heads < num_heads (llama/mistral/qwen)
+  * q/k norm        — qk_norm=True (qwen3, gemma3)
+  * MLP activation  — "silu" (SwiGLU) vs "gelu_tanh"/"gelu" (GEGLU, gemma)
+  * embedding scale — embed_scale = sqrt(D) (gemma family)
+  * logit softcap   — final_softcap (gemma2), attn_softcap (gemma2 attention)
+  * logit scale     — cohere's logit_scale
+  * sliding window  — sliding_window + layer pattern (mistral, gemma2/3)
+  * RoPE scaling    — none / linear / dynamic-NTK / llama3 / yarn / longrope
+  * MoE             — num_experts / num_experts_per_tok (qwen3-moe, gpt-oss)
+  * tied embeddings — tie_word_embeddings
+
+`from_hf_config` maps a HuggingFace ``config.json`` dict onto this dataclass,
+which is the TPU-native analog of the reference's per-arch dispatch table
+(reference: models/loader.py:820-897).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RopeScaling:
+    """RoPE scaling config (reference: models/llama.py:1760-2149 implements
+    vanilla/linear/extended-NTK/LongRoPE rotary classes)."""
+
+    rope_type: str = "default"  # default|linear|dynamic|llama3|yarn|longrope
+    factor: float = 1.0
+    # llama3
+    low_freq_factor: float = 1.0
+    high_freq_factor: float = 4.0
+    original_max_position_embeddings: int = 8192
+    # yarn
+    beta_fast: float = 32.0
+    beta_slow: float = 1.0
+    attention_factor: Optional[float] = None
+    mscale: Optional[float] = None
+    mscale_all_dim: Optional[float] = None
+    # longrope
+    long_factor: Optional[Tuple[float, ...]] = None
+    short_factor: Optional[Tuple[float, ...]] = None
+
+    @classmethod
+    def from_hf(cls, d: Optional[Dict[str, Any]], max_pos: int) -> "RopeScaling":
+        if not d:
+            return cls()
+        rope_type = d.get("rope_type", d.get("type", "default"))
+        lf = d.get("long_factor")
+        sf = d.get("short_factor")
+        return cls(
+            rope_type=rope_type,
+            factor=float(d.get("factor", 1.0)),
+            low_freq_factor=float(d.get("low_freq_factor", 1.0)),
+            high_freq_factor=float(d.get("high_freq_factor", 4.0)),
+            original_max_position_embeddings=int(
+                d.get("original_max_position_embeddings", max_pos)
+            ),
+            beta_fast=float(d.get("beta_fast", 32.0)),
+            beta_slow=float(d.get("beta_slow", 1.0)),
+            attention_factor=d.get("attention_factor"),
+            mscale=d.get("mscale"),
+            mscale_all_dim=d.get("mscale_all_dim"),
+            long_factor=tuple(lf) if lf else None,
+            short_factor=tuple(sf) if sf else None,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    # Identity
+    model_type: str = "llama"
+    name: str = ""
+
+    # Core dims
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    head_dim: Optional[int] = None  # defaults to hidden_size // num_heads
+
+    # Attention
+    qk_norm: bool = False                  # qwen3 / gemma3
+    attn_softcap: Optional[float] = None   # gemma2
+    attn_logit_scale: Optional[float] = None  # override 1/sqrt(head_dim)
+    sliding_window: Optional[int] = None
+    # per-layer attention kind pattern, repeated over layers:
+    #   "global" or "sliding". None => all global.
+    layer_pattern: Optional[Tuple[str, ...]] = None
+    attention_bias: bool = False
+    o_proj_bias: bool = False
+
+    # MLP
+    hidden_act: str = "silu"  # silu|gelu|gelu_tanh
+    mlp_bias: bool = False
+
+    # Norm
+    rms_norm_eps: float = 1e-6
+    norm_type: str = "rmsnorm"      # rmsnorm|layernorm
+    gemma_norm: bool = False        # (1 + w) scale convention, fp32 norm
+    # gemma2/3 sandwich norms: pre/post attention + pre/post mlp
+    use_post_norms: bool = False
+
+    # Embedding / output
+    embed_scale: Optional[float] = None     # gemma: sqrt(hidden_size)
+    tie_word_embeddings: bool = False
+    final_softcap: Optional[float] = None   # gemma2 final logit softcapping
+    logit_scale: Optional[float] = None     # cohere
+
+    # RoPE
+    rope_theta: float = 10000.0
+    rope_scaling: RopeScaling = dataclasses.field(default_factory=RopeScaling)
+    max_position_embeddings: int = 4096
+    partial_rotary_factor: float = 1.0
+    # gemma3: different theta for sliding layers
+    rope_local_theta: Optional[float] = None
+
+    # MoE (qwen3-moe / mixtral / gpt-oss)
+    num_experts: int = 0
+    num_experts_per_tok: int = 0
+    moe_intermediate_size: Optional[int] = None
+    norm_topk_prob: bool = False
+    # layers that are MoE (None => all layers MoE if num_experts>0)
+    moe_layer_pattern: Optional[Tuple[bool, ...]] = None
+    shared_expert_intermediate_size: Optional[int] = None
+    router_bias: bool = False               # gpt-oss has router bias
+    moe_mlp_bias: bool = False              # gpt-oss expert bias
+    moe_act: Optional[str] = None           # override act for experts
+
+    # Special tokens
+    bos_token_id: Optional[int] = None
+    eos_token_id: Optional[int] = None
+    pad_token_id: Optional[int] = None
+
+    def __post_init__(self):
+        if self.head_dim is None:
+            object.__setattr__(self, "head_dim", self.hidden_size // self.num_heads)
+
+    @property
+    def is_moe(self) -> bool:
+        return self.num_experts > 0
+
+    def layer_kind(self, layer_idx: int) -> str:
+        """'global' or 'sliding' for a given layer."""
+        if self.layer_pattern is None or self.sliding_window is None:
+            return "global"
+        return self.layer_pattern[layer_idx % len(self.layer_pattern)]
+
+    def layer_is_moe(self, layer_idx: int) -> bool:
+        if not self.is_moe:
+            return False
+        if self.moe_layer_pattern is None:
+            return True
+        return self.moe_layer_pattern[layer_idx % len(self.moe_layer_pattern)]
+
+    # ------------------------------------------------------------------
+    # HF interop
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_hf_config(cls, hf: Dict[str, Any], name: str = "") -> "ModelConfig":
+        """Build from a HuggingFace config.json dict.
+
+        Covers the arch dispatch the reference does per-file
+        (reference: models/loader.py:820-897 dispatch table).
+        """
+        model_type = hf.get("model_type", "llama")
+        # Multimodal configs nest the text config.
+        if "text_config" in hf and isinstance(hf["text_config"], dict):
+            text = dict(hf["text_config"])
+            text.setdefault("model_type", model_type)
+            merged = dict(hf)
+            merged.update(text)
+            hf = merged
+
+        builder = _HF_BUILDERS.get(model_type, _build_llama_like)
+        return builder(cls, hf, model_type, name)
+
+
+# ---------------------------------------------------------------------------
+# Per-family HF config builders
+# ---------------------------------------------------------------------------
+
+def _common(hf: Dict[str, Any]) -> Dict[str, Any]:
+    max_pos = int(hf.get("max_position_embeddings", 4096))
+    num_heads = int(hf.get("num_attention_heads", 32))
+    hidden = int(hf.get("hidden_size", 4096))
+    eos = hf.get("eos_token_id")
+    if isinstance(eos, list):
+        eos = eos[0] if eos else None
+    return dict(
+        vocab_size=int(hf.get("vocab_size", 32000)),
+        hidden_size=hidden,
+        intermediate_size=int(hf.get("intermediate_size", 4 * hidden)),
+        num_layers=int(hf.get("num_hidden_layers", 32)),
+        num_heads=num_heads,
+        num_kv_heads=int(hf.get("num_key_value_heads", num_heads)),
+        head_dim=hf.get("head_dim"),
+        rms_norm_eps=float(hf.get("rms_norm_eps", 1e-6)),
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        rope_scaling=RopeScaling.from_hf(hf.get("rope_scaling"), max_pos),
+        max_position_embeddings=max_pos,
+        tie_word_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        hidden_act=hf.get("hidden_act", hf.get("hidden_activation", "silu")),
+        attention_bias=bool(hf.get("attention_bias", False)),
+        o_proj_bias=bool(hf.get("attention_bias", False)),
+        mlp_bias=bool(hf.get("mlp_bias", False)),
+        partial_rotary_factor=float(hf.get("partial_rotary_factor", 1.0)),
+        bos_token_id=hf.get("bos_token_id"),
+        eos_token_id=eos,
+        pad_token_id=hf.get("pad_token_id"),
+    )
+
+
+def _build_llama_like(cls, hf, model_type, name):
+    kw = _common(hf)
+    if model_type in ("mistral",) and hf.get("sliding_window"):
+        kw["sliding_window"] = int(hf["sliding_window"])
+        kw["layer_pattern"] = ("sliding",)
+    if model_type == "qwen2" and hf.get("use_sliding_window") and hf.get("sliding_window"):
+        kw["sliding_window"] = int(hf["sliding_window"])
+        kw["layer_pattern"] = ("sliding",)
+    if model_type in ("qwen3", "qwen3_moe"):
+        kw["qk_norm"] = True
+    if model_type == "qwen3_moe":
+        kw.update(
+            num_experts=int(hf.get("num_experts", 128)),
+            num_experts_per_tok=int(hf.get("num_experts_per_tok", 8)),
+            moe_intermediate_size=int(hf.get("moe_intermediate_size", 768)),
+            norm_topk_prob=bool(hf.get("norm_topk_prob", True)),
+        )
+    if model_type == "mixtral":
+        kw.update(
+            num_experts=int(hf.get("num_local_experts", 8)),
+            num_experts_per_tok=int(hf.get("num_experts_per_tok", 2)),
+        )
+    if model_type == "cohere":
+        kw["logit_scale"] = float(hf.get("logit_scale", 0.0625))
+        kw["norm_type"] = "layernorm"
+    return cls(model_type=model_type, name=name, **kw)
+
+
+def _build_gemma(cls, hf, model_type, name):
+    kw = _common(hf)
+    hidden = kw["hidden_size"]
+    kw["gemma_norm"] = True
+    kw["embed_scale"] = float(hidden) ** 0.5
+    kw["tie_word_embeddings"] = bool(hf.get("tie_word_embeddings", True))
+    # HF gemma's hidden_act key history is messy; gemma uses gelu_tanh.
+    act = hf.get("hidden_activation") or hf.get("hidden_act") or "gelu_pytorch_tanh"
+    kw["hidden_act"] = {"gelu_pytorch_tanh": "gelu_tanh"}.get(act, act)
+
+    if model_type == "gemma2":
+        kw["attn_softcap"] = float(hf.get("attn_logit_softcapping", 50.0))
+        kw["final_softcap"] = float(hf.get("final_logit_softcapping", 30.0))
+        kw["sliding_window"] = int(hf.get("sliding_window", 4096))
+        kw["layer_pattern"] = ("sliding", "global")  # alternating, even=sliding
+        kw["use_post_norms"] = True
+        if hf.get("query_pre_attn_scalar"):
+            kw["attn_logit_scale"] = float(hf["query_pre_attn_scalar"]) ** -0.5
+    elif model_type == "gemma3_text" or model_type == "gemma3":
+        kw["qk_norm"] = True
+        kw["use_post_norms"] = True
+        kw["sliding_window"] = int(hf.get("sliding_window", 1024))
+        pattern_len = int(hf.get("sliding_window_pattern", 6))
+        # gemma3: 5 sliding then 1 global
+        kw["layer_pattern"] = tuple(
+            "global" if (i + 1) % pattern_len == 0 else "sliding"
+            for i in range(pattern_len)
+        )
+        kw["rope_local_theta"] = float(hf.get("rope_local_base_freq", 10000.0))
+        if hf.get("query_pre_attn_scalar"):
+            kw["attn_logit_scale"] = float(hf["query_pre_attn_scalar"]) ** -0.5
+    return cls(model_type=model_type, name=name, **kw)
+
+
+def _build_gpt_oss(cls, hf, model_type, name):
+    kw = _common(hf)
+    kw.update(
+        num_experts=int(hf.get("num_local_experts", 32)),
+        num_experts_per_tok=int(hf.get("num_experts_per_tok", 4)),
+        moe_intermediate_size=int(hf.get("intermediate_size", 2880)),
+        sliding_window=int(hf.get("sliding_window", 128)),
+        layer_pattern=("sliding", "global"),
+        attention_bias=True,
+        o_proj_bias=True,
+        router_bias=True,
+        moe_mlp_bias=True,
+        moe_act="gpt_oss_glu",  # clamped glu with alpha=1.702
+        norm_topk_prob=True,
+    )
+    return cls(model_type=model_type, name=name, **kw)
+
+
+_HF_BUILDERS = {
+    "llama": _build_llama_like,
+    "mistral": _build_llama_like,
+    "qwen2": _build_llama_like,
+    "qwen3": _build_llama_like,
+    "qwen3_moe": _build_llama_like,
+    "mixtral": _build_llama_like,
+    "cohere": _build_llama_like,
+    "gemma": _build_gemma,
+    "gemma2": _build_gemma,
+    "gemma3": _build_gemma,
+    "gemma3_text": _build_gemma,
+    "gpt_oss": _build_gpt_oss,
+}
+
+
+def load_hf_config(path: str) -> Dict[str, Any]:
+    cfg_path = os.path.join(path, "config.json") if os.path.isdir(path) else path
+    with open(cfg_path) as f:
+        return json.load(f)

@@ -1,0 +1,312 @@
+"""Decoder-only transformer — the functional archetype.
+
+This one forward covers the architectures the reference implements as
+separate hand-patched files (reference: unsloth/models/llama.py:665-1509 is
+the archetype; mistral.py / qwen2.py / qwen3.py / gemma.py / gemma2.py are
+deltas). Architectural differences are ModelConfig knobs (see config.py).
+
+Design:
+  * Pure functions over parameter pytrees — no module classes, no patching.
+    `params` holds the (possibly NF4-quantized, frozen) base weights;
+    `lora` is a parallel tree of LoRAWeights/None holding the trainables.
+  * Layers are a Python list of per-layer dicts. The training step wraps
+    each layer in `jax.checkpoint` (gradient checkpointing; the TPU-native
+    replacement for the reference's offloaded GC — reference _utils.py:356-382)
+    with a configurable rematerialization policy.
+  * Packing is expressed with segment ids flowing into the attention op
+    (replaces varlen cu_seqlens; reference utils/packing.py).
+  * The loss path never materializes logits: `loss_fn` calls the fused
+    linear+CE (reference models/llama.py:1454-1509 fused-CE gate).
+
+Parameter tree schema (HF-checkpoint-shaped, [out, in] weights):
+
+  params = {
+    "embed": [V, D],
+    "layers": [ {
+        "input_norm": [D], "post_attn_norm": [D],
+        # gemma2/3 sandwich norms (use_post_norms):
+        "pre_ffw_norm": [D], "post_ffw_norm": [D], "post_attn_out_norm": [D],
+        "q": W|NF4, "k": ..., "v": ..., "o": ...,
+        "q_bias": [Hq*Dh]?, "k_bias": ..., "v_bias": ..., "o_bias": ...,
+        "q_norm": [Dh]?, "k_norm": [Dh]?,              # qwen3/gemma3
+        "gate": W|NF4, "up": W|NF4, "down": W|NF4,     # dense MLP
+        # MoE layers instead of gate/up/down:
+        "router": [E, D], "router_bias": [E]?,
+        "experts": {"gate": [E,F,D], "up": [E,F,D], "down": [E,D,F]},
+    }, ... ],
+    "final_norm": [D],
+    "lm_head": [V, D] | None,   # None => tied to embed
+  }
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.activations import glu_for
+from ..ops.attention import attention
+from ..ops.cross_entropy import fast_cross_entropy_loss
+from ..ops.fused_ce_linear import fused_ce_loss_mean
+from ..ops.lora import lora_matmul
+from ..ops.rms_norm import layer_norm_ref, rms_norm
+from ..ops.rope import apply_rope_qk, rope_inv_freq, rope_table, yarn_attention_factor
+from .config import ModelConfig
+
+
+def _norm(x, w, cfg: ModelConfig):
+    if cfg.norm_type == "layernorm":
+        return layer_norm_ref(x, w, None, cfg.rms_norm_eps)
+    return rms_norm(x, w, cfg.rms_norm_eps, cfg.gemma_norm)
+
+
+def _proj(x, layer_p, lora_p, name):
+    lora = lora_p.get(name) if lora_p else None
+    bias = layer_p.get(f"{name}_bias")
+    return lora_matmul(x, layer_p[name], lora=lora, bias=bias)
+
+
+def attention_block(
+    x, layer_p, lora_p, cfg: ModelConfig, layer_idx: int,
+    cos, sin, cos_local, sin_local,
+    segment_ids, positions,
+):
+    b, t, d = x.shape
+    hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    q = _proj(x, layer_p, lora_p, "q").reshape(b, t, hq, dh)
+    k = _proj(x, layer_p, lora_p, "k").reshape(b, t, hkv, dh)
+    v = _proj(x, layer_p, lora_p, "v").reshape(b, t, hkv, dh)
+
+    if cfg.qk_norm:
+        q = rms_norm(q, layer_p["q_norm"], cfg.rms_norm_eps, cfg.gemma_norm)
+        k = rms_norm(k, layer_p["k_norm"], cfg.rms_norm_eps, cfg.gemma_norm)
+
+    kind = cfg.layer_kind(layer_idx)
+    if kind == "sliding" and cos_local is not None:
+        q, k = apply_rope_qk(q, k, cos_local, sin_local)
+    else:
+        q, k = apply_rope_qk(q, k, cos, sin)
+
+    window = cfg.sliding_window if kind == "sliding" else None
+    out = attention(
+        q, k, v,
+        causal=True,
+        segment_ids=segment_ids,
+        window=window,
+        softcap=cfg.attn_softcap,
+        scale=cfg.attn_logit_scale,
+        positions=positions,
+    )
+    out = out.reshape(b, t, hq * dh)
+    return _proj(out, layer_p, lora_p, "o")
+
+
+def mlp_block(x, layer_p, lora_p, cfg: ModelConfig, layer_idx: int):
+    if cfg.layer_is_moe(layer_idx) and "experts" in layer_p:
+        return moe_block(x, layer_p, cfg)
+    glu = glu_for(cfg.hidden_act)
+    e = _proj(x, layer_p, lora_p, "gate")
+    g = _proj(x, layer_p, lora_p, "up")
+    h = glu(e, g)
+    return _proj(h, layer_p, lora_p, "down")
+
+
+def moe_block(x, layer_p, cfg: ModelConfig):
+    """Token-choice top-k MoE via dense einsum over experts (correct-first
+    reference; the megablox grouped-GEMM path replaces this for speed).
+    experts: gate/up [E, F, D], down [E, D, F]."""
+    b, t, d = x.shape
+    xf = x.reshape(-1, d)
+    router_logits = jnp.dot(xf.astype(jnp.float32),
+                            layer_p["router"].T.astype(jnp.float32))
+    if layer_p.get("router_bias") is not None:
+        router_logits = router_logits + layer_p["router_bias"].astype(jnp.float32)
+    k = cfg.num_experts_per_tok
+    weights, sel = jax.lax.top_k(router_logits, k)          # [N, k]
+    weights = jax.nn.softmax(weights, axis=-1)
+    if cfg.norm_topk_prob:
+        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+
+    glu = glu_for(cfg.moe_act or cfg.hidden_act)
+    e_gate = layer_p["experts"]["gate"]
+    e_up = layer_p["experts"]["up"]
+    e_down = layer_p["experts"]["down"]
+
+    def one_expert_slot(i):
+        idx = sel[:, i]                                     # [N]
+        wg = jnp.take(e_gate, idx, axis=0)                  # [N, F, D]
+        wu = jnp.take(e_up, idx, axis=0)
+        wd = jnp.take(e_down, idx, axis=0)                  # [N, D, F]
+        e = jnp.einsum("nd,nfd->nf", xf, wg.astype(xf.dtype))
+        g = jnp.einsum("nd,nfd->nf", xf, wu.astype(xf.dtype))
+        h = glu(e, g)
+        y = jnp.einsum("nf,ndf->nd", h, wd.astype(xf.dtype))
+        return y * weights[:, i:i + 1].astype(xf.dtype)
+
+    out = sum(one_expert_slot(i) for i in range(k))
+    return out.reshape(b, t, d)
+
+
+def decoder_layer(
+    x, layer_p, lora_p, cfg: ModelConfig, layer_idx: int,
+    cos, sin, cos_local, sin_local, segment_ids, positions,
+):
+    h = _norm(x, layer_p["input_norm"], cfg)
+    attn = attention_block(h, layer_p, lora_p, cfg, layer_idx,
+                           cos, sin, cos_local, sin_local,
+                           segment_ids, positions)
+    if cfg.use_post_norms and "post_attn_out_norm" in layer_p:
+        attn = _norm(attn, layer_p["post_attn_out_norm"], cfg)
+    x = x + attn
+
+    if cfg.use_post_norms and "pre_ffw_norm" in layer_p:
+        h = _norm(x, layer_p["pre_ffw_norm"], cfg)
+    else:
+        h = _norm(x, layer_p["post_attn_norm"], cfg)
+    mlp = mlp_block(h, layer_p, lora_p, cfg, layer_idx)
+    if cfg.use_post_norms and "post_ffw_norm" in layer_p:
+        mlp = _norm(mlp, layer_p["post_ffw_norm"], cfg)
+    return x + mlp
+
+
+def _rope_tables(cfg: ModelConfig, positions):
+    inv = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling,
+                        rotary_dim=int(cfg.head_dim * cfg.partial_rotary_factor))
+    attn_factor = yarn_attention_factor(cfg.rope_scaling)
+    cos, sin = rope_table(positions, inv, attn_factor)
+    cos_local = sin_local = None
+    if cfg.rope_local_theta is not None:
+        inv_l = rope_inv_freq(cfg.head_dim, cfg.rope_local_theta, None,
+                              rotary_dim=int(cfg.head_dim * cfg.partial_rotary_factor))
+        cos_local, sin_local = rope_table(positions, inv_l)
+    return cos, sin, cos_local, sin_local
+
+
+def forward(
+    params: Dict[str, Any],
+    lora: Optional[Dict[str, Any]],
+    input_ids: jnp.ndarray,               # [B, T] int32
+    cfg: ModelConfig,
+    *,
+    positions: Optional[jnp.ndarray] = None,     # [B, T] int32
+    segment_ids: Optional[jnp.ndarray] = None,   # [B, T] int32
+    remat: bool = True,
+    remat_policy: Optional[Any] = None,
+) -> jnp.ndarray:
+    """Run the decoder stack; returns final hidden states [B, T, D]
+    (pre-lm_head — the reference's UNSLOTH_RETURN_HIDDEN_STATES shape,
+    models/llama.py:1442-1451)."""
+    b, t = input_ids.shape
+    if positions is None:
+        positions = jnp.broadcast_to(
+            jnp.arange(t, dtype=jnp.int32)[None], (b, t))
+
+    x = jnp.take(params["embed"], input_ids, axis=0)
+    if cfg.embed_scale is not None:
+        # gemma scales by sqrt(D) computed in the embed dtype (HF parity).
+        x = x * jnp.asarray(cfg.embed_scale, dtype=x.dtype)
+
+    cos, sin, cos_local, sin_local = _rope_tables(cfg, positions)
+
+    layer_fn = decoder_layer
+    if remat:
+        layer_fn = jax.checkpoint(
+            decoder_layer,
+            policy=remat_policy,
+            static_argnums=(3, 4),
+        )
+
+    lora_layers = (lora or {}).get("layers")
+    for i, layer_p in enumerate(params["layers"]):
+        lora_p = lora_layers[i] if lora_layers else None
+        x = layer_fn(x, layer_p, lora_p, cfg, i,
+                     cos, sin, cos_local, sin_local, segment_ids, positions)
+
+    return _norm(x, params["final_norm"], cfg)
+
+
+def lm_head_weight(params, cfg: ModelConfig):
+    """[D, V] matmul operand; handles tied embeddings."""
+    w = params.get("lm_head")
+    if w is None:
+        return params["embed"].T  # [D, V]
+    return w.T if not hasattr(w, "packed") else w  # NF4 handled by caller
+
+
+def logits_fn(params, lora, input_ids, cfg: ModelConfig, **kw) -> jnp.ndarray:
+    """Full logits [B, T, V] (inference / small-batch path)."""
+    h = forward(params, lora, input_ids, cfg, **kw)
+    w = params.get("lm_head")
+    if w is None:
+        w = params["embed"]
+    from ..ops.lora import base_matmul
+
+    logits = base_matmul(h, w)
+    if cfg.logit_scale is not None:
+        logits = logits * cfg.logit_scale
+    if cfg.final_softcap is not None:
+        logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
+    return logits
+
+
+def loss_fn(
+    params: Dict[str, Any],
+    lora: Optional[Dict[str, Any]],
+    batch: Dict[str, jnp.ndarray],
+    cfg: ModelConfig,
+    *,
+    n_items: Optional[jnp.ndarray] = None,
+    lm_head_trainable: bool = False,
+    fused_ce: bool = True,
+    chunk_size: int = 1024,
+    remat: bool = True,
+    remat_policy: Optional[Any] = None,
+) -> jnp.ndarray:
+    """SFT loss. batch: input_ids [B,T], labels [B,T] (-100 = ignore),
+    optional positions / segment_ids. Labels are shifted internally
+    (next-token prediction)."""
+    input_ids = batch["input_ids"]
+    labels = batch["labels"]
+    h = forward(params, lora, input_ids, cfg,
+                positions=batch.get("positions"),
+                segment_ids=batch.get("segment_ids"),
+                remat=remat, remat_policy=remat_policy)
+
+    # shift: predict token t+1 from hidden t
+    h = h[:, :-1, :]
+    shift_labels = labels[:, 1:]
+    d = h.shape[-1]
+    h2d = h.reshape(-1, d)
+    lb = shift_labels.reshape(-1)
+
+    w = params.get("lm_head")
+    tied = w is None
+    if tied:
+        w = params["embed"]
+
+    if fused_ce:
+        from ..ops.nf4 import NF4Tensor, dequantize_nf4
+
+        if isinstance(w, NF4Tensor):
+            wd = dequantize_nf4(w, dtype=h.dtype).T
+        else:
+            wd = w.T.astype(h.dtype)  # [D, V]
+        return fused_ce_loss_mean(
+            h2d, wd, lb,
+            n_items=n_items,
+            softcap=cfg.final_softcap,
+            logit_scale=cfg.logit_scale,
+            chunk_size=chunk_size,
+            w_trainable=lm_head_trainable,
+        )
+
+    from ..ops.lora import base_matmul
+
+    logits = base_matmul(h2d, w)
+    return fast_cross_entropy_loss(
+        logits, lb, n_items=n_items,
+        softcap=cfg.final_softcap, logit_scale=cfg.logit_scale)

@@ -1,0 +1,160 @@
+"""Parameter-tree construction: random init, LoRA injection, quantization.
+
+The LoRA target-module selection mirrors the reference's defaults
+(reference: models/llama.py:3044 `get_peft_model` — default target_modules
+q/k/v/o/gate/up/down; embedding/lm_head trainable via
+`modules_to_save`)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.lora import LoRAWeights, init_lora
+from ..ops.nf4 import NF4Tensor, quantize_nf4
+from .config import ModelConfig
+
+DEFAULT_TARGET_MODULES = ("q", "k", "v", "o", "gate", "up", "down")
+
+# HF peft naming <-> our short names
+HF_MODULE_NAMES = {
+    "q_proj": "q", "k_proj": "k", "v_proj": "v", "o_proj": "o",
+    "gate_proj": "gate", "up_proj": "up", "down_proj": "down",
+}
+
+
+def normalize_target_modules(mods: Sequence[str]) -> tuple:
+    out = []
+    for m in mods:
+        out.append(HF_MODULE_NAMES.get(m, m))
+    return tuple(out)
+
+
+def _linear_dims(cfg: ModelConfig, name: str):
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    return {
+        "q": (hq * dh, d), "k": (hkv * dh, d), "v": (hkv * dh, d),
+        "o": (d, hq * dh),
+        "gate": (f, d), "up": (f, d), "down": (d, f),
+    }[name]
+
+
+def init_params(cfg: ModelConfig, key, dtype=jnp.float32,
+                init_scale: float = 0.02) -> Dict[str, Any]:
+    """Random-init a full parameter tree (tests / tiny models)."""
+    keys = jax.random.split(key, 4 + cfg.num_layers)
+
+    def rand(k, shape, scale=init_scale):
+        return (jax.random.normal(k, shape, dtype=jnp.float32) * scale).astype(dtype)
+
+    d = cfg.hidden_size
+    params: Dict[str, Any] = {
+        "embed": rand(keys[0], (cfg.vocab_size, d)),
+        "final_norm": jnp.zeros((d,), dtype) if cfg.gemma_norm
+        else jnp.ones((d,), dtype),
+        "layers": [],
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = rand(keys[1], (cfg.vocab_size, d))
+
+    def norm_init():
+        return jnp.zeros((d,), dtype) if cfg.gemma_norm else jnp.ones((d,), dtype)
+
+    for i in range(cfg.num_layers):
+        lk = jax.random.split(keys[4 + i], 16)
+        layer: Dict[str, Any] = {
+            "input_norm": norm_init(),
+            "post_attn_norm": norm_init(),
+        }
+        if cfg.use_post_norms:
+            layer["post_attn_out_norm"] = norm_init()
+            layer["pre_ffw_norm"] = norm_init()
+            layer["post_ffw_norm"] = norm_init()
+        for j, name in enumerate(("q", "k", "v", "o")):
+            layer[name] = rand(lk[j], _linear_dims(cfg, name))
+            if cfg.attention_bias and name != "o":
+                layer[f"{name}_bias"] = jnp.zeros(
+                    (_linear_dims(cfg, name)[0],), dtype)
+            if cfg.o_proj_bias and name == "o":
+                layer["o_bias"] = jnp.zeros((d,), dtype)
+        if cfg.qk_norm:
+            dh = cfg.head_dim
+            layer["q_norm"] = jnp.zeros((dh,), dtype) if cfg.gemma_norm \
+                else jnp.ones((dh,), dtype)
+            layer["k_norm"] = jnp.zeros((dh,), dtype) if cfg.gemma_norm \
+                else jnp.ones((dh,), dtype)
+        if cfg.layer_is_moe(i):
+            e = cfg.num_experts
+            f = cfg.moe_intermediate_size or cfg.intermediate_size
+            layer["router"] = rand(lk[8], (e, d))
+            if cfg.router_bias:
+                layer["router_bias"] = jnp.zeros((e,), dtype)
+            layer["experts"] = {
+                "gate": rand(lk[9], (e, f, d)),
+                "up": rand(lk[10], (e, f, d)),
+                "down": rand(lk[11], (e, d, f)),
+            }
+        else:
+            for j, name in enumerate(("gate", "up", "down")):
+                layer[name] = rand(lk[4 + j], _linear_dims(cfg, name))
+                if cfg.mlp_bias:
+                    layer[f"{name}_bias"] = jnp.zeros(
+                        (_linear_dims(cfg, name)[0],), dtype)
+        params["layers"].append(layer)
+    return params
+
+
+def quantize_params(params: Dict[str, Any], cfg: ModelConfig,
+                    block_size: int = 64, double_quant: bool = True,
+                    dtype=jnp.bfloat16,
+                    skip: Sequence[str] = ()) -> Dict[str, Any]:
+    """Quantize the big linear weights to NF4 (QLoRA base). Norms, biases,
+    embeddings and lm_head stay dense (matching the reference's bnb config:
+    llm_int8_skip_modules keeps embed/lm_head/router in 16-bit)."""
+    quantizable = {"q", "k", "v", "o", "gate", "up", "down"}
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["layers"] = []
+    for layer in params["layers"]:
+        new_layer = {}
+        for name, w in layer.items():
+            if name in quantizable and name not in skip \
+                    and isinstance(w, jnp.ndarray) and w.ndim == 2:
+                new_layer[name] = quantize_nf4(
+                    w, block_size=block_size, double_quant=double_quant,
+                    dtype=dtype)
+            else:
+                new_layer[name] = w
+        out["layers"].append(new_layer)
+    return out
+
+
+def init_lora_tree(
+    cfg: ModelConfig, key, r: int = 16, alpha: float = 16.0,
+    target_modules: Sequence[str] = DEFAULT_TARGET_MODULES,
+    dtype=jnp.float32, use_rslora: bool = False,
+) -> Dict[str, Any]:
+    """Build the trainable LoRA tree matching the params schema."""
+    targets = set(normalize_target_modules(target_modules))
+    layers: List[Dict[str, Optional[LoRAWeights]]] = []
+    keys = jax.random.split(key, cfg.num_layers)
+    for i in range(cfg.num_layers):
+        lk = jax.random.split(keys[i], len(DEFAULT_TARGET_MODULES))
+        layer = {}
+        for j, name in enumerate(DEFAULT_TARGET_MODULES):
+            if name not in targets:
+                continue
+            if name in ("gate", "up", "down") and cfg.layer_is_moe(i):
+                continue  # MoE expert LoRA comes later
+            out_f, in_f = _linear_dims(cfg, name)
+            layer[name] = init_lora(lk[j], in_f, out_f, r, alpha, dtype,
+                                    use_rslora)
+        layers.append(layer)
+    return {"layers": layers}
+
+
+def count_params(tree) -> int:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return sum(x.size for x in leaves if hasattr(x, "size"))

@@ -1,0 +1,162 @@
+"""Attention dispatch.
+
+Parity target: the reference's backend table + ``run_attention``
+(reference: unsloth/utils/attention_dispatch.py:91-94,138,178-437 — selects
+flash-varlen for packed sequences, dense flash, xformers, or SDPA; handles
+GQA expansion, sliding windows, and softcapping via a separate flex-attention
+path in kernels/flex_attention.py).
+
+TPU-native redesign: one logical op `attention(...)` with named semantics
+(causal, segment_ids for packing, sliding window, softcap, GQA) and two
+implementations:
+
+  * `attention_ref` — pure-jnp masked SDPA; the parity oracle and CPU path.
+    Packing is expressed with segment ids (the TPU idiom) instead of varlen
+    cu_seqlens: tokens attend only within their segment.
+  * TPU fast path — `jax.experimental.pallas.ops.tpu.flash_attention`
+    (public JAX Pallas op) for the common causal/packed case. Softcap or
+    sliding-window cases fall back to the reference path until the splash-
+    attention integration lands (splash supports local windows natively).
+
+Layout: q [B, T, Hq, Dh]; k, v [B, S, Hkv, Dh]; segment_ids [B, T] int32
+(0 is a valid segment; padding should use a dedicated segment id with
+label masking, or attention masks out pad via segment mismatch).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import env
+
+
+def _gqa_expand(k, hq):
+    hkv = k.shape[2]
+    if hq == hkv:
+        return k
+    assert hq % hkv == 0
+    return jnp.repeat(k, hq // hkv, axis=2)
+
+
+def attention_ref(
+    q, k, v,
+    *,
+    causal: bool = True,
+    segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
+    scale: Optional[float] = None,
+    positions: Optional[jnp.ndarray] = None,
+    kv_positions: Optional[jnp.ndarray] = None,
+):
+    """Masked SDPA reference. fp32 softmax. Returns [B, T, Hq, Dh]."""
+    b, t, hq, dh = q.shape
+    s = k.shape[1]
+    if scale is None:
+        scale = dh ** -0.5
+
+    k = _gqa_expand(k, hq)
+    v = _gqa_expand(v, hq)
+
+    scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * scale
+    if softcap is not None:
+        scores = softcap * jnp.tanh(scores / softcap)
+
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None], (b, t))
+    if kv_positions is None:
+        if s == t:
+            kv_positions = positions
+        else:
+            kv_positions = jnp.broadcast_to(
+                jnp.arange(s, dtype=jnp.int32)[None], (b, s))
+
+    qpos = positions[:, :, None]     # [B, T, 1]
+    kpos = kv_positions[:, None, :]  # [B, 1, S]
+    mask = jnp.ones((b, t, s), dtype=bool)
+    if causal:
+        mask &= qpos >= kpos
+    if window is not None:
+        mask &= (qpos - kpos) < window
+    if segment_ids is not None:
+        kv_seg = kv_segment_ids if kv_segment_ids is not None else segment_ids
+        mask &= segment_ids[:, :, None] == kv_seg[:, None, :]
+
+    scores = jnp.where(mask[:, None, :, :], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    # Fully-masked rows (padding) produce NaN from softmax(-inf row); zero them.
+    probs = jnp.where(jnp.any(mask[:, None, :, :], axis=-1, keepdims=True),
+                      probs, 0.0)
+    out = jnp.einsum("bhts,bshd->bthd", probs, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+def _tpu_flash(q, k, v, *, causal, segment_ids, scale):
+    """Pallas flash attention (public JAX op) — causal / packed, no softcap."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention)
+
+    b, t, hq, dh = q.shape
+    k = _gqa_expand(k, hq)
+    v = _gqa_expand(v, hq)
+    # flash_attention expects [B, H, T, Dh]
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    seg = None
+    if segment_ids is not None:
+        seg = SegmentIds(q=segment_ids, kv=segment_ids)
+    block = min(512, t)
+    sizes = BlockSizes(
+        block_q=block, block_k_major=block, block_k=block, block_b=1,
+        block_q_major_dkv=block, block_k_major_dkv=block,
+        block_k_dkv=block, block_q_dkv=block,
+        block_k_major_dq=block, block_k_dq=block, block_q_dq=block,
+    )
+    out = flash_attention(qt, kt, vt, segment_ids=seg, causal=causal,
+                          sm_scale=scale, block_sizes=sizes)
+    return out.transpose(0, 2, 1, 3)
+
+
+def attention(
+    q, k, v,
+    *,
+    causal: bool = True,
+    segment_ids: Optional[jnp.ndarray] = None,
+    window: Optional[int] = None,
+    softcap: Optional[float] = None,
+    scale: Optional[float] = None,
+    positions: Optional[jnp.ndarray] = None,
+):
+    """Dispatching attention op (training path, self-attention).
+
+    Selection mirrors the reference's backend priority
+    (attention_dispatch.py:138): fastest kernel that supports the requested
+    semantics, else the reference implementation.
+    """
+    b, t, hq, dh = q.shape
+    if scale is None:
+        scale = dh ** -0.5
+
+    use_flash = (
+        jax.default_backend() == "tpu"
+        and not env.disable_pallas()
+        and softcap is None
+        and window is None
+        and positions is None
+        and dh % 128 == 0
+        and t % 128 == 0
+        and t == k.shape[1]
+    )
+    if use_flash:
+        return _tpu_flash(q, k, v, causal=causal, segment_ids=segment_ids,
+                          scale=scale)
+    return attention_ref(
+        q, k, v, causal=causal, segment_ids=segment_ids, window=window,
+        softcap=softcap, scale=scale, positions=positions)

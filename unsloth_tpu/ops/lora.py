@@ -1,0 +1,111 @@
+"""LoRA linear ops over dense or NF4-quantized base weights.
+
+Parity target: the reference's ``matmul_lora`` (kernels/utils.py:1128-1170 —
+dequant -> matmul -> addmm_ LoRA epilogue) and the fused LoRA autograd
+functions (kernels/fast_lora.py: LoRA_MLP / LoRA_QKV / LoRA_W) whose purpose
+on GPU is to (a) dequantize each base W once per projection in fwd and bwd
+and (b) compute dA, dB via addmm with alpha=scale.
+
+TPU design: LoRA math is three MXU matmuls; XLA already schedules and fuses
+them, and the backward it derives is exactly the hand-written one in
+fast_lora.py (dA = s·(gᵀX)ᵀ... via transpose rules), so no custom_vjp is
+needed for the dense path. The value we add is the *quantized* path: the base
+weight stays NF4-packed in HBM and is dequantized on the fly (in-kernel once
+the Pallas qlora matmul lands), while gradients flow only to A/B — the base
+matmul is wrapped in `stop_gradient` semantics by virtue of the NF4 pytree
+being non-differentiable (integer leaves).
+
+Conventions (HF/peft): W [out, in]; lora_A [r, in]; lora_B [out, r];
+scale = lora_alpha / r (rslora: lora_alpha / sqrt(r)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from .nf4 import NF4Tensor, dequantize_nf4
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class LoRAWeights:
+    a: jnp.ndarray  # [r, in]
+    b: jnp.ndarray  # [out, r]
+    scale: float    # static
+
+    def tree_flatten(self):
+        return (self.a, self.b), (self.scale,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0])
+
+
+BaseWeight = Union[jnp.ndarray, NF4Tensor]
+
+
+def base_matmul(x: jnp.ndarray, w: BaseWeight) -> jnp.ndarray:
+    """x @ W.T for dense or NF4 base weight. Output in x.dtype."""
+    if isinstance(w, NF4Tensor):
+        wd = dequantize_nf4(w, dtype=x.dtype)
+    else:
+        wd = w.astype(x.dtype)
+    return jax.lax.dot_general(
+        x, wd,
+        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=x.dtype,
+    )
+
+
+def lora_matmul(
+    x: jnp.ndarray,
+    w: BaseWeight,
+    lora: Optional[LoRAWeights] = None,
+    bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """y = x @ W.T (+ bias) (+ scale * (x @ A.T) @ B.T)."""
+    y = base_matmul(x, w)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    if lora is not None:
+        xa = jax.lax.dot_general(
+            x, lora.a,
+            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=x.dtype,
+        )
+        y = y + lora.scale * jax.lax.dot_general(
+            xa, lora.b,
+            dimension_numbers=(((xa.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=x.dtype,
+        )
+    return y
+
+
+def init_lora(key, in_features: int, out_features: int, r: int,
+              alpha: float, dtype=jnp.float32, use_rslora: bool = False
+              ) -> LoRAWeights:
+    """Kaiming-uniform A, zero B (peft init convention)."""
+    bound = (1.0 / in_features) ** 0.5 * (3.0 ** 0.5)
+    a = jax.random.uniform(key, (r, in_features), dtype=jnp.float32,
+                           minval=-bound, maxval=bound).astype(dtype)
+    b = jnp.zeros((out_features, r), dtype=dtype)
+    scale = alpha / (r ** 0.5) if use_rslora else alpha / r
+    return LoRAWeights(a=a, b=b, scale=scale)
+
+
+def merge_lora(w: BaseWeight, lora: LoRAWeights,
+               dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Dequant-if-needed and merge: W' = W + scale * B @ A in fp32
+    (reference: save.py:608 `_merge_lora` merges in fp32 then casts)."""
+    if isinstance(w, NF4Tensor):
+        wd = dequantize_nf4(w, dtype=jnp.float32)
+    else:
+        wd = w.astype(jnp.float32)
+    delta = lora.scale * jnp.dot(
+        lora.b.astype(jnp.float32), lora.a.astype(jnp.float32),
+        preferred_element_type=jnp.float32)
+    return (wd + delta).astype(dtype)

@@ -1,0 +1,207 @@
+"""RMSNorm — Pallas TPU kernel + jnp reference.
+
+Behavior parity with the reference Triton kernels
+(reference: unsloth/kernels/rms_layernorm.py):
+  * fp32 statistics regardless of input dtype (reference :21-59)
+  * Gemma variant computes ``(1 + w) * x_hat`` entirely in fp32
+    (reference :123-159)
+  * custom backward shared between variants (reference :62-120)
+
+TPU design notes: rows are processed in blocks of (BLOCK_ROWS, D); the
+backward needs a cross-row reduction for dW, which we accumulate across
+sequential grid steps into a single output block (TPU grids execute
+sequentially, so revisiting an output block is well-defined).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils import env
+
+DEFAULT_BLOCK_ROWS = 256
+
+
+# ---------------------------------------------------------------------------
+# Reference (pure jnp) — also the CPU path and the parity oracle.
+# ---------------------------------------------------------------------------
+
+def rms_norm_ref(x, w, eps: float, gemma: bool = False):
+    """Reference RMSNorm. x: [..., D], w: [D]."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = xf * inv
+    if gemma:
+        out = xhat * (1.0 + w.astype(jnp.float32))
+    else:
+        out = xhat * w.astype(jnp.float32)
+    return out.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(x_ref, w_ref, o_ref, *, eps: float, gemma: bool):
+    x = x_ref[:].astype(jnp.float32)
+    w = w_ref[:].astype(jnp.float32)
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = x * inv
+    scale = (1.0 + w) if gemma else w
+    o_ref[:] = (xhat * scale[None, :]).astype(o_ref.dtype)
+
+
+def _bwd_kernel(x_ref, w_ref, g_ref, dx_ref, dw_ref, *, eps: float, gemma: bool):
+    i = pl.program_id(0)
+    x = x_ref[:].astype(jnp.float32)
+    w = w_ref[:].astype(jnp.float32)
+    g = g_ref[:].astype(jnp.float32)
+
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = x * inv
+    scale = (1.0 + w) if gemma else w
+
+    wg = g * scale[None, :]
+    # dx = inv * (wg - xhat * mean(wg * xhat))
+    mean_term = jnp.mean(wg * xhat, axis=-1, keepdims=True)
+    dx = inv * (wg - xhat * mean_term)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+    dw_block = jnp.sum(g * xhat, axis=0)
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[:] = dw_block
+
+    @pl.when(i > 0)
+    def _():
+        dw_ref[:] = dw_ref[:] + dw_block
+
+
+def _pad_rows(x2d, block_rows):
+    rows = x2d.shape[0]
+    padded = pl.cdiv(rows, block_rows) * block_rows
+    if padded != rows:
+        x2d = jnp.pad(x2d, ((0, padded - rows), (0, 0)))
+    return x2d, rows, padded
+
+
+def _rms_norm_fwd_pallas(x, w, eps, gemma, block_rows=DEFAULT_BLOCK_ROWS):
+    orig_shape = x.shape
+    d = orig_shape[-1]
+    x2d = x.reshape(-1, d)
+    x2d, rows, padded = _pad_rows(x2d, block_rows)
+    grid = (padded // block_rows,)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, eps=eps, gemma=gemma),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((padded, d), x.dtype),
+        interpret=_interpret(),
+    )(x2d, w)
+    return out[:rows].reshape(orig_shape)
+
+
+def _rms_norm_bwd_pallas(x, w, g, eps, gemma, block_rows=DEFAULT_BLOCK_ROWS):
+    orig_shape = x.shape
+    d = orig_shape[-1]
+    x2d = x.reshape(-1, d)
+    g2d = g.reshape(-1, d)
+    x2d, rows, padded = _pad_rows(x2d, block_rows)
+    g2d, _, _ = _pad_rows(g2d, block_rows)
+    grid = (padded // block_rows,)
+    dx, dw = pl.pallas_call(
+        functools.partial(_bwd_kernel, eps=eps, gemma=gemma),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((padded, d), x.dtype),
+            jax.ShapeDtypeStruct((d,), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(x2d, w, g2d)
+    return dx[:rows].reshape(orig_shape), dw.astype(w.dtype)
+
+
+def _interpret() -> bool:
+    import jax as _jax
+
+    return _jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Public op with custom VJP
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def rms_norm(x, w, eps: float = 1e-6, gemma: bool = False):
+    """Fused RMSNorm. x: [..., D]; w: [D].
+
+    Uses the Pallas kernel on TPU, jnp reference elsewhere/when disabled.
+    """
+    return _dispatch_fwd(x, w, eps, gemma)
+
+
+def _dispatch_fwd(x, w, eps, gemma):
+    if env.disable_pallas() or not _use_pallas(x):
+        return rms_norm_ref(x, w, eps, gemma)
+    return _rms_norm_fwd_pallas(x, w, eps, gemma)
+
+
+def _use_pallas(x) -> bool:
+    # Pallas path only on TPU with lane-aligned model dim.
+    import jax as _jax
+
+    if _jax.default_backend() != "tpu":
+        return False
+    return x.shape[-1] % 128 == 0
+
+
+def _vjp_fwd(x, w, eps, gemma):
+    return _dispatch_fwd(x, w, eps, gemma), (x, w)
+
+
+def _vjp_bwd(eps, gemma, res, g):
+    x, w = res
+    if env.disable_pallas() or not _use_pallas(x):
+        # jnp backward via autodiff of the reference
+        _, vjp = jax.vjp(lambda x_, w_: rms_norm_ref(x_, w_, eps, gemma), x, w)
+        return vjp(g)
+    return _rms_norm_bwd_pallas(x, w, g, eps, gemma)
+
+
+rms_norm.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def layer_norm_ref(x, w, b, eps: float = 1e-5):
+    """fp32 LayerNorm (reference: unsloth/kernels/layernorm.py)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xhat = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = xhat * w.astype(jnp.float32)
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out.astype(dtype)
