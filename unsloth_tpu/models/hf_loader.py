@@ -1,0 +1,228 @@
+"""HF safetensors checkpoint <-> parameter pytree.
+
+Replaces the reference's load path (reference: models/loader.py:403-1106
+`FastLanguageModel.from_pretrained` -> HF `AutoModelForCausalLM` with a
+BitsAndBytes NF4 config) with a direct safetensors reader:
+
+  * shard-aware (model.safetensors.index.json or single file)
+  * quantize-on-load: each large linear is NF4-quantized as it is read, so
+    peak host/device memory stays ~0.55 bytes/param instead of 2
+    (the analog of bnb's on-the-fly 4-bit load)
+  * optional sharding: tensors are `jax.device_put` directly to their mesh
+    sharding so multi-chip loads never materialize a replicated copy
+
+Save goes the other way for merged/16-bit export (reference: save.py:811
+`unsloth_save_model(save_method="merged_16bit")`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.nf4 import NF4Tensor, quantize_nf4
+from .config import ModelConfig, load_hf_config
+from . import hf_names
+
+_QUANTIZABLE = ("q", "k", "v", "o", "gate", "up", "down")
+
+
+class CheckpointReader:
+    """Random access to tensors across safetensors shards."""
+
+    def __init__(self, path: str):
+        self.path = path
+        index_file = os.path.join(path, "model.safetensors.index.json")
+        self._name_to_file: Dict[str, str] = {}
+        if os.path.exists(index_file):
+            with open(index_file) as f:
+                index = json.load(f)
+            self._name_to_file = dict(index["weight_map"])
+        else:
+            single = os.path.join(path, "model.safetensors")
+            if not os.path.exists(single):
+                raise FileNotFoundError(
+                    f"No model.safetensors(.index.json) under {path}")
+            from safetensors import safe_open
+
+            with safe_open(single, framework="numpy") as f:
+                for name in f.keys():
+                    self._name_to_file[name] = "model.safetensors"
+        self._open_files: Dict[str, Any] = {}
+
+    def names(self) -> Iterable[str]:
+        return self._name_to_file.keys()
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._name_to_file
+
+    def get(self, name: str) -> np.ndarray:
+        from safetensors import safe_open
+
+        fname = self._name_to_file[name]
+        if fname not in self._open_files:
+            self._open_files[fname] = safe_open(
+                os.path.join(self.path, fname), framework="numpy")
+        return self._open_files[fname].get_tensor(name)
+
+    def close(self):
+        self._open_files.clear()
+
+
+def _to_jnp(arr: np.ndarray, dtype) -> jnp.ndarray:
+    # numpy has no bfloat16; safetensors returns ml_dtypes bfloat16 arrays,
+    # which jnp.asarray handles.
+    return jnp.asarray(arr).astype(dtype)
+
+
+def load_params(
+    path: str,
+    cfg: Optional[ModelConfig] = None,
+    *,
+    dtype=jnp.bfloat16,
+    load_in_4bit: bool = False,
+    quant_block_size: int = 64,
+    double_quant: bool = True,
+    put: Optional[Callable[[str, jnp.ndarray], jnp.ndarray]] = None,
+) -> Dict[str, Any]:
+    """Load an HF causal-LM checkpoint directory into our param tree.
+
+    ``put(tree_path, array)`` lets the caller place/shard each tensor
+    (e.g. device_put with a NamedSharding) as it streams in.
+    """
+    if cfg is None:
+        cfg = ModelConfig.from_hf_config(load_hf_config(path))
+    reader = CheckpointReader(path)
+    put = put or (lambda _, x: x)
+
+    def load_one(hf_name: str, tree_path: str, quantize: bool):
+        arr = _to_jnp(reader.get(hf_name), dtype)
+        if quantize and arr.ndim == 2:
+            q = quantize_nf4(arr, block_size=quant_block_size,
+                             double_quant=double_quant, dtype=dtype)
+            return jax.tree_util.tree_map(
+                lambda leaf: put(tree_path, leaf), q)
+        return put(tree_path, arr)
+
+    params: Dict[str, Any] = {"layers": []}
+    for ours, hf in hf_names.top_level_map(cfg).items():
+        if ours == "lm_head" and hf not in reader:
+            # some checkpoints tie without setting the config flag
+            continue
+        params[ours] = load_one(hf, ours, quantize=False)
+
+    for i in range(cfg.num_layers):
+        layer: Dict[str, Any] = {}
+        for ours, hf in hf_names.layer_name_map(cfg, i).items():
+            if hf not in reader:
+                continue
+            quantize = load_in_4bit and ours in _QUANTIZABLE
+            layer[ours] = load_one(hf, f"layers.{i}.{ours}", quantize)
+        if cfg.layer_is_moe(i):
+            layer["experts"] = _load_experts(reader, cfg, i, dtype, put)
+        params["layers"].append(layer)
+
+    reader.close()
+    return params
+
+
+def _load_experts(reader, cfg, layer_idx, dtype, put):
+    """Stack per-expert projections into [E, ...] tensors."""
+    namer = hf_names.expert_name
+    if hf_names.mixtral_expert_name(layer_idx, 0, "gate") in reader:
+        namer = hf_names.mixtral_expert_name
+    out = {}
+    for proj in ("gate", "up", "down"):
+        ws = [reader.get(namer(layer_idx, e, proj))
+              for e in range(cfg.num_experts)]
+        stacked = jnp.stack([jnp.asarray(w) for w in ws]).astype(dtype)
+        out[proj] = put(f"layers.{layer_idx}.experts.{proj}", stacked)
+    return out
+
+
+def save_params(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    path: str,
+    *,
+    dtype=jnp.bfloat16,
+    max_shard_bytes: int = 4 * 1024**3,
+    hf_config: Optional[Dict[str, Any]] = None,
+) -> None:
+    """Write the param tree back as an HF-layout safetensors checkpoint
+    (sharded, with index). NF4 tensors are dequantized. Mirrors the
+    RAM-aware sharded merge-save of the reference (save.py:811+)."""
+    from safetensors.numpy import save_file
+
+    from ..ops.nf4 import dequantize_nf4
+
+    os.makedirs(path, exist_ok=True)
+
+    def materialize(x):
+        if isinstance(x, NF4Tensor):
+            x = dequantize_nf4(x, dtype)
+        # ascontiguousarray is load-bearing: device_get from TPU can return
+        # Fortran-order views, and safetensors serializes raw bytes without
+        # consulting strides.
+        return np.ascontiguousarray(np.asarray(jax.device_get(
+            x.astype(dtype))))
+
+    entries = []  # (hf_name, getter)
+    for ours, hf in hf_names.top_level_map(cfg).items():
+        if ours not in params:
+            continue
+        entries.append((hf, params[ours]))
+    for i, layer in enumerate(params["layers"]):
+        for ours, hf in hf_names.layer_name_map(cfg, i).items():
+            if ours in layer:
+                entries.append((hf, layer[ours]))
+        if "experts" in layer:
+            for proj in ("gate", "up", "down"):
+                stacked = layer["experts"][proj]
+                for e in range(cfg.num_experts):
+                    entries.append(
+                        (hf_names.expert_name(i, e, proj), stacked[e]))
+
+    # Shard greedily under max_shard_bytes.
+    shards: list = [[]]
+    shard_bytes = [0]
+    for name, tensor in entries:
+        nbytes = int(np.prod(_shape_of(tensor))) * jnp.dtype(dtype).itemsize
+        if shard_bytes[-1] + nbytes > max_shard_bytes and shards[-1]:
+            shards.append([])
+            shard_bytes.append(0)
+        shards[-1].append((name, tensor))
+        shard_bytes[-1] += nbytes
+
+    weight_map = {}
+    n = len(shards)
+    for si, shard in enumerate(shards):
+        fname = ("model.safetensors" if n == 1
+                 else f"model-{si + 1:05d}-of-{n:05d}.safetensors")
+        data = {name: materialize(t) for name, t in shard}
+        save_file(data, os.path.join(path, fname),
+                  metadata={"format": "pt"})
+        for name, _ in shard:
+            weight_map[name] = fname
+    if n > 1:
+        index = {"metadata": {"total_size": sum(shard_bytes)},
+                 "weight_map": weight_map}
+        with open(os.path.join(path, "model.safetensors.index.json"),
+                  "w") as f:
+            json.dump(index, f, indent=2)
+
+    if hf_config is not None:
+        with open(os.path.join(path, "config.json"), "w") as f:
+            json.dump(hf_config, f, indent=2)
+
+
+def _shape_of(t) -> tuple:
+    if isinstance(t, NF4Tensor):
+        return t.shape
+    return t.shape

@@ -1,0 +1,122 @@
+"""HF checkpoint name mapping: safetensors tensor names <-> our param tree.
+
+The reference keeps HF models as live torch modules and monkey-patches them;
+we instead map checkpoint tensors into a functional pytree at load time and
+back at save time (reference analog: the name logic embedded in
+models/mapper.py + save.py's merged save which walks HF state_dict names).
+
+All weights keep the HF [out, in] orientation — no transposition happens at
+load, so a round-trip load->save is bit-exact.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+from .config import ModelConfig
+
+# our layer-local name -> HF suffix (relative to model.layers.{i}.)
+_LAYER_MAP = {
+    "q": "self_attn.q_proj.weight",
+    "k": "self_attn.k_proj.weight",
+    "v": "self_attn.v_proj.weight",
+    "o": "self_attn.o_proj.weight",
+    "q_bias": "self_attn.q_proj.bias",
+    "k_bias": "self_attn.k_proj.bias",
+    "v_bias": "self_attn.v_proj.bias",
+    "o_bias": "self_attn.o_proj.bias",
+    "q_norm": "self_attn.q_norm.weight",
+    "k_norm": "self_attn.k_norm.weight",
+    "gate": "mlp.gate_proj.weight",
+    "up": "mlp.up_proj.weight",
+    "down": "mlp.down_proj.weight",
+    "gate_bias": "mlp.gate_proj.bias",
+    "up_bias": "mlp.up_proj.bias",
+    "down_bias": "mlp.down_proj.bias",
+    "input_norm": "input_layernorm.weight",
+}
+
+# post-norm architectures (gemma2/3) name the sandwich norms differently
+_POST_NORM_MAP = {
+    "post_attn_out_norm": "post_attention_layernorm.weight",
+    "pre_ffw_norm": "pre_feedforward_layernorm.weight",
+    "post_ffw_norm": "post_feedforward_layernorm.weight",
+}
+_PLAIN_NORM_MAP = {
+    "post_attn_norm": "post_attention_layernorm.weight",
+}
+
+_TOP_MAP = {
+    "embed": "model.embed_tokens.weight",
+    "final_norm": "model.norm.weight",
+    "lm_head": "lm_head.weight",
+}
+
+# MoE (qwen3_moe / mixtral layout)
+_MOE_ROUTER = "mlp.gate.weight"
+_MOE_ROUTER_BIAS = "mlp.gate.bias"
+
+
+def layer_name_map(cfg: ModelConfig, layer_idx: int) -> Dict[str, str]:
+    """our name -> HF name for one decoder layer (non-expert tensors)."""
+    prefix = f"model.layers.{layer_idx}."
+    m = dict(_LAYER_MAP)
+    if cfg.use_post_norms:
+        m.update(_POST_NORM_MAP)
+    else:
+        m.update(_PLAIN_NORM_MAP)
+    out = {ours: prefix + hf for ours, hf in m.items()}
+    if cfg.layer_is_moe(layer_idx):
+        out["router"] = prefix + _MOE_ROUTER
+        out["router_bias"] = prefix + _MOE_ROUTER_BIAS
+        for name in ("gate", "up", "down", "gate_bias", "up_bias",
+                     "down_bias"):
+            out.pop(name, None)
+    return out
+
+
+def expert_name(layer_idx: int, expert_idx: int, proj: str) -> str:
+    """HF name for one expert projection (qwen3_moe/mixtral layout:
+    mlp.experts.{e}.{gate,up,down}_proj.weight; mixtral uses w1/w3/w2)."""
+    return (f"model.layers.{layer_idx}.mlp.experts.{expert_idx}."
+            f"{proj}_proj.weight")
+
+
+_MIXTRAL_PROJ = {"gate": "w1", "up": "w3", "down": "w2"}
+
+
+def mixtral_expert_name(layer_idx: int, expert_idx: int, proj: str) -> str:
+    return (f"model.layers.{layer_idx}.block_sparse_moe.experts."
+            f"{expert_idx}.{_MIXTRAL_PROJ[proj]}.weight")
+
+
+def top_level_map(cfg: ModelConfig) -> Dict[str, str]:
+    m = dict(_TOP_MAP)
+    if cfg.tie_word_embeddings:
+        m.pop("lm_head")
+    return m
+
+
+def all_expected_names(cfg: ModelConfig) -> List[str]:
+    """Every HF tensor name this config implies (for validation)."""
+    names = list(top_level_map(cfg).values())
+    for i in range(cfg.num_layers):
+        for ours, hf in layer_name_map(cfg, i).items():
+            if ours.endswith("_bias"):
+                base = ours[:-5]
+                if base in ("q", "k", "v") and not cfg.attention_bias:
+                    continue
+                if base == "o" and not cfg.o_proj_bias:
+                    continue
+                if base in ("gate", "up", "down") and not cfg.mlp_bias:
+                    continue
+                if ours == "router_bias" and not cfg.router_bias:
+                    continue
+            if ours in ("q_norm", "k_norm") and not cfg.qk_norm:
+                continue
+            names.append(hf)
+        if cfg.layer_is_moe(i):
+            for e in range(cfg.num_experts):
+                for proj in ("gate", "up", "down"):
+                    names.append(expert_name(i, e, proj))
+    return names

@@ -1,0 +1,263 @@
+"""FastLanguageModel — the user-facing facade.
+
+API parity with the reference (reference: models/loader.py:403
+`FastLanguageModel.from_pretrained`, models/llama.py:3044 `get_peft_model`,
+:3807/:3856 `for_inference`/`for_training`): same method names and the
+load -> get_peft_model -> train -> save flow, returning (model, tokenizer).
+
+TPU-native differences:
+  * the returned model is a lightweight handle over functional state
+    (config + frozen param pytree + trainable LoRA pytree + mesh) — there is
+    no monkey-patched torch module graph;
+  * ``load_in_4bit`` quantizes to NF4 pytrees on load (no bitsandbytes);
+  * multi-chip placement is a mesh + sharding rules, not per-rank
+    device_map.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..parallel.mesh import ShardingRules, create_mesh
+from ..utils.dtypes import canonical_dtype
+from .config import ModelConfig, load_hf_config
+from . import hf_loader
+from .params import (DEFAULT_TARGET_MODULES, init_lora_tree,
+                     normalize_target_modules)
+
+
+@dataclasses.dataclass
+class LanguageModel:
+    """Functional model handle (what `from_pretrained` returns)."""
+
+    cfg: ModelConfig
+    params: Dict[str, Any]                 # frozen base weights
+    lora: Optional[Dict[str, Any]] = None  # trainable LoRA tree
+    mesh: Optional[Any] = None
+    rules: ShardingRules = dataclasses.field(default_factory=ShardingRules)
+    max_seq_length: int = 2048
+    tokenizer: Any = None
+    model_path: Optional[str] = None
+    hf_config: Optional[Dict[str, Any]] = None
+    lora_config: Optional[Dict[str, Any]] = None
+    _mode: str = "training"
+
+    # -- reference-parity conveniences --------------------------------
+    @property
+    def config(self) -> ModelConfig:
+        return self.cfg
+
+    def for_inference(self) -> "LanguageModel":
+        """(reference: models/llama.py:3807) — toggles decode mode."""
+        self._mode = "inference"
+        return self
+
+    def for_training(self) -> "LanguageModel":
+        self._mode = "training"
+        return self
+
+    def get_peft_model(self, **kwargs) -> "LanguageModel":
+        return FastLanguageModel.get_peft_model(self, **kwargs)
+
+    # -- functional API ------------------------------------------------
+    def loss_fn(self, lora, batch, **kw):
+        from .decoder import loss_fn
+
+        return loss_fn(self.params, lora, batch, self.cfg, **kw)
+
+    def forward(self, input_ids, **kw):
+        from .decoder import forward
+
+        return forward(self.params, self.lora, input_ids, self.cfg, **kw)
+
+    def logits(self, input_ids, **kw):
+        from .decoder import logits_fn
+
+        return logits_fn(self.params, self.lora, input_ids, self.cfg, **kw)
+
+    def generate(self, *args, **kw):
+        from ..inference.generate import generate
+
+        return generate(self, *args, **kw)
+
+    # -- persistence ----------------------------------------------------
+    def save_pretrained_merged(self, path: str, tokenizer=None,
+                               save_method: str = "merged_16bit", **kw):
+        from ..export.save import save_pretrained_merged
+
+        return save_pretrained_merged(self, path, tokenizer=tokenizer,
+                                      save_method=save_method, **kw)
+
+    def save_lora(self, path: str):
+        from ..export.save import save_lora
+
+        return save_lora(self, path)
+
+
+class FastLanguageModel:
+    """Reference-compatible entry point (reference: models/loader.py:403)."""
+
+    @staticmethod
+    def from_pretrained(
+        model_name: str,
+        max_seq_length: int = 2048,
+        dtype: Optional[Any] = None,
+        load_in_4bit: bool = True,
+        load_in_8bit: bool = False,
+        full_finetuning: bool = False,
+        *,
+        mesh: Optional[Any] = None,
+        rules: Optional[ShardingRules] = None,
+        token: Optional[str] = None,
+        trust_remote_code: bool = False,
+        fast_inference: bool = False,
+        **kwargs,
+    ) -> Tuple[LanguageModel, Any]:
+        """Load a model + tokenizer from a local HF checkpoint directory.
+
+        Remote hub names are resolved through the local HF cache when
+        present; this environment is offline-first (the reference's
+        `@_offline_aware_load` retry, loader_utils.py:1183, is the default
+        behavior here)."""
+        path = _resolve_model_path(model_name)
+        hf_config = load_hf_config(path)
+        cfg = ModelConfig.from_hf_config(hf_config, name=model_name)
+
+        dtype = canonical_dtype(dtype) or jnp.bfloat16
+        if full_finetuning:
+            load_in_4bit = False
+
+        put = None
+        if mesh is not None:
+            rules = rules or ShardingRules()
+            put = _make_param_placer(mesh, rules)
+
+        params = hf_loader.load_params(
+            path, cfg, dtype=dtype, load_in_4bit=load_in_4bit, put=put)
+
+        tokenizer = load_tokenizer(path)
+        model = LanguageModel(
+            cfg=cfg, params=params, mesh=mesh,
+            rules=rules or ShardingRules(),
+            max_seq_length=max_seq_length, tokenizer=tokenizer,
+            model_path=path, hf_config=hf_config)
+        return model, tokenizer
+
+    @staticmethod
+    def get_peft_model(
+        model: LanguageModel,
+        r: int = 16,
+        target_modules: Sequence[str] = DEFAULT_TARGET_MODULES,
+        lora_alpha: float = 16.0,
+        lora_dropout: float = 0.0,
+        bias: str = "none",
+        use_gradient_checkpointing: Any = "unsloth",
+        random_state: int = 3407,
+        use_rslora: bool = False,
+        modules_to_save: Optional[Sequence[str]] = None,
+        **kwargs,
+    ) -> LanguageModel:
+        """Attach a LoRA tree (reference: models/llama.py:3044).
+
+        lora_dropout != 0 and bias != "none" are accepted but, like the
+        reference's fast path, the optimized kernels assume dropout=0 and
+        bias=none (reference: models/llama.py:3582-3700 binds fast LoRA
+        only under those settings)."""
+        if lora_dropout != 0.0:
+            import warnings
+
+            warnings.warn("lora_dropout > 0 is not yet implemented on the "
+                          "fast path; proceeding with dropout=0.")
+        key = jax.random.PRNGKey(random_state)
+        model.lora = init_lora_tree(
+            model.cfg, key, r=r, alpha=lora_alpha,
+            target_modules=normalize_target_modules(target_modules),
+            use_rslora=use_rslora)
+        model.lora_config = {
+            "r": r, "lora_alpha": lora_alpha,
+            "target_modules": list(target_modules),
+            "lora_dropout": lora_dropout, "bias": bias,
+            "use_rslora": use_rslora,
+            "modules_to_save": list(modules_to_save or []),
+        }
+        return model
+
+    # alias for API parity
+    for_inference = staticmethod(lambda model: model.for_inference())
+    for_training = staticmethod(lambda model: model.for_training())
+
+
+# FastModel is the "any architecture" generation in the reference
+# (models/loader.py:1126); here the archetype already covers families by
+# config, so it is the same entry point.
+FastModel = FastLanguageModel
+
+
+def _resolve_model_path(model_name: str) -> str:
+    if os.path.isdir(model_name):
+        return model_name
+    # HF cache layout: ~/.cache/huggingface/hub/models--org--name/snapshots/*
+    cache = os.environ.get(
+        "HF_HOME", os.path.expanduser("~/.cache/huggingface"))
+    hub = os.path.join(cache, "hub",
+                       "models--" + model_name.replace("/", "--"),
+                       "snapshots")
+    if os.path.isdir(hub):
+        snaps = sorted(os.listdir(hub))
+        if snaps:
+            return os.path.join(hub, snaps[-1])
+    raise FileNotFoundError(
+        f"Model {model_name!r} is not a local directory and was not found "
+        f"in the HF cache ({hub}). This environment has no network access; "
+        f"download the checkpoint first or pass a local path.")
+
+
+def load_tokenizer(path: str):
+    """Tokenizer via transformers (works fully offline from a local dir)."""
+    try:
+        from transformers import AutoTokenizer
+
+        return AutoTokenizer.from_pretrained(path, local_files_only=True)
+    except Exception:
+        return None
+
+
+def _make_param_placer(mesh, rules: ShardingRules):
+    """Return put(tree_path, array) that shards big tensors over fsdp/tp.
+
+    Placement policy (the FSDP default for LoRA/QLoRA — SURVEY §7 step 7):
+      * embed/lm_head: shard vocab dim over tp (falls back to replicate
+        when indivisible)
+      * linear kernels: shard the largest dim over fsdp
+      * NF4 leaves: shard packed rows over fsdp
+      * small tensors (norms, biases, absmax): replicate
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    fsdp = mesh.shape.get("fsdp", 1)
+    tp = mesh.shape.get("tp", 1)
+
+    def put(tree_path: str, x):
+        spec = P()
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            if tree_path in ("embed", "lm_head"):
+                if x.shape[0] % (fsdp * tp) == 0:
+                    spec = P(("fsdp", "tp"))
+            elif x.ndim == 2 and "packed" not in tree_path:
+                if x.shape[0] % fsdp == 0 and x.size >= 1 << 20:
+                    spec = P("fsdp")
+            elif x.ndim == 2:  # NF4 packed
+                if x.shape[0] % fsdp == 0:
+                    spec = P("fsdp")
+            elif x.ndim == 3:  # stacked experts
+                if x.shape[0] % tp == 0:
+                    spec = P("tp")
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return put

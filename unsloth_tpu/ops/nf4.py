@@ -57,19 +57,21 @@ class NF4Tensor:
     shape: Tuple[int, int]
     block_size: int = DEFAULT_BLOCK
     dtype: jnp.dtype = jnp.bfloat16  # dequant target dtype
+    double_block_size: int = DEFAULT_DOUBLE_BLOCK
 
     def tree_flatten(self):
         children = (self.packed, self.absmax, self.absmax_scale,
                     self.absmax_offset)
-        aux = (self.shape, self.block_size, self.dtype)
+        aux = (self.shape, self.block_size, self.dtype,
+               self.double_block_size)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         packed, absmax, absmax_scale, absmax_offset = children
-        shape, block_size, dtype = aux
+        shape, block_size, dtype, double_block_size = aux
         return cls(packed, absmax, absmax_scale, absmax_offset, shape,
-                   block_size, dtype)
+                   block_size, dtype, double_block_size)
 
     @property
     def is_double_quant(self) -> bool:
@@ -139,6 +141,7 @@ def quantize_nf4(
         shape=(out_f, in_f),
         block_size=block_size,
         dtype=dtype,
+        double_block_size=double_block_size,
     )
 
 
@@ -146,10 +149,8 @@ def _decode_absmax(q: NF4Tensor) -> jnp.ndarray:
     if not q.is_double_quant:
         return q.absmax.astype(jnp.float32)
     n_blocks = q.absmax.shape[0]
-    dbs = q.absmax_scale.shape[0]
-    group = -(-n_blocks // dbs)  # == double_block_size used at quantize time
     codes = q.absmax.astype(jnp.float32)
-    scale = jnp.repeat(q.absmax_scale, group)[:n_blocks]
+    scale = jnp.repeat(q.absmax_scale, q.double_block_size)[:n_blocks]
     return codes * scale + q.absmax_offset
 
 
