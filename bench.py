@@ -1,0 +1,177 @@
+"""Benchmark: Llama-3.1-8B QLoRA SFT tokens/sec/chip (north star, BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline semantics: HF+PEFT does not run on TPU, so the baseline is an
+HF-faithful *naive* path in the same runtime — full-logits CE (no fused
+linear+CE), reference jnp attention (no flash kernel), no Pallas kernels,
+full rematerialization — i.e. what a straight port without the fused-kernel
+work would get. vs_baseline = optimized_tokens_per_sec / naive_tokens_per_sec.
+
+Env knobs:
+  BENCH_LAYERS / BENCH_SEQ / BENCH_BATCH / BENCH_STEPS — size overrides
+  BENCH_QUICK=1 — tiny config for smoke runs
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def _env_int(name, default):
+    return int(os.environ.get(name, default))
+
+
+def build_model(cfg, key, quantize=True):
+    """Random-init the model layer by layer, quantizing each linear to NF4
+    immediately so peak HBM stays ~0.55 B/param (an 8B bf16 init would not
+    fit a v5e chip)."""
+    import jax
+    import jax.numpy as jnp
+
+    from unsloth_tpu.models.params import _linear_dims
+    from unsloth_tpu.ops.nf4 import quantize_nf4
+
+    d = cfg.hidden_size
+    keys = iter(jax.random.split(key, 16 * (cfg.num_layers + 2)))
+
+    def rand(shape, scale=0.01):
+        x = jax.random.normal(next(keys), shape, dtype=jnp.bfloat16) * scale
+        return x
+
+    def qlinear(name):
+        w = rand(_linear_dims(cfg, name))
+        if not quantize:
+            return w
+        q = quantize_nf4(w, dtype=jnp.bfloat16)
+        jax.block_until_ready(q.packed)
+        return q
+
+    params = {
+        "embed": rand((cfg.vocab_size, d), scale=0.02),
+        "final_norm": jnp.ones((d,), jnp.bfloat16),
+        "lm_head": rand((cfg.vocab_size, d), scale=0.02),
+        "layers": [],
+    }
+    for i in range(cfg.num_layers):
+        layer = {
+            "input_norm": jnp.ones((d,), jnp.bfloat16),
+            "post_attn_norm": jnp.ones((d,), jnp.bfloat16),
+        }
+        for name in ("q", "k", "v", "o", "gate", "up", "down"):
+            layer[name] = qlinear(name)
+        params["layers"].append(layer)
+    return params
+
+
+def llama31_8b_config(num_layers):
+    from unsloth_tpu.models.config import ModelConfig, RopeScaling
+
+    return ModelConfig(
+        model_type="llama", name="llama-3.1-8b-bench",
+        vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+        num_layers=num_layers, num_heads=32, num_kv_heads=8,
+        rope_theta=500000.0, rms_norm_eps=1e-5,
+        max_position_embeddings=131072,
+        rope_scaling=RopeScaling(
+            rope_type="llama3", factor=8.0, low_freq_factor=1.0,
+            high_freq_factor=4.0, original_max_position_embeddings=8192),
+    )
+
+
+def measure(step_fn, lora, opt_state, batch, n_steps, warmup=2):
+    import jax
+
+    for _ in range(warmup):
+        lora, opt_state, loss = step_fn(lora, opt_state, batch)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        lora, opt_state, loss = step_fn(lora, opt_state, batch)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    return dt / n_steps, float(loss)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from unsloth_tpu.models.decoder import loss_fn
+    from unsloth_tpu.models.params import init_lora_tree
+
+    quick = os.environ.get("BENCH_QUICK") == "1"
+    num_layers = _env_int("BENCH_LAYERS", 2 if quick else 32)
+    seq = _env_int("BENCH_SEQ", 512 if quick else 2048)
+    bsz = _env_int("BENCH_BATCH", 1)
+    n_steps = _env_int("BENCH_STEPS", 2 if quick else 8)
+
+    cfg = llama31_8b_config(num_layers)
+    key = jax.random.PRNGKey(0)
+    params = build_model(cfg, key)
+    lora = init_lora_tree(cfg, key, r=16, alpha=16, dtype=jnp.float32)
+
+    ids = jax.random.randint(key, (bsz, seq), 0, cfg.vocab_size)
+    batch = {"input_ids": ids, "labels": ids}
+    tokens_per_step = bsz * seq
+
+    tx = optax.adamw(1e-4)
+
+    def make_step(fused_ce):
+        def step(lora, opt_state, batch):
+            loss, grads = jax.value_and_grad(
+                lambda l: loss_fn(params, l, batch, cfg, fused_ce=fused_ce,
+                                  chunk_size=1024))(lora)
+            updates, opt_state = tx.update(grads, opt_state, lora)
+            return optax.apply_updates(lora, updates), opt_state, loss
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    # Optimized path
+    opt_state = tx.init(lora)
+    fast_step = make_step(fused_ce=True)
+    fast_dt, fast_loss = measure(fast_step, lora, opt_state, batch, n_steps)
+    fast_tps = tokens_per_step / fast_dt
+
+    # Naive HF-equivalent path (full logits CE, no Pallas kernels).
+    # UNSLOTH_DISABLE_PALLAS is read at trace time, so it must be set while
+    # the naive step is compiled (the measure() warmup triggers tracing).
+    naive_steps = max(2, n_steps // 2)
+    opt_state2 = tx.init(lora)
+    os.environ["UNSLOTH_DISABLE_PALLAS"] = "1"
+    naive_step = make_step(fused_ce=False)
+    try:
+        naive_dt, _ = measure(naive_step, lora, opt_state2, batch,
+                              naive_steps, warmup=1)
+        naive_tps = tokens_per_step / naive_dt
+        vs_baseline = fast_tps / naive_tps
+    except Exception as e:  # naive path may OOM where QLoRA+fused fits
+        print(f"naive baseline failed ({type(e).__name__}); "
+              f"reporting vs_baseline=inf-capped", file=sys.stderr)
+        naive_tps = 0.0
+        vs_baseline = float("nan")
+    finally:
+        os.environ.pop("UNSLOTH_DISABLE_PALLAS", None)
+
+    result = {
+        "metric": "llama31_8b_qlora_sft_tokens_per_sec_per_chip"
+                  + ("" if num_layers == 32 else f"_layers{num_layers}"),
+        "value": round(fast_tps, 2),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline == vs_baseline
+        else None,
+        "detail": {
+            "seq": seq, "batch": bsz, "layers": num_layers,
+            "step_time_s": round(fast_dt, 4),
+            "naive_tokens_per_sec": round(naive_tps, 2),
+            "loss": round(fast_loss, 3),
+            "backend": jax.default_backend(),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

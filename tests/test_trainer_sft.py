@@ -1,0 +1,161 @@
+"""SFT trainer tests — the TPU analog of the reference's CPU fake-train
+(reference: tests/version_compat/test_trl_fake_train_cpu.py runs a few real
+steps with tiny random models; here the whole loop is real, just tiny)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from unsloth_tpu.data.packing import (IGNORE_INDEX, pack_sequences,
+                                      packing_efficiency, pad_batch)
+from unsloth_tpu.models.config import ModelConfig
+from unsloth_tpu.models.loader import LanguageModel, FastLanguageModel
+from unsloth_tpu.models.params import init_lora_tree, init_params
+from unsloth_tpu.trainer.sft import (SFTConfig, SFTTrainer, build_schedule,
+                                     make_config, train_on_responses_only)
+
+
+def _tiny_model(rng, **cfg_kw):
+    cfg = ModelConfig(vocab_size=128, hidden_size=32, intermediate_size=64,
+                      num_layers=2, num_heads=2, num_kv_heads=2,
+                      max_position_embeddings=64, **cfg_kw)
+    params = init_params(cfg, rng)
+    model = LanguageModel(cfg=cfg, params=params, max_seq_length=64)
+    model.lora = init_lora_tree(cfg, rng, r=4, alpha=8)
+    return model
+
+
+def _tokenized_dataset(n=16, lo=8, hi=30, seed=0):
+    rng = np.random.RandomState(seed)
+    return [{"input_ids": rng.randint(3, 120, rng.randint(lo, hi)).tolist()}
+            for _ in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# Packing
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_density():
+    ds = _tokenized_dataset(n=64)
+    rows = pack_sequences(ds, 64, pad_token_id=0)
+    eff = packing_efficiency(rows)
+    assert eff > 0.75, eff
+    total_tokens = sum(len(d["input_ids"]) for d in ds)
+    packed_tokens = sum(int((r.segment_ids != 0).sum()) for r in rows)
+    assert packed_tokens == total_tokens
+
+
+def test_pack_sequences_label_boundaries():
+    ds = [{"input_ids": list(range(10, 20))},
+          {"input_ids": list(range(40, 50))}]
+    rows = pack_sequences(ds, 32, pad_token_id=0)
+    assert len(rows) == 1
+    r = rows[0]
+    # each segment start has ignored label
+    seg = r.segment_ids[0]
+    labels = r.labels[0]
+    starts = [i for i in range(len(seg))
+              if seg[i] != 0 and (i == 0 or seg[i] != seg[i - 1])]
+    assert len(starts) == 2
+    for s in starts:
+        assert labels[s] == IGNORE_INDEX
+    # non-start in-segment labels preserved
+    assert labels[starts[0] + 1] != IGNORE_INDEX
+
+
+def test_pad_batch_shapes():
+    ds = _tokenized_dataset(n=3)
+    b = pad_batch(ds, 64, pad_token_id=0)
+    assert b.input_ids.shape == (3, 64)
+    assert (b.labels[b.segment_ids == 0] == IGNORE_INDEX).all()
+
+
+# ---------------------------------------------------------------------------
+# Trainer
+# ---------------------------------------------------------------------------
+
+def test_train_loss_decreases(rng):
+    model = _tiny_model(rng)
+    ds = _tokenized_dataset(n=8, lo=20, hi=40, seed=1)
+    args = SFTConfig(per_device_train_batch_size=4, max_steps=40,
+                     learning_rate=2e-2, max_seq_length=64,
+                     packing=True, logging_steps=1, warmup_steps=0,
+                     lr_scheduler_type="constant")
+    trainer = SFTTrainer(model=model, train_dataset=ds, args=args)
+    out = trainer.train()
+    first = trainer.state_log[0]["loss"]
+    last = trainer.state_log[-1]["loss"]
+    assert out.global_step == 40
+    assert last < first - 0.3, (first, last)
+
+
+def test_grad_accum_matches_large_batch(rng):
+    """accum=2 with micro-bsz 2 must match bsz 4 (token-count scaling)."""
+    ds = _tokenized_dataset(n=4, lo=30, hi=31, seed=2)
+
+    def run(bsz, accum):
+        model = _tiny_model(rng)
+        args = SFTConfig(per_device_train_batch_size=bsz,
+                         gradient_accumulation_steps=accum,
+                         max_steps=3, learning_rate=1e-3,
+                         max_seq_length=32, packing=False,
+                         warmup_steps=0, lr_scheduler_type="constant",
+                         seed=7)
+        tr = SFTTrainer(model=model, train_dataset=ds, args=args)
+        tr.train()
+        return [e["loss"] for e in tr.state_log]
+
+    l1 = run(4, 1)
+    l2 = run(2, 2)
+    np.testing.assert_allclose(l1, l2, rtol=1e-4)
+
+
+def test_full_finetune_path(rng):
+    model = _tiny_model(rng)
+    model.lora = None  # full fine-tune
+    ds = _tokenized_dataset(n=4, seed=3)
+    args = SFTConfig(per_device_train_batch_size=2, max_steps=4,
+                     learning_rate=1e-3, max_seq_length=32, packing=False,
+                     warmup_steps=0)
+    trainer = SFTTrainer(model=model, train_dataset=ds, args=args)
+    out = trainer.train()
+    assert np.isfinite(out.training_loss)
+
+
+def test_make_config_accepts_trl_style_kwargs():
+    cfg = make_config(max_length=512, per_device_train_batch_size=8,
+                      some_future_trl_arg=True, report_to="none")
+    assert cfg.max_seq_length == 512
+    assert cfg.extra["some_future_trl_arg"] is True
+
+
+def test_schedules():
+    args = SFTConfig(learning_rate=1.0, warmup_steps=10,
+                     lr_scheduler_type="linear")
+    s = build_schedule(args, 100)
+    assert float(s(0)) == 0.0
+    assert abs(float(s(10)) - 1.0) < 1e-6
+    assert float(s(100)) < 0.01
+
+
+def test_train_on_responses_only_masks():
+    class FakeTok:
+        def __call__(self, text, add_special_tokens=False):
+            # toy "tokenizer": each char is a token id
+            return {"input_ids": [ord(c) for c in text]}
+
+    mask = train_on_responses_only(
+        instruction_part="<U>", response_part="<A>", tokenizer=FakeTok())
+    ex = {"input_ids": [ord(c) for c in "<U>hi<A>yo<U>x<A>z"]}
+    out = mask(ex)
+    labels = out["labels"]
+    text = "<U>hi<A>yo<U>x<A>z"
+    for i, c in enumerate(text):
+        if c in "yz" and labels[i] != -100:
+            pass
+    # "yo" and "z" are responses => labels set; "hi"/"x" masked
+    decoded = [chr(l) if l != -100 else "_" for l in labels]
+    # "<U>hi<A>" = 8 masked, "yo" kept, "<U>x<A>" = 7 masked, "z" kept
+    assert "".join(decoded) == "________yo_______z"

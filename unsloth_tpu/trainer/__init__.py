@@ -1,0 +1,13 @@
+from .sft import (SFTConfig, SFTTrainer, TrainOutput, build_optimizer,
+                  build_schedule, make_config, train_on_responses_only)
+
+# Reference-parity aliases (reference: unsloth/trainer.py exports
+# UnslothTrainer / UnslothTrainingArguments).
+UnslothTrainer = SFTTrainer
+UnslothTrainingArguments = SFTConfig
+
+__all__ = [
+    "SFTConfig", "SFTTrainer", "TrainOutput", "build_optimizer",
+    "build_schedule", "make_config", "train_on_responses_only",
+    "UnslothTrainer", "UnslothTrainingArguments",
+]

@@ -1,0 +1,398 @@
+"""SFT trainer.
+
+Parity target: the reference's trainer layer (reference: unsloth/trainer.py —
+`UnslothTrainer`/`UnslothTrainingArguments` with `embedding_learning_rate`
+:378-456, auto-packing injection :713-901, grad-accum-correct loss scaling
+:329-346) except the behaviors are first-class here instead of TRL source
+rewrites: we own the loop.
+
+TPU design:
+  * one jitted `train_step(trainables, opt_state, batch)` with donated
+    trainables/opt_state; frozen base params are passed (not captured) so
+    they can live sharded on the mesh;
+  * gradient accumulation via `lax.scan` over a leading micro-batch axis,
+    summing gradients, with the loss divided by the *global* valid-token
+    count of the whole accumulation batch (the grad-accum bug class the
+    reference fixed);
+  * packing produces static [B, T] shapes with segment ids (data/packing.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.packing import (PackedBatch, batch_packed_rows, pack_sequences,
+                            pad_batch)
+from ..models.decoder import loss_fn as model_loss_fn
+
+
+@dataclasses.dataclass
+class SFTConfig:
+    """TRL-SFTConfig-compatible argument surface (subset that matters on
+    TPU; unknown kwargs are accepted and ignored with a warning)."""
+
+    output_dir: str = "outputs"
+    per_device_train_batch_size: int = 2
+    gradient_accumulation_steps: int = 1
+    learning_rate: float = 2e-4
+    embedding_learning_rate: Optional[float] = None  # unsloth extension
+    lr_scheduler_type: str = "linear"
+    warmup_steps: int = 5
+    warmup_ratio: float = 0.0
+    max_steps: int = -1
+    num_train_epochs: float = 1.0
+    logging_steps: int = 1
+    save_steps: int = 0
+    seed: int = 3407
+    weight_decay: float = 0.01
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_epsilon: float = 1e-8
+    max_grad_norm: float = 1.0
+    optim: str = "adamw_torch"        # accepted for parity; optax adamw
+    packing: bool = False
+    max_seq_length: int = 2048
+    dataset_text_field: str = "text"
+    bf16: bool = True
+    report_to: Any = "none"
+    dataset_num_proc: Optional[int] = None
+    extra: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    @property
+    def max_length(self):
+        return self.max_seq_length
+
+
+# TRL calls it max_length in newer versions; accept both.
+def make_config(**kwargs) -> SFTConfig:
+    known = {f.name for f in dataclasses.fields(SFTConfig)}
+    if "max_length" in kwargs and "max_seq_length" not in kwargs:
+        kwargs["max_seq_length"] = kwargs.pop("max_length")
+    std = {k: v for k, v in kwargs.items() if k in known}
+    extra = {k: v for k, v in kwargs.items() if k not in known}
+    cfg = SFTConfig(**std)
+    cfg.extra.update(extra)
+    return cfg
+
+
+def build_schedule(args: SFTConfig, total_steps: int):
+    warmup = args.warmup_steps
+    if args.warmup_ratio > 0 and warmup == 0:
+        warmup = int(total_steps * args.warmup_ratio)
+    peak = args.learning_rate
+    if args.lr_scheduler_type == "constant":
+        decay = optax.constant_schedule(peak)
+    elif args.lr_scheduler_type == "cosine":
+        decay = optax.cosine_decay_schedule(
+            peak, max(total_steps - warmup, 1))
+    else:  # linear (default)
+        decay = optax.linear_schedule(
+            peak, 0.0, max(total_steps - warmup, 1))
+    if warmup > 0:
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, peak, warmup), decay], [warmup])
+    return decay
+
+
+def build_optimizer(args: SFTConfig, total_steps: int):
+    schedule = build_schedule(args, total_steps)
+    tx = optax.chain(
+        optax.clip_by_global_norm(args.max_grad_norm),
+        optax.adamw(
+            schedule,
+            b1=args.adam_beta1, b2=args.adam_beta2, eps=args.adam_epsilon,
+            weight_decay=args.weight_decay,
+        ),
+    )
+    return tx, schedule
+
+
+@dataclasses.dataclass
+class TrainOutput:
+    global_step: int
+    training_loss: float
+    metrics: Dict[str, Any]
+
+
+class SFTTrainer:
+    """Owns the loop (no TRL patching). Accepts either pre-tokenized
+    examples ({"input_ids": [...], "labels": [...]}), raw-text examples
+    ({args.dataset_text_field: str}), or "messages" conversations when a
+    tokenizer with a chat template is given."""
+
+    def __init__(
+        self,
+        model,
+        tokenizer=None,
+        train_dataset=None,
+        eval_dataset=None,
+        args: Optional[SFTConfig] = None,
+        formatting_func: Optional[Callable] = None,
+        **kwargs,
+    ):
+        self.model = model
+        self.tokenizer = tokenizer or getattr(model, "tokenizer", None)
+        self.args = args or SFTConfig()
+        self.formatting_func = formatting_func
+        self.train_dataset = train_dataset
+        self.eval_dataset = eval_dataset
+        self._batches: Optional[List[PackedBatch]] = None
+        self.state_log: List[Dict[str, Any]] = []
+
+    # ------------------------------------------------------------------
+    # Data preparation
+    # ------------------------------------------------------------------
+
+    def _tokenize_example(self, ex) -> Dict[str, List[int]]:
+        if "input_ids" in ex:
+            out = {"input_ids": list(ex["input_ids"])}
+            if "labels" in ex:
+                out["labels"] = list(ex["labels"])
+            return out
+        if self.formatting_func is not None:
+            text = self.formatting_func(ex)
+            if isinstance(text, list):
+                text = text[0]
+        elif "messages" in ex and self.tokenizer is not None and getattr(
+                self.tokenizer, "chat_template", None):
+            text = self.tokenizer.apply_chat_template(
+                ex["messages"], tokenize=False)
+        else:
+            text = ex[self.args.dataset_text_field]
+        ids = self.tokenizer(text, add_special_tokens=True)["input_ids"]
+        return {"input_ids": ids}
+
+    def prepare_batches(self) -> List[PackedBatch]:
+        if self._batches is not None:
+            return self._batches
+        args = self.args
+        examples = [self._tokenize_example(ex) for ex in self.train_dataset]
+        pad_id = 0
+        if self.tokenizer is not None:
+            pad_id = (getattr(self.tokenizer, "pad_token_id", None)
+                      or getattr(self.tokenizer, "eos_token_id", 0) or 0)
+        bsz = args.per_device_train_batch_size * _data_parallel_size(
+            self.model)
+        if args.packing:
+            rows = pack_sequences(examples, args.max_seq_length, pad_id)
+            self._batches = batch_packed_rows(
+                rows, bsz, args.max_seq_length, pad_id)
+        else:
+            self._batches = [
+                pad_batch(examples[i:i + bsz], args.max_seq_length, pad_id)
+                for i in range(0, len(examples), bsz)
+            ]
+            # pad final partial batch to static shape
+            if self._batches and self._batches[-1].input_ids.shape[0] < bsz:
+                last = self._batches[-1]
+                missing = bsz - last.input_ids.shape[0]
+                padrow = pad_batch([], args.max_seq_length, pad_id)
+                self._batches[-1] = PackedBatch(
+                    np.concatenate([last.input_ids] + [np.full(
+                        (missing, args.max_seq_length), pad_id, np.int32)]),
+                    np.concatenate([last.labels] + [np.full(
+                        (missing, args.max_seq_length), -100, np.int32)]),
+                    np.concatenate([last.segment_ids] + [np.zeros(
+                        (missing, args.max_seq_length), np.int32)]),
+                    np.concatenate([last.positions] + [np.zeros(
+                        (missing, args.max_seq_length), np.int32)]),
+                )
+        return self._batches
+
+    # ------------------------------------------------------------------
+    # Train step
+    # ------------------------------------------------------------------
+
+    def _make_train_step(self, tx):
+        model = self.model
+        cfg = model.cfg
+        full_ft = model.lora is None
+        accum = self.args.gradient_accumulation_steps
+
+        def loss_for(trainables, base_params, micro):
+            n_items = micro.pop("n_items")
+            if full_ft:
+                return model_loss_fn(trainables, None, micro, cfg,
+                                     n_items=n_items,
+                                     lm_head_trainable=True)
+            return model_loss_fn(base_params, trainables, micro, cfg,
+                                 n_items=n_items)
+
+        def train_step(trainables, opt_state, base_params, batch):
+            """batch leaves have leading [accum, B, T]."""
+            n_items = jnp.maximum(
+                jnp.sum(batch["labels"][..., 1:] != -100), 1).astype(
+                    jnp.float32)
+
+            def micro_step(carry, micro):
+                loss_acc, grad_acc = carry
+                micro = dict(micro, n_items=n_items)
+                loss, grads = jax.value_and_grad(loss_for)(
+                    trainables, base_params, micro)
+                grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
+                return (loss_acc + loss, grad_acc), None
+
+            zero_grads = jax.tree_util.tree_map(
+                lambda x: jnp.zeros_like(x), trainables)
+            (loss_sum, grads), _ = jax.lax.scan(
+                micro_step, (jnp.float32(0.0), zero_grads), batch)
+            updates, opt_state = tx.update(grads, opt_state, trainables)
+            trainables = optax.apply_updates(trainables, updates)
+            # loss_sum is already token-count normalized per micro (each
+            # divides by global n_items); the sum over micros is the batch
+            # mean.
+            return trainables, opt_state, loss_sum
+
+        donate = (0, 1)
+        return jax.jit(train_step, donate_argnums=donate)
+
+    def _stack_accum(self, batches: List[PackedBatch]):
+        """Stack `accum` PackedBatches into leading-axis arrays."""
+        return {
+            "input_ids": jnp.asarray(
+                np.stack([b.input_ids for b in batches])),
+            "labels": jnp.asarray(np.stack([b.labels for b in batches])),
+            "segment_ids": jnp.asarray(
+                np.stack([b.segment_ids for b in batches])),
+            "positions": jnp.asarray(
+                np.stack([b.positions for b in batches])),
+        }
+
+    # ------------------------------------------------------------------
+    # Loop
+    # ------------------------------------------------------------------
+
+    def train(self, resume_from_checkpoint=None) -> TrainOutput:
+        args = self.args
+        batches = self.prepare_batches()
+        accum = args.gradient_accumulation_steps
+        steps_per_epoch = max(len(batches) // accum, 1)
+        if args.max_steps > 0:
+            total_steps = args.max_steps
+        else:
+            total_steps = int(steps_per_epoch * args.num_train_epochs)
+        total_steps = max(total_steps, 1)
+
+        tx, schedule = build_optimizer(args, total_steps)
+        full_ft = self.model.lora is None
+        trainables = self.model.params if full_ft else self.model.lora
+        opt_state = tx.init(trainables)
+        base_params = self.model.params
+        step_fn = self._make_train_step(tx)
+
+        losses = []
+        t0 = time.time()
+        tokens_seen = 0
+        global_step = 0
+        epoch = 0
+        while global_step < total_steps:
+            order = list(range(0, len(batches) - accum + 1, accum))
+            rng = np.random.RandomState(args.seed + epoch)
+            rng.shuffle(order)
+            for start in order:
+                if global_step >= total_steps:
+                    break
+                group = batches[start:start + accum]
+                stacked = self._stack_accum(group)
+                tokens_seen += int(
+                    (np.stack([b.segment_ids for b in group]) != 0).sum())
+                trainables, opt_state, loss = step_fn(
+                    trainables, opt_state, base_params, stacked)
+                global_step += 1
+                if global_step % args.logging_steps == 0:
+                    entry = {
+                        "loss": float(loss),
+                        "learning_rate": float(schedule(global_step)),
+                        "step": global_step,
+                        "epoch": round(global_step / steps_per_epoch, 3),
+                    }
+                    losses.append(float(loss))
+                    self.state_log.append(entry)
+                if args.save_steps and global_step % args.save_steps == 0:
+                    self._save_checkpoint(trainables, global_step)
+            epoch += 1
+
+        if full_ft:
+            self.model.params = trainables
+        else:
+            self.model.lora = trainables
+
+        elapsed = time.time() - t0
+        metrics = {
+            "train_runtime": elapsed,
+            "train_tokens_per_second": tokens_seen / max(elapsed, 1e-9),
+            "total_steps": global_step,
+        }
+        return TrainOutput(global_step,
+                           float(np.mean(losses)) if losses else float("nan"),
+                           metrics)
+
+    def _save_checkpoint(self, trainables, step):
+        path = os.path.join(self.args.output_dir, f"checkpoint-{step}")
+        os.makedirs(path, exist_ok=True)
+        if self.model.lora is not None:
+            lora_prev = self.model.lora
+            self.model.lora = trainables
+            from ..export.save import save_lora
+
+            save_lora(self.model, path)
+            self.model.lora = lora_prev
+
+
+def _data_parallel_size(model) -> int:
+    mesh = getattr(model, "mesh", None)
+    if mesh is None:
+        return 1
+    return int(mesh.shape.get("dp", 1) * mesh.shape.get("fsdp", 1))
+
+
+def train_on_responses_only(example_or_trainer=None, *,
+                            instruction_part: str, response_part: str,
+                            tokenizer=None):
+    """Mask labels so only assistant responses contribute to the loss
+    (reference: zoo dataset_utils.train_on_responses_only, re-exported at
+    unsloth/__init__.py:1329-1340).
+
+    Returns a function mapping a tokenized example with "input_ids" to one
+    with "labels" masked outside response spans, by locating the token
+    patterns of the instruction/response markers."""
+    def mask_example(ex, tok):
+        ids = list(ex["input_ids"])
+        instr = tok(instruction_part, add_special_tokens=False)["input_ids"]
+        resp = tok(response_part, add_special_tokens=False)["input_ids"]
+        labels = [-100] * len(ids)
+        i = 0
+        in_response = False
+        while i < len(ids):
+            if ids[i:i + len(resp)] == resp:
+                in_response = True
+                i += len(resp)
+                continue
+            if ids[i:i + len(instr)] == instr:
+                in_response = False
+                i += len(instr)
+                continue
+            if in_response:
+                labels[i] = ids[i]
+            i += 1
+        return dict(ex, labels=labels)
+
+    if tokenizer is not None:
+        return lambda ex: mask_example(ex, tokenizer)
+    # trainer-style usage: patch its dataset
+    trainer = example_or_trainer
+    tok = trainer.tokenizer
+    trainer.train_dataset = [
+        mask_example(trainer._tokenize_example(ex), tok)
+        for ex in trainer.train_dataset
+    ]
+    trainer._batches = None
+    return trainer
