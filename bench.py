@@ -80,15 +80,15 @@ def llama31_8b_config(num_layers):
     )
 
 
-def measure(step_fn, lora, opt_state, batch, n_steps, warmup=2):
+def measure(step_fn, lora, opt_state, params, batch, n_steps, warmup=2):
     import jax
 
     for _ in range(warmup):
-        lora, opt_state, loss = step_fn(lora, opt_state, batch)
+        lora, opt_state, loss = step_fn(lora, opt_state, params, batch)
     jax.block_until_ready(loss)
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        lora, opt_state, loss = step_fn(lora, opt_state, batch)
+        lora, opt_state, loss = step_fn(lora, opt_state, params, batch)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
     return dt / n_steps, float(loss)
@@ -120,7 +120,9 @@ def main():
     tx = optax.adamw(1e-4)
 
     def make_step(fused_ce):
-        def step(lora, opt_state, batch):
+        # params must be a jit ARGUMENT — closing over a multi-GB pytree
+        # embeds it as compile-time constants and XLA compile time explodes.
+        def step(lora, opt_state, params, batch):
             loss, grads = jax.value_and_grad(
                 lambda l: loss_fn(params, l, batch, cfg, fused_ce=fused_ce,
                                   chunk_size=1024))(lora)
@@ -132,7 +134,8 @@ def main():
     # Optimized path
     opt_state = tx.init(lora)
     fast_step = make_step(fused_ce=True)
-    fast_dt, fast_loss = measure(fast_step, lora, opt_state, batch, n_steps)
+    fast_dt, fast_loss = measure(fast_step, lora, opt_state, params, batch,
+                                 n_steps)
     fast_tps = tokens_per_step / fast_dt
 
     # Naive HF-equivalent path (full logits CE, no Pallas kernels).
@@ -143,7 +146,7 @@ def main():
     os.environ["UNSLOTH_DISABLE_PALLAS"] = "1"
     naive_step = make_step(fused_ce=False)
     try:
-        naive_dt, _ = measure(naive_step, lora, opt_state2, batch,
+        naive_dt, _ = measure(naive_step, lora, opt_state2, params, batch,
                               naive_steps, warmup=1)
         naive_tps = tokens_per_step / naive_dt
         vs_baseline = fast_tps / naive_tps

@@ -1,0 +1,188 @@
+"""KV-cache decoding: prefill + single-token decode step.
+
+Parity target: the reference's native fast generate
+(reference: models/llama.py:2152 `unsloth_fast_generate` +
+`LlamaModel_fast_forward_inference` :1243 — a hand-rolled decode loop with
+preallocated paged buffers that bypasses HF generate overhead).
+
+TPU design: the cache is a pytree of preallocated [L, B, S, Hkv, Dh] arrays
+(static shapes); the decode step is one jitted function updating the cache
+with `dynamic_update_slice` and attending with a position mask. The whole
+sampling loop runs on-device inside `lax.while_loop` (see generate.py) —
+zero host round-trips per token, the TPU-native replacement for both the
+reference's Python decode loop and its vLLM colocation.
+
+Numerics intentionally mirror models/decoder.py `forward`; the parity test
+(tests/test_generate.py) asserts prefill+decode logits == training forward.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.config import ModelConfig
+from ..models.decoder import _norm, _proj, _rope_tables
+from ..ops.activations import glu_for
+from ..ops.lora import base_matmul
+from ..ops.rms_norm import rms_norm
+from ..ops.rope import apply_rope_qk
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class KVCache:
+    k: Any   # list of [B, S, Hkv, Dh] per layer
+    v: Any
+    length: jnp.ndarray  # [] int32 — tokens already written
+
+    def tree_flatten(self):
+        return (self.k, self.v, self.length), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def init_cache(cfg: ModelConfig, batch: int, max_length: int,
+               dtype=jnp.bfloat16) -> KVCache:
+    shape = (batch, max_length, cfg.num_kv_heads, cfg.head_dim)
+    return KVCache(
+        k=[jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)],
+        v=[jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)],
+        length=jnp.zeros((), jnp.int32),
+    )
+
+
+def _attend_cached(q, k_cache, v_cache, *, q_slots, kv_len_mask,
+                   window: Optional[int], softcap, scale):
+    """q: [B, Tq, Hq, Dh]; caches [B, S, Hkv, Dh]; kv_len_mask [B, S] bool
+    marks valid cache slots; q_slots [B, Tq] are cache-slot indices of the
+    query tokens (causality is slot-order, which equals arrival order)."""
+    b, tq, hq, dh = q.shape
+    s = k_cache.shape[1]
+    hkv = k_cache.shape[2]
+    if scale is None:
+        scale = dh ** -0.5
+    if hq != hkv:
+        k_cache = jnp.repeat(k_cache, hq // hkv, axis=2)
+        v_cache = jnp.repeat(v_cache, hq // hkv, axis=2)
+    scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32),
+                        k_cache.astype(jnp.float32)) * scale
+    if softcap is not None:
+        scores = softcap * jnp.tanh(scores / softcap)
+    kv_pos = jnp.arange(s, dtype=jnp.int32)[None, None, :]     # [1,1,S]
+    qp = q_slots[:, :, None]                                   # [B,Tq,1]
+    mask = (kv_pos <= qp) & kv_len_mask[:, None, :]
+    if window is not None:
+        mask &= (qp - kv_pos) < window
+    scores = jnp.where(mask[:, None, :, :], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = jnp.where(jnp.any(mask[:, None, :, :], -1, keepdims=True),
+                      probs, 0.0)
+    out = jnp.einsum("bhts,bshd->bthd", probs, v_cache.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+def forward_with_cache(
+    params, lora, input_ids, cfg: ModelConfig, cache: KVCache,
+    *, positions: jnp.ndarray, kv_valid_extra: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Run [B, T] tokens through the stack, writing k/v into cache slots
+    [cache.length, cache.length+T) and attending to all valid slots.
+    Works for both prefill (T = prompt length) and decode (T = 1).
+
+    positions [B, T]: RoPE/causal position of each input token (generate
+    owns this bookkeeping — left-padded prompts have shifted positions).
+    kv_valid_extra [B, S]: optional mask of cache slots to exclude (False =
+    invalid, e.g. slots holding left-pad tokens). Returns hidden [B, T, D].
+    """
+    b, t = input_ids.shape
+    lora_layers = (lora or {}).get("layers")
+
+    x = jnp.take(params["embed"], input_ids, axis=0)
+    if cfg.embed_scale is not None:
+        x = x * jnp.asarray(cfg.embed_scale, dtype=x.dtype)
+
+    cos, sin, cos_l, sin_l = _rope_tables(cfg, positions)
+
+    s_max = cache.k[0].shape[1]
+    kv_slots = jnp.arange(s_max, dtype=jnp.int32)[None]          # [1,S]
+    written = kv_slots < (cache.length + t)                      # [1,S]
+    kv_valid = jnp.broadcast_to(written, (b, s_max))
+    if kv_valid_extra is not None:
+        kv_valid = kv_valid & kv_valid_extra
+
+    new_k, new_v = [], []
+    for i, layer_p in enumerate(params["layers"]):
+        lora_p = lora_layers[i] if lora_layers else None
+        h = _norm(x, layer_p["input_norm"], cfg)
+        hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+        q = _proj(h, layer_p, lora_p, "q").reshape(b, t, hq, dh)
+        k = _proj(h, layer_p, lora_p, "k").reshape(b, t, hkv, dh)
+        v = _proj(h, layer_p, lora_p, "v").reshape(b, t, hkv, dh)
+        if cfg.qk_norm:
+            q = rms_norm(q, layer_p["q_norm"], cfg.rms_norm_eps, cfg.gemma_norm)
+            k = rms_norm(k, layer_p["k_norm"], cfg.rms_norm_eps, cfg.gemma_norm)
+        kind = cfg.layer_kind(i)
+        if kind == "sliding" and cos_l is not None:
+            q, k = apply_rope_qk(q, k, cos_l, sin_l)
+        else:
+            q, k = apply_rope_qk(q, k, cos, sin)
+
+        k_cache = jax.lax.dynamic_update_slice(
+            cache.k[i], k.astype(cache.k[i].dtype), (0, cache.length, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            cache.v[i], v.astype(cache.v[i].dtype), (0, cache.length, 0, 0))
+        new_k.append(k_cache)
+        new_v.append(v_cache)
+
+        window = cfg.sliding_window if kind == "sliding" else None
+        q_slots = cache.length + jnp.arange(t, dtype=jnp.int32)[None]
+        q_slots = jnp.broadcast_to(q_slots, (b, t))
+        attn = _attend_cached(
+            q, k_cache, v_cache, q_slots=q_slots,
+            kv_len_mask=kv_valid, window=window,
+            softcap=cfg.attn_softcap, scale=cfg.attn_logit_scale)
+        attn = attn.reshape(b, t, hq * dh)
+        attn = _proj(attn, layer_p, lora_p, "o")
+        if cfg.use_post_norms and "post_attn_out_norm" in layer_p:
+            attn = _norm(attn, layer_p["post_attn_out_norm"], cfg)
+        x = x + attn
+
+        if cfg.use_post_norms and "pre_ffw_norm" in layer_p:
+            h2 = _norm(x, layer_p["pre_ffw_norm"], cfg)
+        else:
+            h2 = _norm(x, layer_p["post_attn_norm"], cfg)
+        if cfg.layer_is_moe(i) and "experts" in layer_p:
+            from ..models.decoder import moe_block
+
+            mlp = moe_block(h2, layer_p, cfg)
+        else:
+            glu = glu_for(cfg.hidden_act)
+            e = _proj(h2, layer_p, lora_p, "gate")
+            g = _proj(h2, layer_p, lora_p, "up")
+            mlp = _proj(glu(e, g), layer_p, lora_p, "down")
+        if cfg.use_post_norms and "post_ffw_norm" in layer_p:
+            mlp = _norm(mlp, layer_p["post_ffw_norm"], cfg)
+        x = x + mlp
+
+    x = _norm(x, params["final_norm"], cfg)
+    new_cache = KVCache(k=new_k, v=new_v, length=cache.length + t)
+    return x, new_cache
+
+
+def logits_from_hidden(params, h, cfg: ModelConfig):
+    w = params.get("lm_head")
+    if w is None:
+        w = params["embed"]
+    logits = base_matmul(h, w)
+    if cfg.logit_scale is not None:
+        logits = logits * cfg.logit_scale
+    if cfg.final_softcap is not None:
+        logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
+    return logits

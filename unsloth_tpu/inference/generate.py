@@ -1,0 +1,189 @@
+"""On-device generation loop.
+
+Parity target: `model.fast_generate` / `unsloth_fast_generate` (reference:
+models/llama.py:2152 and the vLLM `fast_generate` binding _utils.py:3681).
+
+TPU design: prefill is one jitted call; the decode loop is a
+`lax.while_loop` inside a second jitted call, so the entire generation —
+sampling included — runs on device with zero per-token host round-trips.
+Static shapes: prompts are left-padded to a bucket length, output buffer is
+[B, max_new_tokens]. Greedy / temperature / top-k / top-p sampling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .decode import KVCache, forward_with_cache, init_cache, \
+    logits_from_hidden
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingParams:
+    """vLLM-compatible surface (reference: rl.py:89 vLLMSamplingParams)."""
+
+    max_tokens: int = 128
+    temperature: float = 0.0        # 0 => greedy
+    top_p: float = 1.0
+    top_k: int = 0                  # 0 => off
+    seed: int = 0
+    stop_token_ids: tuple = ()
+
+
+def _sample(logits, key, p: SamplingParams):
+    """logits [B, V] -> tokens [B]."""
+    if p.temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits.astype(jnp.float32) / p.temperature
+    if p.top_k > 0:
+        kth = jax.lax.top_k(logits, p.top_k)[0][:, -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if p.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # smallest set with cumulative prob >= top_p
+        cutoff_idx = jnp.sum(cum < p.top_p, axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "sampling"))
+def _generate_jit(params, lora, prompt_ids, prompt_mask, cfg, rng,
+                  max_new_tokens, eos_ids, sampling: SamplingParams):
+    b, t_prompt = prompt_ids.shape
+    total = t_prompt + max_new_tokens
+    cache = init_cache(cfg, b, total, dtype=jnp.bfloat16)
+
+    # positions: left-padded prompts start at 0 on their first real token
+    first_real = jnp.argmax(prompt_mask.astype(jnp.int32), axis=1)   # [B]
+    positions = jnp.arange(t_prompt, dtype=jnp.int32)[None] - first_real[:, None]
+    positions = jnp.maximum(positions, 0)
+
+    pad_slots = jnp.zeros((b, total), bool).at[:, :t_prompt].set(
+        ~prompt_mask.astype(bool))
+    kv_valid_extra = ~pad_slots
+
+    h, cache = forward_with_cache(
+        params, lora, prompt_ids, cfg, cache,
+        positions=positions, kv_valid_extra=kv_valid_extra)
+    last_h = h[:, -1, :]
+    logits = logits_from_hidden(params, last_h[:, None, :], cfg)[:, 0]
+
+    next_positions = positions[:, -1] + 1                           # [B]
+
+    key0 = jax.random.PRNGKey(sampling.seed) if rng is None else rng
+    tok0 = _sample(logits, key0, sampling)
+
+    out_buf = jnp.zeros((b, max_new_tokens), jnp.int32)
+    out_buf = out_buf.at[:, 0].set(tok0)
+    done0 = jnp.isin(tok0, eos_ids) if eos_ids.size else jnp.zeros((b,), bool)
+
+    def cond(state):
+        i, _, _, _, done, _, _ = state
+        return (i < max_new_tokens) & ~jnp.all(done)
+
+    def body(state):
+        i, cache, tok, pos, done, out_buf, key = state
+        h, cache = forward_with_cache(
+            params, lora, tok[:, None], cfg, cache,
+            positions=pos[:, None], kv_valid_extra=kv_valid_extra)
+        logits = logits_from_hidden(params, h, cfg)[:, 0]
+        key, sub = jax.random.split(key)
+        nxt = _sample(logits, sub, sampling)
+        nxt = jnp.where(done, 0, nxt)
+        out_buf = jax.lax.dynamic_update_slice_in_dim(
+            out_buf, nxt[:, None], i, axis=1)
+        newly_done = jnp.isin(nxt, eos_ids) if eos_ids.size else \
+            jnp.zeros((b,), bool)
+        return (i + 1, cache, nxt, pos + 1, done | newly_done, out_buf, key)
+
+    state = (jnp.int32(1), cache, tok0, next_positions, done0, out_buf, key0)
+    _, _, _, _, done, out_buf, _ = jax.lax.while_loop(cond, body, state)
+    return out_buf
+
+
+def generate(
+    model,
+    prompts: Union[Sequence[str], np.ndarray, Sequence[Sequence[int]]],
+    sampling_params: Optional[SamplingParams] = None,
+    *,
+    max_new_tokens: Optional[int] = None,
+    temperature: Optional[float] = None,
+    tokenizer=None,
+    skip_special_tokens: bool = True,
+    return_token_ids: bool = False,
+):
+    """High-level generate: strings or token-id lists in, strings (or ids)
+    out. This is `model.fast_generate` in the reference API."""
+    sampling = sampling_params or SamplingParams()
+    if max_new_tokens is not None:
+        sampling = dataclasses.replace(sampling, max_tokens=max_new_tokens)
+    if temperature is not None:
+        sampling = dataclasses.replace(sampling, temperature=temperature)
+
+    tok = tokenizer or model.tokenizer
+    if isinstance(prompts, (str,)):
+        prompts = [prompts]
+    if prompts and isinstance(prompts[0], str):
+        assert tok is not None, "string prompts require a tokenizer"
+        encoded = [tok(p)["input_ids"] for p in prompts]
+    else:
+        encoded = [list(p) for p in prompts]
+
+    b = len(encoded)
+    t_prompt = max(len(e) for e in encoded)
+    # bucket to multiple of 64 for compile-cache reuse
+    t_prompt = ((t_prompt + 63) // 64) * 64
+    pad_id = 0
+    prompt_ids = np.full((b, t_prompt), pad_id, np.int32)
+    prompt_mask = np.zeros((b, t_prompt), np.int32)
+    for i, e in enumerate(encoded):
+        prompt_ids[i, t_prompt - len(e):] = e       # left padding
+        prompt_mask[i, t_prompt - len(e):] = 1
+
+    eos = []
+    if tok is not None and getattr(tok, "eos_token_id", None) is not None:
+        eos.append(int(tok.eos_token_id))
+    if model.cfg.eos_token_id is not None:
+        eos.append(int(model.cfg.eos_token_id))
+    eos.extend(sampling.stop_token_ids)
+    eos_ids = jnp.asarray(sorted(set(eos)), jnp.int32)
+
+    out = _generate_jit(
+        model.params, model.lora, jnp.asarray(prompt_ids),
+        jnp.asarray(prompt_mask), model.cfg,
+        jax.random.PRNGKey(sampling.seed),
+        sampling.max_tokens, eos_ids, sampling)
+    out = np.asarray(jax.device_get(out))
+
+    if return_token_ids or tok is None:
+        results = []
+        for i in range(b):
+            ids = out[i].tolist()
+            ids = _trim_eos(ids, set(int(e) for e in eos))
+            results.append(ids)
+        return results
+    texts = []
+    for i in range(b):
+        ids = _trim_eos(out[i].tolist(), set(int(e) for e in eos))
+        texts.append(tok.decode(ids, skip_special_tokens=skip_special_tokens))
+    return texts
+
+
+def _trim_eos(ids: List[int], eos: set) -> List[int]:
+    result = []
+    for t in ids:
+        if t in eos:
+            break
+        result.append(t)
+    return result
