@@ -1,0 +1,172 @@
+"""GRPO trainer tests: loss math vs hand computation, advantage
+normalization, selective log-softmax parity, and an end-to-end smoke run
+where reward-guided training shifts the policy (the analog of the
+reference's GRPO fake-run canary, tests/version_compat/)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unsloth_tpu.models.config import ModelConfig
+from unsloth_tpu.models.loader import LanguageModel
+from unsloth_tpu.models.params import init_lora_tree, init_params
+from unsloth_tpu.ops.fused_ce_linear import selective_log_softmax
+from unsloth_tpu.trainer.grpo import (GRPOConfig, GRPOTrainer,
+                                      group_advantages, grpo_loss,
+                                      grpo_per_token_logps)
+
+
+class CharTokenizer:
+    """Minimal tokenizer: one char = one token (ascii)."""
+
+    eos_token_id = 0
+    pad_token_id = 0
+
+    def __call__(self, text, **kw):
+        return {"input_ids": [ord(c) % 128 for c in text]}
+
+    def decode(self, ids, **kw):
+        return "".join(chr(i) for i in ids if i > 0)
+
+
+@pytest.fixture()
+def model():
+    cfg = ModelConfig(vocab_size=128, hidden_size=32, intermediate_size=64,
+                      num_layers=2, num_heads=2, num_kv_heads=2,
+                      max_position_embeddings=256, eos_token_id=0)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    m = LanguageModel(cfg=cfg, params=params, tokenizer=CharTokenizer())
+    m.lora = init_lora_tree(cfg, jax.random.PRNGKey(1), r=4, alpha=8)
+    return m
+
+
+def test_group_advantages():
+    r = np.array([1.0, 0.0, 3.0, 2.0])
+    adv = group_advantages(r, num_generations=2, scale_rewards=False)
+    np.testing.assert_allclose(adv, [0.5, -0.5, 0.5, -0.5])
+    adv_s = group_advantages(r, num_generations=2, scale_rewards=True)
+    assert abs(adv_s[0]) < 1.01  # std-normalized
+
+
+def test_grpo_loss_zero_when_advantage_zero():
+    logps = jnp.full((2, 4), -1.0)
+    mask = jnp.ones((2, 4))
+    loss = grpo_loss(logps, logps, None, jnp.zeros(2), mask,
+                     beta=0.0, epsilon=0.2)
+    assert float(loss) == 0.0
+
+
+def test_grpo_loss_sign():
+    """Positive advantage => loss decreases as policy logp increases."""
+    old = jnp.full((1, 4), -2.0)
+    mask = jnp.ones((1, 4))
+    adv = jnp.ones(1)
+    lo = grpo_loss(jnp.full((1, 4), -2.1), old, None, adv, mask,
+                   beta=0.0, epsilon=0.2)
+    hi = grpo_loss(jnp.full((1, 4), -1.9), old, None, adv, mask,
+                   beta=0.0, epsilon=0.2)
+    assert float(hi) < float(lo)
+
+
+def test_grpo_loss_clipping():
+    """Ratio clipped at 1+eps: pushing logp far up stops helping."""
+    old = jnp.full((1, 1), -2.0)
+    mask = jnp.ones((1, 1))
+    adv = jnp.ones(1)
+    at_clip = grpo_loss(old + jnp.log(1.2), old, None, adv, mask,
+                        beta=0.0, epsilon=0.2)
+    beyond = grpo_loss(old + jnp.log(3.0), old, None, adv, mask,
+                       beta=0.0, epsilon=0.2)
+    np.testing.assert_allclose(float(at_clip), float(beyond), rtol=1e-6)
+
+
+def test_kl_term_nonnegative_and_zero_at_ref():
+    logps = jnp.full((1, 4), -1.5)
+    mask = jnp.ones((1, 4))
+    same = grpo_loss(logps, logps, logps, jnp.zeros(1), mask,
+                     beta=0.1, epsilon=0.2)
+    np.testing.assert_allclose(float(same), 0.0, atol=1e-7)
+    other = grpo_loss(logps, logps, logps - 0.5, jnp.zeros(1), mask,
+                      beta=0.1, epsilon=0.2)
+    assert float(other) > 0.0
+
+
+def test_selective_log_softmax_matches_dense(rng):
+    k1, k2, k3 = jax.random.split(rng, 3)
+    n, d, v = 24, 16, 64
+    h = jax.random.normal(k1, (n, d))
+    w = jax.random.normal(k2, (d, v)) * 0.3
+    ids = jax.random.randint(k3, (n,), 0, v).at[:3].set(-100)
+    out = selective_log_softmax(h, w, ids, chunk_size=8)
+    logits = h @ w
+    dense = jax.nn.log_softmax(logits, -1)
+    expect = jnp.take_along_axis(
+        dense, jnp.maximum(ids, 0)[:, None], 1)[:, 0]
+    expect = jnp.where(ids == -100, 0.0, expect)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               atol=1e-5, rtol=1e-5)
+    # gradient parity
+    g1 = jax.grad(lambda h: jnp.sum(
+        selective_log_softmax(h, w, ids, chunk_size=8)))(h)
+    g2 = jax.grad(lambda h: jnp.sum(jnp.where(
+        (ids == -100)[:, None], 0.0,
+        jnp.take_along_axis(jax.nn.log_softmax(h @ w, -1),
+                            jnp.maximum(ids, 0)[:, None], 1))))(h)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_per_token_logps_shift_alignment(model):
+    """grpo_per_token_logps(targets shifted) equals log-softmax of the
+    model's own next-token distribution."""
+    from unsloth_tpu.models.decoder import logits_fn
+
+    ids = jnp.arange(1, 11, dtype=jnp.int32)[None]
+    targets = jnp.full((1, 10), -100, jnp.int32)
+    targets = targets.at[0, :-1].set(ids[0, 1:])
+    logps = grpo_per_token_logps(model.params, None, ids, targets,
+                                 model.cfg)
+    logits = logits_fn(model.params, None, ids, model.cfg, remat=False)
+    dense = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+    expect = jnp.take_along_axis(dense[0, :-1], ids[0, 1:, None], 1)[:, 0]
+    np.testing.assert_allclose(np.asarray(logps[0, :-1]),
+                               np.asarray(expect), atol=1e-4, rtol=1e-4)
+
+
+def test_grpo_end_to_end_reward_shifts_policy(model):
+    """Dense reward favoring high-ordinal tokens; the policy's expected
+    next-token ordinal after the prompt must rise."""
+    ds = [{"prompt": "Q:"}] * 8
+
+    def reward_high_chars(prompts=None, completions=None, **kw):
+        return [float(np.mean([ord(c) for c in comp])) / 128.0
+                if comp else 0.0 for comp in completions]
+
+    args = GRPOConfig(
+        per_device_train_batch_size=2, num_generations=4,
+        max_prompt_length=8, max_completion_length=8,
+        learning_rate=5e-2, max_steps=8, beta=0.0, temperature=1.5,
+        logging_steps=1, warmup_steps=0, lr_scheduler_type="constant")
+    trainer = GRPOTrainer(model=model, reward_funcs=[reward_high_chars],
+                          args=args, train_dataset=ds,
+                          processing_class=model.tokenizer)
+
+    from unsloth_tpu.models.decoder import logits_fn
+
+    prompt = jnp.asarray([[ord("Q"), ord(":")]], jnp.int32)
+    token_vals = jnp.arange(model.cfg.vocab_size, dtype=jnp.float32)
+
+    def expected_ordinal(lora):
+        logits = logits_fn(model.params, lora, prompt, model.cfg,
+                           remat=False)
+        p = jax.nn.softmax(logits[0, -1].astype(jnp.float32))
+        return float(jnp.sum(p * token_vals))
+
+    before = expected_ordinal(model.lora)
+    out = trainer.train()
+    after = expected_ordinal(model.lora)
+    assert out.global_step == 8
+    assert len(trainer.state_log) == 8
+    assert "reward" in trainer.state_log[0]
+    assert after > before, (before, after)

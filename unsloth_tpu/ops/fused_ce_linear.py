@@ -179,6 +179,108 @@ def _flce_bwd(softcap, logit_scale, chunk_size, w_trainable, res, g):
 fused_linear_cross_entropy.defvjp(_flce_fwd, _flce_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def fused_linear_ce_per_row(
+    hidden, w, bias, labels,
+    softcap: Optional[float] = None,
+    logit_scale: Optional[float] = None,
+    chunk_size: int = _DEFAULT_CHUNK,
+    w_trainable: bool = False,
+):
+    """Per-row CE loss [N] (fp32) without materializing [N, V] logits.
+
+    ``-fused_linear_ce_per_row(...)`` is the chunked *selective log-softmax*
+    the reference uses for GRPO logprobs (reference:
+    rl_replacements.py:1355-1410 `_get_per_token_logps` via hidden states +
+    chunked selective log-softmax). Rows with label == -100 return 0.
+    """
+    _, lse, loss = _fwd_rows(hidden, w, bias, labels, softcap, logit_scale,
+                             chunk_size)
+    return loss
+
+
+def _fwd_rows(hidden, w, bias, labels, softcap, logit_scale, chunk_size):
+    n, d = hidden.shape
+    nc = _num_chunks(n, chunk_size)
+    n_pad = nc * chunk_size - n
+    h = _pad_rows(hidden, n_pad).reshape(nc, chunk_size, d)
+    lb = _pad_rows(labels, n_pad, value=IGNORE_INDEX).reshape(nc, chunk_size)
+
+    def body(_, xs):
+        h_c, lb_c = xs
+        loss, lse = _chunk_loss(h_c, w, bias, lb_c, softcap, logit_scale)
+        return None, (loss, lse)
+
+    _, (loss, lse) = jax.lax.scan(body, None, (h, lb))
+    return None, lse.reshape(-1)[:n], loss.reshape(-1)[:n]
+
+
+def _rows_fwd(hidden, w, bias, labels, softcap, logit_scale, chunk_size,
+              w_trainable):
+    _, lse, loss = _fwd_rows(hidden, w, bias, labels, softcap, logit_scale,
+                             chunk_size)
+    return loss, (hidden, w, bias, labels, lse)
+
+
+def _rows_bwd(softcap, logit_scale, chunk_size, w_trainable, res, g):
+    hidden, w, bias, labels, lse = res
+    g = g.astype(jnp.float32)                       # [N] per-row cotangent
+    n, d = hidden.shape
+    v = w.shape[-1]
+    nc = _num_chunks(n, chunk_size)
+    n_pad = nc * chunk_size - n
+    h = _pad_rows(hidden, n_pad).reshape(nc, chunk_size, d)
+    lb = _pad_rows(labels, n_pad, value=IGNORE_INDEX).reshape(nc, chunk_size)
+    ls = _pad_rows(lse, n_pad).reshape(nc, chunk_size)
+    gr = _pad_rows(g, n_pad).reshape(nc, chunk_size)
+
+    if w_trainable:
+        init = (jnp.zeros((d, v), jnp.float32),
+                jnp.zeros((v,), jnp.float32) if bias is not None else None)
+    else:
+        init = None
+
+    def body(carry, xs):
+        h_c, lb_c, lse_c, g_c = xs
+        dz = _chunk_dz(h_c, w, bias, lb_c, lse_c, softcap, logit_scale)
+        dz = dz * g_c[:, None]
+        dh_c = jnp.dot(dz, w.T.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        if carry is not None:
+            dw_acc, db_acc = carry
+            dw_acc = dw_acc + jnp.dot(h_c.astype(jnp.float32).T, dz,
+                                      preferred_element_type=jnp.float32)
+            if db_acc is not None:
+                db_acc = db_acc + jnp.sum(dz, axis=0)
+            carry = (dw_acc, db_acc)
+        return carry, dh_c
+
+    carry, dh = jax.lax.scan(body, init, (h, lb, ls, gr))
+    dh = dh.reshape(nc * chunk_size, d)[:n].astype(hidden.dtype)
+    if w_trainable:
+        dw, db = carry
+        dw = dw.astype(w.dtype)
+        db = db.astype(bias.dtype) if bias is not None else None
+    else:
+        dw = jnp.zeros_like(w)
+        db = jnp.zeros_like(bias) if bias is not None else None
+    return dh, dw, db, None
+
+
+fused_linear_ce_per_row.defvjp(_rows_fwd, _rows_bwd)
+
+
+def selective_log_softmax(hidden, w, token_ids, bias=None,
+                          softcap: Optional[float] = None,
+                          logit_scale: Optional[float] = None,
+                          chunk_size: int = _DEFAULT_CHUNK,
+                          w_trainable: bool = False):
+    """log p(token_ids) per row, chunked, logits never materialized.
+    Rows with token_id == -100 return 0."""
+    return -fused_linear_ce_per_row(hidden, w, bias, token_ids, softcap,
+                                    logit_scale, chunk_size, w_trainable)
+
+
 def fused_ce_loss_mean(hidden, w, labels, bias=None,
                        n_items: Optional[jnp.ndarray] = None,
                        softcap: Optional[float] = None,

@@ -1,3 +1,4 @@
+from .grpo import GRPOConfig, GRPOTrainer, PatchFastRL
 from .sft import (SFTConfig, SFTTrainer, TrainOutput, build_optimizer,
                   build_schedule, make_config, train_on_responses_only)
 
@@ -10,4 +11,5 @@ __all__ = [
     "SFTConfig", "SFTTrainer", "TrainOutput", "build_optimizer",
     "build_schedule", "make_config", "train_on_responses_only",
     "UnslothTrainer", "UnslothTrainingArguments",
+    "GRPOConfig", "GRPOTrainer", "PatchFastRL",
 ]

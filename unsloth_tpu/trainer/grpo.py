@@ -1,0 +1,367 @@
+"""GRPO trainer (Group Relative Policy Optimization).
+
+Parity target: the reference's GRPO stack — TRL GRPOTrainer rewritten at
+import time (reference: models/rl.py:815-1954 source rewriting,
+rl_replacements.py:889-1410: `_prepare_inputs`, generation via colocated
+vLLM, chunked `_get_per_token_logps`, GRPO sequence packing) plus the
+"80% less VRAM" memory story (README.md:220).
+
+TPU-native redesign — the pieces the reference assembles from three
+frameworks (TRL loop + vLLM generation + Triton logprobs) collapse into one
+runtime:
+  * generation: our on-device `lax.while_loop` generate (inference/) — no
+    vLLM colocation, no weight sync (`_move_model_to_vllm` disappears: the
+    policy params ARE the generation params);
+  * reference policy without a second model: QLoRA's trick — the frozen
+    base weights with LoRA disabled are the reference policy (the
+    reference does this via peft disable_adapter);
+  * logprobs: chunked selective log-softmax over hidden states
+    (ops/fused_ce_linear.selective_log_softmax) — logits never
+    materialized, the analog of rl_replacements.py:1355-1410;
+  * loss: token-level PPO-style clipped surrogate with group-normalized
+    advantages + k3 KL penalty (TRL GRPO semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..inference.generate import SamplingParams, generate
+from ..models.decoder import forward
+from ..ops.fused_ce_linear import selective_log_softmax
+from .sft import build_optimizer, SFTConfig
+
+
+@dataclasses.dataclass
+class GRPOConfig(SFTConfig):
+    """TRL-GRPOConfig-compatible surface (subset)."""
+
+    num_generations: int = 4
+    max_prompt_length: int = 256
+    max_completion_length: int = 128
+    beta: float = 0.04                 # KL coefficient (0 => no ref policy)
+    epsilon: float = 0.2               # PPO clip
+    epsilon_high: Optional[float] = None
+    temperature: float = 0.9
+    top_p: float = 1.0
+    top_k: int = 0
+    num_iterations: int = 1            # policy epochs per generation round
+    scale_rewards: bool = True         # divide advantages by group std
+    loss_type: str = "grpo"            # grpo | bnpo | dr_grpo
+    mask_truncated_completions: bool = False
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class GRPOBatch:
+    """Device arrays for one optimization round."""
+
+    input_ids: jnp.ndarray        # [N, T] prompt+completion, right-padded
+    completion_mask: jnp.ndarray  # [N, T] 1 on completion tokens
+    logp_targets: jnp.ndarray     # [N, T] token ids shifted (-100 outside)
+    advantages: jnp.ndarray       # [N]
+
+    def tree_flatten(self):
+        return ((self.input_ids, self.completion_mask, self.logp_targets,
+                 self.advantages), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def grpo_per_token_logps(params, lora, input_ids, targets, cfg,
+                         chunk_size=2048, temperature=1.0):
+    """log p(targets) for each position (targets -100 => 0), computed via
+    hidden states + chunked selective log-softmax."""
+    h = forward(params, lora, input_ids, cfg, remat=True)
+    b, t, d = h.shape
+    w = params.get("lm_head")
+    if w is None:
+        w = params["embed"]
+    from ..ops.nf4 import NF4Tensor, dequantize_nf4
+
+    if isinstance(w, NF4Tensor):
+        wd = dequantize_nf4(w, h.dtype).T
+    else:
+        wd = w.T.astype(h.dtype)
+    scale = (1.0 / temperature) if temperature != 1.0 else None
+    # combine with cfg logit scaling if present
+    if cfg.logit_scale is not None:
+        scale = (scale or 1.0) * cfg.logit_scale
+    logps = selective_log_softmax(
+        h.reshape(-1, d), wd, targets.reshape(-1),
+        softcap=cfg.final_softcap, logit_scale=scale,
+        chunk_size=chunk_size)
+    return logps.reshape(b, t)
+
+
+def grpo_loss(policy_logps, old_logps, ref_logps, advantages,
+              completion_mask, *, beta: float, epsilon: float,
+              epsilon_high: Optional[float] = None,
+              loss_type: str = "grpo",
+              max_completion_length: int = 0):
+    """Token-level clipped surrogate + k3 KL (TRL GRPO semantics).
+
+    policy/old/ref logps: [N, T]; advantages: [N]; mask: [N, T].
+    """
+    eps_low = epsilon
+    eps_high = epsilon_high if epsilon_high is not None else epsilon
+    ratio = jnp.exp(policy_logps - old_logps)
+    adv = advantages[:, None]
+    unclipped = ratio * adv
+    clipped = jnp.clip(ratio, 1.0 - eps_low, 1.0 + eps_high) * adv
+    per_token = -jnp.minimum(unclipped, clipped)
+    if beta > 0.0 and ref_logps is not None:
+        # k3 estimator: exp(ref-pi) - (ref-pi) - 1  >= 0
+        delta = ref_logps - policy_logps
+        kl = jnp.exp(delta) - delta - 1.0
+        per_token = per_token + beta * kl
+
+    mask = completion_mask.astype(jnp.float32)
+    if loss_type == "grpo":
+        # mean over tokens per sequence, then mean over sequences
+        seq_loss = jnp.sum(per_token * mask, -1) / jnp.maximum(
+            jnp.sum(mask, -1), 1.0)
+        return jnp.mean(seq_loss)
+    if loss_type == "bnpo":
+        return jnp.sum(per_token * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    if loss_type == "dr_grpo":
+        n = mask.shape[0] * max(max_completion_length, 1)
+        return jnp.sum(per_token * mask) / n
+    raise ValueError(f"unknown loss_type {loss_type!r}")
+
+
+def group_advantages(rewards: np.ndarray, num_generations: int,
+                     scale_rewards: bool = True) -> np.ndarray:
+    """rewards [N] grouped as N = P * G consecutive -> centered (optionally
+    std-normalized) advantages."""
+    r = rewards.reshape(-1, num_generations)
+    mean = r.mean(axis=1, keepdims=True)
+    adv = r - mean
+    if scale_rewards:
+        adv = adv / (r.std(axis=1, keepdims=True) + 1e-4)
+    return adv.reshape(-1).astype(np.float32)
+
+
+class GRPOTrainer:
+    """Reference-parity surface: GRPOTrainer(model=..., reward_funcs=[...],
+    args=GRPOConfig(...), train_dataset=..., processing_class=tokenizer)."""
+
+    def __init__(
+        self,
+        model,
+        reward_funcs: Sequence[Callable],
+        args: Optional[GRPOConfig] = None,
+        train_dataset=None,
+        processing_class=None,
+        **kwargs,
+    ):
+        self.model = model
+        self.reward_funcs = (list(reward_funcs)
+                             if isinstance(reward_funcs, (list, tuple))
+                             else [reward_funcs])
+        self.args = args or GRPOConfig()
+        self.train_dataset = train_dataset
+        self.tokenizer = processing_class or getattr(model, "tokenizer", None)
+        self.state_log: List[Dict[str, Any]] = []
+        self._step_fn = None
+
+    # -- data ----------------------------------------------------------
+
+    def _prompt_text(self, ex) -> str:
+        if "prompt" in ex:
+            p = ex["prompt"]
+            if isinstance(p, str):
+                return p
+            # conversational prompt
+            return self.tokenizer.apply_chat_template(
+                p, tokenize=False, add_generation_prompt=True)
+        raise ValueError("GRPO dataset examples need a 'prompt' field")
+
+    # -- rollout -------------------------------------------------------
+
+    def _generate_batch(self, prompts: List[str]):
+        """Returns (prompt_ids list, completion_ids list) with G completions
+        per prompt."""
+        args = self.args
+        g = args.num_generations
+        expanded = [p for p in prompts for _ in range(g)]
+        tok = self.tokenizer
+        encoded = [tok(p)["input_ids"][-args.max_prompt_length:]
+                   for p in expanded]
+        completions = []
+        sp = SamplingParams(
+            max_tokens=args.max_completion_length,
+            temperature=args.temperature, top_p=args.top_p,
+            top_k=args.top_k, seed=int(time.time_ns() % (2**31)))
+        completions = generate(self.model, encoded, sp,
+                               return_token_ids=True)
+        return encoded, completions
+
+    def _build_batch(self, prompt_ids, completion_ids, advantages):
+        args = self.args
+        t = args.max_prompt_length + args.max_completion_length
+        n = len(prompt_ids)
+        input_ids = np.zeros((n, t), np.int32)
+        completion_mask = np.zeros((n, t), np.int32)
+        targets = np.full((n, t), -100, np.int32)
+        eos = self.tokenizer.eos_token_id if self.tokenizer else None
+        for i, (p, c) in enumerate(zip(prompt_ids, completion_ids)):
+            c = list(c)
+            if eos is not None and len(c) < args.max_completion_length:
+                c = c + [eos]
+            seq = list(p) + c
+            seq = seq[:t]
+            input_ids[i, :len(seq)] = seq
+            lo, hi = len(p), len(seq)
+            completion_mask[i, lo:hi] = 1
+            # targets[t] = token produced AT position t (predicted from t-1)
+            targets[i, lo:hi] = seq[lo:hi]
+        # shift: logp of token at position j is computed from hidden j-1;
+        # grpo_per_token_logps consumes targets aligned to positions, so
+        # shift targets left by one relative to input positions.
+        shifted = np.full_like(targets, -100)
+        shifted[:, :-1] = targets[:, 1:]
+        mask_shifted = np.zeros_like(completion_mask)
+        mask_shifted[:, :-1] = completion_mask[:, 1:]
+        return GRPOBatch(
+            input_ids=jnp.asarray(input_ids),
+            completion_mask=jnp.asarray(mask_shifted),
+            logp_targets=jnp.asarray(shifted),
+            advantages=jnp.asarray(advantages),
+        )
+
+    def _compute_rewards(self, prompts, completions_text, examples):
+        args = self.args
+        g = args.num_generations
+        expanded_prompts = [p for p in prompts for _ in range(g)]
+        kwargs: Dict[str, List] = {}
+        for key in examples[0].keys():
+            if key == "prompt":
+                continue
+            kwargs[key] = [ex[key] for ex in examples for _ in range(g)]
+        total = np.zeros(len(completions_text), np.float64)
+        per_func = {}
+        for fn in self.reward_funcs:
+            out = fn(prompts=expanded_prompts,
+                     completions=completions_text, **kwargs)
+            arr = np.asarray([0.0 if r is None else float(r) for r in out])
+            per_func[getattr(fn, "__name__", "reward")] = float(arr.mean())
+            total += arr
+        return total, per_func
+
+    # -- training ------------------------------------------------------
+
+    def _make_step(self, tx):
+        model = self.model
+        cfg = model.cfg
+        args = self.args
+
+        def loss_fn(lora, params, batch: GRPOBatch, old_logps, ref_logps):
+            logps = grpo_per_token_logps(
+                params, lora, batch.input_ids, batch.logp_targets, cfg,
+                temperature=args.temperature)
+            old = old_logps if old_logps is not None else \
+                jax.lax.stop_gradient(logps)
+            return grpo_loss(
+                logps, old, ref_logps, batch.advantages,
+                batch.completion_mask, beta=args.beta,
+                epsilon=args.epsilon, epsilon_high=args.epsilon_high,
+                loss_type=args.loss_type,
+                max_completion_length=args.max_completion_length)
+
+        def step(lora, opt_state, params, batch, old_logps, ref_logps):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                lora, params, batch, old_logps, ref_logps)
+            updates, opt_state = tx.update(grads, opt_state, lora)
+            return optax.apply_updates(lora, updates), opt_state, loss
+
+        return jax.jit(step, donate_argnums=(0, 1),
+                       static_argnums=())
+
+    def train(self):
+        args = self.args
+        model = self.model
+        assert model.lora is not None, \
+            "GRPO requires get_peft_model (LoRA) — full-FT RL comes later"
+        total_steps = args.max_steps if args.max_steps > 0 else len(
+            self.train_dataset)
+        tx, schedule = build_optimizer(args, total_steps)
+        opt_state = tx.init(model.lora)
+        step_fn = self._make_step(tx)
+        logp_fn = jax.jit(
+            lambda params, lora, ids, tg: grpo_per_token_logps(
+                params, lora, ids, tg, model.cfg,
+                temperature=args.temperature))
+
+        bsz = args.per_device_train_batch_size
+        ds = list(self.train_dataset)
+        t0 = time.time()
+        global_step = 0
+        idx = 0
+        while global_step < total_steps:
+            examples = [ds[(idx + j) % len(ds)] for j in range(bsz)]
+            idx += bsz
+            prompts = [self._prompt_text(ex) for ex in examples]
+            prompt_ids, completion_ids = self._generate_batch(prompts)
+            completions_text = [
+                self.tokenizer.decode(c, skip_special_tokens=True)
+                for c in completion_ids]
+            rewards, per_func = self._compute_rewards(
+                prompts, completions_text, examples)
+            adv = group_advantages(rewards, args.num_generations,
+                                   args.scale_rewards)
+            batch = self._build_batch(prompt_ids, completion_ids, adv)
+
+            ref_logps = None
+            if args.beta > 0.0:
+                # reference policy = frozen base (LoRA disabled)
+                ref_logps = jax.lax.stop_gradient(logp_fn(
+                    model.params, None, batch.input_ids, batch.logp_targets))
+            old_logps = None
+            if args.num_iterations > 1:
+                old_logps = jax.lax.stop_gradient(logp_fn(
+                    model.params, model.lora, batch.input_ids,
+                    batch.logp_targets))
+
+            for _ in range(args.num_iterations):
+                model.lora, opt_state, loss = step_fn(
+                    model.lora, opt_state, model.params, batch,
+                    old_logps, ref_logps)
+                global_step += 1
+                if global_step % args.logging_steps == 0:
+                    entry = {
+                        "loss": float(loss),
+                        "reward": float(rewards.mean()),
+                        "reward_std": float(rewards.std()),
+                        "completion_length": float(np.mean(
+                            [len(c) for c in completion_ids])),
+                        "step": global_step,
+                        **{f"rewards/{k}": v for k, v in per_func.items()},
+                    }
+                    self.state_log.append(entry)
+                if global_step >= total_steps:
+                    break
+
+        from .sft import TrainOutput
+
+        elapsed = time.time() - t0
+        losses = [e["loss"] for e in self.state_log]
+        return TrainOutput(global_step,
+                           float(np.mean(losses)) if losses else float("nan"),
+                           {"train_runtime": elapsed})
+
+
+def PatchFastRL(algorithm: str = "GRPO", FastLanguageModel=None):
+    """Reference API shim (reference: models/rl.py:2393). Patching is
+    unnecessary here — the trainers are native — so this is a no-op that
+    returns the native trainer class for the asked algorithm."""
+    return {"GRPO": GRPOTrainer}.get(algorithm, GRPOTrainer)
