@@ -3,10 +3,10 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline semantics: HF+PEFT does not run on TPU, so the baseline is an
-HF-faithful *naive* path in the same runtime — full-logits CE (no fused
-linear+CE), reference jnp attention (no flash kernel), no Pallas kernels,
-full rematerialization — i.e. what a straight port without the fused-kernel
-work would get. vs_baseline = optimized_tokens_per_sec / naive_tokens_per_sec.
+HF+FA2-equivalent path in the same runtime — flash attention kept (HF
+baselines use FA2; the reference's "2x" claims are vs HF+FA2, README.md:58)
+but full-logits CE instead of the fused linear+CE path.
+vs_baseline = optimized_tokens_per_sec / baseline_tokens_per_sec.
 
 Env knobs:
   BENCH_LAYERS / BENCH_SEQ / BENCH_BATCH / BENCH_STEPS — size overrides
@@ -81,17 +81,17 @@ def llama31_8b_config(num_layers):
 
 
 def measure(step_fn, lora, opt_state, params, batch, n_steps, warmup=2):
-    import jax
-
+    # NOTE: float(loss) (device_get) is the sync point — on the axon
+    # platform jax.block_until_ready returns before execution finishes.
     for _ in range(warmup):
         lora, opt_state, loss = step_fn(lora, opt_state, params, batch)
-    jax.block_until_ready(loss)
+    float(loss)
     t0 = time.perf_counter()
     for _ in range(n_steps):
         lora, opt_state, loss = step_fn(lora, opt_state, params, batch)
-    jax.block_until_ready(loss)
+    last = float(loss)
     dt = time.perf_counter() - t0
-    return dt / n_steps, float(loss)
+    return dt / n_steps, last
 
 
 def main():
@@ -138,25 +138,21 @@ def main():
                                  n_steps)
     fast_tps = tokens_per_step / fast_dt
 
-    # Naive HF-equivalent path (full logits CE, no Pallas kernels).
-    # UNSLOTH_DISABLE_PALLAS is read at trace time, so it must be set while
-    # the naive step is compiled (the measure() warmup triggers tracing).
+    # HF+FA2-equivalent baseline: flash attention kept, but full-logits CE
+    # (the HF code path materializes [N, V] logits and a separate CE).
     naive_steps = max(2, n_steps // 2)
     opt_state2 = tx.init(lora)
-    os.environ["UNSLOTH_DISABLE_PALLAS"] = "1"
     naive_step = make_step(fused_ce=False)
     try:
         naive_dt, _ = measure(naive_step, lora, opt_state2, params, batch,
                               naive_steps, warmup=1)
         naive_tps = tokens_per_step / naive_dt
         vs_baseline = fast_tps / naive_tps
-    except Exception as e:  # naive path may OOM where QLoRA+fused fits
-        print(f"naive baseline failed ({type(e).__name__}); "
-              f"reporting vs_baseline=inf-capped", file=sys.stderr)
+    except Exception as e:  # baseline may OOM where the fused path fits
+        print(f"baseline failed ({type(e).__name__}); "
+              f"reporting vs_baseline=null", file=sys.stderr)
         naive_tps = 0.0
         vs_baseline = float("nan")
-    finally:
-        os.environ.pop("UNSLOTH_DISABLE_PALLAS", None)
 
     result = {
         "metric": "llama31_8b_qlora_sft_tokens_per_sec_per_chip"

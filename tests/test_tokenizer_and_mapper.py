@@ -1,0 +1,127 @@
+"""Tokenizer-repair + name-mapper tests (reference: tokenizer_utils.py
+behaviors; loader_utils.get_model_name + mapper catalog)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unsloth_tpu.data.tokenizer_utils import (check_tokenizer,
+                                              fix_pad_token,
+                                              fix_untrained_tokens,
+                                              validate_chat_template)
+from unsloth_tpu.models.mapper import (get_model_name, search_models,
+                                       strip_quant_suffix)
+
+
+class FakeTok:
+    eos_token = "</s>"
+    eos_token_id = 2
+    bos_token_id = 1
+    pad_token = None
+
+    def __init__(self, vocab=None):
+        self._vocab = vocab or {"</s>": 2, "<s>": 1, "hello": 5, "world": 6}
+
+    def get_vocab(self):
+        return self._vocab
+
+    def __call__(self, text, **kw):
+        return {"input_ids": [self._vocab.get(w, 0)
+                              for w in text.split()]}
+
+    def decode(self, ids, **kw):
+        inv = {v: k for k, v in self._vocab.items()}
+        return " ".join(inv.get(i, "?") for i in ids)
+
+
+def test_fix_pad_token_prefers_dedicated():
+    tok = FakeTok(vocab={"</s>": 2, "<pad>": 3, "hello": 5, "world": 6})
+    fix_pad_token(tok)
+    assert tok.pad_token == "<pad>"
+
+
+def test_fix_pad_token_falls_back_to_eos():
+    tok = FakeTok()
+    fix_pad_token(tok)
+    assert tok.pad_token == "</s>"
+
+
+def test_fix_pad_token_llama31_style():
+    tok = FakeTok(vocab={"</s>": 2, "<|finetune_right_pad_id|>": 9,
+                         "hello": 5, "world": 6})
+    fix_pad_token(tok)
+    assert tok.pad_token == "<|finetune_right_pad_id|>"
+
+
+def test_check_tokenizer_flags_oversized_ids():
+    class M:
+        class cfg:
+            vocab_size = 4
+
+    problems = check_tokenizer(M(), FakeTok())
+    assert any("vocab" in p for p in problems)
+
+
+def test_check_tokenizer_healthy():
+    class M:
+        class cfg:
+            vocab_size = 100
+
+    assert check_tokenizer(M(), FakeTok()) == []
+
+
+def test_validate_chat_template_catches_drop():
+    class T:
+        chat_template = "broken"
+
+        def apply_chat_template(self, msgs, **kw):
+            return "nothing here"
+
+    assert "dropped" in validate_chat_template(T())
+
+
+def test_fix_untrained_tokens(rng):
+    from unsloth_tpu.models.config import ModelConfig
+    from unsloth_tpu.models.loader import LanguageModel
+    from unsloth_tpu.models.params import init_params
+
+    cfg = ModelConfig(vocab_size=32, hidden_size=16, intermediate_size=32,
+                      num_layers=1, num_heads=2, num_kv_heads=2)
+    params = init_params(cfg, rng)
+    params["embed"] = params["embed"].at[5].set(0.0)  # untrained row
+    model = LanguageModel(cfg=cfg, params=params)
+    fix_untrained_tokens(model, None)
+    row = model.params["embed"][5]
+    assert float(jnp.linalg.norm(row)) > 0  # now mean-initialized
+
+
+# ---------------------------------------------------------------------------
+# mapper
+# ---------------------------------------------------------------------------
+
+def test_strip_quant_suffix():
+    assert strip_quant_suffix("x/y-bnb-4bit") == ("x/y", "-bnb-4bit")
+    assert strip_quant_suffix("x/y-unsloth-bnb-4bit") == \
+        ("x/y", "-unsloth-bnb-4bit")
+    assert strip_quant_suffix("x/y") == ("x/y", None)
+
+
+def test_get_model_name_redirects_unsloth_mirror():
+    name, four_bit = get_model_name(
+        "unsloth/Llama-3.1-8B-Instruct-bnb-4bit", load_in_4bit=False)
+    assert name == "meta-llama/Llama-3.1-8B-Instruct"
+    assert four_bit is True  # mirror implies 4-bit intent
+
+
+def test_get_model_name_passthrough():
+    name, four_bit = get_model_name("meta-llama/Llama-3.1-8B", True)
+    assert name == "meta-llama/Llama-3.1-8B"
+    assert four_bit is True
+
+
+def test_search_models():
+    out = search_models("qwen3")
+    assert any("Qwen3-8B" in m for m in out)
+    assert search_models("llama-3.2", family="llama")
+    assert search_models("nonexistent-xyz") == []

@@ -1,0 +1,132 @@
+"""Tokenizer repair and validation.
+
+Parity target: reference unsloth/tokenizer_utils.py — pad-token fixing
+(:647), check_tokenizer (:1343), chat-template render validation (:950-1326),
+and fix_untrained_tokens (zoo; called from loader). The sentencepiece proto
+surgery (:347,432) requires the sentencepiece package, which this
+environment lacks; those paths are gated.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import numpy as np
+
+PAD_CANDIDATES = (
+    "<pad>", "<|pad|>", "[PAD]", "<|padding|>",
+    "<|finetune_right_pad_id|>",   # llama-3.1 dedicated pad
+    "<|endoftext|>",
+)
+
+
+def fix_pad_token(tokenizer, model_config=None):
+    """Ensure a usable pad token distinct from EOS when possible
+    (reference: tokenizer_utils.py:647 fix_pad_token).
+
+    Padding with EOS is dangerous: masking pad positions then masks real
+    EOS supervision, so models never learn to stop."""
+    if tokenizer is None:
+        return tokenizer
+    if getattr(tokenizer, "pad_token", None) is not None and \
+            tokenizer.pad_token != getattr(tokenizer, "eos_token", None):
+        return tokenizer
+    vocab = {}
+    try:
+        vocab = tokenizer.get_vocab()
+    except Exception:
+        pass
+    for cand in PAD_CANDIDATES:
+        if cand in vocab and cand != getattr(tokenizer, "eos_token", None):
+            tokenizer.pad_token = cand
+            return tokenizer
+    # fall back: reuse eos (better than crashing; labels must mask pads)
+    if getattr(tokenizer, "eos_token", None) is not None:
+        tokenizer.pad_token = tokenizer.eos_token
+    return tokenizer
+
+
+def check_tokenizer(model, tokenizer) -> List[str]:
+    """Sanity checks (reference: tokenizer_utils.py:1343 check_tokenizer).
+    Returns a list of problem descriptions (empty = healthy)."""
+    problems = []
+    if tokenizer is None:
+        return ["tokenizer is None"]
+    vocab_size = getattr(model.cfg, "vocab_size", None)
+    try:
+        max_id = max(tokenizer.get_vocab().values())
+        if vocab_size is not None and max_id >= vocab_size:
+            problems.append(
+                f"tokenizer max id {max_id} >= model vocab {vocab_size}")
+    except Exception:
+        problems.append("tokenizer.get_vocab() failed")
+    for name in ("eos_token_id", "bos_token_id"):
+        tid = getattr(tokenizer, name, None)
+        if tid is not None and vocab_size is not None and tid >= vocab_size:
+            problems.append(f"{name}={tid} out of range")
+    # round-trip sanity
+    try:
+        ids = tokenizer("hello world")["input_ids"]
+        text = tokenizer.decode(ids, skip_special_tokens=True)
+        if "hello" not in text:
+            problems.append(f"round-trip failed: {text!r}")
+    except Exception as e:
+        problems.append(f"round-trip raised {type(e).__name__}: {e}")
+    return problems
+
+
+def validate_chat_template(tokenizer) -> Optional[str]:
+    """Render-validate the installed chat template (reference:
+    tokenizer_utils.py:950-1326 auto-repair/render-validation). Returns an
+    error string or None."""
+    template = getattr(tokenizer, "chat_template", None)
+    if not template:
+        return "no chat_template set"
+    msgs = [{"role": "user", "content": "__U__"},
+            {"role": "assistant", "content": "__A__"}]
+    try:
+        out = tokenizer.apply_chat_template(msgs, tokenize=False)
+    except Exception as e:
+        return f"template failed to render: {e}"
+    if "__U__" not in out or "__A__" not in out:
+        return f"template dropped message content: {out!r}"
+    return None
+
+
+def fix_untrained_tokens(model, tokenizer, train_texts: Optional[List[str]]
+                         = None, eps: float = 1e-16):
+    """Set near-zero embedding rows to the mean embedding
+    (reference: zoo fix_untrained_tokens, applied at load; also
+    rl_replacements.py:135 for SFT). Works on the functional param tree:
+    returns modified params."""
+    import jax.numpy as jnp
+
+    params = model.params
+    embed = params["embed"]
+    if hasattr(embed, "packed"):
+        return params  # quantized embeddings: skip (reference also skips)
+    norms = jnp.linalg.norm(embed.astype(jnp.float32), axis=-1)
+    untrained = norms < eps
+    n_bad = int(untrained.sum())
+    if n_bad == 0 or n_bad == embed.shape[0]:
+        return params
+    mean_vec = jnp.mean(
+        jnp.where(untrained[:, None], 0.0, embed.astype(jnp.float32)),
+        axis=0) * (embed.shape[0] / max(embed.shape[0] - n_bad, 1))
+    new_embed = jnp.where(untrained[:, None], mean_vec,
+                          embed.astype(jnp.float32)).astype(embed.dtype)
+    params = dict(params, embed=new_embed)
+    lm_head = params.get("lm_head")
+    if lm_head is not None and not hasattr(lm_head, "packed"):
+        lm_norms = jnp.linalg.norm(lm_head.astype(jnp.float32), axis=-1)
+        bad = lm_norms < eps
+        if int(bad.sum()) not in (0, lm_head.shape[0]):
+            mean_h = jnp.mean(
+                jnp.where(bad[:, None], 0.0, lm_head.astype(jnp.float32)),
+                axis=0) * (lm_head.shape[0] / max(
+                    lm_head.shape[0] - int(bad.sum()), 1))
+            params["lm_head"] = jnp.where(
+                bad[:, None], mean_h,
+                lm_head.astype(jnp.float32)).astype(lm_head.dtype)
+    model.params = params
+    return params

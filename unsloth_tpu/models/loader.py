@@ -125,6 +125,11 @@ class FastLanguageModel:
         present; this environment is offline-first (the reference's
         `@_offline_aware_load` retry, loader_utils.py:1183, is the default
         behavior here)."""
+        from .mapper import get_model_name
+
+        if not os.path.isdir(model_name):
+            model_name, load_in_4bit = get_model_name(model_name,
+                                                      load_in_4bit)
         path = _resolve_model_path(model_name)
         hf_config = load_hf_config(path)
         cfg = ModelConfig.from_hf_config(hf_config, name=model_name)
@@ -142,6 +147,10 @@ class FastLanguageModel:
             path, cfg, dtype=dtype, load_in_4bit=load_in_4bit, put=put)
 
         tokenizer = load_tokenizer(path)
+        if tokenizer is not None:
+            from ..data.tokenizer_utils import fix_pad_token
+
+            tokenizer = fix_pad_token(tokenizer)
         model = LanguageModel(
             cfg=cfg, params=params, mesh=mesh,
             rules=rules or ShardingRules(),

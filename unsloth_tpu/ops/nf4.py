@@ -6,8 +6,15 @@ ctypes (reference: unsloth/kernels/utils.py:260-284 binds
 absmax itself 8-bit-quantized with a global offset — at :567-679).
 
 TPU-native storage layout (a pytree, shardable like any other param):
-  * ``packed``  uint8 [out, in/2] — two 4-bit codebook indices per byte,
-    first element in the high nibble (bitsandbytes packing order).
+  * ``packed``  uint8 [out, in/2] — two 4-bit codebook indices per byte in
+    **split-half order**: the high nibble of byte [o, j] is element
+    [o, j], the low nibble is element [o, j + in/2]. This differs from
+    bitsandbytes' element-interleaved nibble order on purpose: unpacking
+    split-half is two [out, in/2] planes + one concat — every
+    intermediate is 2-D and lane-aligned — whereas interleaving creates a
+    [N, 2] intermediate that TPU tiling pads 64x (observed 14GB HBM for
+    one 8B-layer weight). bnb-ordered checkpoints are repacked once at
+    load time on the host.
   * ``absmax``  per-block scales for blocks of ``block_size`` elements along
     the flattened (row-major) weight. Either fp32 (plain) or, with double
     quantization: uint8 codes + fp32 per-group scale + global fp32 offset
@@ -110,6 +117,8 @@ def quantize_nf4(
     out_f, in_f = w.shape
     n = out_f * in_f
     assert n % block_size == 0, "weight size must be divisible by block_size"
+    assert in_f % block_size == 0, \
+        "in_features must be divisible by block_size (blocks must not span rows)"
     assert in_f % 2 == 0
 
     flat = w.reshape(-1).astype(jnp.float32)
@@ -117,11 +126,12 @@ def quantize_nf4(
     absmax = jnp.max(jnp.abs(blocks), axis=-1)
     safe = jnp.where(absmax == 0, 1.0, absmax)
     norm = blocks / safe[:, None]
-    idx = _nearest_code(norm).reshape(-1)
+    idx = _nearest_code(norm).reshape(out_f, in_f)
 
-    hi = idx[0::2]
-    lo = idx[1::2]
-    packed = ((hi << 4) | lo).reshape(out_f, in_f // 2)
+    half = in_f // 2
+    hi = idx[:, :half]
+    lo = idx[:, half:]
+    packed = (hi << 4) | lo
 
     if not double_quant:
         return NF4Tensor(packed, absmax, None, None, (out_f, in_f),
@@ -161,18 +171,20 @@ def _decode_absmax(q: NF4Tensor) -> jnp.ndarray:
 
 
 def dequantize_nf4(q: NF4Tensor, dtype=None) -> jnp.ndarray:
-    """Full dequantization [out, in]. XLA-fusable gather formulation."""
+    """Full dequantization [out, in].
+
+    All intermediates are 2-D with large lane-aligned trailing dims (see
+    layout note in the module docstring)."""
     dtype = dtype or q.dtype
     out_f, in_f = q.shape
-    packed = q.packed.reshape(-1)
-    hi = (packed >> 4).astype(jnp.int32)
+    packed = q.packed
+    hi = (packed >> 4).astype(jnp.int32)        # [out, in/2]
     lo = (packed & 0xF).astype(jnp.int32)
-    idx = jnp.stack([hi, lo], axis=-1).reshape(-1)  # interleave back
     code = jnp.asarray(NF4_CODE)
-    vals = code[idx]
-    absmax = _decode_absmax(q)
-    vals = vals.reshape(-1, q.block_size) * absmax[:, None]
-    return vals.reshape(out_f, in_f).astype(dtype)
+    vals = jnp.concatenate([code[hi], code[lo]], axis=-1)  # [out, in]
+    absmax = _decode_absmax(q).reshape(out_f, in_f // q.block_size)
+    absmax_up = jnp.repeat(absmax, q.block_size, axis=-1)  # [out, in]
+    return (vals * absmax_up).astype(dtype)
 
 
 def nf4_matmul_ref(x: jnp.ndarray, q: NF4Tensor,

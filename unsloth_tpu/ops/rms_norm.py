@@ -25,6 +25,15 @@ from jax.experimental.pallas import tpu as pltpu
 from ..utils import env
 
 DEFAULT_BLOCK_ROWS = 256
+_VMEM_BUDGET = 8 * 1024 * 1024  # stay well under the 16MB scoped limit
+
+
+def _auto_block_rows(d: int, n_bufs: int) -> int:
+    """Largest power-of-two row count whose fp32 working set
+    (n_bufs buffers of [rows, d]) fits the VMEM budget."""
+    rows = _VMEM_BUDGET // (n_bufs * 4 * d)
+    rows = max(8, min(DEFAULT_BLOCK_ROWS, rows))
+    return 1 << (rows.bit_length() - 1)
 
 
 # ---------------------------------------------------------------------------
@@ -95,9 +104,10 @@ def _pad_rows(x2d, block_rows):
     return x2d, rows, padded
 
 
-def _rms_norm_fwd_pallas(x, w, eps, gemma, block_rows=DEFAULT_BLOCK_ROWS):
+def _rms_norm_fwd_pallas(x, w, eps, gemma, block_rows=None):
     orig_shape = x.shape
     d = orig_shape[-1]
+    block_rows = block_rows or _auto_block_rows(d, n_bufs=3)
     x2d = x.reshape(-1, d)
     x2d, rows, padded = _pad_rows(x2d, block_rows)
     grid = (padded // block_rows,)
@@ -115,9 +125,10 @@ def _rms_norm_fwd_pallas(x, w, eps, gemma, block_rows=DEFAULT_BLOCK_ROWS):
     return out[:rows].reshape(orig_shape)
 
 
-def _rms_norm_bwd_pallas(x, w, g, eps, gemma, block_rows=DEFAULT_BLOCK_ROWS):
+def _rms_norm_bwd_pallas(x, w, g, eps, gemma, block_rows=None):
     orig_shape = x.shape
     d = orig_shape[-1]
+    block_rows = block_rows or _auto_block_rows(d, n_bufs=7)
     x2d = x.reshape(-1, d)
     g2d = g.reshape(-1, d)
     x2d, rows, padded = _pad_rows(x2d, block_rows)

@@ -1,0 +1,187 @@
+"""DPO trainer (Direct Preference Optimization).
+
+Parity target: the reference patches TRL's DPOTrainer (reference:
+models/rl_replacements.py:204-437 DPO dataset/vision fixes; models/dpo.py
+API stubs; PatchDPOTrainer). Here DPO is native: the implicit reference
+policy is the frozen base model with LoRA disabled (same trick as GRPO —
+no second model in memory), and sequence logprobs go through the chunked
+selective log-softmax so logits are never materialized.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .grpo import grpo_per_token_logps
+from .sft import SFTConfig, TrainOutput, build_optimizer
+
+
+@dataclasses.dataclass
+class DPOConfig(SFTConfig):
+    """TRL-DPOConfig-compatible surface (subset)."""
+
+    beta: float = 0.1
+    label_smoothing: float = 0.0
+    loss_type: str = "sigmoid"         # sigmoid | ipo
+    max_prompt_length: int = 256
+    max_completion_length: int = 256
+
+
+def dpo_loss(policy_chosen, policy_rejected, ref_chosen, ref_rejected,
+             *, beta: float, label_smoothing: float = 0.0,
+             loss_type: str = "sigmoid"):
+    """Sequence-level logps in, scalar loss + (chosen, rejected) rewards."""
+    pi_ratio = policy_chosen - policy_rejected
+    ref_ratio = ref_chosen - ref_rejected
+    logits = pi_ratio - ref_ratio
+    if loss_type == "ipo":
+        loss = jnp.mean((logits - 1.0 / (2.0 * beta)) ** 2)
+    else:
+        loss = jnp.mean(
+            -jax.nn.log_sigmoid(beta * logits) * (1.0 - label_smoothing)
+            - jax.nn.log_sigmoid(-beta * logits) * label_smoothing)
+    chosen_reward = beta * (policy_chosen - ref_chosen)
+    rejected_reward = beta * (policy_rejected - ref_rejected)
+    return loss, (jnp.mean(chosen_reward), jnp.mean(rejected_reward))
+
+
+class DPOTrainer:
+    """DPOTrainer(model=..., args=DPOConfig(...), train_dataset=...,
+    processing_class=tokenizer). Dataset rows: {"prompt", "chosen",
+    "rejected"} as strings or message lists."""
+
+    def __init__(self, model, ref_model=None, args: Optional[DPOConfig] = None,
+                 train_dataset=None, processing_class=None, **kwargs):
+        assert ref_model is None, (
+            "pass ref_model=None — the frozen base weights (LoRA disabled) "
+            "are the reference policy, like the reference's "
+            "peft disable_adapter path")
+        self.model = model
+        self.args = args or DPOConfig()
+        self.train_dataset = train_dataset
+        self.tokenizer = processing_class or getattr(model, "tokenizer", None)
+        self.state_log: List[Dict[str, Any]] = []
+
+    def _encode(self, ex):
+        tok = self.tokenizer
+        args = self.args
+
+        def to_text(x, add_gen=False):
+            if isinstance(x, str):
+                return x
+            return tok.apply_chat_template(x, tokenize=False,
+                                           add_generation_prompt=add_gen)
+
+        p = tok(to_text(ex["prompt"], add_gen=True))["input_ids"]
+        p = p[-args.max_prompt_length:]
+        out = []
+        for key in ("chosen", "rejected"):
+            c = tok(to_text(ex[key]), add_special_tokens=False)["input_ids"]
+            c = c[:args.max_completion_length]
+            if tok.eos_token_id is not None:
+                c = c + [tok.eos_token_id]
+            out.append((p, c))
+        return out
+
+    def _build_batch(self, examples):
+        args = self.args
+        t = args.max_prompt_length + args.max_completion_length + 1
+        rows = []
+        for ex in examples:
+            rows.extend(self._encode(ex))  # chosen, rejected interleaved
+        n = len(rows)
+        input_ids = np.zeros((n, t), np.int32)
+        targets = np.full((n, t), -100, np.int32)
+        for i, (p, c) in enumerate(rows):
+            seq = (p + c)[:t]
+            input_ids[i, :len(seq)] = seq
+            lo, hi = len(p), len(seq)
+            targets[i, lo:hi] = seq[lo:hi]
+        shifted = np.full_like(targets, -100)
+        shifted[:, :-1] = targets[:, 1:]
+        return jnp.asarray(input_ids), jnp.asarray(shifted)
+
+    def _make_step(self, tx):
+        model = self.model
+        cfg = model.cfg
+        args = self.args
+
+        def seq_logps(lora, params, ids, targets):
+            per_tok = grpo_per_token_logps(params, lora, ids, targets, cfg)
+            return jnp.sum(jnp.where(targets != -100, per_tok, 0.0), axis=-1)
+
+        def loss_fn(lora, params, ids, targets, ref_logps):
+            logps = seq_logps(lora, params, ids, targets)   # [2N]
+            pc, pr = logps[0::2], logps[1::2]
+            rc, rr = ref_logps[0::2], ref_logps[1::2]
+            loss, (cr, rj) = dpo_loss(
+                pc, pr, rc, rr, beta=args.beta,
+                label_smoothing=args.label_smoothing,
+                loss_type=args.loss_type)
+            acc = jnp.mean((cr > rj).astype(jnp.float32))
+            return loss, (cr, rj, acc)
+
+        def step(lora, opt_state, params, ids, targets, ref_logps):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                lora, params, ids, targets, ref_logps)
+            updates, opt_state = tx.update(grads, opt_state, lora)
+            return optax.apply_updates(lora, updates), opt_state, loss, aux
+
+        ref_fn = jax.jit(
+            lambda params, ids, targets: jnp.sum(jnp.where(
+                targets != -100,
+                grpo_per_token_logps(params, None, ids, targets, cfg),
+                0.0), axis=-1))
+        return jax.jit(step, donate_argnums=(0, 1)), ref_fn
+
+    def train(self):
+        args = self.args
+        model = self.model
+        assert model.lora is not None, "DPO requires get_peft_model (LoRA)"
+        ds = list(self.train_dataset)
+        bsz = args.per_device_train_batch_size
+        steps_per_epoch = max(len(ds) // bsz, 1)
+        total = args.max_steps if args.max_steps > 0 else int(
+            steps_per_epoch * args.num_train_epochs)
+        total = max(total, 1)
+        tx, _ = build_optimizer(args, total)
+        opt_state = tx.init(model.lora)
+        step_fn, ref_fn = self._make_step(tx)
+
+        t0 = time.time()
+        global_step = 0
+        idx = 0
+        while global_step < total:
+            examples = [ds[(idx + j) % len(ds)] for j in range(bsz)]
+            idx += bsz
+            ids, targets = self._build_batch(examples)
+            ref_logps = jax.lax.stop_gradient(
+                ref_fn(model.params, ids, targets))
+            model.lora, opt_state, loss, (cr, rj, acc) = step_fn(
+                model.lora, opt_state, model.params, ids, targets, ref_logps)
+            global_step += 1
+            if global_step % args.logging_steps == 0:
+                self.state_log.append({
+                    "loss": float(loss),
+                    "rewards/chosen": float(cr),
+                    "rewards/rejected": float(rj),
+                    "rewards/accuracies": float(acc),
+                    "step": global_step,
+                })
+        losses = [e["loss"] for e in self.state_log]
+        return TrainOutput(global_step,
+                           float(np.mean(losses)) if losses else float("nan"),
+                           {"train_runtime": time.time() - t0})
+
+
+def PatchDPOTrainer(*args, **kwargs):
+    """Reference API no-op (reference: models/dpo.py:21-26 keeps these as
+    stubs for compatibility)."""
+    return DPOTrainer
