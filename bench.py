@@ -80,18 +80,28 @@ def llama31_8b_config(num_layers):
     )
 
 
+def _sync(tree):
+    """Force completion of the full step chain. On the axon platform
+    jax.block_until_ready is a no-op AND the loss alone syncs too early
+    (it does not depend on the weight update) — fetch an updated weight."""
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    import jax.numpy as jnp
+
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
 def measure(step_fn, lora, opt_state, params, batch, n_steps, warmup=2):
-    # NOTE: float(loss) (device_get) is the sync point — on the axon
-    # platform jax.block_until_ready returns before execution finishes.
     for _ in range(warmup):
         lora, opt_state, loss = step_fn(lora, opt_state, params, batch)
-    float(loss)
+    _sync(lora)
     t0 = time.perf_counter()
     for _ in range(n_steps):
         lora, opt_state, loss = step_fn(lora, opt_state, params, batch)
-    last = float(loss)
+    _sync(lora)
     dt = time.perf_counter() - t0
-    return dt / n_steps, last
+    return dt / n_steps, float(loss)
 
 
 def main():

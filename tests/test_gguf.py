@@ -1,0 +1,147 @@
+"""GGUF export tests: container round-trip through our reader,
+quantization error bounds, C++/numpy quantizer parity, end-to-end model
+export with tokenizer metadata (the reference's GGUF conversion checks,
+save.py + chat_templates.py:3019 tokenization parity)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from unsloth_tpu.export.gguf_writer import (GGMLType, GGUFWriter,
+                                            _native_lib, _q4_0_numpy,
+                                            _q8_0_numpy, dequantize_tensor,
+                                            quantize_tensor, read_gguf)
+
+
+def test_container_roundtrip(tmp_path):
+    path = str(tmp_path / "t.gguf")
+    w = GGUFWriter(path)
+    w.add_metadata("general.architecture", "llama")
+    w.add_metadata("llama.block_count", 2)
+    w.add_metadata("llama.rope.freq_base", 10000.0)
+    w.add_metadata("tokenizer.ggml.tokens", ["a", "b", "c"])
+    w.add_metadata("some.flag", True)
+    rng = np.random.RandomState(0)
+    t1 = rng.randn(8, 64).astype(np.float32)
+    t2 = rng.randn(64).astype(np.float32)
+    w.add_tensor("blk.0.attn_q.weight", t1, GGMLType.F32)
+    w.add_tensor("blk.0.attn_norm.weight", t2, GGMLType.F16)
+    w.write()
+
+    md, tensors, data = read_gguf(path, load_tensors=True)
+    assert md["general.architecture"] == "llama"
+    assert md["llama.block_count"] == 2
+    assert md["tokenizer.ggml.tokens"] == ["a", "b", "c"]
+    assert md["some.flag"] is True
+    assert abs(md["llama.rope.freq_base"] - 10000.0) < 1e-3
+    assert tensors[0]["shape"] == (8, 64)
+    np.testing.assert_array_equal(data["blk.0.attn_q.weight"], t1)
+    np.testing.assert_allclose(data["blk.0.attn_norm.weight"], t2,
+                               atol=2e-3)
+
+
+@pytest.mark.parametrize("ggml_type,tol", [
+    (GGMLType.Q8_0, 0.006), (GGMLType.Q4_0, 0.12)])
+def test_quantization_error_bounds(ggml_type, tol):
+    rng = np.random.RandomState(1)
+    x = rng.randn(4096).astype(np.float32)
+    raw = quantize_tensor(x, ggml_type)
+    back = dequantize_tensor(raw, ggml_type, x.size)
+    rel = np.abs(back - x).max() / np.abs(x).max()
+    assert rel < tol, rel
+
+
+def test_cpp_matches_numpy_q8_0():
+    lib = _native_lib()
+    if lib is None:
+        pytest.skip("native quantizer unavailable")
+    rng = np.random.RandomState(2)
+    x = rng.randn(2048).astype(np.float32)
+    native = quantize_tensor(x, GGMLType.Q8_0)
+    ref = _q8_0_numpy(x)
+    np.testing.assert_array_equal(native, ref)
+
+
+def test_cpp_matches_numpy_q4_0():
+    lib = _native_lib()
+    if lib is None:
+        pytest.skip("native quantizer unavailable")
+    rng = np.random.RandomState(3)
+    x = rng.randn(2048).astype(np.float32)
+    native = quantize_tensor(x, GGMLType.Q4_0)
+    ref = _q4_0_numpy(x)
+    np.testing.assert_array_equal(native, ref)
+
+
+def test_fp16_conversion_matches_numpy():
+    lib = _native_lib()
+    if lib is None:
+        pytest.skip("native quantizer unavailable")
+    rng = np.random.RandomState(4)
+    x = np.concatenate([
+        rng.randn(1024).astype(np.float32) * 100,
+        np.array([0.0, -0.0, 1e-8, 65519.0, -65519.0, 1e6], np.float32),
+    ])
+    native = quantize_tensor(x, GGMLType.F16).view(np.float16)
+    ref = x.astype(np.float16)
+    np.testing.assert_array_equal(native.view(np.uint16),
+                                  ref.view(np.uint16))
+
+
+def test_bf16_round_to_nearest_even():
+    x = np.array([1.0, 1.0000001, -3.14159, 65504.0], np.float32)
+    raw = quantize_tensor(x, GGMLType.BF16)
+    back = dequantize_tensor(raw, GGMLType.BF16, x.size)
+    import ml_dtypes
+
+    ref = x.astype(ml_dtypes.bfloat16).astype(np.float32)
+    np.testing.assert_array_equal(back, ref)
+
+
+def test_model_export_end_to_end(tmp_path):
+    """Full pipeline: tiny HF checkpoint -> FastLanguageModel -> GGUF file
+    parsed back with correct metadata, tensor set, and dequantized values
+    close to the merged weights."""
+    from tests.helpers import TINY_LLAMA, make_hf_checkpoint
+    from unsloth_tpu.export.gguf import save_pretrained_gguf
+    from unsloth_tpu.export.gguf_writer import read_gguf
+    from unsloth_tpu.models.loader import FastLanguageModel
+
+    ckpt = str(tmp_path / "m")
+    make_hf_checkpoint(ckpt, TINY_LLAMA)
+    # write a minimal tokenizer.json for metadata extraction
+    tok = {"model": {"type": "BPE",
+                     "vocab": {chr(33 + i): i for i in range(90)},
+                     "merges": []},
+           "added_tokens": [{"id": 90, "content": "<s>"},
+                            {"id": 91, "content": "</s>"}]}
+    with open(os.path.join(ckpt, "tokenizer.json"), "w") as f:
+        json.dump(tok, f)
+
+    model, _ = FastLanguageModel.from_pretrained(ckpt, load_in_4bit=False,
+                                                 dtype="float32")
+    out = save_pretrained_gguf(model, str(tmp_path / "gguf"),
+                               quantization_method="q8_0")
+    assert os.path.exists(out)
+    assert os.path.exists(str(tmp_path / "gguf" / "Modelfile"))
+
+    md, tensors, data = read_gguf(out, load_tensors=True)
+    assert md["general.architecture"] == "llama"
+    assert md["llama.block_count"] == TINY_LLAMA["num_hidden_layers"]
+    assert md["llama.embedding_length"] == TINY_LLAMA["hidden_size"]
+    assert len(md["tokenizer.ggml.tokens"]) == TINY_LLAMA["vocab_size"]
+    names = {t["name"] for t in tensors}
+    assert "token_embd.weight" in names
+    assert "output.weight" in names
+    assert "blk.1.ffn_down.weight" in names
+    # norms stay f32
+    norm = [t for t in tensors if t["name"] == "blk.0.attn_norm.weight"][0]
+    assert norm["type"] == GGMLType.F32
+    # value fidelity vs source weights
+    import jax
+
+    q_src = np.asarray(jax.device_get(model.params["layers"][0]["q"]))
+    q_gguf = data["blk.0.attn_q.weight"]
+    assert np.abs(q_gguf - q_src).max() < 0.01 * max(np.abs(q_src).max(), 1)

@@ -1,0 +1,240 @@
+"""Command-line interface.
+
+Parity target: the reference's CLI surface (reference: unsloth-cli.py —
+argparse fine-tune script: load -> LoRA -> SFT -> save/GGUF; and cli.py /
+unsloth_cli/ `unsloth train/chat/export` subcommands). The Studio webapp
+(`unsloth studio`) is out of scope for the CLI; serving comes later.
+
+Usage:
+    python -m unsloth_tpu.cli train --model_name <path> --dataset <path> ...
+    python -m unsloth_tpu.cli chat  --model_name <path>
+    python -m unsloth_tpu.cli export --model_name <path> --adapter <path> ...
+    python -m unsloth_tpu.cli models [query]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _add_train_args(p: argparse.ArgumentParser):
+    # model (mirrors unsloth-cli.py's "Model Options")
+    p.add_argument("--model_name", required=True)
+    p.add_argument("--max_seq_length", type=int, default=2048)
+    p.add_argument("--dtype", default=None)
+    p.add_argument("--load_in_4bit", action="store_true", default=True)
+    p.add_argument("--no_load_in_4bit", dest="load_in_4bit",
+                   action="store_false")
+    # lora
+    p.add_argument("--r", type=int, default=16)
+    p.add_argument("--lora_alpha", type=float, default=16)
+    p.add_argument("--lora_dropout", type=float, default=0.0)
+    p.add_argument("--use_rslora", action="store_true")
+    # data
+    p.add_argument("--dataset", required=True,
+                   help="path to a .json/.jsonl file or HF dataset dir")
+    p.add_argument("--dataset_text_field", default="text")
+    p.add_argument("--chat_template", default=None)
+    # training (mirrors "Training Options")
+    p.add_argument("--per_device_train_batch_size", type=int, default=2)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=4)
+    p.add_argument("--learning_rate", type=float, default=2e-4)
+    p.add_argument("--max_steps", type=int, default=-1)
+    p.add_argument("--num_train_epochs", type=float, default=1.0)
+    p.add_argument("--warmup_steps", type=int, default=5)
+    p.add_argument("--lr_scheduler_type", default="linear")
+    p.add_argument("--weight_decay", type=float, default=0.01)
+    p.add_argument("--seed", type=int, default=3407)
+    p.add_argument("--packing", action="store_true")
+    p.add_argument("--logging_steps", type=int, default=1)
+    p.add_argument("--save_steps", type=int, default=0)
+    p.add_argument("--resume", action="store_true")
+    # saving (mirrors "Saving & Pushing")
+    p.add_argument("--output_dir", default="outputs")
+    p.add_argument("--save_model", action="store_true")
+    p.add_argument("--save_method", default="lora",
+                   choices=["lora", "merged_16bit", "merged_4bit"])
+    p.add_argument("--save_gguf", action="store_true")
+    p.add_argument("--quantization", default="q8_0")
+
+
+def load_dataset_file(path: str, text_field: str = "text"):
+    """Load a .json/.jsonl/.txt file or datasets dir into a list of dicts."""
+    if os.path.isdir(path):
+        import datasets
+
+        return list(datasets.load_from_disk(path))
+    rows = []
+    if path.endswith(".jsonl"):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    rows.append(json.loads(line))
+    elif path.endswith(".json"):
+        with open(path) as f:
+            data = json.load(f)
+        rows = data if isinstance(data, list) else data.get("data", [])
+    elif path.endswith(".txt"):
+        from .data.raw_text import RawTextDataLoader
+
+        return RawTextDataLoader(path).as_examples()
+    else:
+        raise ValueError(f"Unsupported dataset file: {path}")
+    return rows
+
+
+def cmd_train(args) -> int:
+    from .models.loader import FastLanguageModel
+    from .trainer.sft import SFTConfig, SFTTrainer
+
+    model, tokenizer = FastLanguageModel.from_pretrained(
+        args.model_name, max_seq_length=args.max_seq_length,
+        dtype=args.dtype, load_in_4bit=args.load_in_4bit)
+    model = FastLanguageModel.get_peft_model(
+        model, r=args.r, lora_alpha=args.lora_alpha,
+        lora_dropout=args.lora_dropout, use_rslora=args.use_rslora)
+
+    if args.chat_template and tokenizer is not None:
+        from .data.chat_templates import get_chat_template
+
+        tokenizer = get_chat_template(tokenizer, args.chat_template)
+
+    ds = load_dataset_file(args.dataset, args.dataset_text_field)
+    cfg = SFTConfig(
+        output_dir=args.output_dir,
+        per_device_train_batch_size=args.per_device_train_batch_size,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        learning_rate=args.learning_rate,
+        max_steps=args.max_steps,
+        num_train_epochs=args.num_train_epochs,
+        warmup_steps=args.warmup_steps,
+        lr_scheduler_type=args.lr_scheduler_type,
+        weight_decay=args.weight_decay,
+        seed=args.seed,
+        packing=args.packing,
+        max_seq_length=args.max_seq_length,
+        dataset_text_field=args.dataset_text_field,
+        logging_steps=args.logging_steps,
+        save_steps=args.save_steps,
+    )
+    trainer = SFTTrainer(model=model, tokenizer=tokenizer,
+                         train_dataset=ds, args=cfg)
+    out = trainer.train(resume_from_checkpoint=args.resume or None)
+    print(f"done: steps={out.global_step} loss={out.training_loss:.4f} "
+          f"tokens/s={out.metrics['train_tokens_per_second']:.0f}")
+
+    if args.save_model or args.save_gguf:
+        if args.save_gguf:
+            from .export.gguf import save_pretrained_gguf
+
+            save_pretrained_gguf(model, args.output_dir,
+                                 quantization_method=args.quantization)
+        elif args.save_method == "lora":
+            model.save_lora(os.path.join(args.output_dir, "adapter"))
+        else:
+            model.save_pretrained_merged(
+                os.path.join(args.output_dir, "merged"),
+                tokenizer, save_method=args.save_method)
+    return 0
+
+
+def cmd_chat(args) -> int:
+    from .inference.generate import SamplingParams
+    from .models.loader import FastLanguageModel
+
+    model, tokenizer = FastLanguageModel.from_pretrained(
+        args.model_name, load_in_4bit=args.load_in_4bit)
+    model.for_inference()
+    print("Interactive chat. Ctrl-D or 'exit' to quit.")
+    history = []
+    while True:
+        try:
+            user = input("you> ").strip()
+        except EOFError:
+            break
+        if user in ("exit", "quit", ""):
+            break
+        history.append({"role": "user", "content": user})
+        if getattr(tokenizer, "chat_template", None):
+            prompt = tokenizer.apply_chat_template(
+                history, tokenize=False, add_generation_prompt=True)
+        else:
+            prompt = "\n".join(m["content"] for m in history) + "\n"
+        out = model.generate(
+            [prompt],
+            SamplingParams(max_tokens=args.max_new_tokens,
+                           temperature=args.temperature))[0]
+        print(f"model> {out}")
+        history.append({"role": "assistant", "content": out})
+    return 0
+
+
+def cmd_export(args) -> int:
+    from .export.save import load_lora
+    from .models.loader import FastLanguageModel
+
+    model, tokenizer = FastLanguageModel.from_pretrained(
+        args.model_name, load_in_4bit=False, dtype="bfloat16")
+    if args.adapter:
+        load_lora(model, args.adapter)
+    if args.format == "gguf":
+        from .export.gguf import save_pretrained_gguf
+
+        path = save_pretrained_gguf(model, args.output,
+                                    quantization_method=args.quantization)
+    else:
+        path = model.save_pretrained_merged(args.output, tokenizer,
+                                            save_method="merged_16bit")
+    print(f"exported: {path}")
+    return 0
+
+
+def cmd_models(args) -> int:
+    from .models.mapper import search_models
+
+    for name in search_models(args.query or ""):
+        print(name)
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="unsloth_tpu",
+        description="TPU-native fine-tuning (unsloth-compatible CLI)")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_train = sub.add_parser("train", help="LoRA/QLoRA fine-tune")
+    _add_train_args(p_train)
+
+    p_chat = sub.add_parser("chat", help="interactive chat")
+    p_chat.add_argument("--model_name", required=True)
+    p_chat.add_argument("--load_in_4bit", action="store_true", default=True)
+    p_chat.add_argument("--max_new_tokens", type=int, default=256)
+    p_chat.add_argument("--temperature", type=float, default=0.7)
+
+    p_export = sub.add_parser("export", help="merge/export a model")
+    p_export.add_argument("--model_name", required=True)
+    p_export.add_argument("--adapter", default=None)
+    p_export.add_argument("--output", required=True)
+    p_export.add_argument("--format", default="merged",
+                          choices=["merged", "gguf"])
+    p_export.add_argument("--quantization", default="q8_0")
+
+    p_models = sub.add_parser("models", help="search the model catalog")
+    p_models.add_argument("query", nargs="?", default="")
+
+    args = parser.parse_args(argv)
+    return {
+        "train": cmd_train,
+        "chat": cmd_chat,
+        "export": cmd_export,
+        "models": cmd_models,
+    }[args.command](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,283 @@
+"""Model -> GGUF export.
+
+Parity target: reference save.py — `unsloth_save_pretrained_gguf` (:2940),
+quant alias mapping like fast_quantized -> q8_0 and ALLOWED_QUANTS
+(:1856-2250), Ollama Modelfile creation (:2714-2872) — done natively
+(gguf_writer.py + csrc/gguf_quant.cpp) instead of building llama.cpp.
+
+Covers the llama-family architectures (llama/mistral/qwen2/qwen3/gemma*).
+Tokenizer metadata is extracted from the HF fast-tokenizer JSON (BPE ->
+gguf "gpt2" tokenizer model).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..models.config import ModelConfig
+from .gguf_writer import GGMLType, GGUFWriter
+from .save import merged_params
+
+# reference: save.py quant alias map (fast_quantized -> q8_0 etc.)
+QUANT_ALIASES = {
+    "fast_quantized": "q8_0",
+    "quantized": "q8_0",
+    "f32": "f32", "fp32": "f32",
+    "f16": "f16", "fp16": "f16",
+    "bf16": "bf16",
+    "q8_0": "q8_0",
+    "q4_0": "q4_0",
+}
+
+_QUANT_TO_TYPE = {
+    "f32": GGMLType.F32,
+    "f16": GGMLType.F16,
+    "bf16": GGMLType.BF16,
+    "q8_0": GGMLType.Q8_0,
+    "q4_0": GGMLType.Q4_0,
+}
+
+ALLOWED_QUANTS = sorted(_QUANT_TO_TYPE)
+
+# GGUF architecture string per model_type
+_GGUF_ARCH = {
+    "llama": "llama", "mistral": "llama", "qwen2": "qwen2",
+    "qwen3": "qwen3", "gemma": "gemma", "gemma2": "gemma2",
+    "gemma3": "gemma3", "gemma3_text": "gemma3", "cohere": "command-r",
+}
+
+
+def _arch(cfg: ModelConfig) -> str:
+    return _GGUF_ARCH.get(cfg.model_type, "llama")
+
+
+def _np(x):
+    import jax
+
+    return np.ascontiguousarray(
+        np.asarray(jax.device_get(x), dtype=np.float32))
+
+
+def add_model_metadata(w: GGUFWriter, cfg: ModelConfig, name: str):
+    arch = _arch(cfg)
+    w.add_metadata("general.architecture", arch)
+    w.add_metadata("general.name", name or cfg.name or "model")
+    w.add_metadata(f"{arch}.context_length", cfg.max_position_embeddings)
+    w.add_metadata(f"{arch}.embedding_length", cfg.hidden_size)
+    w.add_metadata(f"{arch}.block_count", cfg.num_layers)
+    w.add_metadata(f"{arch}.feed_forward_length", cfg.intermediate_size)
+    w.add_metadata(f"{arch}.attention.head_count", cfg.num_heads)
+    w.add_metadata(f"{arch}.attention.head_count_kv", cfg.num_kv_heads)
+    w.add_metadata(f"{arch}.attention.layer_norm_rms_epsilon",
+                   float(cfg.rms_norm_eps))
+    w.add_metadata(f"{arch}.rope.freq_base", float(cfg.rope_theta))
+    w.add_metadata(f"{arch}.rope.dimension_count",
+                   int(cfg.head_dim * cfg.partial_rotary_factor))
+    w.add_metadata(f"{arch}.attention.key_length", cfg.head_dim)
+    w.add_metadata(f"{arch}.attention.value_length", cfg.head_dim)
+    w.add_metadata(f"{arch}.vocab_size", cfg.vocab_size)
+    if cfg.sliding_window:
+        w.add_metadata(f"{arch}.attention.sliding_window",
+                       cfg.sliding_window)
+    if cfg.attn_softcap:
+        w.add_metadata(f"{arch}.attn_logit_softcapping",
+                       float(cfg.attn_softcap))
+    if cfg.final_softcap:
+        w.add_metadata(f"{arch}.final_logit_softcapping",
+                       float(cfg.final_softcap))
+    if cfg.rope_scaling.rope_type == "linear":
+        w.add_metadata(f"{arch}.rope.scaling.type", "linear")
+        w.add_metadata(f"{arch}.rope.scaling.factor",
+                       float(cfg.rope_scaling.factor))
+    elif cfg.rope_scaling.rope_type == "yarn":
+        w.add_metadata(f"{arch}.rope.scaling.type", "yarn")
+        w.add_metadata(f"{arch}.rope.scaling.factor",
+                       float(cfg.rope_scaling.factor))
+        w.add_metadata(f"{arch}.rope.scaling.original_context_length",
+                       cfg.rope_scaling.original_max_position_embeddings)
+
+
+def add_tokenizer_metadata(w: GGUFWriter, model_path: Optional[str],
+                           tokenizer=None, cfg: Optional[ModelConfig] = None):
+    """Extract tokenizer into GGUF keys from the HF fast-tokenizer JSON
+    (BPE -> gguf 'gpt2' model; sentencepiece-based repos also ship
+    tokenizer.json). Fidelity check lives in tests (the reference validates
+    GGUF tokenization parity, chat_templates.py:3019)."""
+    tok_json = None
+    if model_path:
+        p = os.path.join(model_path, "tokenizer.json")
+        if os.path.exists(p):
+            with open(p, encoding="utf-8") as f:
+                tok_json = json.load(f)
+    if tok_json is None:
+        return False
+
+    model = tok_json.get("model", {})
+    vocab: Dict[str, int] = model.get("vocab", {})
+    merges = model.get("merges", [])
+    added = tok_json.get("added_tokens", [])
+
+    id_to_tok: Dict[int, str] = {}
+    for tok, idx in vocab.items():
+        id_to_tok[idx] = tok
+    added_ids = set()
+    for a in added:
+        id_to_tok[a["id"]] = a["content"]
+        added_ids.add(a["id"])
+
+    n = (cfg.vocab_size if cfg else 0) or (max(id_to_tok) + 1)
+    tokens, token_types = [], []
+    for i in range(n):
+        tok = id_to_tok.get(i)
+        if tok is None:
+            tokens.append(f"[PAD{i}]")
+            token_types.append(2)  # UNUSED
+        else:
+            tokens.append(tok)
+            token_types.append(3 if i in added_ids else 1)  # CONTROL/NORMAL
+
+    w.add_metadata("tokenizer.ggml.model", "gpt2")
+    w.add_metadata("tokenizer.ggml.pre", "llama-bpe")
+    w.add_metadata("tokenizer.ggml.tokens", tokens)
+    w.add_metadata("tokenizer.ggml.token_type", token_types)
+    if merges:
+        merge_strs = [m if isinstance(m, str) else " ".join(m)
+                      for m in merges]
+        w.add_metadata("tokenizer.ggml.merges", merge_strs)
+    if cfg is not None:
+        if cfg.bos_token_id is not None:
+            w.add_metadata("tokenizer.ggml.bos_token_id",
+                           int(cfg.bos_token_id))
+        if cfg.eos_token_id is not None:
+            w.add_metadata("tokenizer.ggml.eos_token_id",
+                           int(cfg.eos_token_id))
+    if tokenizer is not None and getattr(tokenizer, "chat_template", None):
+        if isinstance(tokenizer.chat_template, str):
+            w.add_metadata("tokenizer.chat_template",
+                           tokenizer.chat_template)
+    return True
+
+
+def _tensor_entries(params: Dict[str, Any], cfg: ModelConfig
+                    ) -> List[Tuple[str, Any]]:
+    """(gguf_name, array) pairs in llama.cpp naming."""
+    entries = [("token_embd.weight", params["embed"]),
+               ("output_norm.weight", params["final_norm"])]
+    if "lm_head" in params and not cfg.tie_word_embeddings:
+        entries.append(("output.weight", params["lm_head"]))
+    for i, layer in enumerate(params["layers"]):
+        p = f"blk.{i}."
+        entries.append((p + "attn_norm.weight", layer["input_norm"]))
+        entries.append((p + "attn_q.weight", layer["q"]))
+        entries.append((p + "attn_k.weight", layer["k"]))
+        entries.append((p + "attn_v.weight", layer["v"]))
+        entries.append((p + "attn_output.weight", layer["o"]))
+        for ours, gguf in (("q_bias", "attn_q.bias"),
+                           ("k_bias", "attn_k.bias"),
+                           ("v_bias", "attn_v.bias")):
+            if ours in layer:
+                entries.append((p + gguf, layer[ours]))
+        if "q_norm" in layer:
+            entries.append((p + "attn_q_norm.weight", layer["q_norm"]))
+            entries.append((p + "attn_k_norm.weight", layer["k_norm"]))
+        if cfg.use_post_norms:
+            entries.append((p + "post_attention_norm.weight",
+                            layer["post_attn_out_norm"]))
+            entries.append((p + "ffn_norm.weight", layer["pre_ffw_norm"]))
+            entries.append((p + "post_ffw_norm.weight",
+                            layer["post_ffw_norm"]))
+        else:
+            entries.append((p + "ffn_norm.weight", layer["post_attn_norm"]))
+        entries.append((p + "ffn_gate.weight", layer["gate"]))
+        entries.append((p + "ffn_up.weight", layer["up"]))
+        entries.append((p + "ffn_down.weight", layer["down"]))
+    return entries
+
+
+def _type_for(name: str, arr_shape, base_type: GGMLType) -> GGMLType:
+    """Per-tensor type policy, mirroring llama.cpp quantize rules:
+    1-D tensors (norms, biases) stay F32; token_embd/output stay in a
+    higher-precision type for quality."""
+    if len(arr_shape) == 1:
+        return GGMLType.F32
+    if base_type in (GGMLType.F32, GGMLType.F16, GGMLType.BF16):
+        return base_type
+    if name in ("token_embd.weight", "output.weight"):
+        return GGMLType.Q8_0
+    # rows must be divisible by the block size
+    if arr_shape[-1] % 32 != 0:
+        return GGMLType.F16
+    return base_type
+
+
+def save_to_gguf(model, path: str, quantization_method: str = "q8_0",
+                 name: Optional[str] = None) -> str:
+    """Merge (if LoRA present) + write one .gguf file. Returns file path."""
+    method = QUANT_ALIASES.get(quantization_method.lower())
+    if method is None:
+        raise ValueError(
+            f"Unsupported quantization {quantization_method!r}; "
+            f"allowed: {sorted(QUANT_ALIASES)}")
+    base_type = _QUANT_TO_TYPE[method]
+
+    cfg = model.cfg
+    params = merged_params(model)
+    w = GGUFWriter(path)
+    add_model_metadata(w, cfg, name or cfg.name)
+    w.add_metadata("general.file_type", int(_file_type_code(base_type)))
+    add_tokenizer_metadata(w, model.model_path, model.tokenizer, cfg)
+
+    for gguf_name, arr in _tensor_entries(params, cfg):
+        arr = _np(arr)
+        if gguf_name.endswith("norm.weight") and cfg.gemma_norm:
+            pass  # gemma stores (1+w) convention; llama.cpp expects the
+            # stored-form weight, which is what we have — no shift.
+        w.add_tensor(gguf_name, arr, _type_for(gguf_name, arr.shape,
+                                               base_type))
+    w.write()
+    return path
+
+
+def _file_type_code(t: GGMLType) -> int:
+    return {GGMLType.F32: 0, GGMLType.F16: 1, GGMLType.Q4_0: 2,
+            GGMLType.Q8_0: 7, GGMLType.BF16: 32}.get(t, 1)
+
+
+def save_pretrained_gguf(model, save_dir: str,
+                         quantization_method: str = "q8_0",
+                         tokenizer=None, **kwargs) -> str:
+    """Reference-parity entry (reference: save.py:2940
+    unsloth_save_pretrained_gguf). Writes
+    {save_dir}/model-{quant}.gguf + an Ollama Modelfile."""
+    os.makedirs(save_dir, exist_ok=True)
+    method = QUANT_ALIASES.get(quantization_method.lower(),
+                               quantization_method)
+    out = os.path.join(save_dir, f"model-{method.upper()}.gguf")
+    save_to_gguf(model, out, quantization_method=quantization_method)
+    _write_ollama_modelfile(model, save_dir, os.path.basename(out))
+    return out
+
+
+def _write_ollama_modelfile(model, save_dir: str, gguf_name: str):
+    """Ollama Modelfile generation (reference: save.py:2714-2872
+    create_ollama_modelfile; template pairing via the chat-template
+    registry's ollama strings)."""
+    template = None
+    stop = None
+    tok = model.tokenizer
+    t = getattr(tok, "_unsloth_template", None) if tok else None
+    if t is not None:
+        template = t.ollama
+        stop = t.stop_word
+    lines = [f"FROM ./{gguf_name}"]
+    if template:
+        lines.append('TEMPLATE """' + template + '"""')
+    if stop:
+        lines.append(f'PARAMETER stop "{stop}"')
+    lines.append("PARAMETER temperature 0.7")
+    with open(os.path.join(save_dir, "Modelfile"), "w") as f:
+        f.write("\n".join(lines) + "\n")

@@ -49,8 +49,15 @@ BaseWeight = Union[jnp.ndarray, NF4Tensor]
 
 
 def base_matmul(x: jnp.ndarray, w: BaseWeight) -> jnp.ndarray:
-    """x @ W.T for dense or NF4 base weight. Output in x.dtype."""
+    """x @ W.T for dense or NF4 base weight. Output in x.dtype.
+
+    NF4 path: fused dequant-inside-matmul Pallas kernel when eligible
+    (qlora_matmul.py); falls back to dequantize-then-matmul (XLA)."""
     if isinstance(w, NF4Tensor):
+        from .qlora_matmul import nf4_matmul, use_fused_nf4
+
+        if use_fused_nf4(w):
+            return nf4_matmul(x, w)
         wd = dequantize_nf4(w, dtype=x.dtype)
     else:
         wd = w.astype(x.dtype)

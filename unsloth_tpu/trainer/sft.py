@@ -293,6 +293,17 @@ class SFTTrainer:
         tokens_seen = 0
         global_step = 0
         epoch = 0
+
+        if resume_from_checkpoint:
+            from .checkpoint import latest_checkpoint, restore_train_state
+
+            ckpt = (resume_from_checkpoint
+                    if isinstance(resume_from_checkpoint, str)
+                    else latest_checkpoint(args.output_dir))
+            if ckpt:
+                global_step, trainables, opt_state = restore_train_state(
+                    ckpt, trainables, opt_state)
+                epoch = global_step // steps_per_epoch
         while global_step < total_steps:
             order = list(range(0, len(batches) - accum + 1, accum))
             rng = np.random.RandomState(args.seed + epoch)
@@ -317,7 +328,8 @@ class SFTTrainer:
                     losses.append(float(loss))
                     self.state_log.append(entry)
                 if args.save_steps and global_step % args.save_steps == 0:
-                    self._save_checkpoint(trainables, global_step)
+                    self._save_checkpoint(trainables, global_step,
+                                          opt_state=opt_state)
             epoch += 1
 
         if full_ft:
@@ -335,7 +347,7 @@ class SFTTrainer:
                            float(np.mean(losses)) if losses else float("nan"),
                            metrics)
 
-    def _save_checkpoint(self, trainables, step):
+    def _save_checkpoint(self, trainables, step, opt_state=None):
         path = os.path.join(self.args.output_dir, f"checkpoint-{step}")
         os.makedirs(path, exist_ok=True)
         if self.model.lora is not None:
@@ -345,6 +357,10 @@ class SFTTrainer:
 
             save_lora(self.model, path)
             self.model.lora = lora_prev
+        if opt_state is not None:
+            from .checkpoint import save_train_state
+
+            save_train_state(path, step, trainables, opt_state)
 
 
 def _data_parallel_size(model) -> int:
