@@ -116,38 +116,21 @@ def mlp_block(x, layer_p, lora_p, cfg: ModelConfig, layer_idx: int):
 
 
 def moe_block(x, layer_p, cfg: ModelConfig):
-    """Token-choice top-k MoE via dense einsum over experts (correct-first
-    reference; the megablox grouped-GEMM path replaces this for speed).
-    experts: gate/up [E, F, D], down [E, D, F]."""
+    """Token-choice top-k MoE. Routing here; the expert math dispatches to
+    the grouped-GEMM (Megablox) or dense implementation (ops/moe.py —
+    replaces the reference's Triton grouped-GEMM suite, kernels/moe/)."""
+    from ..ops.moe import moe_mlp
+
     b, t, d = x.shape
     xf = x.reshape(-1, d)
     router_logits = jnp.dot(xf.astype(jnp.float32),
                             layer_p["router"].T.astype(jnp.float32))
     if layer_p.get("router_bias") is not None:
-        router_logits = router_logits + layer_p["router_bias"].astype(jnp.float32)
-    k = cfg.num_experts_per_tok
-    weights, sel = jax.lax.top_k(router_logits, k)          # [N, k]
-    weights = jax.nn.softmax(weights, axis=-1)
-    if cfg.norm_topk_prob:
-        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
-
-    glu = glu_for(cfg.moe_act or cfg.hidden_act)
-    e_gate = layer_p["experts"]["gate"]
-    e_up = layer_p["experts"]["up"]
-    e_down = layer_p["experts"]["down"]
-
-    def one_expert_slot(i):
-        idx = sel[:, i]                                     # [N]
-        wg = jnp.take(e_gate, idx, axis=0)                  # [N, F, D]
-        wu = jnp.take(e_up, idx, axis=0)
-        wd = jnp.take(e_down, idx, axis=0)                  # [N, D, F]
-        e = jnp.einsum("nd,nfd->nf", xf, wg.astype(xf.dtype))
-        g = jnp.einsum("nd,nfd->nf", xf, wu.astype(xf.dtype))
-        h = glu(e, g)
-        y = jnp.einsum("nf,ndf->nd", h, wd.astype(xf.dtype))
-        return y * weights[:, i:i + 1].astype(xf.dtype)
-
-    out = sum(one_expert_slot(i) for i in range(k))
+        router_logits = router_logits + layer_p["router_bias"].astype(
+            jnp.float32)
+    out = moe_mlp(xf, router_logits, layer_p["experts"],
+                  cfg.num_experts_per_tok, cfg.moe_act or cfg.hidden_act,
+                  cfg.norm_topk_prob)
     return out.reshape(b, t, d)
 
 

@@ -97,6 +97,65 @@ def attention_ref(
     return out.astype(q.dtype)
 
 
+@functools.lru_cache(maxsize=64)
+def _splash_kernel(t: int, s: int, heads_per_kv: int, causal: bool,
+                   window, softcap, interpret: bool):
+    """Build (and cache) a splash-attention MQA kernel for one mask config.
+
+    Splash (public JAX Pallas op) natively supports GQA (q heads share one
+    KV head — no KV repeat materialization), local/sliding-window masks,
+    logit softcap, and segment ids: exactly the semantics the reference
+    assembles from flash-varlen + FlexAttention block masks
+    (reference: utils/attention_dispatch.py + kernels/flex_attention.py)."""
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sk, splash_attention_mask as sm)
+
+    if window is not None:
+        base = sm.LocalMask((t, s), window_size=(window - 1, 0), offset=0)
+    elif causal:
+        base = sm.CausalMask((t, s))
+    else:
+        base = sm.FullMask((t, s))
+    mask = sm.MultiHeadMask([base] * heads_per_kv)
+    return sk.make_splash_mqa_single_device(
+        mask=mask, attn_logits_soft_cap=softcap, interpret=interpret,
+        head_shards=1, q_seq_shards=1)
+
+
+def _tpu_splash(q, k, v, *, causal, segment_ids, window, softcap, scale,
+                interpret=False):
+    """q [B,T,Hq,Dh]; k,v [B,S,Hkv,Dh] -> [B,T,Hq,Dh]."""
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sk)
+
+    b, t, hq, dh = q.shape
+    s, hkv = k.shape[1], k.shape[2]
+    g = hq // hkv
+    kernel = _splash_kernel(t, s, g, causal, window, softcap, interpret)
+
+    qs = (q * scale).transpose(0, 2, 1, 3).reshape(b, hkv, g, t, dh)
+    ks = k.transpose(0, 2, 1, 3)   # [B, Hkv, S, Dh]
+    vs = v.transpose(0, 2, 1, 3)
+
+    seg = None
+    if segment_ids is not None:
+        seg = sk.SegmentIds(q=segment_ids, kv=segment_ids)
+
+    def per_batch(qb, kb, vb, seg_b):
+        def per_kv_head(qh, kh, vh):
+            return kernel(qh, kh, vh, segment_ids=seg_b)
+
+        return jax.vmap(per_kv_head)(qb, kb, vb)
+
+    if seg is not None:
+        out = jax.vmap(per_batch)(qs, ks, vs, seg)
+    else:
+        out = jax.vmap(lambda a, b_, c: per_batch(a, b_, c, None))(
+            qs, ks, vs)
+    # out: [B, Hkv, G, T, Dh]
+    return out.reshape(b, hq, t, dh).transpose(0, 2, 1, 3)
+
+
 def _tpu_flash(q, k, v, *, causal, segment_ids, scale):
     """Pallas flash attention (public JAX op) — causal / packed, no softcap."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
@@ -141,20 +200,20 @@ def attention(
     semantics, else the reference implementation.
     """
     b, t, hq, dh = q.shape
+    hkv = k.shape[2]
     if scale is None:
         scale = dh ** -0.5
 
-    use_flash = (
-        jax.default_backend() == "tpu"
-        and not env.disable_pallas()
-        and softcap is None
-        and window is None
-        and positions is None
-        and dh % 128 == 0
-        and t % 128 == 0
-        and t == k.shape[1]
-    )
-    if use_flash:
+    on_tpu = jax.default_backend() == "tpu" and not env.disable_pallas()
+    aligned = (dh % 128 == 0 and t % 128 == 0 and t == k.shape[1]
+               and hq % hkv == 0)
+    # positions are advisory: packing correctness comes from segment_ids
+    # (slot order == position order within a segment), so kernels that
+    # don't take positions are still exact.
+    if on_tpu and aligned and not env.env_flag("UNSLOTH_DISABLE_SPLASH"):
+        return _tpu_splash(q, k, v, causal=causal, segment_ids=segment_ids,
+                           window=window, softcap=softcap, scale=scale)
+    if on_tpu and aligned and softcap is None and window is None:
         return _tpu_flash(q, k, v, causal=causal, segment_ids=segment_ids,
                           scale=scale)
     return attention_ref(

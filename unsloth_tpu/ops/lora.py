@@ -56,7 +56,13 @@ def base_matmul(x: jnp.ndarray, w: BaseWeight) -> jnp.ndarray:
     if isinstance(w, NF4Tensor):
         from .qlora_matmul import nf4_matmul, use_fused_nf4
 
-        if use_fused_nf4(w):
+        m = 1
+        for s in x.shape[:-1]:
+            m *= s
+        # At small row counts the in-kernel dequant (VPU-bound) dominates
+        # and XLA's dequant+matmul wins; the fused kernel wins from ~1-2k
+        # rows where one weight pass serves many row tiles.
+        if m >= 1024 and use_fused_nf4(w):
             return nf4_matmul(x, w)
         wd = dequantize_nf4(w, dtype=x.dtype)
     else:

@@ -1,0 +1,124 @@
+"""MoE expert computation via grouped GEMM.
+
+Parity target: the reference's fused MoE grouped-GEMM kernel suite
+(reference: unsloth/kernels/moe/ — a Triton kernel looping expert tiles,
+fusing the token permutation into GEMM1's prologue and the un-permute +
+topk-weight multiply into GEMM2's epilogue; design in kernels/moe/README.md
+:27-33; 7k LoC with its own autotuner).
+
+TPU-native design: tokens are sorted by expert (one stable argsort), the
+expert matmuls run as Megablox ``gmm`` (the public JAX Pallas grouped-matmul
+kernel for TPU, differentiable, with its own tiling), and the un-permute +
+weight-combine is a segment scatter-add. The permutation work the Triton
+kernel hides in its prologue/epilogue is two gathers here — XLA overlaps
+them with the grouped GEMMs; Megablox replaces the autotune cache with
+static tiling hints.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import env
+from .activations import glu_for
+
+
+def moe_mlp_dense(x, router_logits, experts: Dict[str, jnp.ndarray],
+                  num_experts_per_tok: int, act: str,
+                  norm_topk_prob: bool = False):
+    """Reference einsum implementation (parity oracle; used off-TPU).
+    x: [N, D]; experts: gate/up [E, F, D], down [E, D, F]."""
+    n, d = x.shape
+    k = num_experts_per_tok
+    weights, sel = jax.lax.top_k(router_logits, k)
+    weights = jax.nn.softmax(weights, axis=-1)
+    if norm_topk_prob:
+        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    glu = glu_for(act)
+
+    def one_slot(i):
+        idx = sel[:, i]
+        wg = jnp.take(experts["gate"], idx, axis=0)
+        wu = jnp.take(experts["up"], idx, axis=0)
+        wd = jnp.take(experts["down"], idx, axis=0)
+        e = jnp.einsum("nd,nfd->nf", x, wg.astype(x.dtype))
+        g = jnp.einsum("nd,nfd->nf", x, wu.astype(x.dtype))
+        h = glu(e, g)
+        y = jnp.einsum("nf,ndf->nd", h, wd.astype(x.dtype))
+        return y * weights[:, i:i + 1].astype(x.dtype)
+
+    return sum(one_slot(i) for i in range(k))
+
+
+def moe_mlp_grouped(x, router_logits, experts: Dict[str, jnp.ndarray],
+                    num_experts_per_tok: int, act: str,
+                    norm_topk_prob: bool = False,
+                    interpret: Optional[bool] = None):
+    """Grouped-GEMM implementation. Same signature/semantics as dense."""
+    from jax.experimental.pallas.ops.tpu.megablox import gmm
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    n, d = x.shape
+    num_experts = experts["gate"].shape[0]
+    k = num_experts_per_tok
+    weights, sel = jax.lax.top_k(router_logits, k)          # [N, k]
+    weights = jax.nn.softmax(weights, axis=-1)
+    if norm_topk_prob:
+        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+
+    flat_expert = sel.reshape(-1)                           # [N*k]
+    order = jnp.argsort(flat_expert, stable=True)           # [N*k]
+    token_idx = order // k                                  # source token
+    xs = jnp.take(x, token_idx, axis=0)                     # [N*k, D]
+    group_sizes = jnp.bincount(flat_expert, length=num_experts
+                               ).astype(jnp.int32)
+
+    glu = glu_for(act)
+
+    def _fit(v: int) -> int:
+        if v % 128 == 0:
+            return 128
+        for t in (64, 32, 16, 8):
+            if v % t == 0:
+                return t
+        return v
+
+    m = n * k
+    f = experts["gate"].shape[1]
+
+    def tiled_gmm(lhs, rhs):
+        k_dim = rhs.shape[2]   # transpose_rhs: rhs is [E, n_out, k]
+        n_dim = rhs.shape[1]
+        return gmm(lhs, rhs, group_sizes=group_sizes,
+                   preferred_element_type=jnp.float32,
+                   tiling=(_fit(m), _fit(k_dim), _fit(n_dim)),
+                   transpose_rhs=True, interpret=interpret)
+
+    gmm_ = tiled_gmm
+    # gate/up: [E, F, D] with transpose_rhs => contracts D
+    e = gmm_(xs, experts["gate"]).astype(x.dtype)           # [N*k, F]
+    g = gmm_(xs, experts["up"]).astype(x.dtype)
+    h = glu(e, g)
+    y = gmm_(h, experts["down"]).astype(x.dtype)            # [N*k, D]
+
+    w = jnp.take(weights.reshape(-1), order)                # [N*k]
+    out = jnp.zeros((n, d), x.dtype)
+    out = out.at[token_idx].add(y * w[:, None].astype(x.dtype))
+    return out
+
+
+def moe_mlp(x, router_logits, experts, num_experts_per_tok: int, act: str,
+            norm_topk_prob: bool = False, impl: str = "auto"):
+    """Dispatching MoE MLP. impl: auto | grouped | dense."""
+    if impl == "dense" or (impl == "auto" and (
+            env.disable_pallas() or jax.default_backend() != "tpu")):
+        return moe_mlp_dense(x, router_logits, experts,
+                             num_experts_per_tok, act, norm_topk_prob)
+    return moe_mlp_grouped(x, router_logits, experts,
+                           num_experts_per_tok, act, norm_topk_prob)

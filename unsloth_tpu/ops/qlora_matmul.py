@@ -44,13 +44,19 @@ def _decode_nibbles(nib):
 
 def _dequant_tile(pk, am, *, use_hi, block_size):
     """pk: [rows, cols] uint8 byte tile; am: [rows, cols//block] fp32.
-    use_hi: traced bool — whether this tile sits in the hi-nibble half."""
-    rows, cols = pk.shape
-    nib = jnp.where(use_hi, pk >> 4, pk & 0xF).astype(jnp.int32)
+    use_hi: traced bool — whether this tile sits in the hi-nibble half.
+    Scale upsampling is a static select chain over the few scale columns:
+    Mosaic can't reshape across the lane dimension and pltpu.repeat has
+    tile (not np.repeat) semantics, so everything stays 2-D."""
+    pk32 = pk.astype(jnp.int32)  # Mosaic has no 8-bit vector shifts
+    nib = jnp.where(use_hi, pk32 >> 4, pk32 & 0xF)
     val = _decode_nibbles(nib)
-    val = val.reshape(rows, cols // block_size, block_size)
-    val = val * am[:, :, None]
-    return val.reshape(rows, cols)
+    nb = pk.shape[1] // block_size
+    col_block = jax.lax.broadcasted_iota(jnp.int32, pk.shape, 1) // block_size
+    am_up = am[:, 0:1]
+    for b in range(1, nb):
+        am_up = jnp.where(col_block == b, am[:, b:b + 1], am_up)
+    return val * am_up
 
 
 # ---------------------------------------------------------------------------
@@ -66,7 +72,11 @@ def _fwd_kernel(x_ref, pk_ref, am_ref, o_ref, acc_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = _dequant_tile(pk_ref[:], am_ref[:], use_hi=k < n_hi_tiles,
+    # am_ref block: [1, bn, bk//bs] from the per-tile absmax layout
+    # (pre-gathered outside the kernel — Mosaic supports neither tiny
+    # trailing block tiles nor dynamic lane-dim slices).
+    am = am_ref[0]
+    w = _dequant_tile(pk_ref[:], am, use_hi=k < n_hi_tiles,
                       block_size=block_size)          # [bn, bk] fp32
     x = x_ref[:]                                      # [bm, bk]
     acc_ref[:] += jax.lax.dot_general(
@@ -79,7 +89,7 @@ def _fwd_kernel(x_ref, pk_ref, am_ref, o_ref, acc_ref,
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
-def _fwd_pallas(x2d, q: NF4Tensor, *, bm=256, bn=256, bk=512,
+def _fwd_pallas(x2d, q: NF4Tensor, *, bm=2048, bn=512, bk=512,
                 interpret=None):
     m, in_f = x2d.shape
     out_f = q.shape[0]
@@ -96,15 +106,17 @@ def _fwd_pallas(x2d, q: NF4Tensor, *, bm=256, bn=256, bk=512,
 
     n_hi = half // bk
     n_k = 2 * n_hi
-    absmax = _decode_absmax(q).reshape(out_f, in_f // bs)
+    # Per-tile absmax layout [n_k, out, bk//bs]: tile k's scales are a
+    # full trailing slab (legal TPU block: trailing dim == array dim).
+    # Logical col0 of tile k is k*bk for hi AND lo tiles (halves are
+    # contiguous in logical order), so this is a plain reshape+transpose.
+    absmax = _decode_absmax(q).reshape(out_f, n_k, bk // bs)
+    absmax = absmax.transpose(1, 0, 2)
 
     grid = (m_pad // bm, out_f // bn, n_k)
 
     def pk_index(i, j, k):
         return (j, jnp.where(k < n_hi, k, k - n_hi))
-
-    def am_index(i, j, k):
-        return (j, k)
 
     kernel = functools.partial(
         _fwd_kernel, n_hi_tiles=n_hi, block_size=bs, out_dtype=x2d.dtype)
@@ -115,7 +127,8 @@ def _fwd_pallas(x2d, q: NF4Tensor, *, bm=256, bn=256, bk=512,
             pl.BlockSpec((bm, bk),
                          lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, bk), pk_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, bk // bs), am_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn, bk // bs), lambda i, j, k: (k, j, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
@@ -147,7 +160,8 @@ def _bwd_kernel(g_ref, pk_ref, am_ref, o_ref, acc_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = _dequant_tile(pk_ref[:], am_ref[:], use_hi=j < n_hi_tiles,
+    am = am_ref[0]                                    # [bk_out, bn//bs]
+    w = _dequant_tile(pk_ref[:], am, use_hi=j < n_hi_tiles,
                       block_size=block_size)          # [bk_out, bn_in]
     g = g_ref[:]                                      # [bm, bk_out]
     acc_ref[:] += jax.lax.dot_general(
@@ -160,7 +174,7 @@ def _bwd_kernel(g_ref, pk_ref, am_ref, o_ref, acc_ref,
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
-def _bwd_pallas(g2d, q: NF4Tensor, *, bm=256, bn=512, bk=256,
+def _bwd_pallas(g2d, q: NF4Tensor, *, bm=2048, bn=512, bk=512,
                 interpret=None):
     m, out_f = g2d.shape
     in_f = q.shape[1]
@@ -177,15 +191,14 @@ def _bwd_pallas(g2d, q: NF4Tensor, *, bm=256, bn=512, bk=256,
 
     n_hi = half // bn
     n_j = 2 * n_hi
-    absmax = _decode_absmax(q).reshape(out_f, in_f // bs)
+    # Per-tile absmax layout [n_j, out, bn//bs] (see _fwd_pallas).
+    absmax = _decode_absmax(q).reshape(out_f, n_j, bn // bs)
+    absmax = absmax.transpose(1, 0, 2)
 
     grid = (m_pad // bm, n_j, out_f // bk)
 
     def pk_index(i, j, k):
         return (k, jnp.where(j < n_hi, j, j - n_hi))
-
-    def am_index(i, j, k):
-        return (k, j)
 
     kernel = functools.partial(
         _bwd_kernel, n_hi_tiles=n_hi, block_size=bs, out_dtype=g2d.dtype)
@@ -196,7 +209,8 @@ def _bwd_pallas(g2d, q: NF4Tensor, *, bm=256, bn=512, bk=256,
             pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bk, bn), pk_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, bn // bs), am_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, bn // bs), lambda i, j, k: (j, k, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
