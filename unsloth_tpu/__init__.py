@@ -14,12 +14,25 @@ with an import swap.
 __version__ = "0.1.0"
 
 from .models.config import ModelConfig, RopeScaling
+from .models.loader import FastLanguageModel, FastModel, LanguageModel
 from .parallel.mesh import create_mesh, ShardingRules
+from .utils import env as _env
+
+
+def is_bfloat16_supported() -> bool:
+    """Reference-parity helper (reference: _gpu_init.py bf16 probe
+    :286-309). Always true on TPU."""
+    return True
+
 
 __all__ = [
     "ModelConfig",
     "RopeScaling",
+    "FastLanguageModel",
+    "FastModel",
+    "LanguageModel",
     "create_mesh",
     "ShardingRules",
+    "is_bfloat16_supported",
     "__version__",
 ]

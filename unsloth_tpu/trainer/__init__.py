@@ -1,3 +1,4 @@
+from .dpo import DPOConfig, DPOTrainer, PatchDPOTrainer
 from .grpo import GRPOConfig, GRPOTrainer, PatchFastRL
 from .sft import (SFTConfig, SFTTrainer, TrainOutput, build_optimizer,
                   build_schedule, make_config, train_on_responses_only)
@@ -12,4 +13,5 @@ __all__ = [
     "build_schedule", "make_config", "train_on_responses_only",
     "UnslothTrainer", "UnslothTrainingArguments",
     "GRPOConfig", "GRPOTrainer", "PatchFastRL",
+    "DPOConfig", "DPOTrainer", "PatchDPOTrainer",
 ]
