@@ -188,7 +188,12 @@ def forward(
         positions = jnp.broadcast_to(
             jnp.arange(t, dtype=jnp.int32)[None], (b, t))
 
-    x = jnp.take(params["embed"], input_ids, axis=0)
+    # modules_to_save: a trainable embed lives in the lora tree and
+    # shadows the frozen one (reference: get_peft_model modules_to_save).
+    embed_w = (lora or {}).get("embed")
+    if embed_w is None:
+        embed_w = params["embed"]
+    x = jnp.take(embed_w, input_ids, axis=0)
     if cfg.embed_scale is not None:
         # gemma scales by sqrt(D) computed in the embed dtype (HF parity).
         x = x * jnp.asarray(cfg.embed_scale, dtype=x.dtype)
@@ -266,10 +271,18 @@ def loss_fn(
     h2d = h.reshape(-1, d)
     lb = shift_labels.reshape(-1)
 
-    w = params.get("lm_head")
+    w = (lora or {}).get("lm_head")
+    if w is not None:
+        lm_head_trainable = True
+    else:
+        w = params.get("lm_head")
     tied = w is None
     if tied:
-        w = params["embed"]
+        w = (lora or {}).get("embed")
+        if w is not None:
+            lm_head_trainable = True
+        else:
+            w = params["embed"]
 
     if fused_ce:
         from ..ops.nf4 import NF4Tensor, dequantize_nf4

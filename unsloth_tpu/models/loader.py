@@ -188,6 +188,24 @@ class FastLanguageModel:
             model.cfg, key, r=r, alpha=lora_alpha,
             target_modules=normalize_target_modules(target_modules),
             use_rslora=use_rslora)
+        # modules_to_save: full-rank trainable copies shadowing frozen base
+        # (reference: peft modules_to_save; enables embedding fine-tuning
+        # with the separate embedding_learning_rate, trainer.py:435-456)
+        _m2s = {"embed_tokens": "embed", "embed": "embed",
+                "lm_head": "lm_head"}
+        for mod in (modules_to_save or []):
+            ours = _m2s.get(mod)
+            if ours is None:
+                continue
+            src = model.params.get(ours)
+            if src is None and ours == "lm_head":
+                src = model.params["embed"]  # tied: untie into trainable
+            if src is not None and not hasattr(src, "packed"):
+                # copy=True is load-bearing: the trainable copy gets donated
+                # by the jitted train step; aliasing the frozen base buffer
+                # would delete it.
+                model.lora[ours] = jnp.array(src, dtype=jnp.float32,
+                                             copy=True)
         model.lora_config = {
             "r": r, "lora_alpha": lora_alpha,
             "target_modules": list(target_modules),

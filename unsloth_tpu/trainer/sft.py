@@ -102,15 +102,36 @@ def build_schedule(args: SFTConfig, total_steps: int):
     return decay
 
 
-def build_optimizer(args: SFTConfig, total_steps: int):
+def build_optimizer(args: SFTConfig, total_steps: int, trainables=None):
     schedule = build_schedule(args, total_steps)
+
+    def adamw(lr):
+        return optax.adamw(
+            lr, b1=args.adam_beta1, b2=args.adam_beta2,
+            eps=args.adam_epsilon, weight_decay=args.weight_decay)
+
+    inner = adamw(schedule)
+    # Separate embedding learning rate (reference: trainer.py:435-456
+    # UnslothTrainer.create_optimizer splits embedding params): applies to
+    # the full-rank embed/lm_head copies created by modules_to_save.
+    if args.embedding_learning_rate and trainables is not None and any(
+            k in trainables for k in ("embed", "lm_head")):
+        scale = args.embedding_learning_rate / args.learning_rate
+        embed_sched = lambda step: schedule(step) * scale  # noqa: E731
+
+        def label_fn(tree):
+            return {
+                k: ("embed" if k in ("embed", "lm_head")
+                    else jax.tree_util.tree_map(lambda _: "default", v))
+                for k, v in tree.items()
+            }
+
+        inner = optax.multi_transform(
+            {"default": adamw(schedule), "embed": adamw(embed_sched)},
+            label_fn)
     tx = optax.chain(
         optax.clip_by_global_norm(args.max_grad_norm),
-        optax.adamw(
-            schedule,
-            b1=args.adam_beta1, b2=args.adam_beta2, eps=args.adam_epsilon,
-            weight_decay=args.weight_decay,
-        ),
+        inner,
     )
     return tx, schedule
 
@@ -281,9 +302,9 @@ class SFTTrainer:
             total_steps = int(steps_per_epoch * args.num_train_epochs)
         total_steps = max(total_steps, 1)
 
-        tx, schedule = build_optimizer(args, total_steps)
         full_ft = self.model.lora is None
         trainables = self.model.params if full_ft else self.model.lora
+        tx, schedule = build_optimizer(args, total_steps, trainables)
         opt_state = tx.init(trainables)
         base_params = self.model.params
         step_fn = self._make_train_step(tx)
