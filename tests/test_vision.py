@@ -1,0 +1,130 @@
+"""FastVisionModel tests: logit parity vs transformers
+Gemma3ForConditionalGeneration (text-only and with images), multimodal
+loss/grads, LoRA training step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+@pytest.fixture(scope="module")
+def gemma3_ckpt(tmp_path_factory):
+    from transformers import Gemma3Config
+    from transformers.models.gemma3 import Gemma3ForConditionalGeneration
+
+    cfg = Gemma3Config(
+        text_config=dict(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, num_key_value_heads=1, head_dim=16,
+            vocab_size=256, max_position_embeddings=128,
+            sliding_window=16, rope_theta=1000000.0,
+            rope_local_base_freq=10000.0),
+        vision_config=dict(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=28, patch_size=14,
+            num_channels=3),
+        image_token_index=250, mm_tokens_per_image=4,
+        boi_token_index=248, eoi_token_index=249)
+    torch.manual_seed(0)
+    model = Gemma3ForConditionalGeneration(cfg)
+    model.eval()
+    path = str(tmp_path_factory.mktemp("gemma3"))
+    model.save_pretrained(path, safe_serialization=True)
+    return path, model
+
+
+def test_text_only_parity(gemma3_ckpt):
+    from unsloth_tpu.models.vision import FastVisionModel
+
+    path, hf_model = gemma3_ckpt
+    model, _ = FastVisionModel.from_pretrained(path, load_in_4bit=False,
+                                               dtype="float32")
+    ids = np.arange(1, 17).reshape(1, 16) % 240
+    with torch.no_grad():
+        hf_logits = hf_model(input_ids=torch.tensor(ids)).logits.numpy()
+    ours = np.asarray(model.logits(jnp.asarray(ids, jnp.int32),
+                                   remat=False))
+    np.testing.assert_allclose(ours, hf_logits, atol=3e-4, rtol=3e-3)
+
+
+def test_multimodal_parity(gemma3_ckpt):
+    from unsloth_tpu.models.vision import FastVisionModel
+    from unsloth_tpu.models.decoder import forward as text_forward
+    from unsloth_tpu.ops.lora import base_matmul
+
+    path, hf_model = gemma3_ckpt
+    model, _ = FastVisionModel.from_pretrained(path, load_in_4bit=False,
+                                               dtype="float32")
+    assert model.image_token_id == 250
+    assert model.mm_tokens_per_image == 4
+
+    rng = np.random.RandomState(0)
+    pixels = rng.randn(1, 3, 28, 28).astype(np.float32)
+    # prompt: text, <img> x4 (mm_tokens_per_image), text
+    ids = np.array([[5, 6, 250, 250, 250, 250, 7, 8]], np.int64)
+    token_type_ids = (ids == 250).astype(np.int64)
+
+    with torch.no_grad():
+        hf_out = hf_model(
+            input_ids=torch.tensor(ids),
+            pixel_values=torch.tensor(pixels),
+            token_type_ids=torch.tensor(token_type_ids),
+        ).logits.numpy()
+
+    embeds, spans = model.embed_multimodal(
+        jnp.asarray(ids, jnp.int32), jnp.asarray(pixels))
+    assert int(spans[0, 2]) == 1 and int(spans[0, 0]) == 0
+    h = text_forward(model.params, None, jnp.asarray(ids, jnp.int32),
+                     model.cfg, inputs_embeds=embeds, image_spans=spans,
+                     remat=False)
+    w = model.params.get("lm_head")
+    if w is None:
+        w = model.params["embed"]
+    logits = base_matmul(h, w)
+    if model.cfg.final_softcap:
+        logits = model.cfg.final_softcap * jnp.tanh(
+            logits / model.cfg.final_softcap)
+    np.testing.assert_allclose(np.asarray(logits), hf_out,
+                               atol=5e-4, rtol=5e-3)
+
+
+def test_vision_lora_training_step(gemma3_ckpt):
+    import optax
+
+    from unsloth_tpu.models.vision import FastVisionModel
+
+    path, _ = gemma3_ckpt
+    model, _ = FastVisionModel.from_pretrained(path, load_in_4bit=False,
+                                               dtype="float32")
+    model = FastVisionModel.get_peft_model(model, r=4, lora_alpha=8)
+
+    rng = np.random.RandomState(1)
+    pixels = jnp.asarray(rng.randn(2, 3, 28, 28).astype(np.float32))
+    ids = np.full((2, 12), 9, np.int32)
+    ids[:, 2:6] = 250
+    labels = ids.copy()
+    labels[:, :6] = -100
+    batch = {"input_ids": jnp.asarray(ids), "labels": jnp.asarray(labels),
+             "pixel_values": pixels}
+
+    tx = optax.adamw(5e-3)
+    opt_state = tx.init(model.lora)
+
+    @jax.jit
+    def step(lora, opt_state, batch):
+        loss, grads = jax.value_and_grad(
+            lambda l: model.vision_loss_fn(l, batch, remat=False))(lora)
+        updates, opt_state = tx.update(grads, opt_state, lora)
+        return optax.apply_updates(lora, updates), opt_state, loss
+
+    losses = []
+    for _ in range(8):
+        model.lora, opt_state, loss = step(model.lora, opt_state, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

@@ -72,7 +72,7 @@ def _proj(x, layer_p, lora_p, name):
 def attention_block(
     x, layer_p, lora_p, cfg: ModelConfig, layer_idx: int,
     cos, sin, cos_local, sin_local,
-    segment_ids, positions,
+    segment_ids, positions, image_spans=None,
 ):
     b, t, d = x.shape
     hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -100,6 +100,7 @@ def attention_block(
         softcap=cfg.attn_softcap,
         scale=cfg.attn_logit_scale,
         positions=positions,
+        image_spans=image_spans,
     )
     out = out.reshape(b, t, hq * dh)
     return _proj(out, layer_p, lora_p, "o")
@@ -137,11 +138,12 @@ def moe_block(x, layer_p, cfg: ModelConfig):
 def decoder_layer(
     x, layer_p, lora_p, cfg: ModelConfig, layer_idx: int,
     cos, sin, cos_local, sin_local, segment_ids, positions,
+    image_spans=None,
 ):
     h = _norm(x, layer_p["input_norm"], cfg)
     attn = attention_block(h, layer_p, lora_p, cfg, layer_idx,
                            cos, sin, cos_local, sin_local,
-                           segment_ids, positions)
+                           segment_ids, positions, image_spans)
     if cfg.use_post_norms and "post_attn_out_norm" in layer_p:
         attn = _norm(attn, layer_p["post_attn_out_norm"], cfg)
     x = x + attn
@@ -177,6 +179,8 @@ def forward(
     *,
     positions: Optional[jnp.ndarray] = None,     # [B, T] int32
     segment_ids: Optional[jnp.ndarray] = None,   # [B, T] int32
+    inputs_embeds: Optional[jnp.ndarray] = None,  # [B, T, D] (pre-scaled)
+    image_spans: Optional[jnp.ndarray] = None,   # [B, T] int32, 0 = text
     remat: bool = True,
     remat_policy: Optional[Any] = None,
 ) -> jnp.ndarray:
@@ -188,15 +192,18 @@ def forward(
         positions = jnp.broadcast_to(
             jnp.arange(t, dtype=jnp.int32)[None], (b, t))
 
-    # modules_to_save: a trainable embed lives in the lora tree and
-    # shadows the frozen one (reference: get_peft_model modules_to_save).
-    embed_w = (lora or {}).get("embed")
-    if embed_w is None:
-        embed_w = params["embed"]
-    x = jnp.take(embed_w, input_ids, axis=0)
-    if cfg.embed_scale is not None:
-        # gemma scales by sqrt(D) computed in the embed dtype (HF parity).
-        x = x * jnp.asarray(cfg.embed_scale, dtype=x.dtype)
+    if inputs_embeds is not None:
+        x = inputs_embeds
+    else:
+        # modules_to_save: a trainable embed lives in the lora tree and
+        # shadows the frozen one (reference: get_peft_model modules_to_save).
+        embed_w = (lora or {}).get("embed")
+        if embed_w is None:
+            embed_w = params["embed"]
+        x = jnp.take(embed_w, input_ids, axis=0)
+        if cfg.embed_scale is not None:
+            # gemma scales by sqrt(D) computed in the embed dtype (HF parity)
+            x = x * jnp.asarray(cfg.embed_scale, dtype=x.dtype)
 
     cos, sin, cos_local, sin_local = _rope_tables(cfg, positions)
 
@@ -212,7 +219,8 @@ def forward(
     for i, layer_p in enumerate(params["layers"]):
         lora_p = lora_layers[i] if lora_layers else None
         x = layer_fn(x, layer_p, lora_p, cfg, i,
-                     cos, sin, cos_local, sin_local, segment_ids, positions)
+                     cos, sin, cos_local, sin_local, segment_ids, positions,
+                     image_spans)
 
     return _norm(x, params["final_norm"], cfg)
 

@@ -1,0 +1,302 @@
+"""FastVisionModel — vision-language fine-tuning.
+
+Parity target: reference models/vision.py `FastVisionModel`/`FastBaseModel`
+(from_pretrained :867 with VLM processor selection, get_peft_model with
+finetune_{vision,language,attention,mlp}_layers selectors :1827) and the
+`UnslothVisionDataCollator` flow.
+
+First supported family: Gemma-3 multimodal (SigLIP tower + avg-pool
+projector + Gemma3 text). The multimodal forward:
+
+  text embeds (scaled) -> image features spliced at image-token positions
+  -> decoder with bidirectional attention within each image span
+  -> fused linear+CE loss on text labels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.fused_ce_linear import fused_ce_loss_mean
+from .config import ModelConfig, load_hf_config
+from .decoder import forward as text_forward
+from .hf_loader import CheckpointReader, _to_jnp
+from .loader import LanguageModel, _resolve_model_path, load_tokenizer
+from .params import init_lora_tree, normalize_target_modules
+from .vision_tower import (VisionConfig, gemma3_project, siglip_forward)
+
+
+@dataclasses.dataclass
+class VisionLanguageModel(LanguageModel):
+    """Extends the text handle with a vision tower + projector."""
+
+    vision_cfg: Optional[VisionConfig] = None
+    vision: Optional[Dict[str, Any]] = None
+    projector: Optional[Dict[str, Any]] = None
+    image_token_id: int = 0
+    mm_tokens_per_image: int = 256
+
+    def embed_multimodal(self, input_ids, pixel_values):
+        """Returns (inputs_embeds [B,T,D], image_spans [B,T]).
+        pixel_values: [B_img, C, H, W] — one image per nonzero span, in
+        order of appearance across the batch."""
+        embed_w = (self.lora or {}).get("embed")
+        if embed_w is None:
+            embed_w = self.params["embed"]
+        x = jnp.take(embed_w, input_ids, axis=0)
+        if self.cfg.embed_scale is not None:
+            x = x * jnp.asarray(self.cfg.embed_scale, dtype=x.dtype)
+
+        feats = siglip_forward(self.vision, pixel_values, self.vision_cfg)
+        feats = gemma3_project(self.projector, feats, self.vision_cfg,
+                               self.mm_tokens_per_image,
+                               rms_eps=self.cfg.rms_norm_eps)
+        feats = feats.astype(x.dtype)       # [B_img, mm_tokens, D]
+
+        is_image = input_ids == self.image_token_id          # [B, T]
+        # Each image occupies exactly mm_tokens consecutive slots; map the
+        # n-th image token (order of appearance, row-major) to the
+        # flattened features.
+        flat_feats = feats.reshape(-1, feats.shape[-1])
+        order = jnp.cumsum(is_image.reshape(-1).astype(jnp.int32)) - 1
+        order = jnp.clip(order, 0, flat_feats.shape[0] - 1)
+        gathered = jnp.take(flat_feats, order, axis=0).reshape(x.shape)
+        x = jnp.where(is_image.reshape(*is_image.shape, 1), gathered, x)
+
+        # image spans: id = image ordinal + 1 (0 = text)
+        span = jnp.where(
+            is_image,
+            ((jnp.cumsum(is_image.reshape(-1).astype(jnp.int32)) - 1)
+             // self.mm_tokens_per_image + 1).reshape(is_image.shape),
+            0)
+        return x, span
+
+    def vision_loss_fn(self, lora, batch, **kw):
+        """SFT loss over multimodal batches: input_ids, labels,
+        pixel_values."""
+        lora_prev = self.lora
+        self.lora = lora
+        try:
+            embeds, spans = self.embed_multimodal(
+                batch["input_ids"], batch["pixel_values"])
+        finally:
+            self.lora = lora_prev
+        h = text_forward(self.params, lora, batch["input_ids"], self.cfg,
+                         inputs_embeds=embeds, image_spans=spans,
+                         positions=batch.get("positions"),
+                         segment_ids=batch.get("segment_ids"), **kw)
+        h = h[:, :-1, :]
+        labels = batch["labels"][:, 1:].reshape(-1)
+        d = h.shape[-1]
+        w = self.params.get("lm_head")
+        if w is None:
+            w = self.params["embed"]
+        from ..ops.nf4 import NF4Tensor, dequantize_nf4
+
+        if isinstance(w, NF4Tensor):
+            wd = dequantize_nf4(w, h.dtype).T
+        else:
+            wd = w.T.astype(h.dtype)
+        return fused_ce_loss_mean(
+            h.reshape(-1, d), wd, labels,
+            softcap=self.cfg.final_softcap,
+            logit_scale=self.cfg.logit_scale)
+
+
+class FastVisionModel:
+    """Reference-compatible entry (reference: models/__init__.py exports
+    FastVisionModel; models/vision.py implements it)."""
+
+    @staticmethod
+    def from_pretrained(
+        model_name: str,
+        load_in_4bit: bool = True,
+        dtype: Optional[Any] = None,
+        max_seq_length: int = 2048,
+        **kwargs,
+    ) -> Tuple[VisionLanguageModel, Any]:
+        from ..utils.dtypes import canonical_dtype
+
+        path = _resolve_model_path(model_name)
+        hf = load_hf_config(path)
+        if "vision_config" not in hf:
+            raise ValueError(
+                f"{model_name} has no vision tower; use FastLanguageModel")
+        dtype = canonical_dtype(dtype) or jnp.bfloat16
+
+        text_cfg = ModelConfig.from_hf_config(hf, name=model_name)
+        vision_cfg = VisionConfig.from_hf(hf["vision_config"])
+        reader = CheckpointReader(path)
+
+        text_params = _load_text_params(reader, text_cfg, dtype,
+                                        load_in_4bit)
+        vision, projector = _load_vision_params(reader, vision_cfg, dtype)
+        reader.close()
+
+        tokenizer = load_tokenizer(path)
+        model = VisionLanguageModel(
+            cfg=text_cfg, params=text_params, tokenizer=tokenizer,
+            max_seq_length=max_seq_length, model_path=path, hf_config=hf,
+            vision_cfg=vision_cfg, vision=vision, projector=projector,
+            image_token_id=int(hf.get("image_token_index",
+                                      hf.get("image_token_id", 0))),
+            mm_tokens_per_image=int(hf.get("mm_tokens_per_image", 256)))
+        return model, tokenizer
+
+    @staticmethod
+    def get_peft_model(
+        model: VisionLanguageModel,
+        r: int = 16,
+        lora_alpha: float = 16.0,
+        finetune_vision_layers: bool = False,
+        finetune_language_layers: bool = True,
+        finetune_attention_modules: bool = True,
+        finetune_mlp_modules: bool = True,
+        target_modules: Optional[Sequence[str]] = None,
+        random_state: int = 3407,
+        **kwargs,
+    ) -> VisionLanguageModel:
+        """LoRA with the reference's layer selectors (vision.py:1827).
+        Vision-layer LoRA is accepted but currently trains language only
+        (vision LoRA lands with the Qwen2.5-VL family)."""
+        mods: List[str] = []
+        if target_modules:
+            mods = list(normalize_target_modules(target_modules))
+        else:
+            if finetune_attention_modules:
+                mods += ["q", "k", "v", "o"]
+            if finetune_mlp_modules:
+                mods += ["gate", "up", "down"]
+        if not finetune_language_layers:
+            mods = []
+        key = jax.random.PRNGKey(random_state)
+        model.lora = init_lora_tree(model.cfg, key, r=r, alpha=lora_alpha,
+                                    target_modules=tuple(mods))
+        model.lora_config = {"r": r, "lora_alpha": lora_alpha,
+                             "target_modules": mods}
+        return model
+
+    for_inference = staticmethod(lambda m: m.for_inference())
+    for_training = staticmethod(lambda m: m.for_training())
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint loading (gemma3 multimodal layouts, old and new)
+# ---------------------------------------------------------------------------
+
+def _pick(reader, *names):
+    for n in names:
+        if n in reader:
+            return n
+    raise KeyError(f"none of {names} in checkpoint")
+
+
+def _load_text_params(reader, cfg, dtype, load_in_4bit):
+    """Text tower under 'model.language_model.' (new) or
+    'language_model.model.' (old)."""
+    from . import hf_names
+    from ..ops.nf4 import quantize_nf4
+
+    prefixes = ("model.language_model.", "language_model.model.")
+    prefix = None
+    for p in prefixes:
+        if p + "embed_tokens.weight" in reader:
+            prefix = p
+            break
+    assert prefix, "no language model found in checkpoint"
+
+    def name_for(hf_name: str) -> str:
+        # hf_names produces "model.layers.N..."-style names
+        return hf_name.replace("model.", prefix, 1)
+
+    params: Dict[str, Any] = {"layers": []}
+    for ours, hf in hf_names.top_level_map(cfg).items():
+        if ours == "lm_head":
+            for cand in ("lm_head.weight", prefix + "lm_head.weight",
+                         "language_model.lm_head.weight"):
+                if cand in reader:
+                    params[ours] = _to_jnp(reader.get(cand), dtype)
+                    break
+            continue
+        params[ours] = _to_jnp(reader.get(name_for(hf)), dtype)
+    for i in range(cfg.num_layers):
+        layer = {}
+        for ours, hf in hf_names.layer_name_map(cfg, i).items():
+            name = name_for(hf)
+            if name not in reader:
+                continue
+            arr = _to_jnp(reader.get(name), dtype)
+            if load_in_4bit and ours in ("q", "k", "v", "o", "gate", "up",
+                                         "down") and arr.ndim == 2:
+                arr = quantize_nf4(arr, dtype=dtype)
+            layer[ours] = arr
+        params["layers"].append(layer)
+    return params
+
+
+def _load_vision_params(reader, vcfg: VisionConfig, dtype):
+    prefixes = ("model.vision_tower.vision_model.",
+                "vision_tower.vision_model.")
+    prefix = None
+    for p in prefixes:
+        if p + "embeddings.patch_embedding.weight" in reader:
+            prefix = p
+            break
+    assert prefix, "no vision tower found in checkpoint"
+
+    def get(name):
+        return _to_jnp(reader.get(prefix + name), dtype)
+
+    conv = get("embeddings.patch_embedding.weight")  # [H, C, P, P]
+    h = conv.shape[0]
+    kernel = conv.reshape(h, -1).T                   # [(C*P*P), H]
+    vision = {
+        "patch_embed": {"kernel": kernel,
+                        "bias": get("embeddings.patch_embedding.bias")},
+        "pos_embed": get("embeddings.position_embedding.weight"),
+        "post_ln": {"w": get("post_layernorm.weight"),
+                    "b": get("post_layernorm.bias")},
+        "layers": [],
+    }
+    for i in range(vcfg.num_layers):
+        p = f"encoder.layers.{i}."
+
+        def lin(sub):
+            return {"kernel": get(p + sub + ".weight").T,
+                    "bias": get(p + sub + ".bias")}
+
+        vision["layers"].append({
+            "ln1": {"w": get(p + "layer_norm1.weight"),
+                    "b": get(p + "layer_norm1.bias")},
+            "ln2": {"w": get(p + "layer_norm2.weight"),
+                    "b": get(p + "layer_norm2.bias")},
+            "q": lin("self_attn.q_proj"),
+            "k": lin("self_attn.k_proj"),
+            "v": lin("self_attn.v_proj"),
+            "out": lin("self_attn.out_proj"),
+            "fc1": lin("mlp.fc1"),
+            "fc2": lin("mlp.fc2"),
+        })
+
+    proj_prefixes = ("model.multi_modal_projector.",
+                     "multi_modal_projector.")
+    pp = None
+    for p in proj_prefixes:
+        if p + "mm_input_projection_weight" in reader:
+            pp = p
+            break
+    assert pp, "no multimodal projector in checkpoint"
+    projector = {
+        "mm_proj": _to_jnp(reader.get(pp + "mm_input_projection_weight"),
+                           dtype),
+        "mm_norm": _to_jnp(reader.get(pp + "mm_soft_emb_norm.weight"),
+                           dtype),
+    }
+    return vision, projector

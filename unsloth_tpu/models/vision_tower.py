@@ -1,0 +1,132 @@
+"""SigLIP vision tower + Gemma-3 multimodal projector (functional).
+
+Parity target: the reference's vision path loads HF vision towers as torch
+modules (reference: models/vision.py FastBaseModel — VLM processor
+selection :963-972, vision-layer finetuning selectors :1827). Here the
+tower is a functional JAX program mirroring transformers'
+SiglipVisionModel + Gemma3MultiModalProjector semantics exactly (parity
+test vs transformers in tests/test_vision.py).
+
+Param tree schema:
+
+  vision = {
+    "patch_embed": {"kernel": [P*P*C, H], "bias": [H]},   # conv as matmul
+    "pos_embed": [nP, H],
+    "layers": [{"ln1": {w,b}, "ln2": {w,b},
+                "q","k","v","out": {"kernel": [H,H] (in->out), "bias"}},
+               ...],
+    "post_ln": {w, b},
+  }
+  projector = {"mm_norm": [H_vit], "mm_proj": [H_vit, H_text]}
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.rms_norm import layer_norm_ref, rms_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class VisionConfig:
+    hidden_size: int = 1152
+    intermediate_size: int = 4304
+    num_layers: int = 27
+    num_heads: int = 16
+    image_size: int = 896
+    patch_size: int = 14
+    layer_norm_eps: float = 1e-6
+    hidden_act: str = "gelu_tanh"
+
+    @property
+    def patches_per_side(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.patches_per_side ** 2
+
+    @classmethod
+    def from_hf(cls, hf: Dict[str, Any]) -> "VisionConfig":
+        return cls(
+            hidden_size=int(hf.get("hidden_size", 1152)),
+            intermediate_size=int(hf.get("intermediate_size", 4304)),
+            num_layers=int(hf.get("num_hidden_layers", 27)),
+            num_heads=int(hf.get("num_attention_heads", 16)),
+            image_size=int(hf.get("image_size", 896)),
+            patch_size=int(hf.get("patch_size", 14)),
+            layer_norm_eps=float(hf.get("layer_norm_eps", 1e-6)),
+            hidden_act=hf.get("hidden_act", "gelu_pytorch_tanh"),
+        )
+
+
+def extract_patches(pixel_values: jnp.ndarray, patch_size: int
+                    ) -> jnp.ndarray:
+    """[B, C, H, W] -> [B, nP, C*P*P] with (C, ph, pw) flattening order —
+    matching an HF conv2d patch embedding's [out, C, kh, kw] kernel."""
+    b, c, h, w = pixel_values.shape
+    p = patch_size
+    gh, gw = h // p, w // p
+    x = pixel_values.reshape(b, c, gh, p, gw, p)
+    x = x.transpose(0, 2, 4, 1, 3, 5)        # [B, gh, gw, C, p, p]
+    return x.reshape(b, gh * gw, c * p * p)
+
+
+def _attn(x, layer, num_heads, eps):
+    b, t, h = x.shape
+    dh = h // num_heads
+
+    def proj(p, v):
+        return jnp.dot(v, p["kernel"]) + p["bias"]
+
+    q = proj(layer["q"], x).reshape(b, t, num_heads, dh)
+    k = proj(layer["k"], x).reshape(b, t, num_heads, dh)
+    v = proj(layer["v"], x).reshape(b, t, num_heads, dh)
+    scores = jnp.einsum("bthd,bshd->bhts", q, k) * (dh ** -0.5)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(x.dtype)
+    out = jnp.einsum("bhts,bshd->bthd", probs, v).reshape(b, t, h)
+    return proj(layer["out"], out)
+
+
+def siglip_forward(vision: Dict[str, Any], pixel_values: jnp.ndarray,
+                   cfg: VisionConfig) -> jnp.ndarray:
+    """pixel_values [B, C, H, W] (normalized) -> [B, nP, hidden]."""
+    patches = extract_patches(pixel_values, cfg.patch_size)
+    x = jnp.dot(patches, vision["patch_embed"]["kernel"]) \
+        + vision["patch_embed"]["bias"]
+    x = x + vision["pos_embed"][None]
+    eps = cfg.layer_norm_eps
+    from ..ops.activations import glu_for  # noqa: F401 (act below)
+
+    for layer in vision["layers"]:
+        h = layer_norm_ref(x, layer["ln1"]["w"], layer["ln1"]["b"], eps)
+        x = x + _attn(h, layer, cfg.num_heads, eps)
+        h = layer_norm_ref(x, layer["ln2"]["w"], layer["ln2"]["b"], eps)
+        h = jnp.dot(h, layer["fc1"]["kernel"]) + layer["fc1"]["bias"]
+        h = jax.nn.gelu(h, approximate=True)
+        h = jnp.dot(h, layer["fc2"]["kernel"]) + layer["fc2"]["bias"]
+        x = x + h
+    return layer_norm_ref(x, vision["post_ln"]["w"], vision["post_ln"]["b"],
+                          eps)
+
+
+def gemma3_project(projector: Dict[str, Any], vision_out: jnp.ndarray,
+                   cfg: VisionConfig, mm_tokens_per_image: int,
+                   rms_eps: float = 1e-6) -> jnp.ndarray:
+    """[B, nP, H_vit] -> [B, mm_tokens, H_text] — avg-pool the patch grid,
+    Gemma-RMSNorm, then project (transformers Gemma3MultiModalProjector
+    semantics)."""
+    b, n_p, h = vision_out.shape
+    side = cfg.patches_per_side
+    tokens_side = int(round(mm_tokens_per_image ** 0.5))
+    kernel = side // tokens_side
+    x = vision_out.reshape(b, side, side, h)
+    x = x.reshape(b, tokens_side, kernel, tokens_side, kernel, h)
+    x = jnp.mean(x, axis=(2, 4))                      # [B, ts, ts, H]
+    x = x.reshape(b, tokens_side * tokens_side, h)
+    x = rms_norm(x, projector["mm_norm"], rms_eps, gemma=True)
+    return jnp.dot(x, projector["mm_proj"])

@@ -53,8 +53,13 @@ def attention_ref(
     scale: Optional[float] = None,
     positions: Optional[jnp.ndarray] = None,
     kv_positions: Optional[jnp.ndarray] = None,
+    image_spans: Optional[jnp.ndarray] = None,
 ):
-    """Masked SDPA reference. fp32 softmax. Returns [B, T, Hq, Dh]."""
+    """Masked SDPA reference. fp32 softmax. Returns [B, T, Hq, Dh].
+
+    image_spans [B, T] int32 (0 = text): tokens in the same nonzero span
+    attend bidirectionally (gemma-3 VLM semantics — image tokens see each
+    other regardless of causal order)."""
     b, t, hq, dh = q.shape
     s = k.shape[1]
     if scale is None:
@@ -81,7 +86,12 @@ def attention_ref(
     kpos = kv_positions[:, None, :]  # [B, 1, S]
     mask = jnp.ones((b, t, s), dtype=bool)
     if causal:
-        mask &= qpos >= kpos
+        causal_ok = qpos >= kpos
+        if image_spans is not None:
+            same_image = (image_spans[:, :, None] == image_spans[:, None, :]) \
+                & (image_spans[:, :, None] > 0)
+            causal_ok |= same_image
+        mask &= causal_ok
     if window is not None:
         mask &= (qpos - kpos) < window
     if segment_ids is not None:
@@ -97,10 +107,11 @@ def attention_ref(
     return out.astype(q.dtype)
 
 
-@functools.lru_cache(maxsize=64)
 def _splash_kernel(t: int, s: int, heads_per_kv: int, causal: bool,
                    window, softcap, interpret: bool):
-    """Build (and cache) a splash-attention MQA kernel for one mask config.
+    """Build a splash-attention MQA kernel for one mask config. Built fresh
+    per trace — caching the kernel object across jit traces leaks tracers
+    (its mask-info arrays belong to the trace that created them).
 
     Splash (public JAX Pallas op) natively supports GQA (q heads share one
     KV head — no KV repeat materialization), local/sliding-window masks,
@@ -192,6 +203,7 @@ def attention(
     softcap: Optional[float] = None,
     scale: Optional[float] = None,
     positions: Optional[jnp.ndarray] = None,
+    image_spans: Optional[jnp.ndarray] = None,
 ):
     """Dispatching attention op (training path, self-attention).
 
@@ -210,12 +222,15 @@ def attention(
     # positions are advisory: packing correctness comes from segment_ids
     # (slot order == position order within a segment), so kernels that
     # don't take positions are still exact.
-    if on_tpu and aligned and not env.env_flag("UNSLOTH_DISABLE_SPLASH"):
+    no_img = image_spans is None
+    if on_tpu and aligned and no_img and not env.env_flag(
+            "UNSLOTH_DISABLE_SPLASH"):
         return _tpu_splash(q, k, v, causal=causal, segment_ids=segment_ids,
                            window=window, softcap=softcap, scale=scale)
-    if on_tpu and aligned and softcap is None and window is None:
+    if on_tpu and aligned and no_img and softcap is None and window is None:
         return _tpu_flash(q, k, v, causal=causal, segment_ids=segment_ids,
                           scale=scale)
     return attention_ref(
         q, k, v, causal=causal, segment_ids=segment_ids, window=window,
-        softcap=softcap, scale=scale, positions=positions)
+        softcap=softcap, scale=scale, positions=positions,
+        image_spans=image_spans)
