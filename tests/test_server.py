@@ -1,0 +1,93 @@
+"""OpenAI/Anthropic-compatible server tests: real HTTP requests against a
+live server backed by a tiny model (reference: studio inference API
+tests)."""
+
+import json
+import urllib.request
+
+import jax
+import pytest
+
+from unsloth_tpu.inference.server import InferenceServer
+from unsloth_tpu.models.config import ModelConfig
+from unsloth_tpu.models.loader import LanguageModel
+from unsloth_tpu.models.params import init_params
+
+from tests.test_trainer_grpo import CharTokenizer
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = ModelConfig(vocab_size=128, hidden_size=32, intermediate_size=64,
+                      num_layers=2, num_heads=2, num_kv_heads=2,
+                      max_position_embeddings=256, eos_token_id=0)
+    model = LanguageModel(cfg=cfg, params=init_params(
+        cfg, jax.random.PRNGKey(0)), tokenizer=CharTokenizer())
+    srv = InferenceServer(model, model_name="tiny-test")
+    httpd = srv.serve(port=18371, background=True)
+    yield "http://127.0.0.1:18371"
+    httpd.shutdown()
+
+
+def _post(url, path, body):
+    req = urllib.request.Request(
+        url + path, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _get(url, path):
+    with urllib.request.urlopen(url + path, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_health_and_models(server):
+    code, body = _get(server, "/health")
+    assert code == 200 and body["status"] == "ok"
+    code, body = _get(server, "/v1/models")
+    assert body["data"][0]["id"] == "tiny-test"
+
+
+def test_chat_completions(server):
+    code, body = _post(server, "/v1/chat/completions", {
+        "model": "tiny-test",
+        "messages": [{"role": "user", "content": "hi"}],
+        "max_tokens": 8, "temperature": 0,
+    })
+    assert code == 200
+    assert body["object"] == "chat.completion"
+    assert body["choices"][0]["message"]["role"] == "assistant"
+    assert isinstance(body["choices"][0]["message"]["content"], str)
+    assert body["usage"]["total_tokens"] > 0
+
+
+def test_anthropic_messages(server):
+    code, body = _post(server, "/v1/messages", {
+        "model": "tiny-test",
+        "system": "be brief",
+        "messages": [{"role": "user",
+                      "content": [{"type": "text", "text": "hey"}]}],
+        "max_tokens": 8,
+    })
+    assert code == 200
+    assert body["type"] == "message"
+    assert body["content"][0]["type"] == "text"
+
+
+def test_completions_endpoint(server):
+    code, body = _post(server, "/v1/completions", {
+        "prompt": "abc", "max_tokens": 4, "temperature": 0})
+    assert code == 200
+    assert body["object"] == "text_completion"
+
+
+def test_error_paths(server):
+    code, body = _post(server, "/v1/chat/completions", {})
+    assert code == 400
+    assert "missing field" in body["error"]["message"]
+    code, _ = _post(server, "/v1/nope", {})
+    assert code == 404

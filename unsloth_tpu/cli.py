@@ -193,6 +193,22 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from .inference.server import InferenceServer
+    from .models.loader import FastLanguageModel
+
+    model, tokenizer = FastLanguageModel.from_pretrained(
+        args.model_name, load_in_4bit=args.load_in_4bit)
+    model.for_inference()
+    srv = InferenceServer(model, tokenizer,
+                          model_name=os.path.basename(args.model_name))
+    print(f"serving OpenAI/Anthropic-compatible APIs on "
+          f"http://{args.host}:{args.port} "
+          f"(/v1/chat/completions, /v1/messages, /v1/completions)")
+    srv.serve(host=args.host, port=args.port)
+    return 0
+
+
 def cmd_models(args) -> int:
     from .models.mapper import search_models
 
@@ -227,12 +243,20 @@ def main(argv=None) -> int:
     p_models = sub.add_parser("models", help="search the model catalog")
     p_models.add_argument("query", nargs="?", default="")
 
+    p_serve = sub.add_parser(
+        "serve", help="OpenAI/Anthropic-compatible inference server")
+    p_serve.add_argument("--model_name", required=True)
+    p_serve.add_argument("--load_in_4bit", action="store_true", default=True)
+    p_serve.add_argument("--host", default="127.0.0.1")
+    p_serve.add_argument("--port", type=int, default=8000)
+
     args = parser.parse_args(argv)
     return {
         "train": cmd_train,
         "chat": cmd_chat,
         "export": cmd_export,
         "models": cmd_models,
+        "serve": cmd_serve,
     }[args.command](args)
 
 

@@ -1,0 +1,184 @@
+"""OpenAI- and Anthropic-compatible HTTP serving.
+
+Parity target: the reference exposes `/v1/chat/completions`, `/v1/responses`
+and `/v1/messages` from the Studio backend (reference: studio/backend/core/
+inference/{inference,anthropic_compat}.py, served by llama.cpp subprocesses)
+and `unsloth start <agent>` connects coding agents to them.
+
+Implementation: stdlib ThreadingHTTPServer (this image ships no
+fastapi/flask) in front of the on-device generate loop. Single-flight
+generation guarded by a lock — the analog of the reference's llama.cpp
+admission control (llama_admission.py).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+
+from .generate import SamplingParams, generate
+
+
+class InferenceServer:
+    def __init__(self, model, tokenizer=None, model_name: str = "local"):
+        self.model = model
+        self.tokenizer = tokenizer or model.tokenizer
+        self.model_name = model_name
+        self._lock = threading.Lock()  # single-flight generation
+
+    # -- request handling ------------------------------------------------
+
+    def chat_completion(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        messages = body["messages"]
+        prompt = self._render(messages)
+        params = SamplingParams(
+            max_tokens=int(body.get("max_tokens",
+                                    body.get("max_completion_tokens", 256))),
+            temperature=float(body.get("temperature", 0.7)),
+            top_p=float(body.get("top_p", 1.0)),
+            seed=int(body.get("seed", 0)),
+        )
+        with self._lock:
+            text = generate(self.model, [prompt], params,
+                            tokenizer=self.tokenizer)[0]
+        n_prompt = len(self.tokenizer(prompt)["input_ids"])
+        n_out = len(self.tokenizer(text)["input_ids"])
+        return {
+            "id": f"chatcmpl-{uuid.uuid4().hex[:16]}",
+            "object": "chat.completion",
+            "created": int(time.time()),
+            "model": body.get("model", self.model_name),
+            "choices": [{
+                "index": 0,
+                "message": {"role": "assistant", "content": text},
+                "finish_reason": "stop",
+            }],
+            "usage": {"prompt_tokens": n_prompt,
+                      "completion_tokens": n_out,
+                      "total_tokens": n_prompt + n_out},
+        }
+
+    def anthropic_messages(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        """/v1/messages (Anthropic Messages API shape)."""
+        messages = list(body.get("messages", []))
+        if body.get("system"):
+            messages = [{"role": "system", "content": body["system"]}] \
+                + messages
+        # content may be a list of blocks
+        norm = []
+        for m in messages:
+            c = m["content"]
+            if isinstance(c, list):
+                c = "".join(b.get("text", "") for b in c
+                            if b.get("type") == "text")
+            norm.append({"role": m["role"], "content": c})
+        prompt = self._render(norm)
+        params = SamplingParams(
+            max_tokens=int(body.get("max_tokens", 256)),
+            temperature=float(body.get("temperature", 0.7)),
+        )
+        with self._lock:
+            text = generate(self.model, [prompt], params,
+                            tokenizer=self.tokenizer)[0]
+        return {
+            "id": f"msg_{uuid.uuid4().hex[:16]}",
+            "type": "message",
+            "role": "assistant",
+            "model": body.get("model", self.model_name),
+            "content": [{"type": "text", "text": text}],
+            "stop_reason": "end_turn",
+            "usage": {"input_tokens": len(self.tokenizer(prompt)["input_ids"]),
+                      "output_tokens": len(self.tokenizer(text)["input_ids"])},
+        }
+
+    def completions(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        prompt = body["prompt"]
+        if isinstance(prompt, list):
+            prompt = prompt[0]
+        params = SamplingParams(
+            max_tokens=int(body.get("max_tokens", 256)),
+            temperature=float(body.get("temperature", 0.7)))
+        with self._lock:
+            text = generate(self.model, [prompt], params,
+                            tokenizer=self.tokenizer)[0]
+        return {
+            "id": f"cmpl-{uuid.uuid4().hex[:16]}",
+            "object": "text_completion",
+            "created": int(time.time()),
+            "model": body.get("model", self.model_name),
+            "choices": [{"index": 0, "text": text,
+                         "finish_reason": "stop"}],
+        }
+
+    def models_list(self) -> Dict[str, Any]:
+        return {"object": "list",
+                "data": [{"id": self.model_name, "object": "model",
+                          "owned_by": "unsloth_tpu"}]}
+
+    def _render(self, messages) -> str:
+        if getattr(self.tokenizer, "chat_template", None):
+            return self.tokenizer.apply_chat_template(
+                messages, tokenize=False, add_generation_prompt=True)
+        return "\n".join(f"{m['role']}: {m['content']}"
+                         for m in messages) + "\nassistant:"
+
+    # -- HTTP plumbing ---------------------------------------------------
+
+    def make_handler(server):
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):
+                pass
+
+            def _send(self, code: int, payload: Dict[str, Any]):
+                data = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                if self.path == "/v1/models":
+                    return self._send(200, server.models_list())
+                if self.path == "/health":
+                    return self._send(200, {"status": "ok"})
+                return self._send(404, {"error": "not found"})
+
+            def do_POST(self):
+                length = int(self.headers.get("Content-Length", 0))
+                try:
+                    body = json.loads(self.rfile.read(length) or b"{}")
+                except json.JSONDecodeError:
+                    return self._send(400, {"error": {
+                        "message": "invalid JSON body"}})
+                try:
+                    if self.path == "/v1/chat/completions":
+                        return self._send(200, server.chat_completion(body))
+                    if self.path == "/v1/messages":
+                        return self._send(200,
+                                          server.anthropic_messages(body))
+                    if self.path == "/v1/completions":
+                        return self._send(200, server.completions(body))
+                    return self._send(404, {"error": "not found"})
+                except KeyError as e:
+                    return self._send(400, {"error": {
+                        "message": f"missing field: {e}"}})
+                except Exception as e:  # noqa: BLE001
+                    return self._send(500, {"error": {
+                        "message": f"{type(e).__name__}: {e}"}})
+
+        return Handler
+
+    def serve(self, host: str = "127.0.0.1", port: int = 8000,
+              background: bool = False):
+        httpd = ThreadingHTTPServer((host, port), self.make_handler())
+        if background:
+            thread = threading.Thread(target=httpd.serve_forever,
+                                      daemon=True)
+            thread.start()
+            return httpd
+        httpd.serve_forever()

@@ -181,12 +181,25 @@ def forward(
     segment_ids: Optional[jnp.ndarray] = None,   # [B, T] int32
     inputs_embeds: Optional[jnp.ndarray] = None,  # [B, T, D] (pre-scaled)
     image_spans: Optional[jnp.ndarray] = None,   # [B, T] int32, 0 = text
-    remat: bool = True,
+    remat: Any = True,
     remat_policy: Optional[Any] = None,
 ) -> jnp.ndarray:
     """Run the decoder stack; returns final hidden states [B, T, D]
     (pre-lm_head — the reference's UNSLOTH_RETURN_HIDDEN_STATES shape,
-    models/llama.py:1442-1451)."""
+    models/llama.py:1442-1451).
+
+    remat:
+      False      — no rematerialization
+      True/"layer" — per-layer jax.checkpoint (standard GC)
+      "offload"  — one checkpoint over the whole stack; only per-layer
+        boundary activations survive, offloaded to pinned host memory.
+        This is the TPU-native form of the reference's "unsloth" offloaded
+        gradient checkpointing (zoo Unsloth_Offloaded_Gradient_Checkpointer,
+        reference _utils.py:139-148,356-382: each layer's activation
+        asynchronously swapped to CPU) — expressed as an XLA remat policy
+        instead of hand-written D2H copies, so the compiler overlaps the
+        transfers with compute.
+    """
     b, t = input_ids.shape
     if positions is None:
         positions = jnp.broadcast_to(
@@ -207,20 +220,39 @@ def forward(
 
     cos, sin, cos_local, sin_local = _rope_tables(cfg, positions)
 
-    layer_fn = decoder_layer
-    if remat:
+    lora_layers = (lora or {}).get("layers")
+
+    def run_stack(x, layer_fn):
+        for i, layer_p in enumerate(params["layers"]):
+            lora_p = lora_layers[i] if lora_layers else None
+            x = layer_fn(x, layer_p, lora_p, cfg, i,
+                         cos, sin, cos_local, sin_local, segment_ids,
+                         positions, image_spans)
+        return x
+
+    if remat == "offload":
+        from jax.ad_checkpoint import checkpoint_name
+
+        def named_layer(x, *args):
+            return checkpoint_name(decoder_layer(x, *args),
+                                   "decoder_layer_output")
+
+        policy = jax.checkpoint_policies.save_and_offload_only_these_names(
+            names_which_can_be_saved=[],
+            names_which_can_be_offloaded=["decoder_layer_output"],
+            offload_src="device", offload_dst="pinned_host")
+        stack = jax.checkpoint(
+            lambda x: run_stack(x, named_layer), policy=policy)
+        x = stack(x)
+    elif remat:
         layer_fn = jax.checkpoint(
             decoder_layer,
             policy=remat_policy,
             static_argnums=(3, 4),
         )
-
-    lora_layers = (lora or {}).get("layers")
-    for i, layer_p in enumerate(params["layers"]):
-        lora_p = lora_layers[i] if lora_layers else None
-        x = layer_fn(x, layer_p, lora_p, cfg, i,
-                     cos, sin, cos_local, sin_local, segment_ids, positions,
-                     image_spans)
+        x = run_stack(x, layer_fn)
+    else:
+        x = run_stack(x, decoder_layer)
 
     return _norm(x, params["final_norm"], cfg)
 

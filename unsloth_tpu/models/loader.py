@@ -47,6 +47,9 @@ class LanguageModel:
     hf_config: Optional[Dict[str, Any]] = None
     lora_config: Optional[Dict[str, Any]] = None
     _mode: str = "training"
+    # gradient checkpointing mode: False | True/"layer" | "offload"
+    # ("unsloth" maps to "offload": host-offloaded GC, _utils.py:356-382)
+    gc_mode: Any = True
 
     # -- reference-parity conveniences --------------------------------
     @property
@@ -183,6 +186,9 @@ class FastLanguageModel:
 
             warnings.warn("lora_dropout > 0 is not yet implemented on the "
                           "fast path; proceeding with dropout=0.")
+        model.gc_mode = {"unsloth": "offload", True: True, False: False,
+                         "layer": True, "offload": "offload"}.get(
+            use_gradient_checkpointing, True)
         key = jax.random.PRNGKey(random_state)
         model.lora = init_lora_tree(
             model.cfg, key, r=r, alpha=lora_alpha,

@@ -238,14 +238,17 @@ class SFTTrainer:
         full_ft = model.lora is None
         accum = self.args.gradient_accumulation_steps
 
+        gc_mode = getattr(model, "gc_mode", True)
+
         def loss_for(trainables, base_params, micro):
             n_items = micro.pop("n_items")
             if full_ft:
                 return model_loss_fn(trainables, None, micro, cfg,
                                      n_items=n_items,
-                                     lm_head_trainable=True)
+                                     lm_head_trainable=True,
+                                     remat=gc_mode)
             return model_loss_fn(base_params, trainables, micro, cfg,
-                                 n_items=n_items)
+                                 n_items=n_items, remat=gc_mode)
 
         def train_step(trainables, opt_state, base_params, batch):
             """batch leaves have leading [accum, B, T]."""
