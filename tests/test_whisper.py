@@ -1,0 +1,86 @@
+"""Whisper tests: log-mel parity vs transformers' feature extractor and
+model logit parity vs WhisperForConditionalGeneration."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+@pytest.fixture(scope="module")
+def whisper_ckpt(tmp_path_factory):
+    from transformers import WhisperConfig, WhisperForConditionalGeneration
+
+    cfg = WhisperConfig(
+        vocab_size=256, d_model=32, encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_ffn_dim=64, decoder_ffn_dim=64, num_mel_bins=80,
+        max_source_positions=1500, max_target_positions=64,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        decoder_start_token_id=1, suppress_tokens=[],
+        begin_suppress_tokens=[])
+    torch.manual_seed(0)
+    model = WhisperForConditionalGeneration(cfg)
+    model.eval()
+    path = str(tmp_path_factory.mktemp("whisper"))
+    model.save_pretrained(path, safe_serialization=True)
+    return path, model
+
+
+def test_log_mel_matches_transformers():
+    from transformers import WhisperFeatureExtractor
+
+    from unsloth_tpu.models.whisper import log_mel_spectrogram
+
+    fe = WhisperFeatureExtractor()
+    rng = np.random.RandomState(0)
+    audio = (rng.randn(16000 * 2) * 0.1).astype(np.float32)  # 2 s
+    ref = fe(audio, sampling_rate=16000,
+             return_tensors="np")["input_features"][0]       # [80, 3000]
+    ours = np.asarray(log_mel_spectrogram(jnp.asarray(audio))[0])
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_whisper_logit_parity(whisper_ckpt):
+    from unsloth_tpu.models.whisper import (load_whisper, whisper_decode,
+                                            whisper_encode)
+
+    path, hf_model = whisper_ckpt
+    params, cfg = load_whisper(path)
+
+    rng = np.random.RandomState(1)
+    feats = rng.randn(1, 80, 3000).astype(np.float32)
+    dec_ids = np.arange(1, 9).reshape(1, 8)
+
+    with torch.no_grad():
+        hf_logits = hf_model(
+            input_features=torch.tensor(feats),
+            decoder_input_ids=torch.tensor(dec_ids)).logits.numpy()
+
+    enc = whisper_encode(params, jnp.asarray(feats), cfg)
+    logits = whisper_decode(params, jnp.asarray(dec_ids, jnp.int32),
+                            enc, cfg)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits,
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_whisper_loss_and_grads(whisper_ckpt):
+    from unsloth_tpu.models.whisper import load_whisper, whisper_loss
+
+    path, _ = whisper_ckpt
+    params, cfg = load_whisper(path)
+    rng = np.random.RandomState(2)
+    feats = jnp.asarray(rng.randn(1, 80, 3000).astype(np.float32))
+    ids = jnp.asarray(np.arange(1, 9).reshape(1, 8), jnp.int32)
+    labels = jnp.asarray(np.arange(2, 10).reshape(1, 8), jnp.int32)
+
+    loss, grads = jax.value_and_grad(
+        lambda p: whisper_loss(p, feats, ids, labels, cfg))(params)
+    assert np.isfinite(float(loss))
+    g = grads["decoder"]["layers"][0]["cross_attn"]["q"]["kernel"]
+    assert float(jnp.max(jnp.abs(g))) > 0
