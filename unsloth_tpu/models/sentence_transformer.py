@@ -1,0 +1,203 @@
+"""FastSentenceTransformer — embedding-model fine-tuning.
+
+Parity target: reference models/sentence_transformer.py (wraps the
+sentence-transformers module graph: from_pretrained :1452, get_peft_model
+:2005, trainer patch :2226; "1.8-3.3x faster embedding fine-tuning",
+README.md:219).
+
+TPU-native: an embedding model is our decoder archetype run (optionally)
+with bidirectional attention + a pooling head. Covers decoder-based
+embedders (embeddinggemma = gemma3 text + mean pooling) directly from
+their HF checkpoints; the contrastive losses (MultipleNegativesRanking,
+cosine-similarity MSE) are jnp functions over pooled embeddings.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .decoder import forward as decoder_forward
+from .loader import FastLanguageModel, LanguageModel
+
+
+def mean_pool(hidden: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """[B, T, D], [B, T] -> [B, D] mean over real tokens."""
+    m = mask.astype(hidden.dtype)[..., None]
+    return jnp.sum(hidden * m, axis=1) / jnp.maximum(
+        jnp.sum(m, axis=1), 1.0)
+
+
+def cls_pool(hidden: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    return hidden[:, 0]
+
+
+def last_token_pool(hidden: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    idx = jnp.maximum(jnp.sum(mask, axis=1) - 1, 0)
+    return jnp.take_along_axis(
+        hidden, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+
+
+POOLERS = {"mean": mean_pool, "cls": cls_pool, "last": last_token_pool}
+
+
+def multiple_negatives_ranking_loss(anchors: jnp.ndarray,
+                                    positives: jnp.ndarray,
+                                    scale: float = 20.0) -> jnp.ndarray:
+    """In-batch negatives contrastive loss (sentence-transformers MNRL)."""
+    a = anchors / jnp.linalg.norm(anchors, axis=-1, keepdims=True)
+    p = positives / jnp.linalg.norm(positives, axis=-1, keepdims=True)
+    logits = a @ p.T * scale                      # [B, B]
+    labels = jnp.arange(a.shape[0])
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], 1))
+
+
+def cosine_similarity_loss(emb1, emb2, target_scores) -> jnp.ndarray:
+    a = emb1 / jnp.linalg.norm(emb1, axis=-1, keepdims=True)
+    b = emb2 / jnp.linalg.norm(emb2, axis=-1, keepdims=True)
+    cos = jnp.sum(a * b, axis=-1)
+    return jnp.mean((cos - target_scores) ** 2)
+
+
+@dataclasses.dataclass
+class SentenceTransformerModel:
+    lm: LanguageModel
+    pooling: str = "mean"
+    normalize: bool = True
+    bidirectional: bool = True    # embeddinggemma-style
+    max_seq_length: int = 512
+
+    @property
+    def tokenizer(self):
+        return self.lm.tokenizer
+
+    def _encode_ids(self, lora, input_ids, mask):
+        h = decoder_forward(
+            self.lm.params, lora, input_ids, self.lm.cfg,
+            segment_ids=mask.astype(jnp.int32),
+            remat=False,
+            # bidirectional: mark everything one big "image span" so the
+            # causal mask opens up within real tokens
+            image_spans=mask.astype(jnp.int32) if self.bidirectional
+            else None)
+        emb = POOLERS[self.pooling](h, mask)
+        if self.normalize:
+            emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        return emb
+
+    def encode(self, texts: Sequence[str], batch_size: int = 32
+               ) -> np.ndarray:
+        """sentence-transformers-compatible encode()."""
+        tok = self.tokenizer
+        out = []
+        for i in range(0, len(texts), batch_size):
+            ids, mask = self._tokenize(texts[i:i + batch_size])
+            out.append(np.asarray(self._encode_ids(
+                self.lm.lora, jnp.asarray(ids), jnp.asarray(mask))))
+        return np.concatenate(out)
+
+    def _tokenize(self, texts):
+        tok = self.tokenizer
+        encs = [tok(t)["input_ids"][: self.max_seq_length] for t in texts]
+        t_max = max(8, max(len(e) for e in encs))
+        t_max = ((t_max + 7) // 8) * 8
+        ids = np.zeros((len(encs), t_max), np.int32)
+        mask = np.zeros((len(encs), t_max), np.int32)
+        for i, e in enumerate(encs):
+            ids[i, :len(e)] = e
+            mask[i, :len(e)] = 1
+        return ids, mask
+
+    def similarity(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        a = a / np.linalg.norm(a, axis=-1, keepdims=True)
+        b = b / np.linalg.norm(b, axis=-1, keepdims=True)
+        return a @ b.T
+
+
+class FastSentenceTransformer:
+    """Reference-compatible entry (reference:
+    sentence_transformer.py:1452)."""
+
+    @staticmethod
+    def from_pretrained(model_name: str, max_seq_length: int = 512,
+                        pooling: str = "mean", load_in_4bit: bool = False,
+                        dtype=None, **kw
+                        ) -> Tuple[SentenceTransformerModel, Any]:
+        lm, tokenizer = FastLanguageModel.from_pretrained(
+            model_name, max_seq_length=max_seq_length,
+            load_in_4bit=load_in_4bit, dtype=dtype, **kw)
+        model = SentenceTransformerModel(lm=lm, pooling=pooling,
+                                         max_seq_length=max_seq_length)
+        return model, tokenizer
+
+    @staticmethod
+    def get_peft_model(model: SentenceTransformerModel, **kw):
+        FastLanguageModel.get_peft_model(model.lm, **kw)
+        return model
+
+
+@dataclasses.dataclass
+class EmbeddingTrainerConfig:
+    learning_rate: float = 2e-5
+    max_steps: int = 100
+    per_device_train_batch_size: int = 16
+    scale: float = 20.0
+    logging_steps: int = 10
+    warmup_steps: int = 0
+    seed: int = 3407
+
+
+class SentenceTransformerTrainer:
+    """Contrastive fine-tuning on (anchor, positive) pairs with in-batch
+    negatives (the dominant sentence-transformers recipe)."""
+
+    def __init__(self, model: SentenceTransformerModel, train_dataset,
+                 args: Optional[EmbeddingTrainerConfig] = None, **kw):
+        self.model = model
+        self.args = args or EmbeddingTrainerConfig()
+        self.train_dataset = list(train_dataset)
+        self.state_log: List[Dict[str, Any]] = []
+
+    def train(self):
+        model = self.model
+        args = self.args
+        assert model.lm.lora is not None, "call get_peft_model first"
+        tx = optax.adamw(args.learning_rate)
+        opt_state = tx.init(model.lm.lora)
+
+        def loss_fn(lora, a_ids, a_mask, p_ids, p_mask):
+            a = model._encode_ids(lora, a_ids, a_mask)
+            p = model._encode_ids(lora, p_ids, p_mask)
+            return multiple_negatives_ranking_loss(a, p, args.scale)
+
+        @jax.jit
+        def step(lora, opt_state, a_ids, a_mask, p_ids, p_mask):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                lora, a_ids, a_mask, p_ids, p_mask)
+            updates, opt_state = tx.update(grads, opt_state, lora)
+            return optax.apply_updates(lora, updates), opt_state, loss
+
+        bsz = args.per_device_train_batch_size
+        ds = self.train_dataset
+        idx = 0
+        for s in range(args.max_steps):
+            batch = [ds[(idx + j) % len(ds)] for j in range(bsz)]
+            idx += bsz
+            a_ids, a_mask = model._tokenize(
+                [ex["anchor"] for ex in batch])
+            p_ids, p_mask = model._tokenize(
+                [ex["positive"] for ex in batch])
+            model.lm.lora, opt_state, loss = step(
+                model.lm.lora, opt_state, jnp.asarray(a_ids),
+                jnp.asarray(a_mask), jnp.asarray(p_ids),
+                jnp.asarray(p_mask))
+            if (s + 1) % args.logging_steps == 0 or s == 0:
+                self.state_log.append({"loss": float(loss), "step": s + 1})
+        return self.state_log
