@@ -110,7 +110,21 @@ def build_optimizer(args: SFTConfig, total_steps: int, trainables=None):
             lr, b1=args.adam_beta1, b2=args.adam_beta2,
             eps=args.adam_epsilon, weight_decay=args.weight_decay)
 
-    inner = adamw(schedule)
+    if "galore" in args.optim:
+        # Q-GaLore-style low-rank-state optimizer for full fine-tuning
+        # (reference: trainer.py:458-556 builds the Q-GaLore optimizer).
+        from ..optimizers.galore import galore
+
+        inner = galore(learning_rate=schedule,
+                       rank=int(args.extra.get("galore_rank", 128)),
+                       update_proj_gap=int(
+                           args.extra.get("galore_update_proj_gap", 200)),
+                       galore_scale=float(
+                           args.extra.get("galore_scale", 0.25)),
+                       b1=args.adam_beta1, b2=args.adam_beta2,
+                       eps=args.adam_epsilon)
+    else:
+        inner = adamw(schedule)
     # Separate embedding learning rate (reference: trainer.py:435-456
     # UnslothTrainer.create_optimizer splits embedding params): applies to
     # the full-rank embed/lm_head copies created by modules_to_save.
