@@ -115,3 +115,26 @@ def test_sampling_temperature_varies(model):
         outs.add(tuple(generate(model, [[1, 2, 3]], p,
                                 return_token_ids=True)[0]))
     assert len(outs) > 1
+
+
+def test_num_return_sequences_grouping(model):
+    """Shared-prefix fanout: G completions per prompt, grouped
+    consecutively; greedy fanout equals repeated greedy."""
+    p1, p2 = [1, 2, 3, 4], [9, 8, 7]
+    outs = generate(model, [p1, p2], SamplingParams(max_tokens=4),
+                    return_token_ids=True, num_return_sequences=3)
+    assert len(outs) == 6
+    solo1 = generate(model, [p1], SamplingParams(max_tokens=4),
+                     return_token_ids=True)[0]
+    solo2 = generate(model, [p2], SamplingParams(max_tokens=4),
+                     return_token_ids=True)[0]
+    assert outs[0] == outs[1] == outs[2] == solo1  # greedy => identical
+    assert outs[3] == outs[4] == outs[5] == solo2
+
+
+def test_num_return_sequences_sampling_diverse(model):
+    outs = generate(model, [[1, 2, 3]],
+                    SamplingParams(max_tokens=8, temperature=2.0, seed=1),
+                    return_token_ids=True, num_return_sequences=4)
+    assert len(outs) == 4
+    assert len({tuple(o) for o in outs}) > 1  # streams sample independently

@@ -57,9 +57,15 @@ def _sample(logits, key, p: SamplingParams):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_new_tokens", "sampling"))
+    static_argnames=("cfg", "max_new_tokens", "sampling", "n_fanout"))
 def _generate_jit(params, lora, prompt_ids, prompt_mask, cfg, rng,
-                  max_new_tokens, eos_ids, sampling: SamplingParams):
+                  max_new_tokens, eos_ids, sampling: SamplingParams,
+                  n_fanout: int = 1):
+    """n_fanout > 1: each prompt is prefilled ONCE and its KV cache tiled
+    into n_fanout independent decode streams — the TPU formulation of the
+    reference's PrefixGrouper / GRPO shared-prefix dedup (reference:
+    utils/prefix_grouper.py — completions sharing a prompt attend the
+    prefix once)."""
     b, t_prompt = prompt_ids.shape
     total = t_prompt + max_new_tokens
     cache = init_cache(cfg, b, total, dtype=jnp.bfloat16)
@@ -77,9 +83,22 @@ def _generate_jit(params, lora, prompt_ids, prompt_mask, cfg, rng,
         params, lora, prompt_ids, cfg, cache,
         positions=positions, kv_valid_extra=kv_valid_extra)
     last_h = h[:, -1, :]
-    logits = logits_from_hidden(params, last_h[:, None, :], cfg)[:, 0]
+    logits = logits_from_hidden(params, last_h, cfg)
 
     next_positions = positions[:, -1] + 1                           # [B]
+
+    if n_fanout > 1:
+        # tile prefill results across fanout streams: [B] -> [B*G]
+        def tile(x):
+            return jnp.repeat(x, n_fanout, axis=0)
+
+        cache = KVCache(k=[tile(k) for k in cache.k],
+                        v=[tile(v) for v in cache.v],
+                        length=cache.length)
+        logits = tile(logits)
+        next_positions = tile(next_positions)
+        kv_valid_extra = tile(kv_valid_extra)
+        b = b * n_fanout
 
     key0 = jax.random.PRNGKey(sampling.seed) if rng is None else rng
     tok0 = _sample(logits, key0, sampling)
@@ -122,9 +141,14 @@ def generate(
     tokenizer=None,
     skip_special_tokens: bool = True,
     return_token_ids: bool = False,
+    num_return_sequences: int = 1,
 ):
     """High-level generate: strings or token-id lists in, strings (or ids)
-    out. This is `model.fast_generate` in the reference API."""
+    out. This is `model.fast_generate` in the reference API.
+
+    num_return_sequences=G returns G completions per prompt (grouped
+    consecutively) with the prompt prefilled once — shared-prefix
+    dedup for GRPO rollouts."""
     sampling = sampling_params or SamplingParams()
     if max_new_tokens is not None:
         sampling = dataclasses.replace(sampling, max_tokens=max_new_tokens)
@@ -163,18 +187,20 @@ def generate(
         model.params, model.lora, jnp.asarray(prompt_ids),
         jnp.asarray(prompt_mask), model.cfg,
         jax.random.PRNGKey(sampling.seed),
-        sampling.max_tokens, eos_ids, sampling)
+        sampling.max_tokens, eos_ids, sampling,
+        n_fanout=num_return_sequences)
     out = np.asarray(jax.device_get(out))
 
+    n_out = b * num_return_sequences
     if return_token_ids or tok is None:
         results = []
-        for i in range(b):
+        for i in range(n_out):
             ids = out[i].tolist()
             ids = _trim_eos(ids, set(int(e) for e in eos))
             results.append(ids)
         return results
     texts = []
-    for i in range(b):
+    for i in range(n_out):
         ids = _trim_eos(out[i].tolist(), set(int(e) for e in eos))
         texts.append(tok.decode(ids, skip_special_tokens=skip_special_tokens))
     return texts

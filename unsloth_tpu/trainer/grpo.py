@@ -193,18 +193,20 @@ class GRPOTrainer:
         per prompt."""
         args = self.args
         g = args.num_generations
-        expanded = [p for p in prompts for _ in range(g)]
         tok = self.tokenizer
         encoded = [tok(p)["input_ids"][-args.max_prompt_length:]
-                   for p in expanded]
-        completions = []
+                   for p in prompts]
         sp = SamplingParams(
             max_tokens=args.max_completion_length,
             temperature=args.temperature, top_p=args.top_p,
             top_k=args.top_k, seed=int(time.time_ns() % (2**31)))
+        # shared-prefix rollout: each prompt prefilled once, G decode
+        # streams fan out from the tiled KV cache (PrefixGrouper parity)
         completions = generate(self.model, encoded, sp,
-                               return_token_ids=True)
-        return encoded, completions
+                               return_token_ids=True,
+                               num_return_sequences=g)
+        expanded = [p for p in encoded for _ in range(g)]
+        return expanded, completions
 
     def _build_batch(self, prompt_ids, completion_ids, advantages):
         args = self.args
