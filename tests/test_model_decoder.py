@@ -164,3 +164,16 @@ def test_packed_segments_match_separate(rng, tiny_config):
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(h_packed[:, 8:]), np.asarray(h_b),
                                atol=2e-5)
+
+
+def test_tiled_mlp_matches_dense(rng, tiny_config, monkeypatch):
+    """UNSLOTH_TILED_MLP chunking must be numerically identical."""
+    from unsloth_tpu.models.decoder import forward as fwd
+
+    params = init_params(tiny_config, rng)
+    ids = jax.random.randint(rng, (2, 32), 0, tiny_config.vocab_size)
+    h_dense = fwd(params, None, ids, tiny_config, remat=False)
+    monkeypatch.setenv("UNSLOTH_TILED_MLP", "chunk:16")
+    h_tiled = fwd(params, None, ids, tiny_config, remat=False)
+    np.testing.assert_allclose(np.asarray(h_dense), np.asarray(h_tiled),
+                               atol=1e-5)

@@ -1,0 +1,63 @@
+"""FP8 block quantization tests (reference: kernels/fp8.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unsloth_tpu.ops.fp8 import (FP8Tensor, dequantize_fp8, fp8_matmul_ref,
+                                 load_fp8_checkpoint_tensor,
+                                 quantize_fp8_block)
+
+
+def test_quant_roundtrip_error(rng):
+    w = jax.random.normal(rng, (256, 384), jnp.float32) * 0.1
+    q = quantize_fp8_block(w, block=128)
+    back = dequantize_fp8(q, jnp.float32)
+    rel = float(jnp.abs(back - w).max() / jnp.abs(w).max())
+    assert rel < 0.07, rel  # e4m3 has ~2 decimal digits
+
+
+def test_non_divisible_shapes(rng):
+    w = jax.random.normal(rng, (100, 200), jnp.float32)
+    q = quantize_fp8_block(w, block=128)
+    assert q.values.shape == (100, 200)
+    back = dequantize_fp8(q, jnp.float32)
+    assert back.shape == (100, 200)
+    assert float(jnp.abs(back - w).max()) < 0.1 * float(jnp.abs(w).max())
+
+
+def test_matmul_and_base_matmul(rng):
+    from unsloth_tpu.ops.lora import base_matmul
+
+    k1, k2 = jax.random.split(rng)
+    w = jax.random.normal(k1, (128, 256), jnp.float32) * 0.1
+    x = jax.random.normal(k2, (4, 256), jnp.float32)
+    q = quantize_fp8_block(w, dtype=jnp.float32)
+    y = fp8_matmul_ref(x, q)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(
+        x @ dequantize_fp8(q, jnp.float32).T), atol=1e-4)
+    y2 = base_matmul(x, q)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=1e-4)
+
+
+def test_checkpoint_format_load(rng):
+    """DeepSeek-style (weight fp8, weight_scale_inv) pairs load directly."""
+    w = jax.random.normal(rng, (256, 256), jnp.float32) * 0.05
+    q = quantize_fp8_block(w, block=128)
+    q2 = load_fp8_checkpoint_tensor(q.values, q.scales)
+    np.testing.assert_allclose(
+        np.asarray(dequantize_fp8(q, jnp.float32)),
+        np.asarray(dequantize_fp8(q2, jnp.float32)))
+
+
+def test_memory_footprint(rng):
+    w = jax.random.normal(rng, (1024, 1024), jnp.float32)
+    q = quantize_fp8_block(w)
+    assert q.nbytes < 1.05 * w.size  # ~1 byte/param
+
+
+def test_is_pytree(rng):
+    q = quantize_fp8_block(jax.random.normal(rng, (128, 128)))
+    q2 = jax.tree_util.tree_map(lambda x: x, q)
+    assert isinstance(q2, FP8Tensor)

@@ -109,11 +109,38 @@ def attention_block(
 def mlp_block(x, layer_p, lora_p, cfg: ModelConfig, layer_idx: int):
     if cfg.layer_is_moe(layer_idx) and "experts" in layer_p:
         return moe_block(x, layer_p, cfg)
-    glu = glu_for(cfg.hidden_act)
-    e = _proj(x, layer_p, lora_p, "gate")
-    g = _proj(x, layer_p, lora_p, "up")
-    h = glu(e, g)
-    return _proj(h, layer_p, lora_p, "down")
+
+    def dense_mlp(xc):
+        glu = glu_for(cfg.hidden_act)
+        e = _proj(xc, layer_p, lora_p, "gate")
+        g = _proj(xc, layer_p, lora_p, "up")
+        return _proj(glu(e, g), layer_p, lora_p, "down")
+
+    # Tiled MLP: chunk the token dim so the [tokens, F] intermediates
+    # (F is ~3.5x D) never materialize for the full sequence — the
+    # long-context memory lever (reference: zoo tiled_mlp via
+    # UNSLOTH_TILED_MLP, loader.py:74,1096-1102). Each chunk is
+    # checkpointed so backward residuals stay [tokens, D].
+    tile = _tiled_mlp_chunk()
+    b, t, d = x.shape
+    if tile and b * t > tile and (b * t) % tile == 0:
+        xf = x.reshape(-1, tile, d)
+        out = jax.lax.map(jax.checkpoint(dense_mlp), xf)
+        return out.reshape(b, t, d)
+    return dense_mlp(x)
+
+
+def _tiled_mlp_chunk() -> int:
+    """Parse UNSLOTH_TILED_MLP: unset/0 = off, '1'/truthy = 4096 tokens,
+    'chunk:N' = N tokens."""
+    import os
+
+    raw = os.environ.get("UNSLOTH_TILED_MLP", "")
+    if not raw or raw.lower() in ("0", "false", "off"):
+        return 0
+    if raw.startswith("chunk:"):
+        return int(raw.split(":", 1)[1])
+    return 4096
 
 
 def moe_block(x, layer_p, cfg: ModelConfig):

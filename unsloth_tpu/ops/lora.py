@@ -45,7 +45,7 @@ class LoRAWeights:
         return cls(children[0], children[1], aux[0])
 
 
-BaseWeight = Union[jnp.ndarray, NF4Tensor]
+BaseWeight = Union[jnp.ndarray, NF4Tensor, "FP8Tensor"]  # noqa: F821
 
 
 def base_matmul(x: jnp.ndarray, w: BaseWeight) -> jnp.ndarray:
@@ -65,6 +65,10 @@ def base_matmul(x: jnp.ndarray, w: BaseWeight) -> jnp.ndarray:
         if m >= 1024 and use_fused_nf4(w):
             return nf4_matmul(x, w)
         wd = dequantize_nf4(w, dtype=x.dtype)
+    elif hasattr(w, "scales"):  # FP8Tensor
+        from .fp8 import dequantize_fp8
+
+        wd = dequantize_fp8(w, dtype=x.dtype)
     else:
         wd = w.astype(x.dtype)
     return jax.lax.dot_general(
