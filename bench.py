@@ -54,14 +54,19 @@ def build_model(cfg, key, quantize=True):
         "lm_head": rand((cfg.vocab_size, d), scale=0.02),
         "layers": [],
     }
-    for i in range(cfg.num_layers):
-        layer = {
-            "input_norm": jnp.ones((d,), jnp.bfloat16),
-            "post_attn_norm": jnp.ones((d,), jnp.bfloat16),
-        }
-        for name in ("q", "k", "v", "o", "gate", "up", "down"):
-            layer[name] = qlinear(name)
-        params["layers"].append(layer)
+    # Quantize ONE layer's weights, then device-copy for the rest: values
+    # don't affect throughput and per-layer quantization dominates build
+    # time. Copies (not aliases) keep the HBM footprint honest.
+    layer0 = {
+        "input_norm": jnp.ones((d,), jnp.bfloat16),
+        "post_attn_norm": jnp.ones((d,), jnp.bfloat16),
+    }
+    for name in ("q", "k", "v", "o", "gate", "up", "down"):
+        layer0[name] = qlinear(name)
+    params["layers"].append(layer0)
+    for i in range(1, cfg.num_layers):
+        params["layers"].append(
+            jax.tree_util.tree_map(jnp.copy, layer0))
     return params
 
 

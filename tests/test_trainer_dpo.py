@@ -74,3 +74,31 @@ def test_dpo_requires_lora(model):
                          processing_class=model.tokenizer)
     with pytest.raises(AssertionError, match="LoRA"):
         trainer.train()
+
+
+def test_orpo_loss_math():
+    from unsloth_tpu.trainer.dpo import orpo_loss
+
+    pc = jnp.log(jnp.asarray([0.6]))
+    pr = jnp.log(jnp.asarray([0.2]))
+    loss, ratio = orpo_loss(pc, pr, -pc, beta=0.5)
+    # chosen odds 1.5, rejected 0.25 => log OR = log 6
+    np.testing.assert_allclose(float(ratio), np.log(6.0), rtol=1e-5)
+    assert float(loss) > 0
+
+
+def test_orpo_end_to_end(model):
+    from unsloth_tpu.trainer.dpo import ORPOConfig, ORPOTrainer
+
+    ds = [{"prompt": "Q:", "chosen": "xyz", "rejected": "abc"}] * 4
+    args = ORPOConfig(per_device_train_batch_size=2, max_steps=8,
+                      learning_rate=2e-2, beta=0.5, logging_steps=1,
+                      warmup_steps=0, lr_scheduler_type="constant",
+                      max_prompt_length=8, max_completion_length=8)
+    tr = ORPOTrainer(model=model, args=args, train_dataset=ds,
+                     processing_class=model.tokenizer)
+    out = tr.train()
+    assert out.global_step == 8
+    first, last = tr.state_log[0], tr.state_log[-1]
+    assert last["loss"] < first["loss"]
+    assert last["rewards/accuracies"] == 1.0

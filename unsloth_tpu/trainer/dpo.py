@@ -185,3 +185,66 @@ def PatchDPOTrainer(*args, **kwargs):
     """Reference API no-op (reference: models/dpo.py:21-26 keeps these as
     stubs for compatibility)."""
     return DPOTrainer
+
+
+# ---------------------------------------------------------------------------
+# ORPO — reference patches TRL's ORPOTrainer (rl_replacements.py:791-872);
+# native here. No reference policy at all: NLL on chosen + odds-ratio
+# penalty between chosen and rejected.
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class ORPOConfig(DPOConfig):
+    beta: float = 0.1  # lambda weighting the odds-ratio term
+
+
+def orpo_loss(policy_chosen_logps_mean, policy_rejected_logps_mean,
+              chosen_nll, *, beta: float):
+    """Sequence-MEAN token logps in (ORPO uses length-normalized logps).
+    loss = NLL(chosen) + beta * -log sigmoid(log odds-ratio)."""
+    def log_odds(logp):
+        # log( p / (1-p) ) computed stably from log p
+        return logp - jnp.log1p(-jnp.exp(jnp.minimum(logp, -1e-7)))
+
+    ratio = log_odds(policy_chosen_logps_mean) - log_odds(
+        policy_rejected_logps_mean)
+    or_term = -jax.nn.log_sigmoid(ratio)
+    return jnp.mean(chosen_nll) + beta * jnp.mean(or_term), jnp.mean(ratio)
+
+
+class ORPOTrainer(DPOTrainer):
+    """Same data plumbing as DPO; different loss, no reference logps."""
+
+    def __init__(self, model, args: Optional[ORPOConfig] = None, **kw):
+        super().__init__(model, args=args or ORPOConfig(), **kw)
+
+    def _make_step(self, tx):
+        model = self.model
+        cfg = model.cfg
+        args = self.args
+
+        def seq_stats(lora, params, ids, targets):
+            per_tok = grpo_per_token_logps(params, lora, ids, targets, cfg)
+            mask = (targets != -100).astype(jnp.float32)
+            n = jnp.maximum(jnp.sum(mask, -1), 1.0)
+            mean_logp = jnp.sum(jnp.where(targets != -100, per_tok, 0.0),
+                                -1) / n
+            return mean_logp
+
+        def loss_fn(lora, params, ids, targets, _unused_ref):
+            mean_logps = seq_stats(lora, params, ids, targets)   # [2N]
+            pc, pr = mean_logps[0::2], mean_logps[1::2]
+            loss, ratio = orpo_loss(pc, pr, -pc, beta=args.beta)
+            acc = jnp.mean((pc > pr).astype(jnp.float32))
+            return loss, (jnp.mean(pc), jnp.mean(pr), acc)
+
+        def step(lora, opt_state, params, ids, targets, ref_logps):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                lora, params, ids, targets, ref_logps)
+            updates, opt_state = tx.update(grads, opt_state, lora)
+            return optax.apply_updates(lora, updates), opt_state, loss, aux
+
+        # ORPO needs no reference logps; keep the interface and return zeros
+        ref_fn = jax.jit(lambda params, ids, targets: jnp.zeros(
+            (ids.shape[0],), jnp.float32))
+        return jax.jit(step, donate_argnums=(0, 1)), ref_fn
