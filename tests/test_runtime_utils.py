@@ -27,3 +27,44 @@ def test_memory_stats_shape():
 
 def test_telemetry_noop():
     assert get_statistics("anything") is None
+
+
+def test_metrics_logger_jsonl_and_callbacks(tmp_path):
+    import json
+
+    from unsloth_tpu.utils.logging import MetricsLogger
+
+    seen = []
+    lg = MetricsLogger(output_dir=str(tmp_path), report_to="none",
+                       callbacks=[seen.append])
+    lg.log({"loss": 1.5, "step": 1})
+    lg.log({"loss": 1.2, "step": 2})
+    lg.close()
+    lines = [json.loads(l) for l in
+             open(tmp_path / "metrics.jsonl").read().splitlines()]
+    assert [l["loss"] for l in lines] == [1.5, 1.2]
+    assert len(seen) == 2 and seen[1]["step"] == 2
+
+
+def test_trainer_writes_metrics_jsonl(tmp_path):
+    import jax
+    import numpy as np
+
+    from unsloth_tpu.models.config import ModelConfig
+    from unsloth_tpu.models.loader import LanguageModel
+    from unsloth_tpu.models.params import init_lora_tree, init_params
+    from unsloth_tpu.trainer.sft import SFTConfig, SFTTrainer
+
+    cfg = ModelConfig(vocab_size=64, hidden_size=16, intermediate_size=32,
+                      num_layers=1, num_heads=2, num_kv_heads=2)
+    model = LanguageModel(cfg=cfg, params=init_params(
+        cfg, jax.random.PRNGKey(0)))
+    model.lora = init_lora_tree(cfg, jax.random.PRNGKey(1), r=2, alpha=4)
+    r = np.random.RandomState(0)
+    ds = [{"input_ids": r.randint(3, 60, 12).tolist()} for _ in range(4)]
+    tr = SFTTrainer(model=model, train_dataset=ds,
+                    args=SFTConfig(output_dir=str(tmp_path), max_steps=3,
+                                   per_device_train_batch_size=2,
+                                   max_seq_length=16, packing=False))
+    tr.train()
+    assert (tmp_path / "metrics.jsonl").exists()

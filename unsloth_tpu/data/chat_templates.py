@@ -15,7 +15,7 @@ Usage parity:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional
+from typing import Dict, Optional
 
 
 @dataclasses.dataclass(frozen=True)

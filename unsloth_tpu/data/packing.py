@@ -19,7 +19,7 @@ sequences (reference: packing.py:647 boundary masking).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterable, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 

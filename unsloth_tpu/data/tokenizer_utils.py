@@ -9,7 +9,7 @@ environment lacks; those paths are gated.
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

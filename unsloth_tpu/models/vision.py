@@ -16,8 +16,6 @@ projector + Gemma3 text). The multimodal forward:
 from __future__ import annotations
 
 import dataclasses
-import json
-import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax

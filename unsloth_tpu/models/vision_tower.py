@@ -23,7 +23,7 @@ Param tree schema:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -100,8 +100,6 @@ def siglip_forward(vision: Dict[str, Any], pixel_values: jnp.ndarray,
         + vision["patch_embed"]["bias"]
     x = x + vision["pos_embed"][None]
     eps = cfg.layer_norm_eps
-    from ..ops.activations import glu_for  # noqa: F401 (act below)
-
     for layer in vision["layers"]:
         h = layer_norm_ref(x, layer["ln1"]["w"], layer["ln1"]["b"], eps)
         x = x + _attn(h, layer, cfg.num_heads, eps)

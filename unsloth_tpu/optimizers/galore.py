@@ -19,8 +19,7 @@ Non-matrix params fall through to plain Adam.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

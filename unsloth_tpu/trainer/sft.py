@@ -181,6 +181,11 @@ class SFTTrainer:
         self.eval_dataset = eval_dataset
         self._batches: Optional[List[PackedBatch]] = None
         self.state_log: List[Dict[str, Any]] = []
+        from ..utils.logging import MetricsLogger
+
+        self.metrics_logger = MetricsLogger(
+            output_dir=self.args.output_dir, report_to=self.args.report_to,
+            callbacks=kwargs.get("callbacks", ()))
 
     # ------------------------------------------------------------------
     # Data preparation
@@ -365,6 +370,7 @@ class SFTTrainer:
                     }
                     losses.append(float(loss))
                     self.state_log.append(entry)
+                    self.metrics_logger.log(entry)
                 if args.save_steps and global_step % args.save_steps == 0:
                     self._save_checkpoint(trainables, global_step,
                                           opt_state=opt_state)
