@@ -102,3 +102,39 @@ def test_orpo_end_to_end(model):
     first, last = tr.state_log[0], tr.state_log[-1]
     assert last["loss"] < first["loss"]
     assert last["rewards/accuracies"] == 1.0
+
+
+def test_kto_loss_math():
+    from unsloth_tpu.trainer.dpo import kto_loss
+
+    policy = jnp.asarray([1.0, -1.0])
+    ref = jnp.zeros(2)
+    labels = jnp.asarray([1, 0])
+    loss, rewards = kto_loss(policy, ref, labels, jnp.asarray(0.0),
+                             beta=0.5)
+    np.testing.assert_allclose(np.asarray(rewards), [0.5, -0.5])
+    # desirable with positive reward & undesirable with negative: low loss
+    bad_loss, _ = kto_loss(-policy, ref, labels, jnp.asarray(0.0), beta=0.5)
+    assert float(loss) < float(bad_loss)
+
+
+def test_kto_end_to_end(model):
+    from unsloth_tpu.trainer.dpo import KTOConfig, KTOTrainer
+
+    ds = [
+        {"prompt": "Q:", "completion": "xyz", "label": True},
+        {"prompt": "Q:", "completion": "abc", "label": False},
+        {"prompt": "R:", "completion": "xyw", "label": True},
+        {"prompt": "R:", "completion": "abd", "label": False},
+    ]
+    args = KTOConfig(per_device_train_batch_size=4, max_steps=8,
+                     learning_rate=2e-2, beta=0.5, logging_steps=1,
+                     warmup_steps=0, lr_scheduler_type="constant",
+                     max_prompt_length=8, max_completion_length=8)
+    tr = KTOTrainer(model=model, args=args, train_dataset=ds,
+                    processing_class=model.tokenizer)
+    out = tr.train()
+    assert out.global_step == 8
+    last = tr.state_log[-1]
+    # desirable completions should end with higher reward than undesirable
+    assert last["rewards/chosen"] > last["rewards/rejected"]

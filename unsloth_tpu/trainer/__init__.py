@@ -1,5 +1,5 @@
-from .dpo import (DPOConfig, DPOTrainer, ORPOConfig, ORPOTrainer,
-                  PatchDPOTrainer)
+from .dpo import (DPOConfig, DPOTrainer, KTOConfig, KTOTrainer,
+                  ORPOConfig, ORPOTrainer, PatchDPOTrainer)
 from .grpo import GRPOConfig, GRPOTrainer, PatchFastRL
 from .sft import (SFTConfig, SFTTrainer, TrainOutput, build_optimizer,
                   build_schedule, make_config, train_on_responses_only)
@@ -15,5 +15,5 @@ __all__ = [
     "UnslothTrainer", "UnslothTrainingArguments",
     "GRPOConfig", "GRPOTrainer", "PatchFastRL",
     "DPOConfig", "DPOTrainer", "PatchDPOTrainer",
-    "ORPOConfig", "ORPOTrainer",
+    "ORPOConfig", "ORPOTrainer", "KTOConfig", "KTOTrainer",
 ]

@@ -11,6 +11,7 @@ selective log-softmax so logits are never materialized.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Any, Dict, List, Optional
 
@@ -185,6 +186,150 @@ def PatchDPOTrainer(*args, **kwargs):
     """Reference API no-op (reference: models/dpo.py:21-26 keeps these as
     stubs for compatibility)."""
     return DPOTrainer
+
+
+# ---------------------------------------------------------------------------
+# KTO — reference patches TRL's KTOTrainer tokenizer handling
+# (rl_replacements.py:791-872); native here. Unpaired feedback: each row is
+# (prompt, completion, label desirable/undesirable). Rewards are
+# beta * (logp_policy - logp_ref); the KL reference point is estimated from
+# mismatched prompt/completion pairs (TRL's estimator) and clamped >= 0.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class KTOConfig(DPOConfig):
+    desirable_weight: float = 1.0
+    undesirable_weight: float = 1.0
+
+
+def kto_loss(policy_logps, ref_logps, labels, kl, *, beta: float,
+             desirable_weight: float = 1.0,
+             undesirable_weight: float = 1.0):
+    """Sequence logps [N]; labels [N] (1 = desirable); kl scalar >= 0."""
+    rewards = beta * (policy_logps - ref_logps)
+    des = 1.0 - jax.nn.sigmoid(rewards - beta * kl)
+    und = 1.0 - jax.nn.sigmoid(beta * kl - rewards)
+    lab = labels.astype(jnp.float32)
+    per = lab * desirable_weight * des + (1 - lab) * undesirable_weight * und
+    return jnp.mean(per), rewards
+
+
+class KTOTrainer:
+    """KTOTrainer(model=..., args=KTOConfig(...), train_dataset=[{"prompt",
+    "completion", "label"}], processing_class=tokenizer)."""
+
+    def __init__(self, model, args: Optional[KTOConfig] = None,
+                 train_dataset=None, processing_class=None, **kw):
+        self.model = model
+        self.args = args or KTOConfig()
+        self.train_dataset = list(train_dataset or [])
+        self.tokenizer = processing_class or getattr(model, "tokenizer",
+                                                     None)
+        self.state_log: List[Dict[str, Any]] = []
+
+    def _build_batch(self, examples):
+        tok = self.tokenizer
+        args = self.args
+        t = args.max_prompt_length + args.max_completion_length + 1
+        n = len(examples)
+        prompts, comps, labels = [], [], []
+        for ex in examples:
+            prompts.append(tok(ex["prompt"])["input_ids"]
+                           [-args.max_prompt_length:])
+            c = tok(ex["completion"], add_special_tokens=False)["input_ids"]
+            c = c[:args.max_completion_length]
+            if tok.eos_token_id is not None:
+                c = c + [tok.eos_token_id]
+            comps.append(c)
+            labels.append(1 if ex["label"] else 0)
+
+        def assemble(p_list, c_list):
+            ids = np.zeros((n, t), np.int32)
+            targets = np.full((n, t), -100, np.int32)
+            for i, (p, c) in enumerate(zip(p_list, c_list)):
+                seq = (list(p) + list(c))[:t]
+                ids[i, :len(seq)] = seq
+                targets[i, len(p):len(seq)] = seq[len(p):len(seq)]
+            shifted = np.full_like(targets, -100)
+            shifted[:, :-1] = targets[:, 1:]
+            return jnp.asarray(ids), jnp.asarray(shifted)
+
+        ids, targets = assemble(prompts, comps)
+        # KL estimate pairs: prompt_i with completion_{i+1} (mismatched)
+        kl_ids, kl_targets = assemble(prompts, comps[1:] + comps[:1])
+        return ids, targets, kl_ids, kl_targets, jnp.asarray(labels)
+
+    def train(self):
+        args = self.args
+        model = self.model
+        assert model.lora is not None, "KTO requires get_peft_model (LoRA)"
+        total = args.max_steps if args.max_steps > 0 else max(
+            len(self.train_dataset) // args.per_device_train_batch_size, 1)
+        tx, _ = build_optimizer(args, total)
+        opt_state = tx.init(model.lora)
+        cfg = model.cfg
+
+        def seq_logps(lora, params, ids, targets):
+            per_tok = grpo_per_token_logps(params, lora, ids, targets, cfg)
+            return jnp.sum(jnp.where(targets != -100, per_tok, 0.0), -1)
+
+        ref_fn = jax.jit(lambda params, ids, tg:
+                         seq_logps(None, params, ids, tg))
+        pol_fn = jax.jit(lambda params, lora, ids, tg:
+                         seq_logps(lora, params, ids, tg))
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(lora, opt_state, params, ids, targets, ref, kl, labels):
+            def lf(lora):
+                logps = seq_logps(lora, params, ids, targets)
+                return kto_loss(
+                    logps, ref, labels, kl, beta=args.beta,
+                    desirable_weight=args.desirable_weight,
+                    undesirable_weight=args.undesirable_weight)
+
+            (loss, rewards), grads = jax.value_and_grad(
+                lf, has_aux=True)(lora)
+            updates, opt_state = tx.update(grads, opt_state, lora)
+            return (optax.apply_updates(lora, updates), opt_state, loss,
+                    rewards)
+
+        bsz = args.per_device_train_batch_size
+        ds = self.train_dataset
+        t0 = time.time()
+        idx = 0
+        for s in range(total):
+            batch = [ds[(idx + j) % len(ds)] for j in range(bsz)]
+            idx += bsz
+            ids, targets, kl_ids, kl_targets, labels = self._build_batch(
+                batch)
+            ref = jax.lax.stop_gradient(
+                ref_fn(model.params, ids, targets))
+            # KL estimate: mean policy-vs-ref gap on mismatched pairs
+            kl_pol = pol_fn(model.params, model.lora, kl_ids, kl_targets)
+            kl_ref = ref_fn(model.params, kl_ids, kl_targets)
+            kl = jnp.maximum(jnp.mean(kl_pol - kl_ref), 0.0)
+            model.lora, opt_state, loss, rewards = step(
+                model.lora, opt_state, model.params, ids, targets, ref,
+                kl, labels)
+            if (s + 1) % args.logging_steps == 0 or s == 0:
+                lab = np.asarray(labels)
+                rew = np.asarray(rewards)
+                self.state_log.append({
+                    "loss": float(loss),
+                    "rewards/chosen": float(rew[lab == 1].mean())
+                    if (lab == 1).any() else 0.0,
+                    "rewards/rejected": float(rew[lab == 0].mean())
+                    if (lab == 0).any() else 0.0,
+                    "kl": float(kl),
+                    "step": s + 1,
+                })
+        from .sft import TrainOutput
+
+        losses = [e["loss"] for e in self.state_log]
+        return TrainOutput(total, float(np.mean(losses)) if losses
+                           else float("nan"),
+                           {"train_runtime": time.time() - t0})
 
 
 # ---------------------------------------------------------------------------
