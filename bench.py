@@ -169,8 +169,9 @@ def main():
         naive_tps = tokens_per_step / naive_dt
         vs_baseline = fast_tps / naive_tps
     except Exception as e:  # baseline may OOM where the fused path fits
-        print(f"full-size baseline failed ({type(e).__name__}); "
-              f"measuring ratio at reduced depth", file=sys.stderr)
+        print(f"full-size baseline failed ({type(e).__name__}): "
+              f"{str(e)[:500]}\nmeasuring ratio at reduced depth",
+              file=sys.stderr)
         try:
             ratio_layers = max(2, num_layers // 4)
             cfg_s = llama31_8b_config(ratio_layers)
@@ -179,7 +180,7 @@ def main():
             def small_step(fused):
                 def step(lora, opt_state, params, batch):
                     loss, grads = jax.value_and_grad(
-                        lambda l: loss_fn(params_s, l, batch, cfg_s,
+                        lambda l: loss_fn(params, l, batch, cfg_s,
                                           fused_ce=fused,
                                           chunk_size=1024))(lora)
                     updates, opt_state = tx.update(grads, opt_state, lora)
@@ -199,8 +200,8 @@ def main():
             naive_tps = 0.0
             vs_baseline = n_dt / f_dt
         except Exception as e2:
-            print(f"reduced baseline also failed ({type(e2).__name__})",
-                  file=sys.stderr)
+            print(f"reduced baseline also failed ({type(e2).__name__}): "
+                  f"{str(e2)[:500]}", file=sys.stderr)
             naive_tps = 0.0
             vs_baseline = float("nan")
 

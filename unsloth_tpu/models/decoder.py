@@ -247,6 +247,11 @@ def forward(
 
     cos, sin, cos_local, sin_local = _rope_tables(cfg, positions)
 
+    if "layers_stacked" in params:
+        x = _scan_layers(params, lora, x, cfg, cos, sin, segment_ids,
+                         positions, image_spans, remat)
+        return _norm(x, params["final_norm"], cfg)
+
     lora_layers = (lora or {}).get("layers")
 
     def run_stack(x, layer_fn):
@@ -282,6 +287,69 @@ def forward(
         x = run_stack(x, decoder_layer)
 
     return _norm(x, params["final_norm"], cfg)
+
+
+def _scan_layers(params, lora, x, cfg, cos, sin, segment_ids, positions,
+                 image_spans, remat):
+    """lax.scan over stacked homogeneous layers: compile time is one
+    layer's, not num_layers' (the TPU idiom for deep stacks — the reference
+    has no analog because torch modules execute eagerly). Requires
+    `stack_params` layout; heterogeneous stacks (sliding patterns, MoE
+    mixtures) use the unrolled loop."""
+    kinds = {cfg.layer_kind(i) for i in range(cfg.num_layers)}
+    if len(kinds) > 1:
+        raise ValueError(
+            "scan layout requires a uniform layer kind; alternating "
+            "sliding/global patterns must use the list layout")
+    stacked = params["layers_stacked"]
+    lora_stacked = (lora or {}).get("layers_stacked")
+    has_lora = lora_stacked is not None
+    if not has_lora:
+        # scan xs must have a leading axis; zero-width placeholder
+        lora_stacked = jnp.zeros((cfg.num_layers, 0), jnp.float32)
+
+    def body(x, per_layer):
+        layer_p, lora_p = per_layer
+        y = decoder_layer(x, layer_p, lora_p if has_lora else None, cfg, 0,
+                          cos, sin, None, None, segment_ids, positions,
+                          image_spans)
+        return y, None
+
+    if remat:
+        body = jax.checkpoint(body)
+    x, _ = jax.lax.scan(body, x, (stacked, lora_stacked))
+    return x
+
+
+def stack_params(params):
+    """Convert the per-layer list layout to stacked [L, ...] leaves for
+    scan execution. Requires homogeneous layers (same tree structure)."""
+    layers = params["layers"]
+    structs = {jax.tree_util.tree_structure(l) for l in layers}
+    if len(structs) != 1:
+        raise ValueError("layers are heterogeneous; cannot stack")
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["layers_stacked"] = stacked
+    return out
+
+
+def stack_lora(lora):
+    layers = lora["layers"]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    out = {k: v for k, v in lora.items() if k != "layers"}
+    out["layers_stacked"] = stacked
+    return out
+
+
+def unstack_lora(lora, num_layers):
+    """Back to the list layout (for peft-format export)."""
+    stacked = lora["layers_stacked"]
+    layers = [jax.tree_util.tree_map(lambda x: x[i], stacked)
+              for i in range(num_layers)]
+    out = {k: v for k, v in lora.items() if k != "layers_stacked"}
+    out["layers"] = layers
+    return out
 
 
 def lm_head_weight(params, cfg: ModelConfig):
