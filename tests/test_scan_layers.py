@@ -73,3 +73,51 @@ def test_lora_stack_roundtrip(setup):
     a = np.asarray(lora["layers"][1]["v"].a)
     b = np.asarray(rt["layers"][1]["v"].a)
     np.testing.assert_array_equal(a, b)
+
+
+def test_stacked_end_to_end_facade(rng, tmp_path):
+    """from_pretrained(stack_layers=True) -> train -> generate -> save."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from helpers import TINY_LLAMA, make_hf_checkpoint
+    import optax
+
+    from unsloth_tpu.models.loader import FastLanguageModel
+    from unsloth_tpu.inference.generate import SamplingParams, generate
+
+    ckpt = str(tmp_path / "m")
+    make_hf_checkpoint(ckpt, TINY_LLAMA)
+    model, _ = FastLanguageModel.from_pretrained(
+        ckpt, load_in_4bit=True, dtype="float32", stack_layers=True)
+    model = FastLanguageModel.get_peft_model(model, r=4, lora_alpha=8)
+    assert "layers_stacked" in model.params
+    assert "layers_stacked" in model.lora
+
+    ids = jnp.arange(32, dtype=jnp.int32)[None] % 128
+    batch = {"input_ids": ids, "labels": ids}
+    tx = optax.adamw(1e-3)
+    st = tx.init(model.lora)
+
+    @jax.jit
+    def step(lora, st):
+        loss, g = jax.value_and_grad(lambda l: model.loss_fn(l, batch))(lora)
+        up, st = tx.update(g, st, lora)
+        return optax.apply_updates(lora, up), st, loss
+
+    l0 = None
+    for _ in range(5):
+        model.lora, st, loss = step(model.lora, st)
+        l0 = l0 or float(loss)
+    assert float(loss) < l0
+
+    out = generate(model, [[1, 2, 3, 4]], SamplingParams(max_tokens=3),
+                   return_token_ids=True)
+    assert len(out[0]) <= 3
+
+    model.save_lora(str(tmp_path / "adapter"))
+    model.save_pretrained_merged(str(tmp_path / "merged"))
+    m2, _ = FastLanguageModel.from_pretrained(
+        str(tmp_path / "merged"), load_in_4bit=False, dtype="float32")
+    ids8 = ids[:, :8]
+    l_merged = m2.logits(ids8, remat=False)
+    assert bool(jnp.all(jnp.isfinite(l_merged)))

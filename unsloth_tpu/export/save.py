@@ -43,7 +43,14 @@ def merged_params(model) -> Dict[str, Any]:
     """Dequantize + merge LoRA into every targeted projection in fp32,
     cast back (reference: save.py:608 `_merge_lora`)."""
     params = model.params
-    lora_layers = (model.lora or {}).get("layers")
+    lora = model.lora
+    if "layers_stacked" in params:
+        from ..models.decoder import unstack_lora
+
+        params = _unstack_params(params, model.cfg.num_layers)
+        if lora is not None and "layers_stacked" in lora:
+            lora = unstack_lora(lora, model.cfg.num_layers)
+    lora_layers = (lora or {}).get("layers")
     out = {k: v for k, v in params.items() if k != "layers"}
     out["layers"] = []
     for i, layer in enumerate(params["layers"]):
@@ -60,6 +67,17 @@ def merged_params(model) -> Dict[str, Any]:
             else:
                 new_layer[name] = w
         out["layers"].append(new_layer)
+    return out
+
+
+def _unstack_params(params, num_layers):
+    import jax
+
+    stacked = params["layers_stacked"]
+    layers = [jax.tree_util.tree_map(lambda x: x[i], stacked)
+              for i in range(num_layers)]
+    out = {k: v for k, v in params.items() if k != "layers_stacked"}
+    out["layers"] = layers
     return out
 
 
@@ -101,7 +119,12 @@ def save_lora(model, path: str):
     from safetensors.numpy import save_file
 
     os.makedirs(path, exist_ok=True)
-    lora_layers = (model.lora or {}).get("layers", [])
+    lora = model.lora
+    if lora is not None and "layers_stacked" in lora:
+        from ..models.decoder import unstack_lora
+
+        lora = unstack_lora(lora, model.cfg.num_layers)
+    lora_layers = (lora or {}).get("layers", [])
     tensors = {}
     for i, layer in enumerate(lora_layers):
         for name, lw in layer.items():

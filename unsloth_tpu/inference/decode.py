@@ -102,6 +102,18 @@ def forward_with_cache(
     invalid, e.g. slots holding left-pad tokens). Returns hidden [B, T, D].
     """
     b, t = input_ids.shape
+    if "layers_stacked" in params:
+        # decode walks layers individually; slice the stacked leaves
+        # (views under jit — no copies)
+        from ..models.decoder import unstack_lora
+
+        n = len(cache.k)
+        stacked = params["layers_stacked"]
+        params = dict(params, layers=[
+            jax.tree_util.tree_map(lambda x_, i=i: x_[i], stacked)
+            for i in range(n)])
+        if lora is not None and "layers_stacked" in lora:
+            lora = unstack_lora(lora, n)
     lora_layers = (lora or {}).get("layers")
 
     x = jnp.take(params["embed"], input_ids, axis=0)

@@ -120,6 +120,7 @@ class FastLanguageModel:
         token: Optional[str] = None,
         trust_remote_code: bool = False,
         fast_inference: bool = False,
+        stack_layers: bool = False,
         **kwargs,
     ) -> Tuple[LanguageModel, Any]:
         """Load a model + tokenizer from a local HF checkpoint directory.
@@ -148,6 +149,12 @@ class FastLanguageModel:
 
         params = hf_loader.load_params(
             path, cfg, dtype=dtype, load_in_4bit=load_in_4bit, put=put)
+        if stack_layers:
+            # scan-over-layers layout: compile time of one layer, not N
+            # (homogeneous stacks only — the loader raises otherwise)
+            from .decoder import stack_params
+
+            params = stack_params(params)
 
         tokenizer = load_tokenizer(path)
         if tokenizer is not None:
@@ -194,6 +201,10 @@ class FastLanguageModel:
             model.cfg, key, r=r, alpha=lora_alpha,
             target_modules=normalize_target_modules(target_modules),
             use_rslora=use_rslora)
+        if "layers_stacked" in model.params:
+            from .decoder import stack_lora
+
+            model.lora = stack_lora(model.lora)
         # modules_to_save: full-rank trainable copies shadowing frozen base
         # (reference: peft modules_to_save; enables embedding fine-tuning
         # with the separate embedding_learning_rate, trainer.py:435-456)
