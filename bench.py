@@ -119,7 +119,9 @@ def main():
 
     quick = os.environ.get("BENCH_QUICK") == "1"
     num_layers = _env_int("BENCH_LAYERS", 2 if quick else 32)
-    seq = _env_int("BENCH_SEQ", 512 if quick else 2048)
+    # 8K packed context is the BASELINE.md north-star config; it is also
+    # where the fused linear+CE memory/speed win is real (4.2GB logits).
+    seq = _env_int("BENCH_SEQ", 512 if quick else 8192)
     bsz = _env_int("BENCH_BATCH", 1)
     n_steps = _env_int("BENCH_STEPS", 2 if quick else 8)
 
@@ -146,10 +148,17 @@ def main():
 
         return jax.jit(step, donate_argnums=(0, 1))
 
-    # Optimized path
-    opt_state = tx.init(lora)
-    fast_step = make_step(fused_ce=True)
-    fast_dt, fast_loss = measure(fast_step, lora, opt_state, params, batch,
+    def fresh_lora():
+        # each measured path gets its own buffers: the step donates its
+        # trainables, so reusing `lora` across paths would feed deleted
+        # arrays to the next path
+        return jax.tree_util.tree_map(jnp.copy, lora)
+
+    # Optimized path ("auto" picks fused CE only when logits are large)
+    l1 = fresh_lora()
+    opt_state = tx.init(l1)
+    fast_step = make_step(fused_ce="auto")
+    fast_dt, fast_loss = measure(fast_step, l1, opt_state, params, batch,
                                  n_steps)
     fast_tps = tokens_per_step / fast_dt
 
@@ -161,10 +170,11 @@ def main():
     # delta it measures is depth-independent in absolute terms, making
     # this a CONSERVATIVE estimate of the full-depth ratio).
     naive_steps = max(2, n_steps // 2)
-    opt_state2 = tx.init(lora)
+    l2 = fresh_lora()
+    opt_state2 = tx.init(l2)
     naive_step = make_step(fused_ce=False)
     try:
-        naive_dt, _ = measure(naive_step, lora, opt_state2, params, batch,
+        naive_dt, _ = measure(naive_step, l2, opt_state2, params, batch,
                               naive_steps, warmup=1)
         naive_tps = tokens_per_step / naive_dt
         vs_baseline = fast_tps / naive_tps

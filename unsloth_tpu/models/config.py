@@ -126,6 +126,9 @@ class ModelConfig:
     partial_rotary_factor: float = 1.0
     # gemma3: different theta for sliding layers
     rope_local_theta: Optional[float] = None
+    # qwen2.5-vl M-RoPE: rope channels (half-dim) split across the
+    # temporal/height/width position streams
+    mrope_section: Optional[Tuple[int, ...]] = None
 
     # MoE (qwen3-moe / mixtral / gpt-oss)
     num_experts: int = 0
@@ -249,6 +252,11 @@ def _build_llama_like(cls, hf, model_type, name):
     if model_type == "cohere":
         kw["logit_scale"] = float(hf.get("logit_scale", 0.0625))
         kw["norm_type"] = "layernorm"
+    if model_type in ("qwen2_5_vl", "qwen2_vl"):
+        rs = hf.get("rope_scaling") or {}
+        if rs.get("mrope_section"):
+            kw["mrope_section"] = tuple(rs["mrope_section"])
+        kw["rope_scaling"] = RopeScaling()  # mrope handled separately
     return cls(model_type=model_type, name=name, **kw)
 
 
@@ -305,6 +313,8 @@ def _build_gpt_oss(cls, hf, model_type, name):
 
 
 _HF_BUILDERS = {
+    "qwen2_5_vl": _build_llama_like,
+    "qwen2_vl": _build_llama_like,
     "llama": _build_llama_like,
     "mistral": _build_llama_like,
     "qwen2": _build_llama_like,

@@ -185,11 +185,24 @@ def decoder_layer(
     return x + mlp
 
 
-def _rope_tables(cfg: ModelConfig, positions):
+def _rope_tables(cfg: ModelConfig, positions, mrope_positions=None):
     inv = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling,
                         rotary_dim=int(cfg.head_dim * cfg.partial_rotary_factor))
     attn_factor = yarn_attention_factor(cfg.rope_scaling)
-    cos, sin = rope_table(positions, inv, attn_factor)
+    if cfg.mrope_section is not None and mrope_positions is not None:
+        # M-RoPE (qwen2.5-vl): three position streams [B, 3, T]; rope
+        # half-dim channels are split across streams by mrope_section.
+        cos3, sin3 = rope_table(mrope_positions, inv)   # [B, 3, T, hd/2]
+        parts_c, parts_s = [], []
+        off = 0
+        for j, sz in enumerate(cfg.mrope_section):
+            parts_c.append(cos3[:, j % 3, :, off:off + sz])
+            parts_s.append(sin3[:, j % 3, :, off:off + sz])
+            off += sz
+        cos = jnp.concatenate(parts_c, axis=-1)          # [B, T, hd/2]
+        sin = jnp.concatenate(parts_s, axis=-1)
+    else:
+        cos, sin = rope_table(positions, inv, attn_factor)
     cos_local = sin_local = None
     if cfg.rope_local_theta is not None:
         inv_l = rope_inv_freq(cfg.head_dim, cfg.rope_local_theta, None,
@@ -208,6 +221,7 @@ def forward(
     segment_ids: Optional[jnp.ndarray] = None,   # [B, T] int32
     inputs_embeds: Optional[jnp.ndarray] = None,  # [B, T, D] (pre-scaled)
     image_spans: Optional[jnp.ndarray] = None,   # [B, T] int32, 0 = text
+    mrope_positions: Optional[jnp.ndarray] = None,  # [B, 3, T] (qwen-vl)
     remat: Any = True,
     remat_policy: Optional[Any] = None,
 ) -> jnp.ndarray:
@@ -245,7 +259,8 @@ def forward(
             # gemma scales by sqrt(D) computed in the embed dtype (HF parity)
             x = x * jnp.asarray(cfg.embed_scale, dtype=x.dtype)
 
-    cos, sin, cos_local, sin_local = _rope_tables(cfg, positions)
+    cos, sin, cos_local, sin_local = _rope_tables(cfg, positions,
+                                                  mrope_positions)
 
     if "layers_stacked" in params:
         x = _scan_layers(params, lora, x, cfg, cos, sin, segment_ids,
@@ -384,7 +399,7 @@ def loss_fn(
     *,
     n_items: Optional[jnp.ndarray] = None,
     lm_head_trainable: bool = False,
-    fused_ce: bool = True,
+    fused_ce: Any = "auto",
     chunk_size: int = 1024,
     remat: bool = True,
     remat_policy: Optional[Any] = None,
@@ -405,6 +420,15 @@ def loss_fn(
     d = h.shape[-1]
     h2d = h.reshape(-1, d)
     lb = shift_labels.reshape(-1)
+
+    if fused_ce == "auto":
+        # The fused path recomputes chunk logits in backward (one extra
+        # lm_head matmul) to avoid materializing [N, V]; measured ~14%
+        # step cost at 2k ctx on v5e. Take the memory win only when the
+        # logits would be genuinely large (reference gates fused CE the
+        # same way, models/llama.py:1454-1509 "bsz*q_len large").
+        logits_bytes = h2d.shape[0] * cfg.vocab_size * 4
+        fused_ce = logits_bytes > 1536 * 1024 * 1024
 
     w = (lora or {}).get("lm_head")
     if w is not None:

@@ -108,6 +108,63 @@ class VisionLanguageModel(LanguageModel):
             logit_scale=self.cfg.logit_scale)
 
 
+@dataclasses.dataclass
+class QwenVLModel(VisionLanguageModel):
+    """Qwen2.5-VL handle: windowed ViT + M-RoPE text (causal attention —
+    no bidirectional image spans in this family)."""
+
+    spatial_merge_size: int = 2
+
+    def embed_multimodal(self, input_ids, pixel_values, grid_thw):
+        """pixel_values [S, C*Tp*P*P] packed patches; grid_thw static."""
+        from .qwen_vl import mrope_positions_for, qwen_vision_forward
+
+        embed_w = (self.lora or {}).get("embed")
+        if embed_w is None:
+            embed_w = self.params["embed"]
+        x = jnp.take(embed_w, input_ids, axis=0)
+
+        feats = qwen_vision_forward(self.vision, pixel_values,
+                                    grid_thw, self.vision_cfg)
+        feats = feats.astype(x.dtype)
+
+        is_image = input_ids == self.image_token_id
+        flat = feats.reshape(-1, feats.shape[-1])
+        order = jnp.cumsum(is_image.reshape(-1).astype(jnp.int32)) - 1
+        order = jnp.clip(order, 0, flat.shape[0] - 1)
+        gathered = jnp.take(flat, order, axis=0).reshape(
+            *input_ids.shape, -1)
+        x = jnp.where(is_image[..., None], gathered, x)
+
+        ids_np = np.asarray(input_ids)
+        mpos = np.stack([
+            mrope_positions_for(ids_np[b], self.image_token_id, grid_thw,
+                                self.spatial_merge_size)
+            for b in range(ids_np.shape[0])])            # [B, 3, T]
+        return x, jnp.asarray(mpos)
+
+    def vision_loss_fn(self, lora, batch, **kw):
+        lora_prev = self.lora
+        self.lora = lora
+        try:
+            embeds, mpos = self.embed_multimodal(
+                batch["input_ids"], batch["pixel_values"],
+                batch["grid_thw"])
+        finally:
+            self.lora = lora_prev
+        h = text_forward(self.params, lora, batch["input_ids"], self.cfg,
+                         inputs_embeds=embeds, mrope_positions=mpos,
+                         segment_ids=batch.get("segment_ids"), **kw)
+        h = h[:, :-1, :]
+        labels = batch["labels"][:, 1:].reshape(-1)
+        d = h.shape[-1]
+        w = self.params.get("lm_head")
+        if w is None:
+            w = self.params["embed"]
+        wd = w.T.astype(h.dtype)
+        return fused_ce_loss_mean(h.reshape(-1, d), wd, labels)
+
+
 class FastVisionModel:
     """Reference-compatible entry (reference: models/__init__.py exports
     FastVisionModel; models/vision.py implements it)."""
@@ -128,6 +185,9 @@ class FastVisionModel:
             raise ValueError(
                 f"{model_name} has no vision tower; use FastLanguageModel")
         dtype = canonical_dtype(dtype) or jnp.bfloat16
+        if hf.get("model_type") in ("qwen2_5_vl", "qwen2_vl"):
+            return _load_qwen_vl(model_name, path, hf, dtype, load_in_4bit,
+                                 max_seq_length)
 
         text_cfg = ModelConfig.from_hf_config(hf, name=model_name)
         vision_cfg = VisionConfig.from_hf(hf["vision_config"])
@@ -185,6 +245,27 @@ class FastVisionModel:
     for_training = staticmethod(lambda m: m.for_training())
 
 
+def _load_qwen_vl(model_name, path, hf, dtype, load_in_4bit,
+                  max_seq_length):
+    from .qwen_vl import QwenVisionConfig, load_qwen_vision_params
+
+    text_cfg = ModelConfig.from_hf_config(hf, name=model_name)
+    vision_cfg = QwenVisionConfig.from_hf(hf["vision_config"])
+    reader = CheckpointReader(path)
+    text_params = _load_text_params(reader, text_cfg, dtype, load_in_4bit)
+    vision = load_qwen_vision_params(reader, vision_cfg, dtype)
+    reader.close()
+    tokenizer = load_tokenizer(path)
+    model = QwenVLModel(
+        cfg=text_cfg, params=text_params, tokenizer=tokenizer,
+        max_seq_length=max_seq_length, model_path=path, hf_config=hf,
+        vision_cfg=vision_cfg, vision=vision, projector=None,
+        image_token_id=int(hf.get("image_token_id",
+                                  hf.get("image_token_index", 151655))),
+        spatial_merge_size=vision_cfg.spatial_merge_size)
+    return model, tokenizer
+
+
 # ---------------------------------------------------------------------------
 # Checkpoint loading (gemma3 multimodal layouts, old and new)
 # ---------------------------------------------------------------------------
@@ -202,7 +283,7 @@ def _load_text_params(reader, cfg, dtype, load_in_4bit):
     from . import hf_names
     from ..ops.nf4 import quantize_nf4
 
-    prefixes = ("model.language_model.", "language_model.model.")
+    prefixes = ("model.language_model.", "language_model.model.", "model.")
     prefix = None
     for p in prefixes:
         if p + "embed_tokens.weight" in reader:
