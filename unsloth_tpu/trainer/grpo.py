@@ -196,10 +196,12 @@ class GRPOTrainer:
         tok = self.tokenizer
         encoded = [tok(p)["input_ids"][-args.max_prompt_length:]
                    for p in prompts]
+        self._round = getattr(self, "_round", 0) + 1
         sp = SamplingParams(
             max_tokens=args.max_completion_length,
             temperature=args.temperature, top_p=args.top_p,
-            top_k=args.top_k, seed=int(time.time_ns() % (2**31)))
+            top_k=args.top_k,
+            seed=(args.seed * 1000003 + self._round) % (2**31))
         # shared-prefix rollout: each prompt prefilled once, G decode
         # streams fan out from the tiled KV cache (PrefixGrouper parity)
         completions = generate(self.model, encoded, sp,
