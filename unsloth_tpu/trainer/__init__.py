@@ -1,5 +1,6 @@
-from .dpo import (DPOConfig, DPOTrainer, KTOConfig, KTOTrainer,
-                  ORPOConfig, ORPOTrainer, PatchDPOTrainer)
+from .dpo import (CPOConfig, CPOTrainer, DPOConfig, DPOTrainer,
+                  KTOConfig, KTOTrainer, ORPOConfig, ORPOTrainer,
+                  PatchDPOTrainer)
 from .grpo import GRPOConfig, GRPOTrainer, PatchFastRL
 from .sft import (SFTConfig, SFTTrainer, TrainOutput, build_optimizer,
                   build_schedule, make_config, train_on_responses_only)
@@ -16,4 +17,5 @@ __all__ = [
     "GRPOConfig", "GRPOTrainer", "PatchFastRL",
     "DPOConfig", "DPOTrainer", "PatchDPOTrainer",
     "ORPOConfig", "ORPOTrainer", "KTOConfig", "KTOTrainer",
+    "CPOConfig", "CPOTrainer",
 ]

@@ -357,6 +357,54 @@ def orpo_loss(policy_chosen_logps_mean, policy_rejected_logps_mean,
     return jnp.mean(chosen_nll) + beta * jnp.mean(or_term), jnp.mean(ratio)
 
 
+@dataclasses.dataclass
+class CPOConfig(DPOConfig):
+    cpo_alpha: float = 1.0   # weight of the chosen-NLL term
+
+
+class CPOTrainer(DPOTrainer):
+    """CPO (reference patches TRL's CPOTrainer tokenizer handling,
+    rl_replacements.py:791-872): reference-free sigmoid preference loss on
+    sequence logps + alpha * NLL(chosen)."""
+
+    def __init__(self, model, args: Optional[CPOConfig] = None, **kw):
+        super().__init__(model, args=args or CPOConfig(), **kw)
+
+    def _make_step(self, tx):
+        model = self.model
+        cfg = model.cfg
+        args = self.args
+
+        def seq_stats(lora, params, ids, targets):
+            per_tok = grpo_per_token_logps(params, lora, ids, targets, cfg)
+            mask = (targets != -100).astype(jnp.float32)
+            n = jnp.maximum(jnp.sum(mask, -1), 1.0)
+            summed = jnp.sum(jnp.where(targets != -100, per_tok, 0.0), -1)
+            return summed, summed / n
+
+        def loss_fn(lora, params, ids, targets, _unused):
+            summed, mean_lp = seq_stats(lora, params, ids, targets)
+            pc, pr = summed[0::2], summed[1::2]
+            pref = -jax.nn.log_sigmoid(
+                args.beta * (pc - pr)) * (1 - args.label_smoothing) \
+                - jax.nn.log_sigmoid(
+                    args.beta * (pr - pc)) * args.label_smoothing
+            nll = -mean_lp[0::2]
+            loss = jnp.mean(pref) + args.cpo_alpha * jnp.mean(nll)
+            acc = jnp.mean((pc > pr).astype(jnp.float32))
+            return loss, (jnp.mean(pc), jnp.mean(pr), acc)
+
+        def step(lora, opt_state, params, ids, targets, ref_logps):
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                lora, params, ids, targets, ref_logps)
+            updates, opt_state = tx.update(grads, opt_state, lora)
+            return optax.apply_updates(lora, updates), opt_state, loss, aux
+
+        ref_fn = jax.jit(lambda params, ids, targets: jnp.zeros(
+            (ids.shape[0],), jnp.float32))
+        return jax.jit(step, donate_argnums=(0, 1)), ref_fn
+
+
 class ORPOTrainer(DPOTrainer):
     """Same data plumbing as DPO; different loss, no reference logps."""
 
