@@ -1,0 +1,78 @@
+"""Extended architecture parity vs transformers: granite (multipliers),
+phi-3 (fused projections, partial rotary), mixtral (MoE expert loading)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from unsloth_tpu.models.loader import FastLanguageModel
+
+
+def _save(model, tmp_path_factory, name):
+    model.eval()
+    path = str(tmp_path_factory.mktemp(name))
+    model.save_pretrained(path, safe_serialization=True)
+    return path
+
+
+def _parity(path, hf_model, cls_name, atol=3e-4, rtol=3e-3, t=16):
+    model, _ = FastLanguageModel.from_pretrained(path, load_in_4bit=False,
+                                                 dtype="float32")
+    ids = np.arange(1, t + 1).reshape(1, t) % 96
+    with torch.no_grad():
+        hf_logits = hf_model(input_ids=torch.tensor(ids)).logits.numpy()
+    ours = np.asarray(model.logits(jnp.asarray(ids, jnp.int32),
+                                   remat=False))
+    np.testing.assert_allclose(ours, hf_logits, atol=atol, rtol=rtol,
+                               err_msg=cls_name)
+
+
+def test_granite_parity(tmp_path_factory):
+    from transformers import GraniteConfig, GraniteForCausalLM
+
+    cfg = GraniteConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        max_position_embeddings=64, embedding_multiplier=12.0,
+        attention_multiplier=0.03, residual_multiplier=0.22,
+        logits_scaling=8.0, tie_word_embeddings=False)
+    torch.manual_seed(0)
+    path = _save(GraniteForCausalLM(cfg), tmp_path_factory, "granite")
+    from transformers import GraniteForCausalLM as G
+
+    hf = G.from_pretrained(path, torch_dtype=torch.float32)
+    _parity(path, hf, "granite")
+
+
+def test_phi3_parity(tmp_path_factory):
+    from transformers import Phi3Config, Phi3ForCausalLM
+
+    cfg = Phi3Config(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        max_position_embeddings=64, partial_rotary_factor=1.0,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2)
+    torch.manual_seed(0)
+    path = _save(Phi3ForCausalLM(cfg), tmp_path_factory, "phi3")
+    hf = Phi3ForCausalLM.from_pretrained(path, torch_dtype=torch.float32)
+    _parity(path, hf, "phi3")
+
+
+def test_mixtral_parity(tmp_path_factory):
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    cfg = MixtralConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=64)
+    torch.manual_seed(0)
+    path = _save(MixtralForCausalLM(cfg), tmp_path_factory, "mixtral")
+    hf = MixtralForCausalLM.from_pretrained(path,
+                                            torch_dtype=torch.float32)
+    _parity(path, hf, "mixtral", atol=1e-3, rtol=1e-2)

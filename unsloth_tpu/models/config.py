@@ -114,7 +114,8 @@ class ModelConfig:
     use_post_norms: bool = False
 
     # Embedding / output
-    embed_scale: Optional[float] = None     # gemma: sqrt(hidden_size)
+    embed_scale: Optional[float] = None     # gemma: sqrt(D); granite: mult
+    residual_multiplier: Optional[float] = None   # granite
     tie_word_embeddings: bool = False
     final_softcap: Optional[float] = None   # gemma2 final logit softcapping
     logit_scale: Optional[float] = None     # cohere
@@ -248,10 +249,26 @@ def _build_llama_like(cls, hf, model_type, name):
         kw.update(
             num_experts=int(hf.get("num_local_experts", 8)),
             num_experts_per_tok=int(hf.get("num_experts_per_tok", 2)),
+            norm_topk_prob=True,  # mixtral always renormalizes top-k
         )
     if model_type == "cohere":
         kw["logit_scale"] = float(hf.get("logit_scale", 0.0625))
         kw["norm_type"] = "layernorm"
+    if model_type == "granite":
+        # granite = llama + scalar multipliers (attention/embedding/
+        # residual/logits) — the reference disables its granite path
+        # (loader.py:895-897); here they are plain config knobs.
+        kw["embed_scale"] = float(hf.get("embedding_multiplier", 1.0))
+        kw["attn_logit_scale"] = float(hf.get("attention_multiplier",
+                                              kw["hidden_size"] ** -0.5))
+        kw["residual_multiplier"] = float(hf.get("residual_multiplier",
+                                                 1.0))
+        ls = float(hf.get("logits_scaling", 1.0))
+        if ls != 1.0:
+            kw["logit_scale"] = 1.0 / ls
+    if model_type == "phi3":
+        kw["partial_rotary_factor"] = float(
+            hf.get("partial_rotary_factor", 1.0))
     if model_type in ("qwen2_5_vl", "qwen2_vl"):
         rs = hf.get("rope_scaling") or {}
         if rs.get("mrope_section"):
@@ -321,6 +338,8 @@ _HF_BUILDERS = {
     "qwen3": _build_llama_like,
     "qwen3_moe": _build_llama_like,
     "mixtral": _build_llama_like,
+    "granite": _build_llama_like,
+    "phi3": _build_llama_like,
     "cohere": _build_llama_like,
     "gemma": _build_gemma,
     "gemma2": _build_gemma,

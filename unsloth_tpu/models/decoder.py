@@ -173,7 +173,8 @@ def decoder_layer(
                            segment_ids, positions, image_spans)
     if cfg.use_post_norms and "post_attn_out_norm" in layer_p:
         attn = _norm(attn, layer_p["post_attn_out_norm"], cfg)
-    x = x + attn
+    rm = cfg.residual_multiplier
+    x = x + (attn * rm if rm is not None else attn)
 
     if cfg.use_post_norms and "pre_ffw_norm" in layer_p:
         h = _norm(x, layer_p["pre_ffw_norm"], cfg)
@@ -182,7 +183,7 @@ def decoder_layer(
     mlp = mlp_block(h, layer_p, lora_p, cfg, layer_idx)
     if cfg.use_post_norms and "post_ffw_norm" in layer_p:
         mlp = _norm(mlp, layer_p["post_ffw_norm"], cfg)
-    return x + mlp
+    return x + (mlp * rm if rm is not None else mlp)
 
 
 def _rope_tables(cfg: ModelConfig, positions, mrope_positions=None):

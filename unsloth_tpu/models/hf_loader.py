@@ -124,12 +124,49 @@ def load_params(
                 continue
             quantize = load_in_4bit and ours in _QUANTIZABLE
             layer[ours] = load_one(hf, f"layers.{i}.{ours}", quantize)
+        _load_fused_projections(reader, cfg, i, layer, dtype,
+                                load_in_4bit, put)
         if cfg.layer_is_moe(i):
+            if "router" not in layer:
+                # mixtral layout: block_sparse_moe.gate
+                alt = f"model.layers.{i}.block_sparse_moe.gate.weight"
+                if alt in reader:
+                    layer["router"] = load_one(alt, f"layers.{i}.router",
+                                               quantize=False)
             layer["experts"] = _load_experts(reader, cfg, i, dtype, put)
         params["layers"].append(layer)
 
     reader.close()
     return params
+
+
+def _load_fused_projections(reader, cfg, i, layer, dtype, load_in_4bit,
+                            put):
+    """phi-3-style fused qkv_proj / gate_up_proj: split at load time so
+    the runtime tree stays uniform."""
+    from ..ops.nf4 import quantize_nf4
+
+    def store(name, arr):
+        if load_in_4bit and arr.ndim == 2:
+            arr = quantize_nf4(arr, dtype=dtype)
+        layer[name] = jax.tree_util.tree_map(
+            lambda leaf: put(f"layers.{i}.{name}", leaf), arr) \
+            if hasattr(arr, "packed") else put(f"layers.{i}.{name}", arr)
+
+    qkv_name = f"model.layers.{i}.self_attn.qkv_proj.weight"
+    if qkv_name in reader and "q" not in layer:
+        w = _to_jnp(reader.get(qkv_name), dtype)
+        nq = cfg.num_heads * cfg.head_dim
+        nkv = cfg.num_kv_heads * cfg.head_dim
+        store("q", w[:nq])
+        store("k", w[nq:nq + nkv])
+        store("v", w[nq + nkv:nq + 2 * nkv])
+    gu_name = f"model.layers.{i}.mlp.gate_up_proj.weight"
+    if gu_name in reader and "gate" not in layer:
+        w = _to_jnp(reader.get(gu_name), dtype)
+        f = w.shape[0] // 2
+        store("gate", w[:f])
+        store("up", w[f:])
 
 
 def _load_experts(reader, cfg, layer_idx, dtype, put):

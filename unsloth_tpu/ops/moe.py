@@ -27,6 +27,17 @@ from ..utils import env
 from .activations import glu_for
 
 
+def _route(router_logits, k: int, norm_topk_prob: bool):
+    """HF token-choice routing semantics: softmax over ALL experts, then
+    top-k; renormalize only when norm_topk_prob (qwen3-moe flag; mixtral
+    always renormalizes via its config)."""
+    probs = jax.nn.softmax(router_logits, axis=-1)
+    weights, sel = jax.lax.top_k(probs, k)
+    if norm_topk_prob:
+        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    return weights, sel
+
+
 def moe_mlp_dense(x, router_logits, experts: Dict[str, jnp.ndarray],
                   num_experts_per_tok: int, act: str,
                   norm_topk_prob: bool = False):
@@ -34,10 +45,7 @@ def moe_mlp_dense(x, router_logits, experts: Dict[str, jnp.ndarray],
     x: [N, D]; experts: gate/up [E, F, D], down [E, D, F]."""
     n, d = x.shape
     k = num_experts_per_tok
-    weights, sel = jax.lax.top_k(router_logits, k)
-    weights = jax.nn.softmax(weights, axis=-1)
-    if norm_topk_prob:
-        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    weights, sel = _route(router_logits, k, norm_topk_prob)
     glu = glu_for(act)
 
     def one_slot(i):
@@ -67,10 +75,7 @@ def moe_mlp_grouped(x, router_logits, experts: Dict[str, jnp.ndarray],
     n, d = x.shape
     num_experts = experts["gate"].shape[0]
     k = num_experts_per_tok
-    weights, sel = jax.lax.top_k(router_logits, k)          # [N, k]
-    weights = jax.nn.softmax(weights, axis=-1)
-    if norm_topk_prob:
-        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    weights, sel = _route(router_logits, k, norm_topk_prob)  # [N, k]
 
     flat_expert = sel.reshape(-1)                           # [N*k]
     order = jnp.argsort(flat_expert, stable=True)           # [N*k]
