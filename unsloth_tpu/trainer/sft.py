@@ -58,7 +58,10 @@ class SFTConfig:
     adam_epsilon: float = 1e-8
     max_grad_norm: float = 1.0
     optim: str = "adamw_torch"        # accepted for parity; optax adamw
-    packing: bool = False
+    # "auto" mirrors the reference's packing auto-enable with blocklists
+    # (trainer.py:713-901): on for text-only causal-LM SFT, off for
+    # vision/encoder-decoder models.
+    packing: Any = "auto"
     max_seq_length: int = 2048
     dataset_text_field: str = "text"
     bf16: bool = True
@@ -221,7 +224,12 @@ class SFTTrainer:
                       or getattr(self.tokenizer, "eos_token_id", 0) or 0)
         bsz = args.per_device_train_batch_size * _data_parallel_size(
             self.model)
-        if args.packing:
+        packing = args.packing
+        if packing == "auto":
+            # text-only causal LM => pack; vision/multimodal models are
+            # blocklisted (reference: trainer.py:713-901 VLM blocklist)
+            packing = type(self.model).__name__ == "LanguageModel"
+        if packing:
             rows = pack_sequences(examples, args.max_seq_length, pad_id)
             self._batches = batch_packed_rows(
                 rows, bsz, args.max_seq_length, pad_id)
