@@ -168,3 +168,344 @@ void fp32_to_fp16_buffer(const float* src, uint16_t* dst, int64_t n) {
 }
 
 }  // extern "C"
+
+// ---- K-quants (QK_K = 256 super-blocks) -----------------------------------
+// Layouts and quantization searches implement the public GGML K-quant
+// formats (block_q4_K, block_q6_K) with llama.cpp's algorithm semantics
+// (make_qkx2_quants / make_qx_quants searches) so outputs are
+// bit-compatible with llama-quantize.
+
+namespace {
+
+constexpr int QK_K = 256;
+
+float make_qkx2_quants(int n, int nmax, const float* x, const float* weights,
+                       uint8_t* L, float* the_min, uint8_t* Laux,
+                       float rmin, float rdelta, int nstep,
+                       bool use_mad) {
+    float min = x[0];
+    float max = x[0];
+    float sum_w = weights[0];
+    float sum_x = sum_w * x[0];
+    for (int i = 1; i < n; ++i) {
+        if (x[i] < min) min = x[i];
+        if (x[i] > max) max = x[i];
+        float w = weights[i];
+        sum_w += w;
+        sum_x += w * x[i];
+    }
+    if (min > 0) min = 0;
+    if (max == min) {
+        for (int i = 0; i < n; ++i) L[i] = 0;
+        *the_min = -min;
+        return 0.f;
+    }
+    float iscale = nmax / (max - min);
+    float scale = 1 / iscale;
+    float best_mad = 0;
+    for (int i = 0; i < n; ++i) {
+        int l = (int)std::nearbyint(iscale * (x[i] - min));
+        L[i] = (uint8_t)(l < 0 ? 0 : (l > nmax ? nmax : l));
+        float diff = scale * L[i] + min - x[i];
+        diff = use_mad ? std::fabs(diff) : diff * diff;
+        best_mad += weights[i] * diff;
+    }
+    if (nstep < 1) {
+        *the_min = -min;
+        return scale;
+    }
+    for (int is = 0; is <= nstep; ++is) {
+        iscale = (rmin + rdelta * is + nmax) / (max - min);
+        float sum_l = 0, sum_l2 = 0, sum_xl = 0;
+        for (int i = 0; i < n; ++i) {
+            int l = (int)std::nearbyint(iscale * (x[i] - min));
+            l = l < 0 ? 0 : (l > nmax ? nmax : l);
+            Laux[i] = (uint8_t)l;
+            float w = weights[i];
+            sum_l += w * l;
+            sum_l2 += w * l * l;
+            sum_xl += w * l * x[i];
+        }
+        float D = sum_w * sum_l2 - sum_l * sum_l;
+        if (D > 0) {
+            float this_scale = (sum_w * sum_xl - sum_x * sum_l) / D;
+            float this_min = (sum_l2 * sum_x - sum_l * sum_xl) / D;
+            if (this_min > 0) {
+                this_min = 0;
+                this_scale = sum_xl / sum_l2;
+            }
+            float mad = 0;
+            for (int i = 0; i < n; ++i) {
+                float diff = this_scale * Laux[i] + this_min - x[i];
+                diff = use_mad ? std::fabs(diff) : diff * diff;
+                mad += weights[i] * diff;
+            }
+            if (mad < best_mad) {
+                for (int i = 0; i < n; ++i) L[i] = Laux[i];
+                best_mad = mad;
+                scale = this_scale;
+                min = this_min;
+            }
+        }
+    }
+    *the_min = -min;
+    return scale;
+}
+
+float make_qx_quants(int n, int nmax, const float* x, int8_t* L,
+                     int rmse_type) {
+    float max = 0, amax = 0;
+    for (int i = 0; i < n; ++i) {
+        float ax = std::fabs(x[i]);
+        if (ax > amax) { amax = ax; max = x[i]; }
+    }
+    if (amax < 1e-30f) {
+        for (int i = 0; i < n; ++i) L[i] = 0;
+        return 0.f;
+    }
+    float iscale = -nmax / max;
+    if (rmse_type == 0) {
+        for (int i = 0; i < n; ++i) {
+            int l = (int)std::nearbyint(iscale * x[i]);
+            L[i] = (int8_t)(nmax + (l < -nmax ? -nmax : (l > nmax - 1 ? nmax - 1 : l)));
+        }
+        return 1 / iscale;
+    }
+    float sumlx = 0, suml2 = 0;
+    for (int i = 0; i < n; ++i) {
+        int l = (int)std::nearbyint(iscale * x[i]);
+        l = l < -nmax ? -nmax : (l > nmax - 1 ? nmax - 1 : l);
+        L[i] = (int8_t)(l + nmax);
+        float w = x[i] * x[i];
+        sumlx += w * x[i] * l;
+        suml2 += w * l * l;
+    }
+    float scale = suml2 ? sumlx / suml2 : 0.0f;
+    float best = scale * sumlx;
+    for (int is = -9; is <= 9; ++is) {
+        if (is == 0) continue;
+        iscale = -(nmax + 0.1f * is) / max;
+        sumlx = suml2 = 0;
+        for (int i = 0; i < n; ++i) {
+            int l = (int)std::nearbyint(iscale * x[i]);
+            l = l < -nmax ? -nmax : (l > nmax - 1 ? nmax - 1 : l);
+            float w = x[i] * x[i];
+            sumlx += w * x[i] * l;
+            suml2 += w * l * l;
+        }
+        if (suml2 > 0 && sumlx * sumlx > best * suml2) {
+            for (int i = 0; i < n; ++i) {
+                int l = (int)std::nearbyint(iscale * x[i]);
+                L[i] = (int8_t)(nmax + (l < -nmax ? -nmax : (l > nmax - 1 ? nmax - 1 : l)));
+            }
+            scale = sumlx / suml2;
+            best = scale * sumlx;
+        }
+    }
+    return scale;
+}
+
+inline void get_scale_min_k4(int j, const uint8_t* q, uint8_t* d,
+                             uint8_t* m) {
+    if (j < 4) {
+        *d = q[j] & 63;
+        *m = q[j + 4] & 63;
+    } else {
+        *d = (q[j + 4] & 0xF) | ((q[j - 4] >> 6) << 4);
+        *m = (q[j + 4] >> 4) | ((q[j] >> 6) << 4);
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// block_q4_K: { fp16 d; fp16 dmin; uint8 scales[12]; uint8 qs[128]; } = 144B
+
+void quantize_q4_K(const float* src, uint8_t* dst, int64_t n) {
+    const int64_t nb = n / QK_K;
+    uint8_t L[QK_K], Laux[32];
+    float weights[32], mins[QK_K / 32], scales[QK_K / 32];
+    for (int64_t ib = 0; ib < nb; ++ib) {
+        const float* x = src + ib * QK_K;
+        uint8_t* y = dst + ib * 144;
+        float max_scale = 0, max_min = 0;
+        for (int j = 0; j < QK_K / 32; ++j) {
+            float sum_x2 = 0;
+            for (int l = 0; l < 32; ++l) sum_x2 += x[32 * j + l] * x[32 * j + l];
+            float av_x = std::sqrt(sum_x2 / 32);
+            for (int l = 0; l < 32; ++l)
+                weights[l] = av_x + std::fabs(x[32 * j + l]);
+            scales[j] = make_qkx2_quants(32, 15, x + 32 * j, weights,
+                                         L + 32 * j, &mins[j], Laux,
+                                         -1.f, 0.1f, 20, false);
+            if (scales[j] > max_scale) max_scale = scales[j];
+            if (mins[j] > max_min) max_min = mins[j];
+        }
+        float inv_scale = max_scale > 0 ? 63.f / max_scale : 0.f;
+        float inv_min = max_min > 0 ? 63.f / max_min : 0.f;
+        uint8_t* sc = y + 4;
+        for (int j = 0; j < QK_K / 32; ++j) {
+            uint8_t ls = (uint8_t)std::nearbyint(inv_scale * scales[j]);
+            uint8_t lm = (uint8_t)std::nearbyint(inv_min * mins[j]);
+            ls = ls < 63 ? ls : 63;
+            lm = lm < 63 ? lm : 63;
+            if (j < 4) {
+                sc[j] = ls;
+                sc[j + 4] = lm;
+            } else {
+                sc[j + 4] = (ls & 0xF) | ((lm & 0xF) << 4);
+                sc[j - 4] |= ((ls >> 4) << 6);
+                sc[j] |= ((lm >> 4) << 6);
+            }
+        }
+        const float d = max_scale / 63.f;
+        const float dmin = max_min / 63.f;
+        uint16_t dh = fp32_to_fp16(d), dminh = fp32_to_fp16(dmin);
+        std::memcpy(y, &dh, 2);
+        std::memcpy(y + 2, &dminh, 2);
+        // requantize with the decoded (6-bit) scales
+        for (int j = 0; j < QK_K / 32; ++j) {
+            uint8_t sd, sm;
+            get_scale_min_k4(j, sc, &sd, &sm);
+            const float dj = d * sd;
+            if (!dj) continue;
+            const float mj = dmin * sm;
+            for (int l = 0; l < 32; ++l) {
+                int q = (int)std::nearbyint((x[32 * j + l] + mj) / dj);
+                q = q < 0 ? 0 : (q > 15 ? 15 : q);
+                L[32 * j + l] = (uint8_t)q;
+            }
+        }
+        uint8_t* qs = y + 16;
+        for (int j = 0; j < QK_K; j += 64) {
+            for (int l = 0; l < 32; ++l)
+                qs[j / 2 + l] = L[j + l] | (L[j + l + 32] << 4);
+        }
+    }
+}
+
+void dequantize_q4_K(const uint8_t* src, float* dst, int64_t n) {
+    const int64_t nb = n / QK_K;
+    for (int64_t ib = 0; ib < nb; ++ib) {
+        const uint8_t* y = src + ib * 144;
+        float* x = dst + ib * QK_K;
+        uint16_t dh, dminh;
+        std::memcpy(&dh, y, 2);
+        std::memcpy(&dminh, y + 2, 2);
+        const float d = fp16_to_fp32(dh);
+        const float dmin = fp16_to_fp32(dminh);
+        const uint8_t* sc = y + 4;
+        const uint8_t* qs = y + 16;
+        int is = 0;
+        for (int j = 0; j < QK_K; j += 64) {
+            uint8_t sd1, sm1, sd2, sm2;
+            get_scale_min_k4(is + 0, sc, &sd1, &sm1);
+            get_scale_min_k4(is + 1, sc, &sd2, &sm2);
+            const float d1 = d * sd1, m1 = dmin * sm1;
+            const float d2 = d * sd2, m2 = dmin * sm2;
+            for (int l = 0; l < 32; ++l)
+                x[j + l] = d1 * (qs[j / 2 + l] & 0xF) - m1;
+            for (int l = 0; l < 32; ++l)
+                x[j + 32 + l] = d2 * (qs[j / 2 + l] >> 4) - m2;
+            is += 2;
+        }
+    }
+}
+
+// block_q6_K: { uint8 ql[128]; uint8 qh[64]; int8 scales[16]; fp16 d; } = 210B
+
+void quantize_q6_K(const float* src, uint8_t* dst, int64_t n) {
+    const int64_t nb = n / QK_K;
+    int8_t L[QK_K];
+    float scales[QK_K / 16];
+    for (int64_t ib = 0; ib < nb; ++ib) {
+        const float* x = src + ib * QK_K;
+        uint8_t* y = dst + ib * 210;
+        uint8_t* ql = y;
+        uint8_t* qh = y + 128;
+        int8_t* scq = (int8_t*)(y + 192);
+        float max_scale = 0, max_abs_scale = 0;
+        for (int j = 0; j < QK_K / 16; ++j) {
+            float scale = make_qx_quants(16, 32, x + 16 * j, L + 16 * j, 1);
+            scales[j] = scale;
+            float abs_scale = std::fabs(scale);
+            if (abs_scale > max_abs_scale) {
+                max_abs_scale = abs_scale;
+                max_scale = scale;
+            }
+        }
+        if (max_abs_scale < 1e-30f) {
+            std::memset(y, 0, 210);
+            continue;
+        }
+        float iscale = -128.f / max_scale;
+        float d = 1 / iscale;
+        uint16_t dh = fp32_to_fp16(d);
+        std::memcpy(y + 208, &dh, 2);
+        for (int j = 0; j < QK_K / 16; ++j) {
+            int s = (int)std::nearbyint(iscale * scales[j]);
+            scq[j] = (int8_t)(s > 127 ? 127 : (s < -128 ? -128 : s));
+        }
+        const float df = fp16_to_fp32(dh);
+        for (int j = 0; j < QK_K / 16; ++j) {
+            float dj = df * scq[j];
+            if (!dj) {
+                for (int l = 0; l < 16; ++l) L[16 * j + l] = 32;
+                continue;
+            }
+            for (int l = 0; l < 16; ++l) {
+                int q = (int)std::nearbyint(x[16 * j + l] / dj);
+                q = q < -32 ? -32 : (q > 31 ? 31 : q);
+                L[16 * j + l] = (int8_t)(q + 32);
+            }
+        }
+        for (int j = 0; j < QK_K; j += 128) {
+            for (int l = 0; l < 32; ++l) {
+                uint8_t q1 = (uint8_t)(L[j + l + 0] & 0xF);
+                uint8_t q2 = (uint8_t)(L[j + l + 32] & 0xF);
+                uint8_t q3 = (uint8_t)(L[j + l + 64] & 0xF);
+                uint8_t q4 = (uint8_t)(L[j + l + 96] & 0xF);
+                ql[j / 2 + l + 0] = q1 | (q3 << 4);
+                ql[j / 2 + l + 32] = q2 | (q4 << 4);
+                qh[j / 4 + l] = (uint8_t)((L[j + l] >> 4)
+                                          | ((L[j + l + 32] >> 4) << 2)
+                                          | ((L[j + l + 64] >> 4) << 4)
+                                          | ((L[j + l + 96] >> 4) << 6));
+            }
+        }
+    }
+}
+
+void dequantize_q6_K(const uint8_t* src, float* dst, int64_t n) {
+    const int64_t nb = n / QK_K;
+    for (int64_t ib = 0; ib < nb; ++ib) {
+        const uint8_t* y = src + ib * 210;
+        const uint8_t* ql = y;
+        const uint8_t* qh = y + 128;
+        const int8_t* sc = (const int8_t*)(y + 192);
+        uint16_t dh;
+        std::memcpy(&dh, y + 208, 2);
+        const float d = fp16_to_fp32(dh);
+        float* x = dst + ib * QK_K;
+        for (int j = 0; j < QK_K; j += 128) {
+            for (int l = 0; l < 32; ++l) {
+                int is = j / 16 + l / 16;
+                int q1 = (int)((ql[j / 2 + l] & 0xF)
+                               | (((qh[j / 4 + l] >> 0) & 3) << 4)) - 32;
+                int q2 = (int)((ql[j / 2 + l + 32] & 0xF)
+                               | (((qh[j / 4 + l] >> 2) & 3) << 4)) - 32;
+                int q3 = (int)((ql[j / 2 + l] >> 4)
+                               | (((qh[j / 4 + l] >> 4) & 3) << 4)) - 32;
+                int q4 = (int)((ql[j / 2 + l + 32] >> 4)
+                               | (((qh[j / 4 + l] >> 6) & 3) << 4)) - 32;
+                x[j + l + 0] = d * sc[is + 0] * q1;
+                x[j + l + 32] = d * sc[is + 2] * q2;
+                x[j + l + 64] = d * sc[is + 4] * q3;
+                x[j + l + 96] = d * sc[is + 6] * q4;
+            }
+        }
+    }
+}
+
+}  // extern "C"

@@ -145,3 +145,67 @@ def test_model_export_end_to_end(tmp_path):
     q_src = np.asarray(jax.device_get(model.params["layers"][0]["q"]))
     q_gguf = data["blk.0.attn_q.weight"]
     assert np.abs(q_gguf - q_src).max() < 0.01 * max(np.abs(q_src).max(), 1)
+
+
+def _rmse(a, b):
+    return np.sqrt(np.mean((a - b) ** 2)) / np.sqrt(np.mean(b ** 2))
+
+
+@pytest.mark.parametrize("ggml_type,max_rmse", [
+    # 4-bit gaussian quantization floor is ~7-8% relative RMSE; 6-bit ~2%
+    (GGMLType.Q4_K, 0.085), (GGMLType.Q6_K, 0.035)])
+def test_kquant_roundtrip(ggml_type, max_rmse):
+    if _native_lib() is None:
+        pytest.skip("native quantizer unavailable")
+    rng = np.random.RandomState(5)
+    x = (rng.randn(4096) * 0.1).astype(np.float32)
+    raw = quantize_tensor(x, ggml_type)
+    back = dequantize_tensor(raw, ggml_type, x.size)
+    assert _rmse(back, x) < max_rmse, _rmse(back, x)
+
+
+def test_q4_k_beats_q4_0():
+    """The K-quant's sub-block scale+min must beat plain Q4_0 RMSE."""
+    if _native_lib() is None:
+        pytest.skip("native quantizer unavailable")
+    rng = np.random.RandomState(6)
+    x = (rng.randn(65536) * 0.1).astype(np.float32)
+    q4k = dequantize_tensor(quantize_tensor(x, GGMLType.Q4_K),
+                            GGMLType.Q4_K, x.size)
+    q40 = dequantize_tensor(quantize_tensor(x, GGMLType.Q4_0),
+                            GGMLType.Q4_0, x.size)
+    assert _rmse(q4k, x) < _rmse(q40, x) * 0.9, (
+        _rmse(q4k, x), _rmse(q40, x))
+
+
+def test_q4_k_m_mix_policy(tmp_path):
+    """Q4_K_M export: use_more_bits layers get Q6_K attn_v/ffn_down,
+    output.weight Q6_K, norms F32."""
+    if _native_lib() is None:
+        pytest.skip("native quantizer unavailable")
+    import jax
+
+    from tests.helpers import TINY_LLAMA, make_hf_checkpoint
+    from unsloth_tpu.export.gguf import save_pretrained_gguf
+    from unsloth_tpu.models.loader import FastLanguageModel
+
+    # dims must be multiples of 256 for K-quants
+    cfg = dict(TINY_LLAMA, hidden_size=256, intermediate_size=256,
+               num_hidden_layers=8, vocab_size=512,
+               num_attention_heads=4, num_key_value_heads=2)
+    ckpt = str(tmp_path / "m")
+    make_hf_checkpoint(ckpt, cfg)
+    model, _ = FastLanguageModel.from_pretrained(ckpt, load_in_4bit=False,
+                                                 dtype="float32")
+    out = save_pretrained_gguf(model, str(tmp_path / "g"),
+                               quantization_method="q4_k_m")
+    md, tensors, data = read_gguf(out, load_tensors=True)
+    types = {t["name"]: t["type"] for t in tensors}
+    assert types["output.weight"] == GGMLType.Q6_K
+    assert types["blk.0.attn_v.weight"] == GGMLType.Q6_K  # first n/8
+    assert types["blk.4.attn_q.weight"] == GGMLType.Q4_K
+    assert types["blk.0.attn_norm.weight"] == GGMLType.F32
+    # value fidelity
+    q_src = np.asarray(jax.device_get(model.params["layers"][0]["q"]))
+    err = np.abs(data["blk.0.attn_q.weight"] - q_src).max()
+    assert err < 0.15 * np.abs(q_src).max()

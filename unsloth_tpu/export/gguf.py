@@ -31,6 +31,8 @@ QUANT_ALIASES = {
     "bf16": "bf16",
     "q8_0": "q8_0",
     "q4_0": "q4_0",
+    "q4_k": "q4_k_m", "q4_k_m": "q4_k_m", "q4_k_s": "q4_k_s",
+    "q6_k": "q6_k",
 }
 
 _QUANT_TO_TYPE = {
@@ -39,7 +41,16 @@ _QUANT_TO_TYPE = {
     "bf16": GGMLType.BF16,
     "q8_0": GGMLType.Q8_0,
     "q4_0": GGMLType.Q4_0,
+    "q4_k_m": GGMLType.Q4_K,
+    "q4_k_s": GGMLType.Q4_K,
+    "q6_k": GGMLType.Q6_K,
 }
+
+
+def _use_more_bits(i_layer: int, n_layer: int) -> bool:
+    """llama.cpp's Q4_K_M layer selector for the 6-bit upgrades."""
+    return (i_layer < n_layer // 8 or i_layer >= 7 * n_layer // 8
+            or (i_layer - n_layer // 8) % 3 == 2)
 
 ALLOWED_QUANTS = sorted(_QUANT_TO_TYPE)
 
@@ -198,19 +209,30 @@ def _tensor_entries(params: Dict[str, Any], cfg: ModelConfig
     return entries
 
 
-def _type_for(name: str, arr_shape, base_type: GGMLType) -> GGMLType:
+def _type_for(name: str, arr_shape, base_type: GGMLType,
+              method: str = "", n_layer: int = 0) -> GGMLType:
     """Per-tensor type policy, mirroring llama.cpp quantize rules:
-    1-D tensors (norms, biases) stay F32; token_embd/output stay in a
-    higher-precision type for quality."""
+    1-D tensors (norms, biases) stay F32; token_embd/output get a
+    higher-precision type; Q4_K_M upgrades attn_v/ffn_down to Q6_K on
+    the use_more_bits layers."""
     if len(arr_shape) == 1:
         return GGMLType.F32
     if base_type in (GGMLType.F32, GGMLType.F16, GGMLType.BF16):
         return base_type
-    if name in ("token_embd.weight", "output.weight"):
-        return GGMLType.Q8_0
-    # rows must be divisible by the block size
-    if arr_shape[-1] % 32 != 0:
+    block = 256 if base_type in (GGMLType.Q4_K, GGMLType.Q6_K) else 32
+    if arr_shape[-1] % block != 0:
         return GGMLType.F16
+    if name == "output.weight":
+        return (GGMLType.Q6_K if base_type == GGMLType.Q4_K
+                and arr_shape[-1] % 256 == 0 else GGMLType.Q8_0)
+    if name == "token_embd.weight":
+        return GGMLType.Q8_0 if base_type == GGMLType.Q8_0 else base_type
+    if method == "q4_k_m" and n_layer and name.startswith("blk."):
+        i_layer = int(name.split(".")[1])
+        if (name.endswith("attn_v.weight")
+                or name.endswith("ffn_down.weight")) \
+                and _use_more_bits(i_layer, n_layer):
+            return GGMLType.Q6_K
     return base_type
 
 
@@ -236,15 +258,17 @@ def save_to_gguf(model, path: str, quantization_method: str = "q8_0",
         if gguf_name.endswith("norm.weight") and cfg.gemma_norm:
             pass  # gemma stores (1+w) convention; llama.cpp expects the
             # stored-form weight, which is what we have — no shift.
-        w.add_tensor(gguf_name, arr, _type_for(gguf_name, arr.shape,
-                                               base_type))
+        w.add_tensor(gguf_name, arr,
+                     _type_for(gguf_name, arr.shape, base_type,
+                               method=method, n_layer=cfg.num_layers))
     w.write()
     return path
 
 
 def _file_type_code(t: GGMLType) -> int:
     return {GGMLType.F32: 0, GGMLType.F16: 1, GGMLType.Q4_0: 2,
-            GGMLType.Q8_0: 7, GGMLType.BF16: 32}.get(t, 1)
+            GGMLType.Q8_0: 7, GGMLType.Q4_K: 15, GGMLType.Q6_K: 18,
+            GGMLType.BF16: 32}.get(t, 1)
 
 
 def save_pretrained_gguf(model, save_dir: str,

@@ -47,6 +47,8 @@ class GGMLType(enum.IntEnum):
     F16 = 1
     Q4_0 = 2
     Q8_0 = 8
+    Q4_K = 12
+    Q6_K = 14
     BF16 = 30
 
 
@@ -57,7 +59,12 @@ _TYPE_TRAITS = {
     GGMLType.BF16: (2, 1),
     GGMLType.Q8_0: (34, 32),
     GGMLType.Q4_0: (18, 32),
+    GGMLType.Q4_K: (144, 256),
+    GGMLType.Q6_K: (210, 256),
 }
+
+_NATIVE_ONLY = {GGMLType.Q4_K: ("quantize_q4_K", "dequantize_q4_K"),
+                GGMLType.Q6_K: ("quantize_q6_K", "dequantize_q6_K")}
 
 
 # ---------------------------------------------------------------------------
@@ -85,7 +92,9 @@ def _native_lib():
                 check=True, capture_output=True)
         lib = ctypes.CDLL(so)
         for name in ("quantize_q8_0", "dequantize_q8_0", "quantize_q4_0",
-                     "dequantize_q4_0", "fp32_to_fp16_buffer"):
+                     "dequantize_q4_0", "fp32_to_fp16_buffer",
+                     "quantize_q4_K", "dequantize_q4_K",
+                     "quantize_q6_K", "dequantize_q6_K"):
             getattr(lib, name).restype = None
         _LIB = lib
     except Exception:
@@ -157,6 +166,20 @@ def quantize_tensor(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
             return out
         return (_q8_0_numpy(x) if ggml_type == GGMLType.Q8_0
                 else _q4_0_numpy(x))
+    if ggml_type in _NATIVE_ONLY:
+        assert n % 256 == 0, "K-quants need row size % 256 == 0"
+        lib = _native_lib()
+        if lib is None:
+            raise RuntimeError(
+                f"{ggml_type.name} requires the native quantizer "
+                f"(csrc/libgguf_quant.so failed to build)")
+        bpb, epb = _TYPE_TRAITS[ggml_type]
+        out = np.empty(n // epb * bpb, np.uint8)
+        fn = getattr(lib, _NATIVE_ONLY[ggml_type][0])
+        fn(x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+           out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+           ctypes.c_int64(n))
+        return out
     raise ValueError(f"unsupported ggml type {ggml_type}")
 
 
@@ -170,6 +193,16 @@ def dequantize_tensor(raw: np.ndarray, ggml_type: GGMLType, n: int
         u = raw.view(np.uint16)[:n].astype(np.uint32) << 16
         return u.view(np.float32).copy()
     lib = _native_lib()
+    if ggml_type in _NATIVE_ONLY:
+        if lib is None:
+            raise RuntimeError(f"{ggml_type.name} needs the native lib")
+        out = np.empty(n, np.float32)
+        fn = getattr(lib, _NATIVE_ONLY[ggml_type][1])
+        fn(np.ascontiguousarray(raw).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8)),
+           out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+           ctypes.c_int64(n))
+        return out
     if ggml_type in (GGMLType.Q8_0, GGMLType.Q4_0):
         if lib is not None:
             out = np.empty(n, np.float32)
