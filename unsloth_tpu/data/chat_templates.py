@@ -328,6 +328,139 @@ register(ChatTemplate(
 
 
 # ---------------------------------------------------------------------------
+# DeepSeek (V3 / R1)
+# ---------------------------------------------------------------------------
+
+_DEEPSEEK_JINJA = (
+    "{{ bos_token }}"
+    "{% if messages[0]['role'] == 'system' %}{{ messages[0]['content'] }}"
+    "{% set loop_messages = messages[1:] %}"
+    "{% else %}{% set loop_messages = messages %}{% endif %}"
+    "{% for message in loop_messages %}"
+    "{% if message['role'] == 'user' %}"
+    "{{ '<｜User｜>' + message['content'] }}"
+    "{% else %}{{ '<｜Assistant｜>' + message['content'] "
+    "+ '<｜end▁of▁sentence｜>' }}"
+    "{% endif %}{% endfor %}"
+    "{% if add_generation_prompt %}{{ '<｜Assistant｜>' }}"
+    "{% endif %}"
+)
+
+register(ChatTemplate(
+    name="deepseek-r1",
+    jinja=_DEEPSEEK_JINJA,
+    eos_token="<｜end▁of▁sentence｜>",
+    stop_word="<｜end▁of▁sentence｜>",
+    instruction_part="<｜User｜>",
+    response_part="<｜Assistant｜>",
+), "deepseek", "deepseek-v3")
+
+
+# ---------------------------------------------------------------------------
+# Granite 3
+# ---------------------------------------------------------------------------
+
+_GRANITE_JINJA = (
+    "{% for message in messages %}"
+    "{{ '<|start_of_role|>' + message['role'] + '<|end_of_role|>' "
+    "+ message['content'] + '<|end_of_text|>\n' }}"
+    "{% endfor %}"
+    "{% if add_generation_prompt %}"
+    "{{ '<|start_of_role|>assistant<|end_of_role|>' }}{% endif %}"
+)
+
+register(ChatTemplate(
+    name="granite",
+    jinja=_GRANITE_JINJA,
+    eos_token="<|end_of_text|>",
+    stop_word="<|end_of_text|>",
+    instruction_part="<|start_of_role|>user<|end_of_role|>",
+    response_part="<|start_of_role|>assistant<|end_of_role|>",
+), "granite-3", "granite3")
+
+
+# ---------------------------------------------------------------------------
+# Llama-4
+# ---------------------------------------------------------------------------
+
+_LLAMA4_JINJA = (
+    "{{ bos_token }}"
+    "{% for message in messages %}"
+    "{{ '<|header_start|>' + message['role'] + '<|header_end|>\n\n' "
+    "+ message['content'] | trim + '<|eot|>' }}"
+    "{% endfor %}"
+    "{% if add_generation_prompt %}"
+    "{{ '<|header_start|>assistant<|header_end|>\n\n' }}{% endif %}"
+)
+
+register(ChatTemplate(
+    name="llama-4",
+    jinja=_LLAMA4_JINJA,
+    eos_token="<|eot|>",
+    stop_word="<|eot|>",
+    instruction_part="<|header_start|>user<|header_end|>\n\n",
+    response_part="<|header_start|>assistant<|header_end|>\n\n",
+), "llama4")
+
+
+# ---------------------------------------------------------------------------
+# Command-R (cohere)
+# ---------------------------------------------------------------------------
+
+_COMMAND_R_JINJA = (
+    "{{ bos_token }}"
+    "{% for message in messages %}"
+    "{% set role = {'user': '<|USER_TOKEN|>', 'system': "
+    "'<|SYSTEM_TOKEN|>', 'assistant': '<|CHATBOT_TOKEN|>'}"
+    "[message['role']] %}"
+    "{{ '<|START_OF_TURN_TOKEN|>' + role + message['content'] "
+    "+ '<|END_OF_TURN_TOKEN|>' }}"
+    "{% endfor %}"
+    "{% if add_generation_prompt %}"
+    "{{ '<|START_OF_TURN_TOKEN|><|CHATBOT_TOKEN|>' }}{% endif %}"
+)
+
+register(ChatTemplate(
+    name="command-r",
+    jinja=_COMMAND_R_JINJA,
+    eos_token="<|END_OF_TURN_TOKEN|>",
+    stop_word="<|END_OF_TURN_TOKEN|>",
+    instruction_part="<|START_OF_TURN_TOKEN|><|USER_TOKEN|>",
+    response_part="<|START_OF_TURN_TOKEN|><|CHATBOT_TOKEN|>",
+), "cohere", "aya")
+
+
+# ---------------------------------------------------------------------------
+# Falcon
+# ---------------------------------------------------------------------------
+
+_FALCON_JINJA = (
+    "{% for message in messages %}"
+    "{% if message['role'] == 'user' %}"
+    "{{ 'User: ' + message['content'] + '\n' }}"
+    "{% elif message['role'] == 'system' %}"
+    "{{ message['content'] + '\n' }}"
+    "{% else %}{{ 'Falcon: ' + message['content'] + eos_token + '\n' }}"
+    "{% endif %}{% endfor %}"
+    "{% if add_generation_prompt %}{{ 'Falcon:' }}{% endif %}"
+)
+
+register(ChatTemplate(
+    name="falcon",
+    jinja=_FALCON_JINJA,
+    eos_token="<|endoftext|>",
+    stop_word="User:",
+    instruction_part="User:",
+    response_part="Falcon:",
+), "falcon-h1")
+
+
+# orpheus TTS and qwen-vl reuse existing formats
+register(_REGISTRY["llama-3"], "orpheus")
+register(_REGISTRY["chatml"], "qwen-2.5-vl", "qwen2.5-vl", "qwen-vl")
+
+
+# ---------------------------------------------------------------------------
 # API
 # ---------------------------------------------------------------------------
 
