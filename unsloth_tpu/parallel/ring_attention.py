@@ -138,7 +138,7 @@ def ring_attention_sharded(mesh: Mesh, axis_name: str = "sp",
     @jax.jit
     @functools.partial(
         shard_map, mesh=mesh, in_specs=(spec, spec, spec),
-        out_specs=spec, check_rep=False)
+        out_specs=spec)
     def fn(q, k, v):
         return ring_attention(q, k, v, axis_name=axis_name, axis_size=n,
                               causal=causal, scale=scale)
