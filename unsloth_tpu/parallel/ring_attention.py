@@ -72,39 +72,29 @@ def ring_attention(q, k, v, *, axis_name: str, axis_size: int,
         acc, m_run, l_run, k_cur, v_cur = carry
         src_block = (my - i) % n          # whose KV we hold this step
 
-        # causal block logic: skip strictly-future blocks, mask diagonal
-        is_diag = src_block == my
-        is_past = src_block < my
-
-        def combine(args):
-            o_b, m_b, l_b = args
-            m_new = jnp.maximum(m_run, m_b)
-            m_new_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
-            a1 = jnp.where(jnp.isfinite(m_run),
-                           jnp.exp(m_run - m_new_safe), 0.0)
-            a2 = jnp.where(jnp.isfinite(m_b),
-                           jnp.exp(m_b - m_new_safe), 0.0)
-            acc_new = acc * a1[..., None] + o_b * a2[..., None]
-            l_new = l_run * a1 + l_b * a2
-            return acc_new, m_new, l_new
-
-        def diag_branch(_):
-            return combine(_block_attend(q, k_cur, v_cur, scale, diag_mask))
-
-        def past_branch(_):
-            return combine(_block_attend(q, k_cur, v_cur, scale, None))
-
-        def skip_branch(_):
-            return acc, m_run, l_run
-
         if causal:
-            acc2, m2, l2 = jax.lax.cond(
-                is_diag, diag_branch,
-                lambda _: jax.lax.cond(is_past, past_branch, skip_branch,
-                                       None),
-                None)
+            # block-granular causality as a dynamically selected mask:
+            # past block -> full, diagonal -> lower-triangular, future ->
+            # empty (its contribution vanishes in the -inf-safe combine).
+            is_diag = src_block == my
+            is_past = src_block < my
+            full = jnp.ones((t, t), bool)
+            empty = jnp.zeros((t, t), bool)
+            mask = jnp.where(is_past, full,
+                             jnp.where(is_diag, diag_mask, empty))
         else:
-            acc2, m2, l2 = past_branch(None)
+            mask = None
+
+        o_b, m_b, l_b = _block_attend(q, k_cur, v_cur, scale, mask)
+        m_new = jnp.maximum(m_run, m_b)
+        m_new_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        a1 = jnp.where(jnp.isfinite(m_run),
+                       jnp.exp(m_run - m_new_safe), 0.0)
+        a2 = jnp.where(jnp.isfinite(m_b),
+                       jnp.exp(m_b - m_new_safe), 0.0)
+        acc2 = acc * a1[..., None] + o_b * a2[..., None]
+        l2 = l_run * a1 + l_b * a2
+        m2 = m_new
 
         # rotate KV to the next device (ring over ICI)
         perm = [(j, (j + 1) % n) for j in range(n)]
