@@ -18,6 +18,23 @@ from .models.loader import FastLanguageModel, FastModel, LanguageModel
 from .parallel.mesh import create_mesh, ShardingRules
 from .utils import env as _env
 
+# FastTextModel is the reference's alias for text-only FastModel
+# (reference: models/loader.py:2158).
+FastTextModel = FastLanguageModel
+
+
+def __getattr__(name):
+    # heavyweight facades load lazily (they pull vision/audio deps)
+    if name == "FastVisionModel":
+        from .models.vision import FastVisionModel
+
+        return FastVisionModel
+    if name == "FastSentenceTransformer":
+        from .models.sentence_transformer import FastSentenceTransformer
+
+        return FastSentenceTransformer
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
 
 def is_bfloat16_supported() -> bool:
     """Reference-parity helper (reference: _gpu_init.py bf16 probe
@@ -30,6 +47,9 @@ __all__ = [
     "RopeScaling",
     "FastLanguageModel",
     "FastModel",
+    "FastTextModel",
+    "FastVisionModel",
+    "FastSentenceTransformer",
     "LanguageModel",
     "create_mesh",
     "ShardingRules",
