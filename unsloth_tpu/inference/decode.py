@@ -116,7 +116,10 @@ def forward_with_cache(
             lora = unstack_lora(lora, n)
     lora_layers = (lora or {}).get("layers")
 
-    x = jnp.take(params["embed"], input_ids, axis=0)
+    embed_w = (lora or {}).get("embed")  # modules_to_save shadow
+    if embed_w is None:
+        embed_w = params["embed"]
+    x = jnp.take(embed_w, input_ids, axis=0)
     if cfg.embed_scale is not None:
         x = x * jnp.asarray(cfg.embed_scale, dtype=x.dtype)
 
@@ -188,10 +191,12 @@ def forward_with_cache(
     return x, new_cache
 
 
-def logits_from_hidden(params, h, cfg: ModelConfig):
-    w = params.get("lm_head")
+def logits_from_hidden(params, h, cfg: ModelConfig, lora=None):
+    w = (lora or {}).get("lm_head")
     if w is None:
-        w = params["embed"]
+        w = params.get("lm_head")
+    if w is None:
+        w = (lora or {}).get("embed", params["embed"])
     logits = base_matmul(h, w)
     if cfg.logit_scale is not None:
         logits = logits * cfg.logit_scale

@@ -83,7 +83,7 @@ def _generate_jit(params, lora, prompt_ids, prompt_mask, cfg, rng,
         params, lora, prompt_ids, cfg, cache,
         positions=positions, kv_valid_extra=kv_valid_extra)
     last_h = h[:, -1, :]
-    logits = logits_from_hidden(params, last_h, cfg)
+    logits = logits_from_hidden(params, last_h, cfg, lora)
 
     next_positions = positions[:, -1] + 1                           # [B]
 
@@ -116,7 +116,7 @@ def _generate_jit(params, lora, prompt_ids, prompt_mask, cfg, rng,
         h, cache = forward_with_cache(
             params, lora, tok[:, None], cfg, cache,
             positions=pos[:, None], kv_valid_extra=kv_valid_extra)
-        logits = logits_from_hidden(params, h, cfg)[:, 0]
+        logits = logits_from_hidden(params, h, cfg, lora)[:, 0]
         key, sub = jax.random.split(key)
         nxt = _sample(logits, sub, sampling)
         nxt = jnp.where(done, 0, nxt)
