@@ -159,3 +159,16 @@ def test_train_on_responses_only_masks():
     decoded = [chr(l) if l != -100 else "_" for l in labels]
     # "<U>hi<A>" = 8 masked, "yo" kept, "<U>x<A>" = 7 masked, "z" kept
     assert "".join(decoded) == "________yo_______z"
+
+
+def test_accum_larger_than_dataset_terminates(rng):
+    """Regression: accumulation steps > available batches must clamp, not
+    spin forever."""
+    model = _tiny_model(rng)
+    ds = _tokenized_dataset(n=4, seed=9)
+    args = SFTConfig(per_device_train_batch_size=2,
+                     gradient_accumulation_steps=16, max_steps=3,
+                     learning_rate=1e-3, max_seq_length=32, packing=False,
+                     warmup_steps=0)
+    out = SFTTrainer(model=model, train_dataset=ds, args=args).train()
+    assert out.global_step == 3

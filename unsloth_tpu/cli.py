@@ -23,6 +23,9 @@ import sys
 def _add_train_args(p: argparse.ArgumentParser):
     # model (mirrors unsloth-cli.py's "Model Options")
     p.add_argument("--model_name", required=True)
+    p.add_argument("--platform", default=None,
+                   help="force the jax platform (e.g. cpu); env vars "
+                        "cannot override a site-registered plugin")
     p.add_argument("--max_seq_length", type=int, default=2048)
     p.add_argument("--dtype", default=None)
     p.add_argument("--load_in_4bit", action="store_true", default=True)
@@ -88,6 +91,10 @@ def load_dataset_file(path: str, text_field: str = "text"):
 
 
 def cmd_train(args) -> int:
+    if getattr(args, "platform", None):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     from .models.loader import FastLanguageModel
     from .trainer.sft import SFTConfig, SFTTrainer
 

@@ -1,0 +1,231 @@
+"""Studio — web backend for training jobs + inference.
+
+Parity target: the reference's Studio backend (reference: studio/backend/ —
+FastAPI routes for training/inference/export, training worker as an
+isolated spawn subprocess whose crash becomes a structured error event,
+core/training/worker.py:1-30, progress callback -> WS events
+trainer.py:280, resume scan resume.py). This is the round-1 core: job
+management, live metrics, and the OpenAI/Anthropic chat endpoints, on the
+stdlib HTTP server (no FastAPI in this image). The React frontend is
+replaced by a single-file dashboard (inline JS polling /api/metrics).
+
+Training runs in a SUBPROCESS (the reference's worker isolation): a crash
+or OOM can't take the server down, stop is a signal, and progress streams
+through the trainer's metrics.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import threading
+import time
+import uuid
+from typing import Any, Dict, List, Optional
+
+from ..inference.server import InferenceServer
+
+_DASHBOARD_HTML = """<!DOCTYPE html>
+<html><head><title>unsloth_tpu studio</title>
+<style>
+body{font-family:system-ui;margin:2rem;background:#111;color:#eee}
+h1{font-size:1.2rem} .card{background:#1c1c1c;border-radius:8px;
+padding:1rem;margin:1rem 0;max-width:720px}
+canvas{width:100%;height:220px}
+pre{white-space:pre-wrap;font-size:.85rem;color:#9c9}
+button{background:#2563eb;color:#fff;border:0;border-radius:6px;
+padding:.4rem .8rem;cursor:pointer} input{width:100%;padding:.4rem}
+</style></head><body>
+<h1>unsloth_tpu studio</h1>
+<div class=card><b>Training</b> — <span id=status>?</span>
+<canvas id=chart width=700 height=220></canvas><pre id=last></pre>
+<button onclick="stopJob()">stop job</button></div>
+<div class=card><b>Chat</b><div id=chatlog></div>
+<input id=msg placeholder="message... (enter to send)"
+ onkeydown="if(event.key==='Enter')send()"></div>
+<script>
+async function poll(){
+ const r = await fetch('/api/train/status'); const s = await r.json();
+ document.getElementById('status').textContent =
+   s.running ? 'running (pid '+s.pid+')' : 'idle';
+ const m = await (await fetch('/api/metrics')).json();
+ draw(m.entries); if(m.entries.length)
+   document.getElementById('last').textContent =
+     JSON.stringify(m.entries[m.entries.length-1]);
+}
+function draw(es){
+ const c = document.getElementById('chart'), x = c.getContext('2d');
+ x.clearRect(0,0,c.width,c.height);
+ const ls = es.map(e=>e.loss).filter(v=>v!==undefined);
+ if(ls.length<2) return;
+ const mx = Math.max(...ls), mn = Math.min(...ls);
+ x.strokeStyle='#4ade80'; x.beginPath();
+ ls.forEach((v,i)=>{const px=i/(ls.length-1)*c.width,
+  py=c.height-((v-mn)/(mx-mn+1e-9))*(c.height-20)-10;
+  i?x.lineTo(px,py):x.moveTo(px,py)});
+ x.stroke();
+}
+async function stopJob(){await fetch('/api/train/stop',{method:'POST'});}
+async function send(){
+ const el = document.getElementById('msg'); const text = el.value;
+ el.value='';
+ const log = document.getElementById('chatlog');
+ log.innerHTML += '<p><b>you:</b> '+text+'</p>';
+ const r = await fetch('/v1/chat/completions',{method:'POST',
+  headers:{'Content-Type':'application/json'},
+  body:JSON.stringify({messages:[{role:'user',content:text}],
+                       max_tokens:128})});
+ const j = await r.json();
+ log.innerHTML += '<p><b>model:</b> '+
+   (j.choices?j.choices[0].message.content:JSON.stringify(j))+'</p>';
+}
+setInterval(poll, 2000); poll();
+</script></body></html>"""
+
+
+class TrainingJobManager:
+    """Subprocess training jobs (the reference's worker isolation)."""
+
+    def __init__(self, workdir: str = "studio_jobs"):
+        self.workdir = workdir
+        self.proc: Optional[subprocess.Popen] = None
+        self.job: Optional[Dict[str, Any]] = None
+        os.makedirs(workdir, exist_ok=True)
+
+    def start(self, config: Dict[str, Any]) -> Dict[str, Any]:
+        if self.proc is not None and self.proc.poll() is None:
+            raise RuntimeError("a training job is already running")
+        job_id = uuid.uuid4().hex[:12]
+        out_dir = os.path.join(self.workdir, job_id)
+        os.makedirs(out_dir, exist_ok=True)
+        args = [sys.executable, "-m", "unsloth_tpu.cli", "train",
+                "--model_name", config["model_name"],
+                "--dataset", config["dataset"],
+                "--output_dir", out_dir]
+        for key in ("max_steps", "learning_rate", "max_seq_length",
+                    "per_device_train_batch_size", "r", "lora_alpha",
+                    "save_steps", "gradient_accumulation_steps",
+                    "platform"):
+            if key in config:
+                args += [f"--{key}", str(config[key])]
+        if config.get("packing"):
+            args.append("--packing")
+        if config.get("save_model"):
+            args.append("--save_model")
+        log_path = os.path.join(out_dir, "job.log")
+        log_f = open(log_path, "w")
+        self.proc = subprocess.Popen(args, stdout=log_f, stderr=log_f)
+        self.job = {"id": job_id, "output_dir": out_dir,
+                    "log": log_path, "started": time.time(),
+                    "config": config}
+        return {"job_id": job_id, "pid": self.proc.pid,
+                "output_dir": out_dir}
+
+    def status(self) -> Dict[str, Any]:
+        if self.proc is None:
+            return {"running": False}
+        code = self.proc.poll()
+        out = {"running": code is None, "pid": self.proc.pid,
+               "returncode": code}
+        if self.job:
+            out.update({"job_id": self.job["id"],
+                        "output_dir": self.job["output_dir"]})
+            # structured error event on crash (reference: worker.py:5-8)
+            if code not in (None, 0):
+                try:
+                    with open(self.job["log"]) as f:
+                        out["error_tail"] = f.read()[-2000:]
+                except OSError:
+                    pass
+        return out
+
+    def stop(self) -> Dict[str, Any]:
+        if self.proc is None or self.proc.poll() is not None:
+            return {"stopped": False, "reason": "no running job"}
+        self.proc.send_signal(signal.SIGTERM)
+        try:
+            self.proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            self.proc.kill()
+        return {"stopped": True}
+
+    def metrics(self, limit: int = 500) -> List[Dict[str, Any]]:
+        if not self.job:
+            return []
+        path = os.path.join(self.job["output_dir"], "metrics.jsonl")
+        if not os.path.exists(path):
+            return []
+        entries = []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    try:
+                        entries.append(json.loads(line))
+                    except json.JSONDecodeError:
+                        pass
+        return entries[-limit:]
+
+
+class StudioServer(InferenceServer):
+    """Inference endpoints + dashboard + training-job API."""
+
+    def __init__(self, model=None, tokenizer=None, model_name="local",
+                 workdir: str = "studio_jobs"):
+        if model is not None:
+            super().__init__(model, tokenizer, model_name)
+        else:
+            self.model = None
+            self.tokenizer = None
+            self.model_name = model_name
+            self._lock = threading.Lock()
+        self.jobs = TrainingJobManager(workdir)
+
+    def make_handler(server):
+        Base = InferenceServer.make_handler(server)
+
+        class Handler(Base):
+            def do_GET(self):
+                if self.path in ("/", "/index.html"):
+                    data = _DASHBOARD_HTML.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                    return
+                if self.path == "/api/train/status":
+                    return self._send(200, server.jobs.status())
+                if self.path.startswith("/api/metrics"):
+                    return self._send(
+                        200, {"entries": server.jobs.metrics()})
+                return super().do_GET()
+
+            def do_POST(self):
+                if self.path.startswith("/api/"):
+                    length = int(self.headers.get("Content-Length", 0))
+                    try:
+                        body = json.loads(self.rfile.read(length) or b"{}")
+                    except json.JSONDecodeError:
+                        return self._send(400, {"error": "invalid JSON"})
+                    try:
+                        if self.path == "/api/train/start":
+                            return self._send(200,
+                                              server.jobs.start(body))
+                        if self.path == "/api/train/stop":
+                            return self._send(200, server.jobs.stop())
+                        return self._send(404, {"error": "not found"})
+                    except KeyError as e:
+                        return self._send(400, {"error":
+                                                f"missing field: {e}"})
+                    except RuntimeError as e:
+                        return self._send(409, {"error": str(e)})
+                if server.model is None and self.path.startswith("/v1/"):
+                    return self._send(503, {"error":
+                                            "no model loaded for chat"})
+                return super().do_POST()
+
+        return Handler

@@ -324,7 +324,9 @@ class SFTTrainer:
     def train(self, resume_from_checkpoint=None) -> TrainOutput:
         args = self.args
         batches = self.prepare_batches()
-        accum = args.gradient_accumulation_steps
+        # fewer batches than accumulation steps would make the epoch loop
+        # empty (and the while loop spin forever): clamp
+        accum = max(1, min(args.gradient_accumulation_steps, len(batches)))
         steps_per_epoch = max(len(batches) // accum, 1)
         if args.max_steps > 0:
             total_steps = args.max_steps
