@@ -102,5 +102,7 @@ def test_mllama_loss_and_grads(mllama_ckpt):
 
     loss, grads = jax.value_and_grad(f)(bundle["text"])
     assert np.isfinite(float(loss))
-    g = grads["layers"][1]["q"]  # cross-attn layer
-    assert float(jnp.max(jnp.abs(g))) > 0
+    # cross-attn projections are tanh(0)-gated at init => their grads are
+    # legitimately zero; the GATE itself must receive gradient
+    assert float(jnp.abs(grads["layers"][1]["attn_gate"])) > 0
+    assert float(jnp.max(jnp.abs(grads["layers"][0]["q"]))) > 0
