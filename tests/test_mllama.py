@@ -104,5 +104,5 @@ def test_mllama_loss_and_grads(mllama_ckpt):
     assert np.isfinite(float(loss))
     # cross-attn projections are tanh(0)-gated at init => their grads are
     # legitimately zero; the GATE itself must receive gradient
-    assert float(jnp.abs(grads["layers"][1]["attn_gate"])) > 0
+    assert float(jnp.max(jnp.abs(grads["layers"][1]["attn_gate"]))) > 0
     assert float(jnp.max(jnp.abs(grads["layers"][0]["q"]))) > 0
