@@ -29,8 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..data.packing import (PackedBatch, batch_packed_rows, pack_sequences,
-                            pad_batch)
+from ..data.packing import (IGNORE_INDEX, PackedBatch, batch_packed_rows,
+                            pack_sequences, pad_batch)
 from ..models.decoder import loss_fn as model_loss_fn
 
 
@@ -400,6 +400,60 @@ class SFTTrainer:
         return TrainOutput(global_step,
                            float(np.mean(losses)) if losses else float("nan"),
                            metrics)
+
+    def evaluate(self, eval_dataset=None) -> Dict[str, float]:
+        """Mean loss + perplexity over the eval dataset (reference exposes
+        eval through HF Trainer; perplexity methodology per
+        tests/utils/perplexity_eval.py:12-36)."""
+        ds = eval_dataset or self.eval_dataset
+        assert ds is not None, "no eval dataset"
+        args = self.args
+        examples = [self._tokenize_example(ex) for ex in ds]
+        pad_id = 0
+        if self.tokenizer is not None:
+            pad_id = (getattr(self.tokenizer, "pad_token_id", None)
+                      or getattr(self.tokenizer, "eos_token_id", 0) or 0)
+        model = self.model
+        full_ft = model.lora is None
+        trainables = model.params if full_ft else model.lora
+
+        @jax.jit
+        def eval_loss(trainables, base_params, micro):
+            if full_ft:
+                return model_loss_fn(trainables, None, micro, model.cfg,
+                                     remat=False)
+            return model_loss_fn(base_params, trainables, micro,
+                                 model.cfg, remat=False)
+
+        total_loss = 0.0
+        total_tokens = 0
+        bsz = args.per_device_train_batch_size
+        for i in range(0, len(examples), bsz):
+            chunk = examples[i:i + bsz]
+            if len(chunk) < bsz:
+                chunk = chunk + [chunk[-1]] * (bsz - len(chunk))
+                n_real = len(examples) - i
+            else:
+                n_real = bsz
+            pb = pad_batch(chunk, args.max_seq_length, pad_id)
+            labels = np.asarray(pb.labels).copy()
+            labels[n_real:] = IGNORE_INDEX  # batch-fill rows don't count
+            micro = {
+                "input_ids": jnp.asarray(pb.input_ids),
+                "labels": jnp.asarray(labels),
+                "segment_ids": jnp.asarray(pb.segment_ids),
+                "positions": jnp.asarray(pb.positions),
+            }
+            n_tok = int((labels[:n_real, 1:] != -100).sum())
+            loss = float(eval_loss(trainables, self.model.params, micro))
+            total_loss += loss * max(n_tok, 1)
+            total_tokens += n_tok
+        mean = total_loss / max(total_tokens, 1)
+        metrics = {"eval_loss": mean,
+                   "eval_perplexity": float(np.exp(min(mean, 20.0))),
+                   "eval_tokens": total_tokens}
+        self.metrics_logger.log(metrics)
+        return metrics
 
     def _save_checkpoint(self, trainables, step, opt_state=None):
         path = os.path.join(self.args.output_dir, f"checkpoint-{step}")
