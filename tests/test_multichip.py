@@ -134,3 +134,60 @@ def test_dryrun_multichip_entry():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+_DRYRUN_LOADER = (
+    "import importlib.util\n"
+    "spec = importlib.util.spec_from_file_location("
+    "'graft_entry', '/root/repo/__graft_entry__.py')\n"
+    "m = importlib.util.module_from_spec(spec)\n"
+    "spec.loader.exec_module(m)\n"
+    "m.dryrun_multichip(8)\n"
+)
+
+
+def _clean_env():
+    """Env without conftest's CPU forcing — what the driver actually has."""
+    import os
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    return env
+
+
+def test_dryrun_driver_env_fresh_process():
+    """Round-1 regression: the dryrun must work in a process where no jax
+    backend is initialized and NO env var forces CPU (the driver's exact
+    situation; conftest.py pre-forces CPU, so this must run in a clean
+    subprocess). The dryrun must force the CPU fan-out itself, before any
+    backend-initializing call."""
+    import subprocess
+    import sys
+
+    r = subprocess.run([sys.executable, "-c", _DRYRUN_LOADER],
+                       env=_clean_env(), cwd="/root/repo",
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, f"stdout={r.stdout}\nstderr={r.stderr}"
+    assert "OK" in r.stdout
+
+
+def test_dryrun_after_backend_already_initialized():
+    """If a too-small backend is already live (e.g. the single tunneled TPU
+    chip after the driver's entry() compile check), the dryrun must still
+    pass via its subprocess fallback. Simulated with a 1-device CPU backend
+    so the test never touches the TPU tunnel."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "assert len(jax.devices()) < 8, 'precondition: small backend'\n"
+        + _DRYRUN_LOADER
+    )
+    r = subprocess.run([sys.executable, "-c", code],
+                       env=_clean_env(), cwd="/root/repo",
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, f"stdout={r.stdout}\nstderr={r.stderr}"
+    assert "OK" in r.stdout
