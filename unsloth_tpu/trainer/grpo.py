@@ -173,6 +173,12 @@ class GRPOTrainer:
         self.tokenizer = processing_class or getattr(model, "tokenizer", None)
         self.state_log: List[Dict[str, Any]] = []
         self._step_fn = None
+        self.mesh = getattr(model, "mesh", None)
+        from ..utils.logging import MetricsLogger
+
+        self.metrics_logger = MetricsLogger(
+            output_dir=self.args.output_dir, report_to=self.args.report_to,
+            callbacks=kwargs.get("callbacks", ()))
 
     # -- data ----------------------------------------------------------
 
@@ -220,13 +226,20 @@ class GRPOTrainer:
         eos = self.tokenizer.eos_token_id if self.tokenizer else None
         for i, (p, c) in enumerate(zip(prompt_ids, completion_ids)):
             c = list(c)
+            truncated = len(c) >= args.max_completion_length and (
+                eos is None or (len(c) > 0 and c[-1] != eos))
             if eos is not None and len(c) < args.max_completion_length:
                 c = c + [eos]
             seq = list(p) + c
             seq = seq[:t]
             input_ids[i, :len(seq)] = seq
             lo, hi = len(p), len(seq)
-            completion_mask[i, lo:hi] = 1
+            # TRL mask_truncated_completions: completions cut off by the
+            # length limit contribute nothing to the loss (reference:
+            # rl_replacements.py grpo_trainer__generate_and_score_completions
+            # zeroes their completion_mask).
+            if not (args.mask_truncated_completions and truncated):
+                completion_mask[i, lo:hi] = 1
             # targets[t] = token produced AT position t (predicted from t-1)
             targets[i, lo:hi] = seq[lo:hi]
         # shift: logp of token at position j is computed from hidden j-1;
@@ -236,12 +249,27 @@ class GRPOTrainer:
         shifted[:, :-1] = targets[:, 1:]
         mask_shifted = np.zeros_like(completion_mask)
         mask_shifted[:, :-1] = completion_mask[:, 1:]
-        return GRPOBatch(
+        batch = GRPOBatch(
             input_ids=jnp.asarray(input_ids),
             completion_mask=jnp.asarray(mask_shifted),
             logp_targets=jnp.asarray(shifted),
             advantages=jnp.asarray(advantages),
         )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            nd = int(self.mesh.shape.get("dp", 1)
+                     * self.mesh.shape.get("fsdp", 1))
+            row = ("dp", "fsdp") if n % max(nd, 1) == 0 else None
+            mat = NamedSharding(self.mesh, P(row, None))
+            vec = NamedSharding(self.mesh, P(row))
+            batch = GRPOBatch(
+                input_ids=jax.device_put(batch.input_ids, mat),
+                completion_mask=jax.device_put(batch.completion_mask, mat),
+                logp_targets=jax.device_put(batch.logp_targets, mat),
+                advantages=jax.device_put(batch.advantages, vec),
+            )
+        return batch
 
     def _compute_rewards(self, prompts, completions_text, examples):
         args = self.args
@@ -299,6 +327,13 @@ class GRPOTrainer:
         total_steps = args.max_steps if args.max_steps > 0 else len(
             self.train_dataset)
         tx, schedule = build_optimizer(args, total_steps)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # LoRA trainables replicate (tiny, read by every shard); the
+            # frozen base was placed by the loader's mesh placer.
+            model.lora = jax.device_put(
+                model.lora, NamedSharding(self.mesh, P()))
         opt_state = tx.init(model.lora)
         step_fn = self._make_step(tx)
         logp_fn = jax.jit(
@@ -336,10 +371,15 @@ class GRPOTrainer:
                     model.params, model.lora, batch.input_ids,
                     batch.logp_targets))
 
+            import contextlib
+
+            mesh_ctx = (self.mesh if self.mesh is not None
+                        else contextlib.nullcontext())
             for _ in range(args.num_iterations):
-                model.lora, opt_state, loss = step_fn(
-                    model.lora, opt_state, model.params, batch,
-                    old_logps, ref_logps)
+                with mesh_ctx:
+                    model.lora, opt_state, loss = step_fn(
+                        model.lora, opt_state, model.params, batch,
+                        old_logps, ref_logps)
                 global_step += 1
                 if global_step % args.logging_steps == 0:
                     entry = {
@@ -352,6 +392,7 @@ class GRPOTrainer:
                         **{f"rewards/{k}": v for k, v in per_func.items()},
                     }
                     self.state_log.append(entry)
+                    self.metrics_logger.log(entry)
                 if global_step >= total_steps:
                     break
 

@@ -184,6 +184,7 @@ class SFTTrainer:
         self.eval_dataset = eval_dataset
         self._batches: Optional[List[PackedBatch]] = None
         self.state_log: List[Dict[str, Any]] = []
+        self.mesh = getattr(model, "mesh", None)
         from ..utils.logging import MetricsLogger
 
         self.metrics_logger = MetricsLogger(
@@ -306,16 +307,54 @@ class SFTTrainer:
         return jax.jit(train_step, donate_argnums=donate)
 
     def _stack_accum(self, batches: List[PackedBatch]):
-        """Stack `accum` PackedBatches into leading-axis arrays."""
-        return {
-            "input_ids": jnp.asarray(
-                np.stack([b.input_ids for b in batches])),
-            "labels": jnp.asarray(np.stack([b.labels for b in batches])),
-            "segment_ids": jnp.asarray(
-                np.stack([b.segment_ids for b in batches])),
-            "positions": jnp.asarray(
-                np.stack([b.positions for b in batches])),
+        """Stack `accum` PackedBatches into leading-axis arrays, placed on
+        the mesh with the batch dim sharded over (dp, fsdp) when a mesh is
+        attached (reference DDP scatters per rank,
+        loader_utils.py:73-106; here GSPMD owns the layout)."""
+        host = {
+            "input_ids": np.stack([b.input_ids for b in batches]),
+            "labels": np.stack([b.labels for b in batches]),
+            "segment_ids": np.stack([b.segment_ids for b in batches]),
+            "positions": np.stack([b.positions for b in batches]),
         }
+        sharding = self._batch_sharding(host["input_ids"].shape[1])
+        if sharding is not None:
+            return {k: jax.device_put(v, sharding) for k, v in host.items()}
+        return {k: jnp.asarray(v) for k, v in host.items()}
+
+    def _batch_sharding(self, batch_dim: int):
+        """NamedSharding for [accum, B, T] batches: B over (dp, fsdp)."""
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = int(self.mesh.shape.get("dp", 1) * self.mesh.shape.get(
+            "fsdp", 1))
+        if n <= 1 or batch_dim % n != 0:
+            return NamedSharding(self.mesh, P())
+        return NamedSharding(self.mesh, P(None, ("dp", "fsdp"), None))
+
+    def _place_train_state(self, trainables, full_ft: bool):
+        """Place trainables on the mesh: LoRA trees replicate (tiny, read
+        everywhere); full-FT param trees shard via the loader's placer."""
+        if self.mesh is None:
+            return trainables
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if full_ft:
+            from ..models.loader import _make_param_placer
+
+            placer = _make_param_placer(self.mesh, self.model.rules)
+
+            def place(path, x):
+                name = "/".join(
+                    str(getattr(p, "key", getattr(p, "idx", p)))
+                    for p in path)
+                return placer(name, x)
+
+            return jax.tree_util.tree_map_with_path(place, trainables)
+        return jax.device_put(
+            trainables, NamedSharding(self.mesh, P()))
 
     # ------------------------------------------------------------------
     # Loop
@@ -336,10 +375,14 @@ class SFTTrainer:
 
         full_ft = self.model.lora is None
         trainables = self.model.params if full_ft else self.model.lora
+        trainables = self._place_train_state(trainables, full_ft)
         tx, schedule = build_optimizer(args, total_steps, trainables)
+        # opt_state leaves are zeros_like(trainables) so they inherit the
+        # trainables' shardings through eager op semantics.
         opt_state = tx.init(trainables)
         base_params = self.model.params
         step_fn = self._make_train_step(tx)
+        mesh_ctx = self.mesh if self.mesh is not None else _nullcontext()
 
         losses = []
         t0 = time.time()
@@ -368,8 +411,9 @@ class SFTTrainer:
                 stacked = self._stack_accum(group)
                 tokens_seen += int(
                     (np.stack([b.segment_ids for b in group]) != 0).sum())
-                trainables, opt_state, loss = step_fn(
-                    trainables, opt_state, base_params, stacked)
+                with mesh_ctx:
+                    trainables, opt_state, loss = step_fn(
+                        trainables, opt_state, base_params, stacked)
                 global_step += 1
                 if global_step % args.logging_steps == 0:
                     entry = {
@@ -444,6 +488,15 @@ class SFTTrainer:
                 "segment_ids": jnp.asarray(pb.segment_ids),
                 "positions": jnp.asarray(pb.positions),
             }
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                n = int(self.mesh.shape.get("dp", 1)
+                        * self.mesh.shape.get("fsdp", 1))
+                spec = (P(("dp", "fsdp"), None) if bsz % max(n, 1) == 0
+                        else P())
+                micro = jax.device_put(
+                    micro, NamedSharding(self.mesh, spec))
             n_tok = int((labels[:n_real, 1:] != -100).sum())
             loss = float(eval_loss(trainables, self.model.params, micro))
             total_loss += loss * max(n_tok, 1)
@@ -469,6 +522,12 @@ class SFTTrainer:
             from .checkpoint import save_train_state
 
             save_train_state(path, step, trainables, opt_state)
+
+
+def _nullcontext():
+    import contextlib
+
+    return contextlib.nullcontext()
 
 
 def _data_parallel_size(model) -> int:
