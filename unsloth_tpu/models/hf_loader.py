@@ -102,6 +102,15 @@ def load_params(
     put = put or (lambda _, x: x)
 
     def load_one(hf_name: str, tree_path: str, quantize: bool):
+        from .bnb import is_bnb_quantized, load_bnb_tensor
+
+        if is_bnb_quantized(reader, hf_name):
+            # pre-quantized bnb-4bit checkpoint (unsloth/*-bnb-4bit): decode
+            # the quant_state + repack nibbles on host, bit-exact with bnb's
+            # double-dequant (reference: kernels/utils.py:567-679)
+            q = load_bnb_tensor(reader, hf_name, dtype=dtype)
+            return jax.tree_util.tree_map(
+                lambda leaf: put(tree_path, leaf), q)
         arr = _to_jnp(reader.get(hf_name), dtype)
         if quantize and arr.ndim == 2:
             q = quantize_nf4(arr, block_size=quant_block_size,

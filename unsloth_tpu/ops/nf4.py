@@ -14,7 +14,8 @@ TPU-native storage layout (a pytree, shardable like any other param):
     intermediate is 2-D and lane-aligned — whereas interleaving creates a
     [N, 2] intermediate that TPU tiling pads 64x (observed 14GB HBM for
     one 8B-layer weight). bnb-ordered checkpoints are repacked once at
-    load time on the host.
+    load time on the host (models/bnb.py:repack_interleaved_to_split_half,
+    wired into hf_loader.load_params).
   * ``absmax``  per-block scales for blocks of ``block_size`` elements along
     the flattened (row-major) weight. Either fp32 (plain) or, with double
     quantization: uint8 codes + fp32 per-group scale + global fp32 offset
