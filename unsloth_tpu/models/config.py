@@ -101,6 +101,7 @@ class ModelConfig:
     layer_pattern: Optional[Tuple[str, ...]] = None
     attention_bias: bool = False
     o_proj_bias: bool = False
+    attn_sinks: bool = False               # gpt-oss learned sink logits
 
     # MLP
     hidden_act: str = "silu"  # silu|gelu|gelu_tanh
@@ -321,6 +322,7 @@ def _build_gpt_oss(cls, hf, model_type, name):
         layer_pattern=("sliding", "global"),
         attention_bias=True,
         o_proj_bias=True,
+        attn_sinks=True,
         router_bias=True,
         moe_mlp_bias=True,
         moe_act="gpt_oss_glu",  # clamped glu with alpha=1.702

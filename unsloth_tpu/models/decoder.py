@@ -101,6 +101,7 @@ def attention_block(
         scale=cfg.attn_logit_scale,
         positions=positions,
         image_spans=image_spans,
+        sinks=layer_p.get("sinks"),
     )
     out = out.reshape(b, t, hq * dh)
     return _proj(out, layer_p, lora_p, "o")
@@ -401,7 +402,7 @@ def loss_fn(
     n_items: Optional[jnp.ndarray] = None,
     lm_head_trainable: bool = False,
     fused_ce: Any = "auto",
-    chunk_size: int = 1024,
+    chunk_size: Optional[int] = None,
     remat: bool = True,
     remat_policy: Optional[Any] = None,
 ) -> jnp.ndarray:
@@ -443,6 +444,14 @@ def loss_fn(
             lm_head_trainable = True
         else:
             w = params["embed"]
+
+    if chunk_size is None:
+        # Fewer, larger chunks win on v5e (measured at 8K ctx, 128K vocab:
+        # 239 ms fwd+bwd at 1024-row chunks vs 214 ms at 4096) as long as
+        # one chunk's transient fp32 logits stay ~2 GB.
+        per_row = cfg.vocab_size * 4
+        chunk_size = max(1024, min(h2d.shape[0],
+                                   (2 << 30) // per_row // 1024 * 1024))
 
     if fused_ce:
         from ..ops.nf4 import NF4Tensor, dequantize_nf4

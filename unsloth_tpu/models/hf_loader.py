@@ -180,6 +180,9 @@ def _load_fused_projections(reader, cfg, i, layer, dtype, load_in_4bit,
 
 def _load_experts(reader, cfg, layer_idx, dtype, put):
     """Stack per-expert projections into [E, ...] tensors."""
+    gup = f"model.layers.{layer_idx}.mlp.experts.gate_up_proj"
+    if gup in reader or gup + "_blocks" in reader:
+        return _load_gpt_oss_experts(reader, cfg, layer_idx, dtype, put)
     namer = hf_names.expert_name
     if hf_names.mixtral_expert_name(layer_idx, 0, "gate") in reader:
         namer = hf_names.mixtral_expert_name
@@ -190,6 +193,40 @@ def _load_experts(reader, cfg, layer_idx, dtype, put):
         stacked = jnp.stack([jnp.asarray(w) for w in ws]).astype(dtype)
         out[proj] = put(f"layers.{layer_idx}.experts.{proj}", stacked)
     return out
+
+
+def _load_gpt_oss_experts(reader, cfg, layer_idx, dtype, put):
+    """gpt-oss stores all experts as single stacked tensors with gate/up
+    INTERLEAVED on the last dim and input-major weight layout
+    (HF GptOssExperts: gate_up_proj [E, D, 2F] used as x @ W, biases
+    [E, 2F]; down_proj [E, F, D], bias [E, D]). De-interleave and
+    transpose on host into our [E, F, D] / [E, D, F] out-major layout."""
+    from .mxfp4 import is_mxfp4_quantized, load_mxfp4_tensor
+
+    p = f"model.layers.{layer_idx}.mlp.experts."
+    if is_mxfp4_quantized(reader, p + "gate_up_proj"):
+        gup = load_mxfp4_tensor(reader, p + "gate_up_proj")
+        down = load_mxfp4_tensor(reader, p + "down_proj")
+    else:
+        gup = np.asarray(reader.get(p + "gate_up_proj"), np.float32)
+        down = np.asarray(reader.get(p + "down_proj"), np.float32)
+    out = {
+        "gate": gup[:, :, 0::2].transpose(0, 2, 1),   # [E, F, D]
+        "up": gup[:, :, 1::2].transpose(0, 2, 1),
+        "down": down.transpose(0, 2, 1),              # [E, D, F]
+    }
+    if p + "gate_up_proj_bias" in reader:
+        gub = np.asarray(reader.get(p + "gate_up_proj_bias"), np.float32)
+        out["gate_bias"] = gub[:, 0::2]
+        out["up_bias"] = gub[:, 1::2]
+    if p + "down_proj_bias" in reader:
+        out["down_bias"] = np.asarray(
+            reader.get(p + "down_proj_bias"), np.float32)
+    return {
+        k: put(f"layers.{layer_idx}.experts.{k}",
+               jnp.asarray(np.ascontiguousarray(v)).astype(dtype))
+        for k, v in out.items()
+    }
 
 
 def save_params(

@@ -66,9 +66,16 @@ def layer_name_map(cfg: ModelConfig, layer_idx: int) -> Dict[str, str]:
     else:
         m.update(_PLAIN_NORM_MAP)
     out = {ours: prefix + hf for ours, hf in m.items()}
+    if cfg.attn_sinks:
+        out["sinks"] = prefix + "self_attn.sinks"
     if cfg.layer_is_moe(layer_idx):
-        out["router"] = prefix + _MOE_ROUTER
-        out["router_bias"] = prefix + _MOE_ROUTER_BIAS
+        if cfg.model_type == "gpt_oss":
+            # gpt-oss names its router "mlp.router"
+            out["router"] = prefix + "mlp.router.weight"
+            out["router_bias"] = prefix + "mlp.router.bias"
+        else:
+            out["router"] = prefix + _MOE_ROUTER
+            out["router_bias"] = prefix + _MOE_ROUTER_BIAS
         for name in ("gate", "up", "down", "gate_bias", "up_bias",
                      "down_bias"):
             out.pop(name, None)

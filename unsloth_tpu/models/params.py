@@ -86,6 +86,8 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.float32,
                 else jnp.ones((dh,), dtype)
             layer["k_norm"] = jnp.zeros((dh,), dtype) if cfg.gemma_norm \
                 else jnp.ones((dh,), dtype)
+        if cfg.attn_sinks:
+            layer["sinks"] = rand(lk[12], (cfg.num_heads,), scale=1.0)
         if cfg.layer_is_moe(i):
             e = cfg.num_experts
             f = cfg.moe_intermediate_size or cfg.intermediate_size
@@ -97,6 +99,10 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.float32,
                 "up": rand(lk[10], (e, f, d)),
                 "down": rand(lk[11], (e, d, f)),
             }
+            if cfg.moe_mlp_bias:
+                layer["experts"]["gate_bias"] = jnp.zeros((e, f), dtype)
+                layer["experts"]["up_bias"] = jnp.zeros((e, f), dtype)
+                layer["experts"]["down_bias"] = jnp.zeros((e, d), dtype)
         else:
             for j, name in enumerate(("gate", "up", "down")):
                 layer[name] = rand(lk[4 + j], _linear_dims(cfg, name))

@@ -39,8 +39,8 @@ def _gelu_tanh(e):
 
 def _gpt_oss_act(e, g, alpha: float = 1.702, limit: float = 7.0):
     # gpt-oss GLU: clamp then gated swish, with (g + 1) linear term.
-    e = jnp.clip(e, a_max=limit)
-    g = jnp.clip(g, a_min=-limit, a_max=limit)
+    e = jnp.clip(e, max=limit)
+    g = jnp.clip(g, min=-limit, max=limit)
     return (e * jax.nn.sigmoid(alpha * e)) * (g + 1.0)
 
 

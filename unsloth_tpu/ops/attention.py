@@ -54,12 +54,18 @@ def attention_ref(
     positions: Optional[jnp.ndarray] = None,
     kv_positions: Optional[jnp.ndarray] = None,
     image_spans: Optional[jnp.ndarray] = None,
+    sinks: Optional[jnp.ndarray] = None,
 ):
     """Masked SDPA reference. fp32 softmax. Returns [B, T, Hq, Dh].
 
     image_spans [B, T] int32 (0 = text): tokens in the same nonzero span
     attend bidirectionally (gemma-3 VLM semantics — image tokens see each
-    other regardless of causal order)."""
+    other regardless of causal order).
+
+    sinks [Hq] (gpt-oss): a learned per-head logit that joins the softmax
+    denominator but contributes no value — softmax([scores, sink]) with the
+    sink column dropped before the value matmul (HF
+    GptOssAttention/eager_attention_forward semantics)."""
     b, t, hq, dh = q.shape
     s = k.shape[1]
     if scale is None:
@@ -99,10 +105,18 @@ def attention_ref(
         mask &= segment_ids[:, :, None] == kv_seg[:, None, :]
 
     scores = jnp.where(mask[:, None, :, :], scores, -jnp.inf)
-    probs = jax.nn.softmax(scores, axis=-1)
-    # Fully-masked rows (padding) produce NaN from softmax(-inf row); zero them.
-    probs = jnp.where(jnp.any(mask[:, None, :, :], axis=-1, keepdims=True),
-                      probs, 0.0)
+    if sinks is not None:
+        sink_col = jnp.broadcast_to(
+            sinks.astype(jnp.float32)[None, :, None, None], (b, hq, t, 1))
+        aug = jnp.concatenate([scores, sink_col], axis=-1)
+        probs = jax.nn.softmax(aug, axis=-1)[..., :-1]  # drop the sink
+    else:
+        probs = jax.nn.softmax(scores, axis=-1)
+        # Fully-masked rows (padding) produce NaN from softmax(-inf row);
+        # zero them.
+        probs = jnp.where(
+            jnp.any(mask[:, None, :, :], axis=-1, keepdims=True), probs,
+            0.0)
     out = jnp.einsum("bhts,bshd->bthd", probs, v.astype(jnp.float32))
     return out.astype(q.dtype)
 
@@ -167,6 +181,60 @@ def _tpu_splash(q, k, v, *, causal, segment_ids, window, softcap, scale,
     return out.reshape(b, hq, t, dh).transpose(0, 2, 1, 3)
 
 
+def _chunked_lse(q, k, *, causal, segment_ids, window, softcap, scale,
+                 q_chunk=512):
+    """Differentiable logsumexp of the masked attention scores, [B, Hq, T].
+
+    Computed in q-chunks under jax.checkpoint so the full [T, S] score
+    matrix never materializes (forward or backward). Used to apply
+    gpt-oss attention sinks on top of a fast kernel's output:
+    out_with_sink = out * sigmoid(lse - sink) — exact, because the sink is
+    an extra softmax logit with zero value.
+    """
+    b, t, hq, dh = q.shape
+    s, hkv = k.shape[1], k.shape[2]
+    g = hq // hkv
+    q_chunk = min(q_chunk, t)
+    while t % q_chunk:
+        q_chunk //= 2
+    nc = t // q_chunk
+    qs = (q.astype(jnp.float32) * scale).reshape(b, nc, q_chunk, hkv, g, dh)
+    qs = qs.transpose(1, 0, 3, 4, 2, 5)            # [nc, B, Hkv, G, C, Dh]
+    kt = k.astype(jnp.float32).transpose(0, 2, 1, 3)  # [B, Hkv, S, Dh]
+    kpos = jnp.arange(s, dtype=jnp.int32)
+    qpos = jnp.arange(t, dtype=jnp.int32).reshape(nc, q_chunk)
+    if segment_ids is not None:
+        seg_q = segment_ids.reshape(b, nc, q_chunk).transpose(1, 0, 2)
+    else:
+        seg_q = jnp.zeros((nc, b, q_chunk), jnp.int32)
+    seg_kv = (segment_ids if segment_ids is not None
+              else jnp.zeros((b, s), jnp.int32))
+
+    @jax.checkpoint
+    def one(args):
+        qc, qp, sq = args                          # [B,Hkv,G,C,Dh],[C],[B,C]
+        scores = jnp.einsum("bkgcd,bksd->bkgcs", qc, kt)
+        if softcap is not None:
+            scores = softcap * jnp.tanh(scores / softcap)
+        m = sq[:, :, None] == seg_kv[:, None, :]   # [B, C, S]
+        if causal:
+            m &= qp[None, :, None] >= kpos[None, None, :]
+        if window is not None:
+            m &= (qp[None, :, None] - kpos[None, None, :]) < window
+        scores = jnp.where(m[:, None, None, :, :], scores, -jnp.inf)
+        return jax.scipy.special.logsumexp(scores, axis=-1)  # [B,Hkv,G,C]
+
+    lse = jax.lax.map(one, (qs, qpos, seg_q))      # [nc, B, Hkv, G, C]
+    return lse.transpose(1, 2, 3, 0, 4).reshape(b, hq, t)
+
+
+def _apply_sinks(out, lse, sinks):
+    """out [B,T,Hq,Dh] * sigmoid(lse - sink) with lse [B,Hq,T]."""
+    c = jax.nn.sigmoid(lse - sinks.astype(jnp.float32)[None, :, None])
+    return (out.astype(jnp.float32)
+            * c.transpose(0, 2, 1)[..., None]).astype(out.dtype)
+
+
 def _tpu_flash(q, k, v, *, causal, segment_ids, scale):
     """Pallas flash attention (public JAX op) — causal / packed, no softcap."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
@@ -204,12 +272,17 @@ def attention(
     scale: Optional[float] = None,
     positions: Optional[jnp.ndarray] = None,
     image_spans: Optional[jnp.ndarray] = None,
+    sinks: Optional[jnp.ndarray] = None,
 ):
     """Dispatching attention op (training path, self-attention).
 
     Selection mirrors the reference's backend priority
     (attention_dispatch.py:138): fastest kernel that supports the requested
     semantics, else the reference implementation.
+
+    sinks (gpt-oss): applied on top of the fast kernels as an exact
+    rescale — out * sigmoid(lse - sink) — with lse from a differentiable
+    chunked pass (_chunked_lse); the reference path handles them inline.
     """
     b, t, hq, dh = q.shape
     hkv = k.shape[2]
@@ -223,11 +296,33 @@ def attention(
     # (slot order == position order within a segment), so kernels that
     # don't take positions are still exact.
     no_img = image_spans is None
+    plain = softcap is None and window is None
+
+    if sinks is not None:
+        if on_tpu and aligned and no_img:
+            out = attention(q, k, v, causal=causal,
+                            segment_ids=segment_ids, window=window,
+                            softcap=softcap, scale=scale)
+            lse = _chunked_lse(q, k, causal=causal,
+                               segment_ids=segment_ids, window=window,
+                               softcap=softcap, scale=scale)
+            return _apply_sinks(out, lse, sinks)
+        return attention_ref(
+            q, k, v, causal=causal, segment_ids=segment_ids,
+            window=window, softcap=softcap, scale=scale,
+            positions=positions, image_spans=image_spans, sinks=sinks)
+    # Measured on v5e at 8K ctx: flash fwd+bwd 47 ms vs splash 183 ms for
+    # the same causal+packed semantics — flash first; splash only where its
+    # extra semantics (sliding window, softcap) are actually needed.
+    if (on_tpu and aligned and no_img and plain
+            and not env.env_flag("UNSLOTH_PREFER_SPLASH")):
+        return _tpu_flash(q, k, v, causal=causal, segment_ids=segment_ids,
+                          scale=scale)
     if on_tpu and aligned and no_img and not env.env_flag(
             "UNSLOTH_DISABLE_SPLASH"):
         return _tpu_splash(q, k, v, causal=causal, segment_ids=segment_ids,
                            window=window, softcap=softcap, scale=scale)
-    if on_tpu and aligned and no_img and softcap is None and window is None:
+    if on_tpu and aligned and no_img and plain:
         return _tpu_flash(q, k, v, causal=causal, segment_ids=segment_ids,
                           scale=scale)
     return attention_ref(

@@ -42,21 +42,31 @@ def moe_mlp_dense(x, router_logits, experts: Dict[str, jnp.ndarray],
                   num_experts_per_tok: int, act: str,
                   norm_topk_prob: bool = False):
     """Reference einsum implementation (parity oracle; used off-TPU).
-    x: [N, D]; experts: gate/up [E, F, D], down [E, D, F]."""
+    x: [N, D]; experts: gate/up [E, F, D], down [E, D, F]; optional
+    per-expert biases gate_bias/up_bias [E, F], down_bias [E, D]
+    (gpt-oss — applied inside each expert, before the routing weight)."""
     n, d = x.shape
     k = num_experts_per_tok
     weights, sel = _route(router_logits, k, norm_topk_prob)
     glu = glu_for(act)
+
+    def bias(name, idx):
+        b = experts.get(name)
+        return jnp.take(b, idx, axis=0).astype(x.dtype) \
+            if b is not None else 0
 
     def one_slot(i):
         idx = sel[:, i]
         wg = jnp.take(experts["gate"], idx, axis=0)
         wu = jnp.take(experts["up"], idx, axis=0)
         wd = jnp.take(experts["down"], idx, axis=0)
-        e = jnp.einsum("nd,nfd->nf", x, wg.astype(x.dtype))
-        g = jnp.einsum("nd,nfd->nf", x, wu.astype(x.dtype))
+        e = jnp.einsum("nd,nfd->nf", x, wg.astype(x.dtype)) \
+            + bias("gate_bias", idx)
+        g = jnp.einsum("nd,nfd->nf", x, wu.astype(x.dtype)) \
+            + bias("up_bias", idx)
         h = glu(e, g)
-        y = jnp.einsum("nf,ndf->nd", h, wd.astype(x.dtype))
+        y = jnp.einsum("nf,ndf->nd", h, wd.astype(x.dtype)) \
+            + bias("down_bias", idx)
         return y * weights[:, i:i + 1].astype(x.dtype)
 
     return sum(one_slot(i) for i in range(k))
@@ -106,11 +116,18 @@ def moe_mlp_grouped(x, router_logits, experts: Dict[str, jnp.ndarray],
                    transpose_rhs=True, interpret=interpret)
 
     gmm_ = tiled_gmm
+    sorted_expert = jnp.take(flat_expert, order)            # [N*k]
+
+    def bias(name):
+        b = experts.get(name)
+        return jnp.take(b, sorted_expert, axis=0).astype(x.dtype) \
+            if b is not None else 0
+
     # gate/up: [E, F, D] with transpose_rhs => contracts D
-    e = gmm_(xs, experts["gate"]).astype(x.dtype)           # [N*k, F]
-    g = gmm_(xs, experts["up"]).astype(x.dtype)
+    e = gmm_(xs, experts["gate"]).astype(x.dtype) + bias("gate_bias")
+    g = gmm_(xs, experts["up"]).astype(x.dtype) + bias("up_bias")
     h = glu(e, g)
-    y = gmm_(h, experts["down"]).astype(x.dtype)            # [N*k, D]
+    y = gmm_(h, experts["down"]).astype(x.dtype) + bias("down_bias")
 
     w = jnp.take(weights.reshape(-1), order)                # [N*k]
     out = jnp.zeros((n, d), x.dtype)
