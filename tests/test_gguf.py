@@ -209,3 +209,47 @@ def test_q4_k_m_mix_policy(tmp_path):
     q_src = np.asarray(jax.device_get(model.params["layers"][0]["q"]))
     err = np.abs(data["blk.0.attn_q.weight"] - q_src).max()
     assert err < 0.15 * np.abs(q_src).max()
+
+
+def test_lora_gguf_adapter_export(tmp_path, rng):
+    """LoRA -> GGUF adapter (llama.cpp convert_lora_to_gguf format):
+    metadata + per-projection lora_a/lora_b tensors that reconstruct the
+    same merged weight as merged_params."""
+    import jax.numpy as jnp
+
+    from unsloth_tpu.export.gguf import save_lora_gguf
+    from unsloth_tpu.export.save import merged_params
+    from unsloth_tpu.models.config import ModelConfig
+    from unsloth_tpu.models.loader import LanguageModel
+    from unsloth_tpu.models.params import init_lora_tree, init_params
+
+    cfg = ModelConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                      num_layers=2, num_heads=2, num_kv_heads=2,
+                      max_position_embeddings=32)
+    params = init_params(cfg, rng)
+    model = LanguageModel(cfg=cfg, params=params)
+    model.lora = init_lora_tree(cfg, rng, r=4, alpha=8)
+    # make B nonzero so the adapter actually does something
+    import jax
+
+    model.lora = jax.tree_util.tree_map(
+        lambda x: x + 0.01 if hasattr(x, "shape") else x, model.lora)
+    model.lora_config = {"r": 4, "lora_alpha": 8}
+
+    path = str(tmp_path / "adapter.gguf")
+    save_lora_gguf(model, path)
+    md, tensors, data = read_gguf(path, load_tensors=True)
+    assert md["general.type"] == "adapter"
+    assert md["adapter.type"] == "lora"
+    assert abs(md["adapter.lora.alpha"] - 8.0) < 1e-6
+
+    a = data["blk.0.attn_q.weight.lora_a"]
+    b = data["blk.0.attn_q.weight.lora_b"]
+    assert a.shape[0] == 4 and b.shape[1] == 4
+    scale = md["adapter.lora.alpha"] / a.shape[0]
+    merged = merged_params(model)
+    want = np.asarray(merged["layers"][0]["q"], np.float32)
+    base = np.asarray(params["layers"][0]["q"], np.float32)
+    # merged_params rounds to bf16; the GGUF adapter keeps fp32
+    np.testing.assert_allclose(base + scale * (b @ a), want,
+                               atol=2e-4, rtol=8e-3)

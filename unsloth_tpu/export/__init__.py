@@ -1,5 +1,7 @@
 from .save import (load_lora, merged_params, save_lora,
                    save_pretrained_merged)
+from .gguf import save_lora_gguf, save_pretrained_gguf, save_to_gguf
 
 __all__ = ["save_pretrained_merged", "save_lora", "load_lora",
-           "merged_params"]
+           "merged_params", "save_lora_gguf", "save_pretrained_gguf",
+           "save_to_gguf"]

@@ -305,3 +305,60 @@ def _write_ollama_modelfile(model, save_dir: str, gguf_name: str):
     lines.append("PARAMETER temperature 0.7")
     with open(os.path.join(save_dir, "Modelfile"), "w") as f:
         f.write("\n".join(lines) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# LoRA adapter -> GGUF (llama.cpp adapter format)
+# ---------------------------------------------------------------------------
+
+_LORA_GGUF_NAMES = {
+    "q": "attn_q", "k": "attn_k", "v": "attn_v", "o": "attn_output",
+    "gate": "ffn_gate", "up": "ffn_up", "down": "ffn_down",
+}
+
+
+def save_lora_gguf(model, path: str, dtype=np.float32) -> str:
+    """Write the LoRA adapter as a llama.cpp-loadable GGUF
+    (convert_lora_to_gguf.py output format; reference behavior:
+    save.py:3854-4054 converts peft adapters to GGML for llama.cpp's
+    --lora flag).
+
+    Layout: general.type="adapter", adapter.type="lora",
+    adapter.lora.alpha; per-projection tensors named
+    ``blk.<i>.<proj>.weight.lora_a`` [r, in] / ``.lora_b`` [out, r].
+    llama.cpp applies W' = W + (alpha/r) * B @ A.
+    """
+    import jax
+
+    lora = model.lora
+    assert lora is not None, "model has no LoRA adapter"
+    if "layers_stacked" in lora:
+        from ..models.decoder import unstack_lora
+
+        lora = unstack_lora(lora, model.cfg.num_layers)
+    lc = model.lora_config or {}
+    r = int(lc.get("r", 16))
+    alpha = float(lc.get("lora_alpha", 16))
+
+    w = GGUFWriter(path)
+    w.add_metadata("general.architecture", _arch(model.cfg))
+    w.add_metadata("general.type", "adapter")
+    w.add_metadata("adapter.type", "lora")
+    w.add_metadata("adapter.lora.alpha", alpha)
+    w.add_metadata("general.name",
+                   (model.cfg.name or "model") + "-lora")
+
+    def host(x):
+        return np.ascontiguousarray(
+            np.asarray(jax.device_get(x)).astype(dtype))
+
+    for i, layer in enumerate(lora.get("layers", [])):
+        for ours, lw in layer.items():
+            gguf_name = _LORA_GGUF_NAMES.get(ours)
+            if gguf_name is None or not hasattr(lw, "a"):
+                continue
+            base = f"blk.{i}.{gguf_name}.weight"
+            w.add_tensor(base + ".lora_a", host(lw.a), GGMLType.F32)
+            w.add_tensor(base + ".lora_b", host(lw.b), GGMLType.F32)
+    w.write()
+    return path
