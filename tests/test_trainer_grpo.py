@@ -174,3 +174,68 @@ def test_grpo_end_to_end_reward_shifts_policy(model):
     assert len(trainer.state_log) == 12
     assert "reward" in trainer.state_log[0]
     assert after > before, (before, after)
+
+
+def test_grpo_packed_loss_matches_unpacked(model):
+    """Sequence packing (reference: rl_replacements.py:55-61,1010-1281):
+    the packed-layout loss must equal the unpacked one for the same
+    rollouts, for every loss_type."""
+    from unsloth_tpu.trainer.grpo import grpo_loss_packed
+
+    rng = np.random.RandomState(0)
+    prompt_ids = [rng.randint(3, 120, n).tolist() for n in (5, 9, 4, 7)]
+    completion_ids = [rng.randint(3, 120, n).tolist()
+                      for n in (6, 3, 8, 12)]
+    adv = np.array([0.5, -0.5, 1.2, -1.2], np.float32)
+
+    for loss_type in ("grpo", "bnpo", "dr_grpo"):
+        args = GRPOConfig(max_prompt_length=16, max_completion_length=12,
+                          beta=0.04, loss_type=loss_type)
+        tr = GRPOTrainer(model, reward_funcs=[lambda **kw: [0.0]],
+                         args=args, train_dataset=[])
+        ub = tr._build_batch(prompt_ids, completion_ids, adv)
+        pb = tr._build_packed_batch(prompt_ids, completion_ids, adv)
+
+        from unsloth_tpu.trainer.grpo import (grpo_loss,
+                                              grpo_per_token_logps)
+
+        lp_u = grpo_per_token_logps(model.params, model.lora, ub.input_ids,
+                                    ub.logp_targets, model.cfg)
+        ref_u = grpo_per_token_logps(model.params, None, ub.input_ids,
+                                     ub.logp_targets, model.cfg)
+        loss_u = grpo_loss(lp_u, jax.lax.stop_gradient(lp_u), ref_u,
+                           ub.advantages, ub.completion_mask,
+                           beta=args.beta, epsilon=args.epsilon,
+                           loss_type=loss_type,
+                           max_completion_length=12)
+
+        lp_p = grpo_per_token_logps(model.params, model.lora, pb.input_ids,
+                                    pb.logp_targets, model.cfg,
+                                    positions=pb.positions,
+                                    segment_ids=pb.segment_ids)
+        ref_p = grpo_per_token_logps(model.params, None, pb.input_ids,
+                                     pb.logp_targets, model.cfg,
+                                     positions=pb.positions,
+                                     segment_ids=pb.segment_ids)
+        loss_p = grpo_loss_packed(lp_p, jax.lax.stop_gradient(lp_p), ref_p,
+                                  pb, beta=args.beta, epsilon=args.epsilon)
+        np.testing.assert_allclose(float(loss_p), float(loss_u),
+                                   rtol=2e-4, atol=1e-6,
+                                   err_msg=loss_type)
+        # packing actually packs: fewer rows than sequences
+        assert pb.input_ids.shape[0] <= ub.input_ids.shape[0]
+
+
+def test_grpo_train_with_packing(model):
+    """End-to-end smoke: GRPOTrainer with packing=True runs and logs."""
+    args = GRPOConfig(per_device_train_batch_size=2, num_generations=2,
+                      max_prompt_length=16, max_completion_length=8,
+                      max_steps=2, beta=0.0, packing=True,
+                      report_to="none")
+    tr = GRPOTrainer(model, reward_funcs=[
+        lambda prompts, completions, **kw: [float(len(c))
+                                            for c in completions]],
+        args=args, train_dataset=[{"prompt": "ab"}, {"prompt": "cd"}])
+    out = tr.train()
+    assert out.global_step == 2
+    assert np.isfinite(out.training_loss)

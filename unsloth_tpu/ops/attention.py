@@ -181,6 +181,35 @@ def _tpu_splash(q, k, v, *, causal, segment_ids, window, softcap, scale,
     return out.reshape(b, hq, t, dh).transpose(0, 2, 1, 3)
 
 
+def _ring_dispatch(q, k, v, mesh, axis_name, n, *, segment_ids, scale,
+                   softcap):
+    """shard_map ring attention over the sp axis (inside the current jit)."""
+    import functools as ft
+
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    from ..parallel.ring_attention import ring_attention
+
+    spec = P(None, axis_name, None, None)
+    seg_spec = P(None, axis_name)
+    body = ft.partial(ring_attention, axis_name=axis_name, axis_size=n,
+                      causal=True, scale=scale, softcap=softcap)
+    if segment_ids is not None:
+        fn = shard_map(
+            lambda q_, k_, v_, s_: body(q_, k_, v_, segment_ids=s_),
+            mesh=mesh, in_specs=(spec, spec, spec, seg_spec),
+            out_specs=spec)
+        return fn(q, k, v, segment_ids)
+    fn = shard_map(lambda q_, k_, v_: body(q_, k_, v_), mesh=mesh,
+                   in_specs=(spec, spec, spec), out_specs=spec)
+    return fn(q, k, v)
+
+
 def _chunked_lse(q, k, *, causal, segment_ids, window, softcap, scale,
                  q_chunk=512):
     """Differentiable logsumexp of the masked attention scores, [B, Hq, T].
@@ -288,6 +317,21 @@ def attention(
     hkv = k.shape[2]
     if scale is None:
         scale = dh ** -0.5
+
+    # Context parallelism: when a trainer activated an "sp" mesh axis
+    # (parallel/context.py), route through ring attention — the sequence
+    # dim is sharded and KV rotates over ICI instead of being gathered.
+    from ..parallel.context import current_context_parallel
+
+    cp = current_context_parallel()
+    if (cp is not None and causal and window is None and sinks is None
+            and image_spans is None):
+        mesh, axis_name = cp
+        n = mesh.shape[axis_name]
+        if t % n == 0 and t == k.shape[1]:
+            return _ring_dispatch(q, k, v, mesh, axis_name, n,
+                                  segment_ids=segment_ids, scale=scale,
+                                  softcap=softcap)
 
     on_tpu = jax.default_backend() == "tpu" and not env.disable_pallas()
     aligned = (dh % 128 == 0 and t % 128 == 0 and t == k.shape[1]

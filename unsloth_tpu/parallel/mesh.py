@@ -40,26 +40,28 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-MESH_AXES = ("dp", "fsdp", "tp")
+MESH_AXES = ("dp", "fsdp", "sp", "tp")
 
 
 def create_mesh(
     dp: int = 1,
     fsdp: int = -1,
     tp: int = 1,
+    sp: int = 1,
     *,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Create a ("dp", "fsdp", "tp") mesh.
+    """Create a ("dp", "fsdp", "sp", "tp") mesh.
 
     One axis may be -1 (inferred from device count). Defaults put all devices
     on the fsdp axis — the right default for LoRA/QLoRA fine-tuning where
-    params dominate HBM and activations are modest.
+    params dominate HBM and activations are modest. sp is the
+    sequence/context-parallel axis (ring attention rotates KV around it).
     """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
-    sizes = [dp, fsdp, tp]
+    sizes = [dp, fsdp, sp, tp]
     n_infer = sum(1 for s in sizes if s == -1)
     if n_infer > 1:
         raise ValueError("At most one mesh axis may be -1")

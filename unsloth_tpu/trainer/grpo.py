@@ -56,6 +56,10 @@ class GRPOConfig(SFTConfig):
     scale_rewards: bool = True         # divide advantages by group std
     loss_type: str = "grpo"            # grpo | bnpo | dr_grpo
     mask_truncated_completions: bool = False
+    # GRPO sequence packing (reference: rl_replacements.py:55-61 gates it
+    # behind UNSLOTH_ENABLE_GRPO_PACKING; here it's a config flag):
+    # pack prompt+completion sequences into full rows via segment ids.
+    packing: Any = False
 
 
 @jax.tree_util.register_pytree_node_class
@@ -78,10 +82,14 @@ class GRPOBatch:
 
 
 def grpo_per_token_logps(params, lora, input_ids, targets, cfg,
-                         chunk_size=2048, temperature=1.0):
+                         chunk_size=2048, temperature=1.0,
+                         positions=None, segment_ids=None):
     """log p(targets) for each position (targets -100 => 0), computed via
-    hidden states + chunked selective log-softmax."""
-    h = forward(params, lora, input_ids, cfg, remat=True)
+    hidden states + chunked selective log-softmax. positions/segment_ids
+    enable the packed layout (GRPO sequence packing, reference:
+    rl_replacements.py:55-61,1010-1281)."""
+    h = forward(params, lora, input_ids, cfg, remat=True,
+                positions=positions, segment_ids=segment_ids)
     b, t, d = h.shape
     w = params.get("lm_head")
     if w is None:
@@ -101,6 +109,49 @@ def grpo_per_token_logps(params, lora, input_ids, targets, cfg,
         softcap=cfg.final_softcap, logit_scale=scale,
         chunk_size=chunk_size)
     return logps.reshape(b, t)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PackedGRPOBatch:
+    """Sequence-packed GRPO round: multiple prompt+completion sequences
+    per row (segment ids + per-segment positions), with the advantage and
+    the loss-normalization weight pre-broadcast per token."""
+
+    input_ids: jnp.ndarray      # [R, T]
+    segment_ids: jnp.ndarray    # [R, T] (0 = padding)
+    positions: jnp.ndarray      # [R, T]
+    logp_targets: jnp.ndarray   # [R, T] (-100 outside completions)
+    adv_tok: jnp.ndarray        # [R, T] advantage per completion token
+    w_tok: jnp.ndarray          # [R, T] loss weight per completion token
+
+    def tree_flatten(self):
+        return ((self.input_ids, self.segment_ids, self.positions,
+                 self.logp_targets, self.adv_tok, self.w_tok), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def grpo_loss_packed(policy_logps, old_logps, ref_logps, batch,
+                     *, beta: float, epsilon: float,
+                     epsilon_high: Optional[float] = None):
+    """Packed-layout GRPO loss: identical math to grpo_loss, with the
+    per-sequence normalization folded into batch.w_tok at build time
+    (grpo: 1/(len_i*N); bnpo: 1/total_tokens; dr_grpo: 1/(N*max_len))."""
+    eps_low = epsilon
+    eps_high = epsilon_high if epsilon_high is not None else epsilon
+    ratio = jnp.exp(policy_logps - old_logps)
+    unclipped = ratio * batch.adv_tok
+    clipped = jnp.clip(ratio, 1.0 - eps_low, 1.0 + eps_high) \
+        * batch.adv_tok
+    per_token = -jnp.minimum(unclipped, clipped)
+    if beta > 0.0 and ref_logps is not None:
+        delta = ref_logps - policy_logps
+        kl = jnp.exp(delta) - delta - 1.0
+        per_token = per_token + beta * kl
+    return jnp.sum(per_token * batch.w_tok)
 
 
 def grpo_loss(policy_logps, old_logps, ref_logps, advantages,
@@ -271,6 +322,82 @@ class GRPOTrainer:
             )
         return batch
 
+    def _build_packed_batch(self, prompt_ids, completion_ids, advantages):
+        """First-fit pack prompt+completion sequences into [R, T] rows with
+        segment ids; per-token advantage and loss weight are precomputed so
+        grpo_loss_packed is a plain weighted sum."""
+        args = self.args
+        t = args.max_prompt_length + args.max_completion_length
+        eos = self.tokenizer.eos_token_id if self.tokenizer else None
+        seqs = []
+        for p, c in zip(prompt_ids, completion_ids):
+            c = list(c)
+            truncated = len(c) >= args.max_completion_length and (
+                eos is None or (len(c) > 0 and c[-1] != eos))
+            if eos is not None and len(c) < args.max_completion_length:
+                c = c + [eos]
+            seq = (list(p) + c)[:t]
+            seqs.append((seq, len(p), truncated))
+
+        n_seq = len(seqs)
+        comp_lens = [max(len(s) - lp, 1) for s, lp, _ in seqs]
+        total_comp = max(sum(
+            0 if (args.mask_truncated_completions and tr) else cl
+            for (_, _, tr), cl in zip(seqs, comp_lens)), 1)
+
+        rows: List[List[int]] = []       # row -> list of seq indices
+        space = []
+        for i, (seq, _, _) in enumerate(seqs):
+            placed = False
+            for r, free in enumerate(space):
+                if len(seq) <= free:
+                    rows[r].append(i)
+                    space[r] -= len(seq)
+                    placed = True
+                    break
+            if not placed:
+                rows.append([i])
+                space.append(t - len(seq))
+
+        # round the row count up so jit shapes stay stable across rounds
+        nr = -(-len(rows) // 4) * 4
+        input_ids = np.zeros((nr, t), np.int32)
+        segment_ids = np.zeros((nr, t), np.int32)
+        positions = np.zeros((nr, t), np.int32)
+        targets = np.full((nr, t), -100, np.int32)
+        adv_tok = np.zeros((nr, t), np.float32)
+        w_tok = np.zeros((nr, t), np.float32)
+        for r, members in enumerate(rows):
+            off = 0
+            for si, i in enumerate(members, 1):
+                seq, lp, truncated = seqs[i]
+                ln = len(seq)
+                input_ids[r, off:off + ln] = seq
+                segment_ids[r, off:off + ln] = si
+                positions[r, off:off + ln] = np.arange(ln)
+                # logp at slot j predicts token j+1 (same segment only)
+                lo, hi = off + lp - 1, off + ln - 1
+                targets[r, lo:hi] = seq[lp:]
+                if not (args.mask_truncated_completions and truncated):
+                    cl = ln - lp
+                    adv_tok[r, lo:hi] = advantages[i]
+                    if args.loss_type == "grpo":
+                        w_tok[r, lo:hi] = 1.0 / (cl * n_seq)
+                    elif args.loss_type == "bnpo":
+                        w_tok[r, lo:hi] = 1.0 / total_comp
+                    else:  # dr_grpo
+                        w_tok[r, lo:hi] = 1.0 / (
+                            n_seq * max(args.max_completion_length, 1))
+                off += ln
+        return PackedGRPOBatch(
+            input_ids=jnp.asarray(input_ids),
+            segment_ids=jnp.asarray(segment_ids),
+            positions=jnp.asarray(positions),
+            logp_targets=jnp.asarray(targets),
+            adv_tok=jnp.asarray(adv_tok),
+            w_tok=jnp.asarray(w_tok),
+        )
+
     def _compute_rewards(self, prompts, completions_text, examples):
         args = self.args
         g = args.num_generations
@@ -297,12 +424,19 @@ class GRPOTrainer:
         cfg = model.cfg
         args = self.args
 
-        def loss_fn(lora, params, batch: GRPOBatch, old_logps, ref_logps):
+        def loss_fn(lora, params, batch, old_logps, ref_logps):
+            packed = isinstance(batch, PackedGRPOBatch)
             logps = grpo_per_token_logps(
                 params, lora, batch.input_ids, batch.logp_targets, cfg,
-                temperature=args.temperature)
+                temperature=args.temperature,
+                positions=batch.positions if packed else None,
+                segment_ids=batch.segment_ids if packed else None)
             old = old_logps if old_logps is not None else \
                 jax.lax.stop_gradient(logps)
+            if packed:
+                return grpo_loss_packed(
+                    logps, old, ref_logps, batch, beta=args.beta,
+                    epsilon=args.epsilon, epsilon_high=args.epsilon_high)
             return grpo_loss(
                 logps, old, ref_logps, batch.advantages,
                 batch.completion_mask, beta=args.beta,
@@ -337,9 +471,11 @@ class GRPOTrainer:
         opt_state = tx.init(model.lora)
         step_fn = self._make_step(tx)
         logp_fn = jax.jit(
-            lambda params, lora, ids, tg: grpo_per_token_logps(
+            lambda params, lora, ids, tg, pos, seg: grpo_per_token_logps(
                 params, lora, ids, tg, model.cfg,
-                temperature=args.temperature))
+                temperature=args.temperature, positions=pos,
+                segment_ids=seg),
+            static_argnames=())
 
         bsz = args.per_device_train_batch_size
         ds = list(self.train_dataset)
@@ -358,18 +494,25 @@ class GRPOTrainer:
                 prompts, completions_text, examples)
             adv = group_advantages(rewards, args.num_generations,
                                    args.scale_rewards)
-            batch = self._build_batch(prompt_ids, completion_ids, adv)
+            if args.packing and args.packing != "auto":
+                batch = self._build_packed_batch(prompt_ids,
+                                                 completion_ids, adv)
+                pos, seg = batch.positions, batch.segment_ids
+            else:
+                batch = self._build_batch(prompt_ids, completion_ids, adv)
+                pos = seg = None
 
             ref_logps = None
             if args.beta > 0.0:
                 # reference policy = frozen base (LoRA disabled)
                 ref_logps = jax.lax.stop_gradient(logp_fn(
-                    model.params, None, batch.input_ids, batch.logp_targets))
+                    model.params, None, batch.input_ids,
+                    batch.logp_targets, pos, seg))
             old_logps = None
             if args.num_iterations > 1:
                 old_logps = jax.lax.stop_gradient(logp_fn(
                     model.params, model.lora, batch.input_ids,
-                    batch.logp_targets))
+                    batch.logp_targets, pos, seg))
 
             import contextlib
 

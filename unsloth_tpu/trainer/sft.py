@@ -323,16 +323,18 @@ class SFTTrainer:
         return {k: jnp.asarray(v) for k, v in host.items()}
 
     def _batch_sharding(self, batch_dim: int):
-        """NamedSharding for [accum, B, T] batches: B over (dp, fsdp)."""
+        """NamedSharding for [accum, B, T] batches: B over (dp, fsdp),
+        T over sp when context parallelism is on."""
         if self.mesh is None:
             return None
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         n = int(self.mesh.shape.get("dp", 1) * self.mesh.shape.get(
             "fsdp", 1))
+        seq = "sp" if self.mesh.shape.get("sp", 1) > 1 else None
         if n <= 1 or batch_dim % n != 0:
-            return NamedSharding(self.mesh, P())
-        return NamedSharding(self.mesh, P(None, ("dp", "fsdp"), None))
+            return NamedSharding(self.mesh, P(None, None, seq))
+        return NamedSharding(self.mesh, P(None, ("dp", "fsdp"), seq))
 
     def _place_train_state(self, trainables, full_ft: bool):
         """Place trainables on the mesh: LoRA trees replicate (tiny, read
@@ -383,6 +385,14 @@ class SFTTrainer:
         base_params = self.model.params
         step_fn = self._make_train_step(tx)
         mesh_ctx = self.mesh if self.mesh is not None else _nullcontext()
+        # context parallelism: an sp axis > 1 routes attention through the
+        # ring (parallel/context.py); everything else is GSPMD.
+        if self.mesh is not None and self.mesh.shape.get("sp", 1) > 1:
+            from ..parallel.context import context_parallel
+
+            cp_ctx = lambda: context_parallel(self.mesh)  # noqa: E731
+        else:
+            cp_ctx = _nullcontext
 
         losses = []
         t0 = time.time()
@@ -411,7 +421,7 @@ class SFTTrainer:
                 stacked = self._stack_accum(group)
                 tokens_seen += int(
                     (np.stack([b.segment_ids for b in group]) != 0).sum())
-                with mesh_ctx:
+                with mesh_ctx, cp_ctx():
                     trainables, opt_state, loss = step_fn(
                         trainables, opt_state, base_params, stacked)
                 global_step += 1
