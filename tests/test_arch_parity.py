@@ -119,3 +119,32 @@ def test_gpt_oss_sinks_matter(tmp_path_factory):
         layer["sinks"] = jnp.full_like(layer["sinks"], -100.0)
     without = np.asarray(model.logits(ids, remat=False))
     assert np.abs(with_sinks - without).max() > 1e-4
+
+
+def _tiny_llama4_cfg(**kw):
+    from transformers import Llama4TextConfig
+
+    base = dict(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        intermediate_size_mlp=256, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        num_local_experts=4, num_experts_per_tok=2,
+        interleave_moe_layer_step=2, max_position_embeddings=256,
+        attention_chunk_size=8, attn_temperature_tuning=True,
+        use_qk_norm=True, tie_word_embeddings=False, pad_token_id=0)
+    base.update(kw)
+    return Llama4TextConfig(**base)
+
+
+def test_llama4_text_parity(tmp_path_factory):
+    """llama4 text: interleaved rope + NoPE layers, chunked attention,
+    L2 qk-norm, temperature-tuned NoPE queries, sigmoid-input-scaled MoE
+    with shared expert (VERDICT r1 missing #3; reference:
+    models/llama4.py)."""
+    from transformers import Llama4ForCausalLM
+
+    cfg = _tiny_llama4_cfg()
+    torch.manual_seed(0)
+    path = _save(Llama4ForCausalLM(cfg), tmp_path_factory, "llama4")
+    hf = Llama4ForCausalLM.from_pretrained(path, torch_dtype=torch.float32)
+    _parity(path, hf, "llama4", atol=2e-3, rtol=1e-2, t=32)

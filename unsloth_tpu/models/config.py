@@ -92,7 +92,9 @@ class ModelConfig:
     head_dim: Optional[int] = None  # defaults to hidden_size // num_heads
 
     # Attention
-    qk_norm: bool = False                  # qwen3 / gemma3
+    # qwen3/gemma3: True = weighted rms-norm before rope;
+    # llama4: "l2" = weightless L2 norm after rope (rope layers only)
+    qk_norm: Any = False
     attn_softcap: Optional[float] = None   # gemma2
     attn_logit_scale: Optional[float] = None  # override 1/sqrt(head_dim)
     sliding_window: Optional[int] = None
@@ -143,6 +145,19 @@ class ModelConfig:
     router_bias: bool = False               # gpt-oss has router bias
     moe_mlp_bias: bool = False              # gpt-oss expert bias
     moe_act: Optional[str] = None           # override act for experts
+    # llama4: top-k on logits -> sigmoid -> scale the expert INPUT, plus a
+    # shared expert that always runs ("softmax_topk" = qwen/mixtral/gpt-oss)
+    moe_routing: str = "softmax_topk"
+    moe_shared_expert: bool = False
+
+    # llama4 text specifics
+    rope_interleaved: bool = False          # pairwise (complex) rotation
+    # per-layer rope on/off (llama4 NoPE layers); None => all layers rope
+    rope_layers: Optional[Tuple[bool, ...]] = None
+    attention_chunk_size: Optional[int] = None  # chunked local attention
+    attn_temperature_tuning: bool = False   # NoPE-layer q scaling
+    floor_scale: float = 8192.0
+    attn_scale: float = 0.1
 
     # Special tokens
     bos_token_id: Optional[int] = None
@@ -158,10 +173,17 @@ class ModelConfig:
         return self.num_experts > 0
 
     def layer_kind(self, layer_idx: int) -> str:
-        """'global' or 'sliding' for a given layer."""
-        if self.layer_pattern is None or self.sliding_window is None:
+        """'global', 'sliding' or 'chunked' for a given layer."""
+        if self.layer_pattern is None or (
+                self.sliding_window is None
+                and self.attention_chunk_size is None):
             return "global"
         return self.layer_pattern[layer_idx % len(self.layer_pattern)]
+
+    def layer_uses_rope(self, layer_idx: int) -> bool:
+        if self.rope_layers is None:
+            return True
+        return bool(self.rope_layers[layer_idx % len(self.rope_layers)])
 
     def layer_is_moe(self, layer_idx: int) -> bool:
         if not self.is_moe:
@@ -312,6 +334,53 @@ def _build_gemma(cls, hf, model_type, name):
     return cls(model_type=model_type, name=name, **kw)
 
 
+def _build_llama4(cls, hf, model_type, name):
+    """Llama-4 text (reference: models/llama4.py): interleaved RoPE with
+    NoPE layers, chunked local attention, L2 qk-norm, temperature-tuned
+    NoPE queries, sigmoid-routed MoE scaling the expert INPUT, plus an
+    always-on shared expert. Dense (non-MoE) layers use
+    intermediate_size_mlp; experts/shared expert use intermediate_size."""
+    if "text_config" in hf:
+        hf = dict(hf["text_config"])
+    kw = _common(hf)
+    n_layers = kw["num_layers"]
+    step = int(hf.get("interleave_moe_layer_step", 1) or 1)
+    moe_layers = hf.get("moe_layers")
+    if moe_layers is None:
+        moe_layers = [i for i in range(n_layers) if (i + 1) % step == 0]
+    moe_set = set(int(i) for i in moe_layers)
+    no_rope = hf.get("no_rope_layers")
+    if not no_rope:
+        # HF default: every 4th layer is NoPE
+        no_rope = [0 if (i + 1) % 4 == 0 else 1 for i in range(n_layers)]
+    rope_layers = tuple(bool(v) for v in no_rope)
+    layer_types = hf.get("layer_types") or [
+        "chunked_attention" if rope_layers[i] else "full_attention"
+        for i in range(n_layers)]
+    kw.update(
+        intermediate_size=int(hf.get("intermediate_size_mlp",
+                                     hf.get("intermediate_size", 16384))),
+        num_experts=int(hf.get("num_local_experts", 0)),
+        num_experts_per_tok=int(hf.get("num_experts_per_tok", 1)),
+        moe_intermediate_size=int(hf.get("intermediate_size", 8192)),
+        moe_layer_pattern=tuple(i in moe_set for i in range(n_layers)),
+        moe_routing="llama4",
+        moe_shared_expert=True,
+        rope_interleaved=True,
+        rope_layers=rope_layers,
+        qk_norm="l2" if hf.get("use_qk_norm", True) else False,
+        attention_chunk_size=hf.get("attention_chunk_size"),
+        layer_pattern=tuple(
+            {"chunked_attention": "chunked",
+             "full_attention": "global"}[t] for t in layer_types),
+        attn_temperature_tuning=bool(
+            hf.get("attn_temperature_tuning", False)),
+        floor_scale=float(hf.get("floor_scale", 8192)),
+        attn_scale=float(hf.get("attn_scale", 0.1)),
+    )
+    return cls(model_type="llama4", name=name, **kw)
+
+
 def _build_gpt_oss(cls, hf, model_type, name):
     kw = _common(hf)
     kw.update(
@@ -348,6 +417,8 @@ _HF_BUILDERS = {
     "gemma3": _build_gemma,
     "gemma3_text": _build_gemma,
     "gpt_oss": _build_gpt_oss,
+    "llama4": _build_llama4,
+    "llama4_text": _build_llama4,
 }
 
 

@@ -63,6 +63,14 @@ def _norm(x, w, cfg: ModelConfig):
     return rms_norm(x, w, cfg.rms_norm_eps, cfg.gemma_norm)
 
 
+def _l2_norm(x, eps: float = 1e-6):
+    """Weightless L2 (rms) norm over the head dim (llama4 qk norm)."""
+    xf = x.astype(jnp.float32)
+    out = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True)
+                             + eps)
+    return out.astype(x.dtype)
+
+
 def _proj(x, layer_p, lora_p, name):
     lora = lora_p.get(name) if lora_p else None
     bias = layer_p.get(f"{name}_bias")
@@ -81,21 +89,56 @@ def attention_block(
     k = _proj(x, layer_p, lora_p, "k").reshape(b, t, hkv, dh)
     v = _proj(x, layer_p, lora_p, "v").reshape(b, t, hkv, dh)
 
-    if cfg.qk_norm:
+    if cfg.qk_norm is True:  # qwen3/gemma3: weighted rms-norm before rope
         q = rms_norm(q, layer_p["q_norm"], cfg.rms_norm_eps, cfg.gemma_norm)
         k = rms_norm(k, layer_p["k_norm"], cfg.rms_norm_eps, cfg.gemma_norm)
 
     kind = cfg.layer_kind(layer_idx)
-    if kind == "sliding" and cos_local is not None:
-        q, k = apply_rope_qk(q, k, cos_local, sin_local)
-    else:
-        q, k = apply_rope_qk(q, k, cos, sin)
+    uses_rope = cfg.layer_uses_rope(layer_idx)
+    if uses_rope:
+        if cfg.rope_interleaved:
+            # interleaved (complex-pair) rope == half-split rope on
+            # even/odd-permuted channels; attention scores are invariant
+            # to the fixed channel permutation, so no inverse is needed
+            # (llama4 apply_rotary_emb semantics).
+            q = jnp.concatenate([q[..., 0::2], q[..., 1::2]], axis=-1)
+            k = jnp.concatenate([k[..., 0::2], k[..., 1::2]], axis=-1)
+        if kind == "sliding" and cos_local is not None:
+            q, k = apply_rope_qk(q, k, cos_local, sin_local)
+        else:
+            q, k = apply_rope_qk(q, k, cos, sin)
+        if cfg.qk_norm == "l2":  # llama4: weightless L2 norm after rope
+            q = _l2_norm(q, cfg.rms_norm_eps)
+            k = _l2_norm(k, cfg.rms_norm_eps)
+    elif cfg.attn_temperature_tuning:
+        # llama4 NoPE layers: q scaled by a log-floor temperature of the
+        # absolute position (HF Llama4TextAttention.forward).
+        pos = positions if positions is not None else \
+            jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None], (b, t))
+        scales = jnp.log1p(jnp.floor(
+            (pos.astype(jnp.float32) + 1.0) / cfg.floor_scale)) \
+            * cfg.attn_scale + 1.0
+        q = (q.astype(jnp.float32) * scales[..., None, None]).astype(
+            q.dtype)
 
     window = cfg.sliding_window if kind == "sliding" else None
+    attn_segments = segment_ids
+    if kind == "chunked" and cfg.attention_chunk_size:
+        # chunked local attention (llama4): tokens attend within their
+        # position chunk — expressed exactly as extra segment structure,
+        # so every packed/flash/ring path handles it for free.
+        pos = positions if positions is not None else \
+            jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None], (b, t))
+        chunk_id = pos // cfg.attention_chunk_size
+        n_chunks = t // cfg.attention_chunk_size + 2
+        base = segment_ids if segment_ids is not None else \
+            jnp.ones((b, t), jnp.int32)
+        attn_segments = base * n_chunks + chunk_id
+
     out = attention(
         q, k, v,
         causal=True,
-        segment_ids=segment_ids,
+        segment_ids=attn_segments,
         window=window,
         softcap=cfg.attn_softcap,
         scale=cfg.attn_logit_scale,
@@ -109,7 +152,14 @@ def attention_block(
 
 def mlp_block(x, layer_p, lora_p, cfg: ModelConfig, layer_idx: int):
     if cfg.layer_is_moe(layer_idx) and "experts" in layer_p:
-        return moe_block(x, layer_p, cfg)
+        out = moe_block(x, layer_p, cfg)
+        if cfg.moe_shared_expert and "gate" in layer_p:
+            # llama4: the shared expert always runs, added to routed out
+            glu = glu_for(cfg.hidden_act)
+            e = _proj(x, layer_p, lora_p, "gate")
+            g = _proj(x, layer_p, lora_p, "up")
+            out = out + _proj(glu(e, g), layer_p, lora_p, "down")
+        return out
 
     def dense_mlp(xc):
         glu = glu_for(cfg.hidden_act)
@@ -159,7 +209,7 @@ def moe_block(x, layer_p, cfg: ModelConfig):
             jnp.float32)
     out = moe_mlp(xf, router_logits, layer_p["experts"],
                   cfg.num_experts_per_tok, cfg.moe_act or cfg.hidden_act,
-                  cfg.norm_topk_prob)
+                  cfg.norm_topk_prob, routing=cfg.moe_routing)
     return out.reshape(b, t, d)
 
 

@@ -183,6 +183,9 @@ def _load_experts(reader, cfg, layer_idx, dtype, put):
     gup = f"model.layers.{layer_idx}.mlp.experts.gate_up_proj"
     if gup in reader or gup + "_blocks" in reader:
         return _load_gpt_oss_experts(reader, cfg, layer_idx, dtype, put)
+    l4 = f"model.layers.{layer_idx}.feed_forward.experts.gate_up_proj"
+    if l4 in reader:
+        return _load_llama4_experts(reader, cfg, layer_idx, dtype, put)
     namer = hf_names.expert_name
     if hf_names.mixtral_expert_name(layer_idx, 0, "gate") in reader:
         namer = hf_names.mixtral_expert_name
@@ -222,6 +225,27 @@ def _load_gpt_oss_experts(reader, cfg, layer_idx, dtype, put):
     if p + "down_proj_bias" in reader:
         out["down_bias"] = np.asarray(
             reader.get(p + "down_proj_bias"), np.float32)
+    return {
+        k: put(f"layers.{layer_idx}.experts.{k}",
+               jnp.asarray(np.ascontiguousarray(v)).astype(dtype))
+        for k, v in out.items()
+    }
+
+
+def _load_llama4_experts(reader, cfg, layer_idx, dtype, put):
+    """llama4 stacked experts: gate_up_proj [E, D, 2F] with gate/up
+    CHUNKED on the last dim (HF Llama4TextExperts: gate, up =
+    gate_up.chunk(2, dim=-1)); down_proj [E, F, D]. Both input-major —
+    transpose on host into our [E, F, D] / [E, D, F] out-major layout."""
+    p = f"model.layers.{layer_idx}.feed_forward.experts."
+    gup = np.asarray(reader.get(p + "gate_up_proj"), np.float32)
+    down = np.asarray(reader.get(p + "down_proj"), np.float32)
+    f = gup.shape[-1] // 2
+    out = {
+        "gate": gup[:, :, :f].transpose(0, 2, 1),     # [E, F, D]
+        "up": gup[:, :, f:].transpose(0, 2, 1),
+        "down": down.transpose(0, 2, 1),              # [E, D, F]
+    }
     return {
         k: put(f"layers.{layer_idx}.experts.{k}",
                jnp.asarray(np.ascontiguousarray(v)).astype(dtype))

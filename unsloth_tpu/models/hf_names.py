@@ -65,6 +65,10 @@ def layer_name_map(cfg: ModelConfig, layer_idx: int) -> Dict[str, str]:
         m.update(_POST_NORM_MAP)
     else:
         m.update(_PLAIN_NORM_MAP)
+    if cfg.model_type == "llama4":
+        # llama4 names the MLP module "feed_forward"
+        m = {ours: hf.replace("mlp.", "feed_forward.", 1)
+             for ours, hf in m.items()}
     out = {ours: prefix + hf for ours, hf in m.items()}
     if cfg.attn_sinks:
         out["sinks"] = prefix + "self_attn.sinks"
@@ -73,12 +77,20 @@ def layer_name_map(cfg: ModelConfig, layer_idx: int) -> Dict[str, str]:
             # gpt-oss names its router "mlp.router"
             out["router"] = prefix + "mlp.router.weight"
             out["router_bias"] = prefix + "mlp.router.bias"
+        elif cfg.model_type == "llama4":
+            out["router"] = prefix + "feed_forward.router.weight"
         else:
             out["router"] = prefix + _MOE_ROUTER
             out["router_bias"] = prefix + _MOE_ROUTER_BIAS
         for name in ("gate", "up", "down", "gate_bias", "up_bias",
                      "down_bias"):
             out.pop(name, None)
+        if cfg.moe_shared_expert and cfg.model_type == "llama4":
+            # the always-on shared expert reuses the dense gate/up/down
+            # slots inside MoE layers
+            for ours in ("gate", "up", "down"):
+                out[ours] = (prefix + "feed_forward.shared_expert."
+                             + ours + "_proj.weight")
     return out
 
 

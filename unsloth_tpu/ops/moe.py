@@ -27,10 +27,16 @@ from ..utils import env
 from .activations import glu_for
 
 
-def _route(router_logits, k: int, norm_topk_prob: bool):
-    """HF token-choice routing semantics: softmax over ALL experts, then
-    top-k; renormalize only when norm_topk_prob (qwen3-moe flag; mixtral
-    always renormalizes via its config)."""
+def _route(router_logits, k: int, norm_topk_prob: bool,
+           routing: str = "softmax_topk"):
+    """HF token-choice routing semantics. "softmax_topk": softmax over ALL
+    experts, then top-k; renormalize only when norm_topk_prob (qwen3-moe
+    flag; mixtral always renormalizes via its config). "llama4": top-k on
+    the raw logits, sigmoid the selected values — and the weight scales
+    the expert INPUT, not its output (handled by the callers)."""
+    if routing == "llama4":
+        top_vals, sel = jax.lax.top_k(router_logits, k)
+        return jax.nn.sigmoid(top_vals), sel
     probs = jax.nn.softmax(router_logits, axis=-1)
     weights, sel = jax.lax.top_k(probs, k)
     if norm_topk_prob:
@@ -40,15 +46,17 @@ def _route(router_logits, k: int, norm_topk_prob: bool):
 
 def moe_mlp_dense(x, router_logits, experts: Dict[str, jnp.ndarray],
                   num_experts_per_tok: int, act: str,
-                  norm_topk_prob: bool = False):
+                  norm_topk_prob: bool = False,
+                  routing: str = "softmax_topk"):
     """Reference einsum implementation (parity oracle; used off-TPU).
     x: [N, D]; experts: gate/up [E, F, D], down [E, D, F]; optional
     per-expert biases gate_bias/up_bias [E, F], down_bias [E, D]
     (gpt-oss — applied inside each expert, before the routing weight)."""
     n, d = x.shape
     k = num_experts_per_tok
-    weights, sel = _route(router_logits, k, norm_topk_prob)
+    weights, sel = _route(router_logits, k, norm_topk_prob, routing)
     glu = glu_for(act)
+    scale_input = routing == "llama4"
 
     def bias(name, idx):
         b = experts.get(name)
@@ -57,17 +65,19 @@ def moe_mlp_dense(x, router_logits, experts: Dict[str, jnp.ndarray],
 
     def one_slot(i):
         idx = sel[:, i]
+        w_i = weights[:, i:i + 1].astype(x.dtype)
+        xi = x * w_i if scale_input else x
         wg = jnp.take(experts["gate"], idx, axis=0)
         wu = jnp.take(experts["up"], idx, axis=0)
         wd = jnp.take(experts["down"], idx, axis=0)
-        e = jnp.einsum("nd,nfd->nf", x, wg.astype(x.dtype)) \
+        e = jnp.einsum("nd,nfd->nf", xi, wg.astype(x.dtype)) \
             + bias("gate_bias", idx)
-        g = jnp.einsum("nd,nfd->nf", x, wu.astype(x.dtype)) \
+        g = jnp.einsum("nd,nfd->nf", xi, wu.astype(x.dtype)) \
             + bias("up_bias", idx)
         h = glu(e, g)
         y = jnp.einsum("nf,ndf->nd", h, wd.astype(x.dtype)) \
             + bias("down_bias", idx)
-        return y * weights[:, i:i + 1].astype(x.dtype)
+        return y if scale_input else y * w_i
 
     return sum(one_slot(i) for i in range(k))
 
@@ -75,7 +85,8 @@ def moe_mlp_dense(x, router_logits, experts: Dict[str, jnp.ndarray],
 def moe_mlp_grouped(x, router_logits, experts: Dict[str, jnp.ndarray],
                     num_experts_per_tok: int, act: str,
                     norm_topk_prob: bool = False,
-                    interpret: Optional[bool] = None):
+                    interpret: Optional[bool] = None,
+                    routing: str = "softmax_topk"):
     """Grouped-GEMM implementation. Same signature/semantics as dense."""
     from jax.experimental.pallas.ops.tpu.megablox import gmm
 
@@ -85,12 +96,17 @@ def moe_mlp_grouped(x, router_logits, experts: Dict[str, jnp.ndarray],
     n, d = x.shape
     num_experts = experts["gate"].shape[0]
     k = num_experts_per_tok
-    weights, sel = _route(router_logits, k, norm_topk_prob)  # [N, k]
+    weights, sel = _route(router_logits, k, norm_topk_prob,
+                          routing)                          # [N, k]
+    scale_input = routing == "llama4"
 
     flat_expert = sel.reshape(-1)                           # [N*k]
     order = jnp.argsort(flat_expert, stable=True)           # [N*k]
     token_idx = order // k                                  # source token
     xs = jnp.take(x, token_idx, axis=0)                     # [N*k, D]
+    if scale_input:
+        xs = xs * jnp.take(weights.reshape(-1), order)[:, None].astype(
+            x.dtype)
     group_sizes = jnp.bincount(flat_expert, length=num_experts
                                ).astype(jnp.int32)
 
@@ -129,18 +145,24 @@ def moe_mlp_grouped(x, router_logits, experts: Dict[str, jnp.ndarray],
     h = glu(e, g)
     y = gmm_(h, experts["down"]).astype(x.dtype) + bias("down_bias")
 
-    w = jnp.take(weights.reshape(-1), order)                # [N*k]
     out = jnp.zeros((n, d), x.dtype)
-    out = out.at[token_idx].add(y * w[:, None].astype(x.dtype))
+    if scale_input:
+        out = out.at[token_idx].add(y)
+    else:
+        w = jnp.take(weights.reshape(-1), order)            # [N*k]
+        out = out.at[token_idx].add(y * w[:, None].astype(x.dtype))
     return out
 
 
 def moe_mlp(x, router_logits, experts, num_experts_per_tok: int, act: str,
-            norm_topk_prob: bool = False, impl: str = "auto"):
+            norm_topk_prob: bool = False, impl: str = "auto",
+            routing: str = "softmax_topk"):
     """Dispatching MoE MLP. impl: auto | grouped | dense."""
     if impl == "dense" or (impl == "auto" and (
             env.disable_pallas() or jax.default_backend() != "tpu")):
         return moe_mlp_dense(x, router_logits, experts,
-                             num_experts_per_tok, act, norm_topk_prob)
+                             num_experts_per_tok, act, norm_topk_prob,
+                             routing=routing)
     return moe_mlp_grouped(x, router_logits, experts,
-                           num_experts_per_tok, act, norm_topk_prob)
+                           num_experts_per_tok, act, norm_topk_prob,
+                           routing=routing)
