@@ -159,6 +159,10 @@ class ModelConfig:
     floor_scale: float = 8192.0
     attn_scale: float = 0.1
 
+    # falcon-h1: parallel attention + mamba2 per layer
+    hybrid_mamba: bool = False
+    mamba: Optional["MambaConfig"] = None
+
     # Special tokens
     bos_token_id: Optional[int] = None
     eos_token_id: Optional[int] = None
@@ -219,6 +223,86 @@ class ModelConfig:
 # ---------------------------------------------------------------------------
 # Per-family HF config builders
 # ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class MambaConfig:
+    """falcon-h1 hybrid-mamba mixer dims + muP multipliers (reference:
+    models/falcon_h1.py; HF FalconH1Config mamba_* fields)."""
+
+    d_ssm: int = 0
+    n_heads: int = 0
+    head_dim: int = 0
+    n_groups: int = 1
+    d_state: int = 16
+    d_conv: int = 4
+    chunk_size: int = 256
+    conv_bias: bool = True
+    proj_bias: bool = False
+    rms_norm: bool = False
+    time_step_min: float = 0.0
+    time_step_max: float = float("inf")
+    # muP multipliers
+    ssm_in_multiplier: float = 1.0
+    ssm_out_multiplier: float = 1.0
+    attention_in_multiplier: float = 1.0
+    attention_out_multiplier: float = 1.0
+    key_multiplier: float = 1.0
+    ssm_multipliers: Tuple[float, ...] = (1.0,) * 5   # z, x, B, C, dt
+    mlp_multipliers: Tuple[float, ...] = (1.0, 1.0)   # gate, down
+
+    @classmethod
+    def from_hf(cls, hf: Dict[str, Any]) -> "MambaConfig":
+        hidden = int(hf.get("hidden_size", 4096))
+        expand = int(hf.get("mamba_expand", 2))
+        d_ssm = int(hf.get("mamba_d_ssm") or expand * hidden)
+        n_heads = int(hf.get("mamba_n_heads", 128))
+        limit = hf.get("time_step_limit") or (0.0, float("inf"))
+        return cls(
+            d_ssm=d_ssm,
+            n_heads=n_heads,
+            head_dim=int(hf.get("mamba_d_head") or d_ssm // n_heads),
+            n_groups=int(hf.get("mamba_n_groups", 1)),
+            d_state=int(hf.get("mamba_d_state", 256)),
+            d_conv=int(hf.get("mamba_d_conv", 4)),
+            chunk_size=int(hf.get("mamba_chunk_size", 256)),
+            conv_bias=bool(hf.get("mamba_conv_bias", True)),
+            proj_bias=bool(hf.get("mamba_proj_bias", False)),
+            rms_norm=bool(hf.get("mamba_rms_norm", False)),
+            time_step_min=float(limit[0]),
+            time_step_max=float(limit[1]),
+            ssm_in_multiplier=float(hf.get("ssm_in_multiplier", 1.0)),
+            ssm_out_multiplier=float(hf.get("ssm_out_multiplier", 1.0)),
+            attention_in_multiplier=float(
+                hf.get("attention_in_multiplier", 1.0)),
+            attention_out_multiplier=float(
+                hf.get("attention_out_multiplier", 1.0)),
+            key_multiplier=float(hf.get("key_multiplier", 1.0)),
+            ssm_multipliers=tuple(
+                float(v) for v in (hf.get("ssm_multipliers")
+                                   or (1.0,) * 5)),
+            mlp_multipliers=tuple(
+                float(v) for v in (hf.get("mlp_multipliers")
+                                   or (1.0, 1.0))),
+        )
+
+
+def _build_falcon_h1(cls, hf, model_type, name):
+    """falcon-h1: every layer runs attention AND a mamba2 (SSD) mixer in
+    parallel on the same normed input, with muP multipliers everywhere
+    (reference: models/falcon_h1.py:1-756)."""
+    kw = _common(hf)
+    kw.update(
+        hybrid_mamba=True,
+        mamba=MambaConfig.from_hf(hf),
+        embed_scale=float(hf.get("embedding_multiplier", 1.0)) or None,
+        logit_scale=float(hf.get("lm_head_multiplier", 1.0)) or None,
+    )
+    if kw["embed_scale"] == 1.0:
+        kw["embed_scale"] = None
+    if kw["logit_scale"] == 1.0:
+        kw["logit_scale"] = None
+    return cls(model_type="falcon_h1", name=name, **kw)
+
 
 def _common(hf: Dict[str, Any]) -> Dict[str, Any]:
     max_pos = int(hf.get("max_position_embeddings", 4096))
@@ -419,6 +503,7 @@ _HF_BUILDERS = {
     "gpt_oss": _build_gpt_oss,
     "llama4": _build_llama4,
     "llama4_text": _build_llama4,
+    "falcon_h1": _build_falcon_h1,
 }
 
 

@@ -89,6 +89,9 @@ def attention_block(
     k = _proj(x, layer_p, lora_p, "k").reshape(b, t, hkv, dh)
     v = _proj(x, layer_p, lora_p, "v").reshape(b, t, hkv, dh)
 
+    if cfg.hybrid_mamba and cfg.mamba.key_multiplier != 1.0:
+        k = k * cfg.mamba.key_multiplier  # falcon-h1 muP key scale
+
     if cfg.qk_norm is True:  # qwen3/gemma3: weighted rms-norm before rope
         q = rms_norm(q, layer_p["q_norm"], cfg.rms_norm_eps, cfg.gemma_norm)
         k = rms_norm(k, layer_p["k_norm"], cfg.rms_norm_eps, cfg.gemma_norm)
@@ -165,6 +168,9 @@ def mlp_block(x, layer_p, lora_p, cfg: ModelConfig, layer_idx: int):
         glu = glu_for(cfg.hidden_act)
         e = _proj(xc, layer_p, lora_p, "gate")
         g = _proj(xc, layer_p, lora_p, "up")
+        if cfg.hybrid_mamba:  # falcon-h1 muP: act(gate*gm), down*dm
+            gm, dm = cfg.mamba.mlp_multipliers
+            return _proj(glu(e * gm, g), layer_p, lora_p, "down") * dm
         return _proj(glu(e, g), layer_p, lora_p, "down")
 
     # Tiled MLP: chunk the token dim so the [tokens, F] intermediates
@@ -213,11 +219,67 @@ def moe_block(x, layer_p, cfg: ModelConfig):
     return out.reshape(b, t, d)
 
 
+def _mamba_block(x, layer_p, cfg: ModelConfig, segment_ids):
+    """falcon-h1 parallel SSD mixer (reference: models/falcon_h1.py;
+    semantics: HF FalconH1Mixer.torch_forward)."""
+    import numpy as np
+
+    from ..ops.ssm import mamba2_mixer
+
+    mc = cfg.mamba
+    p = {
+        "in_proj": layer_p["mamba_in_proj"],
+        "conv_w": layer_p["mamba_conv_w"],
+        "conv_b": layer_p.get("mamba_conv_b"),
+        "dt_bias": layer_p["mamba_dt_bias"],
+        "A_log": layer_p["mamba_A_log"],
+        "D": layer_p["mamba_D"],
+        "out_proj": layer_p["mamba_out_proj"],
+    }
+    # muP vector over the [z, x, B, C, dt] projection sections
+    gn = mc.n_groups * mc.d_state
+    mup = np.ones(2 * mc.d_ssm + 2 * gn + mc.n_heads, np.float32)
+    z, xm, bm, cm, dtm = mc.ssm_multipliers
+    mup[:mc.d_ssm] *= z
+    mup[mc.d_ssm:2 * mc.d_ssm] *= xm
+    mup[2 * mc.d_ssm:2 * mc.d_ssm + gn] *= bm
+    mup[2 * mc.d_ssm + gn:2 * mc.d_ssm + 2 * gn] *= cm
+    mup[2 * mc.d_ssm + 2 * gn:] *= dtm
+    pad_mask = None
+    if segment_ids is not None:
+        pad_mask = (segment_ids != 0).astype(jnp.float32)
+    return mamba2_mixer(
+        x, p, d_ssm=mc.d_ssm, n_heads=mc.n_heads, head_dim=mc.head_dim,
+        n_groups=mc.n_groups, d_state=mc.d_state,
+        chunk_size=mc.chunk_size,
+        time_step_limit=(mc.time_step_min, mc.time_step_max),
+        ssm_in_multiplier=mc.ssm_in_multiplier,
+        mup_vector=jnp.asarray(mup),
+        rms_norm_weight=layer_p.get("mamba_norm") if mc.rms_norm else None,
+        rms_norm_eps=cfg.rms_norm_eps,
+        padding_mask=pad_mask,
+    )
+
+
 def decoder_layer(
     x, layer_p, lora_p, cfg: ModelConfig, layer_idx: int,
     cos, sin, cos_local, sin_local, segment_ids, positions,
     image_spans=None,
 ):
+    if cfg.hybrid_mamba:
+        mc = cfg.mamba
+        h = _norm(x, layer_p["input_norm"], cfg)
+        mamba_out = _mamba_block(h, layer_p, cfg, segment_ids) \
+            * mc.ssm_out_multiplier
+        attn = attention_block(h * mc.attention_in_multiplier, layer_p,
+                               lora_p, cfg, layer_idx, cos, sin,
+                               cos_local, sin_local, segment_ids,
+                               positions, image_spans) \
+            * mc.attention_out_multiplier
+        x = x + mamba_out + attn
+        h = _norm(x, layer_p["post_attn_norm"], cfg)  # pre_ff_layernorm
+        return x + mlp_block(h, layer_p, lora_p, cfg, layer_idx)
+
     h = _norm(x, layer_p["input_norm"], cfg)
     attn = attention_block(h, layer_p, lora_p, cfg, layer_idx,
                            cos, sin, cos_local, sin_local,

@@ -65,10 +65,17 @@ def layer_name_map(cfg: ModelConfig, layer_idx: int) -> Dict[str, str]:
         m.update(_POST_NORM_MAP)
     else:
         m.update(_PLAIN_NORM_MAP)
-    if cfg.model_type == "llama4":
-        # llama4 names the MLP module "feed_forward"
+    if cfg.model_type in ("llama4", "falcon_h1"):
+        # llama4/falcon-h1 name the MLP module "feed_forward"
         m = {ours: hf.replace("mlp.", "feed_forward.", 1)
              for ours, hf in m.items()}
+    if cfg.hybrid_mamba:
+        m["post_attn_norm"] = "pre_ff_layernorm.weight"
+        m.update(_MAMBA_MAP)
+        if not (cfg.mamba and cfg.mamba.rms_norm):
+            m.pop("mamba_norm")
+        if not (cfg.mamba and cfg.mamba.conv_bias):
+            m.pop("mamba_conv_b")
     out = {ours: prefix + hf for ours, hf in m.items()}
     if cfg.attn_sinks:
         out["sinks"] = prefix + "self_attn.sinks"
@@ -109,10 +116,24 @@ def mixtral_expert_name(layer_idx: int, expert_idx: int, proj: str) -> str:
             f"{expert_idx}.{_MIXTRAL_PROJ[proj]}.weight")
 
 
+_MAMBA_MAP = {
+    "mamba_in_proj": "mamba.in_proj.weight",
+    "mamba_conv_w": "mamba.conv1d.weight",
+    "mamba_conv_b": "mamba.conv1d.bias",
+    "mamba_dt_bias": "mamba.dt_bias",
+    "mamba_A_log": "mamba.A_log",
+    "mamba_D": "mamba.D",
+    "mamba_out_proj": "mamba.out_proj.weight",
+    "mamba_norm": "mamba.norm.weight",
+}
+
+
 def top_level_map(cfg: ModelConfig) -> Dict[str, str]:
     m = dict(_TOP_MAP)
     if cfg.tie_word_embeddings:
         m.pop("lm_head")
+    if cfg.hybrid_mamba:
+        m["final_norm"] = "model.final_layernorm.weight"
     return m
 
 

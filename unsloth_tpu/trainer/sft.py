@@ -228,8 +228,12 @@ class SFTTrainer:
         packing = args.packing
         if packing == "auto":
             # text-only causal LM => pack; vision/multimodal models are
-            # blocklisted (reference: trainer.py:713-901 VLM blocklist)
-            packing = type(self.model).__name__ == "LanguageModel"
+            # blocklisted (reference: trainer.py:713-901 VLM blocklist);
+            # hybrid-mamba too: SSM state flows across packed documents,
+            # so packing would leak context between them.
+            packing = (type(self.model).__name__ == "LanguageModel"
+                       and not getattr(self.model.cfg, "hybrid_mamba",
+                                       False))
         if packing:
             rows = pack_sequences(examples, args.max_seq_length, pad_id)
             self._batches = batch_packed_rows(
