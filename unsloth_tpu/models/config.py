@@ -159,6 +159,10 @@ class ModelConfig:
     floor_scale: float = 8192.0
     attn_scale: float = 0.1
 
+    # text-diffusion (masked-diffusion LM): bidirectional attention
+    causal: bool = True
+    mask_token_id: Optional[int] = None
+
     # falcon-h1: parallel attention + mamba2 per layer
     hybrid_mamba: bool = False
     mamba: Optional["MambaConfig"] = None

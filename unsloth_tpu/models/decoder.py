@@ -140,7 +140,7 @@ def attention_block(
 
     out = attention(
         q, k, v,
-        causal=True,
+        causal=cfg.causal,
         segment_ids=attn_segments,
         window=window,
         softcap=cfg.attn_softcap,
