@@ -33,6 +33,10 @@ def __getattr__(name):
         from .models.sentence_transformer import FastSentenceTransformer
 
         return FastSentenceTransformer
+    if name == "FastDiffusionModel":
+        from .models.diffusion import FastDiffusionModel
+
+        return FastDiffusionModel
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
@@ -50,6 +54,7 @@ __all__ = [
     "FastTextModel",
     "FastVisionModel",
     "FastSentenceTransformer",
+    "FastDiffusionModel",
     "LanguageModel",
     "create_mesh",
     "ShardingRules",

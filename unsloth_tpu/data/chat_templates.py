@@ -461,6 +461,181 @@ register(_REGISTRY["chatml"], "qwen-2.5-vl", "qwen2.5-vl", "qwen-vl")
 
 
 # ---------------------------------------------------------------------------
+# Qwen-3 thinking / instruct variants (public qwen3 format: the thinking
+# model emits <think>...</think> before the answer; instruct strips it)
+# ---------------------------------------------------------------------------
+
+_QWEN3_THINKING_JINJA = (
+    "{% for message in messages %}"
+    "{{ '<|im_start|>' + message['role'] + '\n' + message['content'] "
+    "+ '<|im_end|>' + '\n' }}"
+    "{% endfor %}"
+    "{% if add_generation_prompt %}{{ '<|im_start|>assistant\n<think>\n' }}"
+    "{% endif %}"
+)
+
+register(ChatTemplate(
+    name="qwen3-thinking",
+    jinja=_QWEN3_THINKING_JINJA,
+    eos_token="<|im_end|>",
+    stop_word="<|im_end|>",
+    instruction_part="<|im_start|>user\n",
+    response_part="<|im_start|>assistant\n",
+), "qwen-3-thinking")
+register(_REGISTRY["chatml"], "qwen3-instruct", "qwen-25", "qwen25")
+
+
+# ---------------------------------------------------------------------------
+# Gemma-4 (follows the gemma turn format; the thinking variant opens a
+# thought span after the model turn marker)
+# ---------------------------------------------------------------------------
+
+register(_REGISTRY["gemma"], "gemma-4", "gemma4", "gemma_chatml",
+         "gemma2_chatml")
+
+_GEMMA4_THINKING_JINJA = (
+    "{{ bos_token }}"
+    "{% for message in messages %}"
+    "{{ '<start_of_turn>' + (message['role'] == 'assistant' and 'model' "
+    "or message['role']) + '\n' + message['content'] | trim "
+    "+ '<end_of_turn>\n' }}"
+    "{% endfor %}"
+    "{% if add_generation_prompt %}"
+    "{{ '<start_of_turn>model\n<thinking>\n' }}{% endif %}"
+)
+
+register(ChatTemplate(
+    name="gemma-4-thinking",
+    jinja=_GEMMA4_THINKING_JINJA,
+    eos_token="<end_of_turn>",
+    stop_word="<end_of_turn>",
+    instruction_part="<start_of_turn>user\n",
+    response_part="<start_of_turn>model\n",
+), "gemma4-thinking")
+
+
+# ---------------------------------------------------------------------------
+# LFM-2 (Liquid; ChatML-like with its own special tokens)
+# ---------------------------------------------------------------------------
+
+_LFM2_JINJA = (
+    "{{ '<|startoftext|>' }}"
+    "{% for message in messages %}"
+    "{{ '<|im_start|>' + message['role'] + '\n' + message['content'] "
+    "+ '<|im_end|>' + '\n' }}"
+    "{% endfor %}"
+    "{% if add_generation_prompt %}{{ '<|im_start|>assistant\n' }}"
+    "{% endif %}"
+)
+
+register(ChatTemplate(
+    name="lfm-2",
+    jinja=_LFM2_JINJA,
+    eos_token="<|im_end|>",
+    stop_word="<|im_end|>",
+    instruction_part="<|im_start|>user\n",
+    response_part="<|im_start|>assistant\n",
+), "lfm-2.5", "lfm2")
+
+
+# ---------------------------------------------------------------------------
+# Starling / OpenChat ("GPT4 Correct" turns)
+# ---------------------------------------------------------------------------
+
+_STARLING_JINJA = (
+    "{{ bos_token }}"
+    "{% for message in messages %}"
+    "{% if message['role'] == 'user' %}"
+    "{{ 'GPT4 Correct User: ' + message['content'] "
+    "+ '<|end_of_turn|>' }}"
+    "{% elif message['role'] == 'system' %}"
+    "{{ message['content'] + '<|end_of_turn|>' }}"
+    "{% else %}"
+    "{{ 'GPT4 Correct Assistant: ' + message['content'] "
+    "+ '<|end_of_turn|>' }}"
+    "{% endif %}{% endfor %}"
+    "{% if add_generation_prompt %}{{ 'GPT4 Correct Assistant:' }}"
+    "{% endif %}"
+)
+
+register(ChatTemplate(
+    name="starling",
+    jinja=_STARLING_JINJA,
+    eos_token="<|end_of_turn|>",
+    stop_word="<|end_of_turn|>",
+    instruction_part="GPT4 Correct User:",
+    response_part="GPT4 Correct Assistant:",
+), "openchat")
+
+
+# ---------------------------------------------------------------------------
+# Yi-chat (ChatML tokens, no trailing newline before im_end)
+# ---------------------------------------------------------------------------
+
+register(_REGISTRY["chatml"], "yi-chat", "yi")
+
+
+# ---------------------------------------------------------------------------
+# Vicuna v0 ("### Human:" / "### Assistant:") — the pre-v1.1 format
+# ---------------------------------------------------------------------------
+
+_VICUNA_OLD_JINJA = (
+    "{% for message in messages %}"
+    "{% if message['role'] == 'system' %}{{ message['content'] + '\n\n' }}"
+    "{% elif message['role'] == 'user' %}"
+    "{{ '### Human: ' + message['content'] + '\n' }}"
+    "{% else %}{{ '### Assistant: ' + message['content'] + eos_token "
+    "+ '\n' }}"
+    "{% endif %}{% endfor %}"
+    "{% if add_generation_prompt %}{{ '### Assistant:' }}{% endif %}"
+)
+
+register(ChatTemplate(
+    name="vicuna_old",
+    jinja=_VICUNA_OLD_JINJA,
+    eos_token="</s>",
+    stop_word="### Human:",
+    default_system=("A chat between a curious human and an artificial "
+                    "intelligence assistant. The assistant gives helpful, "
+                    "detailed, and polite answers to the human's "
+                    "questions."),
+    instruction_part="### Human:",
+    response_part="### Assistant:",
+), "vicuna-old")
+
+
+# ---------------------------------------------------------------------------
+# Unsloth's own simple template (reference chat_templates.py "unsloth")
+# ---------------------------------------------------------------------------
+
+_UNSLOTH_JINJA = (
+    "{% for message in messages %}"
+    "{% if message['role'] == 'system' %}{{ message['content'] + '\n' }}"
+    "{% elif message['role'] == 'user' %}"
+    "{{ '>>> User: ' + message['content'] + '\n' }}"
+    "{% else %}{{ '>>> Assistant: ' + message['content'] + eos_token "
+    "+ '\n' }}"
+    "{% endif %}{% endfor %}"
+    "{% if add_generation_prompt %}{{ '>>> Assistant: ' }}{% endif %}"
+)
+
+register(ChatTemplate(
+    name="unsloth",
+    jinja=_UNSLOTH_JINJA,
+    eos_token="</s>",
+    stop_word=">>> User:",
+    instruction_part=">>> User:",
+    response_part=">>> Assistant:",
+))
+
+
+# gpt-oss extra alias used by the reference registry
+register(_REGISTRY["gpt-oss"], "gptoss")
+# llama-1-era plain alias
+register(_REGISTRY["llama-2"], "llama")
+
+
+# ---------------------------------------------------------------------------
 # API
 # ---------------------------------------------------------------------------
 

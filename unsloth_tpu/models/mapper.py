@@ -63,6 +63,116 @@ MODEL_CATALOG: Dict[str, List[str]] = {
         "deepseek-ai/DeepSeek-R1-Distill-Qwen-1.5B",
         "deepseek-ai/DeepSeek-R1-Distill-Qwen-7B",
         "deepseek-ai/DeepSeek-R1-Distill-Qwen-14B",
+        "deepseek-ai/DeepSeek-R1-Distill-Qwen-32B",
+        "deepseek-ai/DeepSeek-R1-Distill-Llama-70B",
+    ],
+    "llama-4": [
+        "meta-llama/Llama-4-Scout-17B-16E",
+        "meta-llama/Llama-4-Scout-17B-16E-Instruct",
+        "meta-llama/Llama-4-Maverick-17B-128E-Instruct",
+    ],
+    "llama-guard": [
+        "meta-llama/Llama-Guard-3-1B", "meta-llama/Llama-Guard-3-8B",
+    ],
+    "falcon": [
+        "tiiuae/Falcon-H1-0.5B-Instruct", "tiiuae/Falcon-H1-1.5B-Instruct",
+        "tiiuae/Falcon-H1-3B-Instruct", "tiiuae/Falcon-H1-7B-Instruct",
+        "tiiuae/Falcon-H1-34B-Instruct", "tiiuae/falcon-7b-instruct",
+    ],
+    "qwen-vl": [
+        "Qwen/Qwen2.5-VL-3B-Instruct", "Qwen/Qwen2.5-VL-7B-Instruct",
+        "Qwen/Qwen2.5-VL-32B-Instruct", "Qwen/Qwen2.5-VL-72B-Instruct",
+        "Qwen/Qwen2-VL-2B-Instruct", "Qwen/Qwen2-VL-7B-Instruct",
+    ],
+    "qwen-coder": [
+        "Qwen/Qwen2.5-Coder-0.5B-Instruct",
+        "Qwen/Qwen2.5-Coder-1.5B-Instruct",
+        "Qwen/Qwen2.5-Coder-7B-Instruct",
+        "Qwen/Qwen2.5-Coder-14B-Instruct",
+        "Qwen/Qwen2.5-Coder-32B-Instruct",
+    ],
+    "qwen-math": [
+        "Qwen/Qwen2.5-Math-1.5B-Instruct",
+        "Qwen/Qwen2.5-Math-7B-Instruct",
+    ],
+    "qwen3-2507": [
+        "Qwen/Qwen3-4B-Instruct-2507", "Qwen/Qwen3-4B-Thinking-2507",
+        "Qwen/Qwen3-30B-A3B-Instruct-2507",
+        "Qwen/Qwen3-30B-A3B-Thinking-2507",
+        "Qwen/Qwen3-235B-A22B-Instruct-2507",
+        "Qwen/QwQ-32B",
+    ],
+    "gemma-extra": [
+        "google/gemma-3-270m-it", "google/gemma-3n-E2B-it",
+        "google/gemma-3n-E4B-it", "google/codegemma-7b-it",
+        "google/gemma-2b-it", "google/gemma-7b-it",
+    ],
+    "mistral-extra": [
+        "mistralai/Mistral-Small-Instruct-2409",
+        "mistralai/Mistral-Small-24B-Instruct-2501",
+        "mistralai/Mistral-Large-Instruct-2407",
+        "mistralai/Pixtral-12B-2409",
+        "mistralai/Mathstral-7B-v0.1",
+        "mistralai/Codestral-22B-v0.1",
+        "mistralai/Mixtral-8x22B-Instruct-v0.1",
+        "mistralai/Mistral-7B-Instruct-v0.2",
+        "mistralai/Mistral-7B-Instruct-v0.1",
+    ],
+    "phi-extra": [
+        "microsoft/Phi-3-mini-4k-instruct",
+        "microsoft/Phi-3-medium-4k-instruct",
+        "microsoft/Phi-3.5-MoE-instruct",
+        "microsoft/Phi-4-mini-reasoning",
+        "microsoft/Phi-4-reasoning",
+    ],
+    "granite": [
+        "ibm-granite/granite-3.1-2b-instruct",
+        "ibm-granite/granite-3.1-8b-instruct",
+        "ibm-granite/granite-3.3-2b-instruct",
+        "ibm-granite/granite-3.3-8b-instruct",
+    ],
+    "cohere": [
+        "CohereForAI/c4ai-command-r-v01",
+        "CohereForAI/c4ai-command-r7b-12-2024",
+        "CohereForAI/aya-expanse-8b",
+    ],
+    "small-lm": [
+        "TinyLlama/TinyLlama-1.1B-Chat-v1.0",
+        "HuggingFaceTB/SmolLM2-135M-Instruct",
+        "HuggingFaceTB/SmolLM2-360M-Instruct",
+        "HuggingFaceTB/SmolLM2-1.7B-Instruct",
+        "allenai/OLMo-2-1124-7B-Instruct",
+        "01-ai/Yi-1.5-6B-Chat", "01-ai/Yi-1.5-9B-Chat",
+        "HuggingFaceH4/zephyr-7b-beta",
+        "LiquidAI/LFM2-1.2B",
+    ],
+    "vision": [
+        "meta-llama/Llama-3.2-11B-Vision-Instruct",
+        "meta-llama/Llama-3.2-90B-Vision-Instruct",
+        "google/gemma-3-4b-it",  # multimodal gemma-3
+        "unsloth/Llama-3.2-11B-Vision-Instruct",
+    ],
+    "audio": [
+        "openai/whisper-large-v3", "openai/whisper-large-v3-turbo",
+        "openai/whisper-medium", "openai/whisper-small",
+        "canopylabs/orpheus-3b-0.1-ft",
+        "canopylabs/orpheus-3b-0.1-pretrained",
+        "sesame/csm-1b",
+    ],
+    "embedding": [
+        "google/embeddinggemma-300m",
+        "sentence-transformers/all-MiniLM-L6-v2",
+        "sentence-transformers/all-mpnet-base-v2",
+        "intfloat/e5-large-v2",
+        "BAAI/bge-base-en-v1.5",
+    ],
+    "code": [
+        "bigcode/starcoder2-3b", "bigcode/starcoder2-7b",
+        "codellama/CodeLlama-7b-Instruct-hf",
+        "codellama/CodeLlama-13b-Instruct-hf",
+    ],
+    "diffusion": [
+        "google/diffusiongemma-26B-A4B-it",
     ],
 }
 
