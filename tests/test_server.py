@@ -91,3 +91,44 @@ def test_error_paths(server):
     assert "missing field" in body["error"]["message"]
     code, _ = _post(server, "/v1/nope", {})
     assert code == 404
+
+
+def test_cli_start_agent_env():
+    """`unsloth start` connector env composition (reference:
+    unsloth_cli/commands/start.py)."""
+    from unsloth_tpu.cli_start import agent_env
+
+    env = agent_env("claude", "http://127.0.0.1:8000", model="m")
+    assert env["ANTHROPIC_BASE_URL"] == "http://127.0.0.1:8000"
+    assert env["ANTHROPIC_MODEL"] == "m"
+    env = agent_env("codex", "http://127.0.0.1:8000")
+    assert env["OPENAI_BASE_URL"].endswith("/v1")
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        agent_env("unknown", "x")
+
+
+def test_cli_start_print_env(tmp_path, capsys):
+    """start --print-env against a live server prints exports, rc 0."""
+    import threading
+
+    from tests.helpers import TINY_LLAMA, make_hf_checkpoint
+    from unsloth_tpu.cli import main
+    from unsloth_tpu.inference.server import InferenceServer
+    from unsloth_tpu.models.loader import FastLanguageModel
+
+    ckpt = str(tmp_path / "ckpt")
+    make_hf_checkpoint(ckpt, TINY_LLAMA)
+    model, tok = FastLanguageModel.from_pretrained(
+        ckpt, load_in_4bit=False, dtype="float32")
+    srv = InferenceServer(model, tok, model_name="tiny")
+    httpd = srv.serve(port=18373, background=True)
+    try:
+        rc = main(["start", "claude", "--print-env",
+                   "--base_url", "http://127.0.0.1:18373"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "ANTHROPIC_BASE_URL" in out
+    finally:
+        httpd.shutdown()

@@ -1,5 +1,6 @@
-"""Studio backend tests: dashboard, job lifecycle over real HTTP with a
-real training subprocess (reference: studio/backend tests)."""
+"""Studio backend tests: auth gate, dashboard, job lifecycle over real
+HTTP with a real training subprocess, models/estimate routes (reference:
+studio/backend tests + auth/ hashed-API-key gate)."""
 
 import json
 import os
@@ -11,12 +12,16 @@ import pytest
 from tests.helpers import TINY_LLAMA, make_hf_checkpoint
 from unsloth_tpu.studio.server import StudioServer
 
+TOKEN = "test-studio-token"
 
-def _req(url, path, body=None, method=None):
+
+def _req(url, path, body=None, method=None, token=TOKEN):
     data = json.dumps(body).encode() if body is not None else None
-    req = urllib.request.Request(
-        url + path, data=data, method=method,
-        headers={"Content-Type": "application/json"})
+    headers = {"Content-Type": "application/json"}
+    if token:
+        headers["Authorization"] = f"Bearer {token}"
+    req = urllib.request.Request(url + path, data=data, method=method,
+                                 headers=headers)
     try:
         with urllib.request.urlopen(req, timeout=60) as r:
             return r.status, (json.loads(r.read())
@@ -29,11 +34,27 @@ def _req(url, path, body=None, method=None):
 @pytest.fixture(scope="module")
 def studio(tmp_path_factory):
     workdir = str(tmp_path_factory.mktemp("jobs"))
-    srv = StudioServer(workdir=workdir)
+    srv = StudioServer(workdir=workdir, token=TOKEN)
     httpd = srv.serve(port=18372, background=True)
     yield "http://127.0.0.1:18372", srv, tmp_path_factory
     srv.jobs.stop()
     httpd.shutdown()
+
+
+def test_auth_gate(studio):
+    """API endpoints reject missing/wrong tokens; dashboard stays open."""
+    url, _, _ = studio
+    code, _ = _req(url, "/api/train/status", token=None)
+    assert code == 401
+    code, _ = _req(url, "/api/train/status", token="wrong")
+    assert code == 401
+    code, _ = _req(url, "/api/train/stop", {}, token=None)
+    assert code == 401
+    code, _ = _req(url, "/v1/chat/completions",
+                   {"messages": []}, token=None)
+    assert code == 401
+    code, html = _req(url, "/", token=None)
+    assert code == 200 and "unsloth_tpu studio" in html
 
 
 def test_dashboard_and_status(studio):
@@ -44,6 +65,27 @@ def test_dashboard_and_status(studio):
     assert code == 200 and status["running"] is False
     code, m = _req(url, "/api/metrics")
     assert m["entries"] == []
+
+
+def test_models_route(studio):
+    url, _, _ = studio
+    code, out = _req(url, "/api/models?q=llama-3.1")
+    assert code == 200
+    assert any("Llama-3.1" in m for m in out["models"])
+
+
+def test_estimate_route(studio):
+    url, _, _ = studio
+    code, out = _req(url, "/api/estimate", {
+        "vocab_size": 128256, "hidden_size": 4096,
+        "intermediate_size": 14336, "num_layers": 32,
+        "num_heads": 32, "num_kv_heads": 8,
+        "seq_length": 8192, "batch_size": 1, "load_in_4bit": True})
+    assert code == 200
+    # llama-3.1-8B QLoRA at 8K measured 15.2 GB peak: estimate in range
+    assert 4 < out["weights_gb"] < 5
+    assert 8 < out["total_gb"] < 18
+    assert isinstance(out["fits"], bool)
 
 
 def test_chat_without_model_is_503(studio):
@@ -87,3 +129,6 @@ def test_training_job_lifecycle(studio):
     code, m = _req(url, "/api/metrics")
     assert len(m["entries"]) >= 2
     assert "loss" in m["entries"][-1]
+
+    code, jobs = _req(url, "/api/jobs")
+    assert code == 200 and len(jobs["jobs"]) >= 1

@@ -257,6 +257,10 @@ def main(argv=None) -> int:
     p_serve.add_argument("--host", default="127.0.0.1")
     p_serve.add_argument("--port", type=int, default=8000)
 
+    from .cli_start import add_start_parser, cmd_start
+
+    add_start_parser(sub)
+
     args = parser.parse_args(argv)
     return {
         "train": cmd_train,
@@ -264,6 +268,7 @@ def main(argv=None) -> int:
         "export": cmd_export,
         "models": cmd_models,
         "serve": cmd_serve,
+        "start": cmd_start,
     }[args.command](args)
 
 

@@ -47,11 +47,22 @@ padding:.4rem .8rem;cursor:pointer} input{width:100%;padding:.4rem}
 <input id=msg placeholder="message... (enter to send)"
  onkeydown="if(event.key==='Enter')send()"></div>
 <script>
+let TOKEN = localStorage.getItem('studio_token') || '';
+function hdrs(extra){return Object.assign(
+  {'Authorization':'Bearer '+TOKEN}, extra||{});}
+async function fetchAuth(url, opts){
+ opts = opts||{}; opts.headers = hdrs(opts.headers);
+ let r = await fetch(url, opts);
+ if(r.status===401){TOKEN = prompt('studio auth token:')||'';
+  localStorage.setItem('studio_token', TOKEN);
+  opts.headers = hdrs(opts.headers); r = await fetch(url, opts);}
+ return r;
+}
 async function poll(){
- const r = await fetch('/api/train/status'); const s = await r.json();
+ const r = await fetchAuth('/api/train/status'); const s = await r.json();
  document.getElementById('status').textContent =
    s.running ? 'running (pid '+s.pid+')' : 'idle';
- const m = await (await fetch('/api/metrics')).json();
+ const m = await (await fetchAuth('/api/metrics')).json();
  draw(m.entries); if(m.entries.length)
    document.getElementById('last').textContent =
      JSON.stringify(m.entries[m.entries.length-1]);
@@ -68,13 +79,13 @@ function draw(es){
   i?x.lineTo(px,py):x.moveTo(px,py)});
  x.stroke();
 }
-async function stopJob(){await fetch('/api/train/stop',{method:'POST'});}
+async function stopJob(){await fetchAuth('/api/train/stop',{method:'POST'});}
 async function send(){
  const el = document.getElementById('msg'); const text = el.value;
  el.value='';
  const log = document.getElementById('chatlog');
  log.innerHTML += '<p><b>you:</b> '+text+'</p>';
- const r = await fetch('/v1/chat/completions',{method:'POST',
+ const r = await fetchAuth('/v1/chat/completions',{method:'POST',
   headers:{'Content-Type':'application/json'},
   body:JSON.stringify({messages:[{role:'user',content:text}],
                        max_tokens:128})});
@@ -171,10 +182,16 @@ class TrainingJobManager:
 
 
 class StudioServer(InferenceServer):
-    """Inference endpoints + dashboard + training-job API."""
+    """Inference endpoints + dashboard + training-job API.
+
+    Auth (reference: studio/backend/auth/ hashed-API-key gate): every
+    /api/* and /v1/* request must carry ``Authorization: Bearer <token>``.
+    The token comes from UNSLOTH_STUDIO_TOKEN / the constructor, or is
+    generated and printed once at startup; only its sha256 is kept."""
 
     def __init__(self, model=None, tokenizer=None, model_name="local",
-                 workdir: str = "studio_jobs"):
+                 workdir: str = "studio_jobs",
+                 token: Optional[str] = None, require_auth: bool = True):
         if model is not None:
             super().__init__(model, tokenizer, model_name)
         else:
@@ -183,11 +200,42 @@ class StudioServer(InferenceServer):
             self.model_name = model_name
             self._lock = threading.Lock()
         self.jobs = TrainingJobManager(workdir)
+        self.require_auth = require_auth
+        import hashlib
+        import secrets
+
+        token = token or os.environ.get("UNSLOTH_STUDIO_TOKEN")
+        if token is None and require_auth:
+            token = secrets.token_urlsafe(24)
+            print(f"studio auth token: {token}")
+        self._token_sha = (hashlib.sha256(token.encode()).hexdigest()
+                           if token else None)
+
+    def check_auth(self, headers) -> bool:
+        if not self.require_auth:
+            return True
+        import hashlib
+        import hmac
+
+        auth = headers.get("Authorization", "")
+        if not auth.startswith("Bearer "):
+            return False
+        supplied = hashlib.sha256(
+            auth[len("Bearer "):].strip().encode()).hexdigest()
+        return hmac.compare_digest(supplied, self._token_sha or "")
 
     def make_handler(server):
         Base = InferenceServer.make_handler(server)
 
         class Handler(Base):
+            def _gate(self):
+                """True (and respond 401) when the request is rejected."""
+                if server.check_auth(self.headers):
+                    return False
+                self._send(401, {"error": "missing or invalid bearer "
+                                          "token"})
+                return True
+
             def do_GET(self):
                 if self.path in ("/", "/index.html"):
                     data = _DASHBOARD_HTML.encode()
@@ -197,14 +245,40 @@ class StudioServer(InferenceServer):
                     self.end_headers()
                     self.wfile.write(data)
                     return
+                if self.path.startswith(("/api/", "/v1/")) and self._gate():
+                    return
                 if self.path == "/api/train/status":
                     return self._send(200, server.jobs.status())
                 if self.path.startswith("/api/metrics"):
                     return self._send(
                         200, {"entries": server.jobs.metrics()})
+                if self.path.startswith("/api/models"):
+                    from urllib.parse import parse_qs, urlparse
+
+                    from ..models.mapper import search_models
+
+                    q = parse_qs(urlparse(self.path).query)
+                    return self._send(200, {"models": search_models(
+                        query=(q.get("q") or [""])[0],
+                        family=(q.get("family") or [None])[0])})
+                if self.path == "/api/jobs":
+                    jobs = []
+                    wd = server.jobs.workdir
+                    if os.path.isdir(wd):
+                        for jid in sorted(os.listdir(wd)):
+                            p = os.path.join(wd, jid)
+                            if os.path.isdir(p):
+                                jobs.append({
+                                    "job_id": jid,
+                                    "has_metrics": os.path.exists(
+                                        os.path.join(p, "metrics.jsonl")),
+                                })
+                    return self._send(200, {"jobs": jobs})
                 return super().do_GET()
 
             def do_POST(self):
+                if self.path.startswith(("/api/", "/v1/")) and self._gate():
+                    return
                 if self.path.startswith("/api/"):
                     length = int(self.headers.get("Content-Length", 0))
                     try:
@@ -217,10 +291,19 @@ class StudioServer(InferenceServer):
                                               server.jobs.start(body))
                         if self.path == "/api/train/stop":
                             return self._send(200, server.jobs.stop())
+                        if self.path == "/api/estimate":
+                            from ..utils.memory import estimate_hbm
+
+                            return self._send(200, estimate_hbm(**body))
+                        if self.path == "/api/export":
+                            return self._send(200,
+                                              server.start_export(body))
                         return self._send(404, {"error": "not found"})
                     except KeyError as e:
                         return self._send(400, {"error":
                                                 f"missing field: {e}"})
+                    except TypeError as e:
+                        return self._send(400, {"error": str(e)})
                     except RuntimeError as e:
                         return self._send(409, {"error": str(e)})
                 if server.model is None and self.path.startswith("/v1/"):
@@ -229,3 +312,21 @@ class StudioServer(InferenceServer):
                 return super().do_POST()
 
         return Handler
+
+    def start_export(self, config: Dict[str, Any]) -> Dict[str, Any]:
+        """Export as a subprocess CLI job (merged / lora / gguf)."""
+        out_dir = config.get("output_dir") or os.path.join(
+            self.jobs.workdir, "export-" + uuid.uuid4().hex[:8])
+        args = [sys.executable, "-m", "unsloth_tpu.cli", "export",
+                "--model_name", config["model_name"],
+                "--output", out_dir,
+                "--format", config.get("format", "merged")]
+        if config.get("adapter"):
+            args += ["--adapter", config["adapter"]]
+        if config.get("quantization"):
+            args += ["--quantization", config["quantization"]]
+        log_path = out_dir + ".log"
+        os.makedirs(os.path.dirname(log_path) or ".", exist_ok=True)
+        proc = subprocess.Popen(args, stdout=open(log_path, "w"),
+                                stderr=subprocess.STDOUT)
+        return {"pid": proc.pid, "output_dir": out_dir, "log": log_path}
