@@ -144,6 +144,168 @@ def galore(
     return optax.GradientTransformation(init, update)
 
 
+# ---------------------------------------------------------------------------
+# Q-GaLore: int8-quantized optimizer state + projector
+# ---------------------------------------------------------------------------
+
+_QBLOCK = 256
+
+
+def _q8(x: jnp.ndarray):
+    """Blockwise symmetric int8 quantization (block 256 over the flattened
+    tensor — the same shape of scheme the reference's 8-bit AdamW state
+    uses, q_galore_adamw.py:264-290). Returns (codes int8, scales f32,
+    orig_shape)."""
+    shape = x.shape
+    flat = x.astype(jnp.float32).reshape(-1)
+    pad = (-flat.size) % _QBLOCK
+    fp = jnp.pad(flat, (0, pad)).reshape(-1, _QBLOCK)
+    s = jnp.max(jnp.abs(fp), axis=-1)
+    s = jnp.where(s == 0, 1.0, s) / 127.0
+    codes = jnp.round(fp / s[:, None]).astype(jnp.int8)
+    return codes, s.astype(jnp.float32), shape
+
+
+def _dq8(codes, scales, shape):
+    flat = (codes.astype(jnp.float32) * scales[:, None]).reshape(-1)
+    n = 1
+    for d in shape:
+        n *= d
+    return flat[:n].reshape(shape)
+
+
+def _q8_log(x: jnp.ndarray):
+    """Blockwise int8 quantization of a NON-NEGATIVE tensor in the log
+    domain (per-block affine). Linear int8 cannot span the second
+    moment's dynamic range (the reason bitsandbytes' 8-bit optimizers use
+    a dynamic map); log-domain coding gives ~constant RELATIVE error.
+    Returns (codes int8, scale f32, offset f32, orig_shape)."""
+    shape = x.shape
+    flat = x.astype(jnp.float32).reshape(-1)
+    pad = (-flat.size) % _QBLOCK
+    fp = jnp.pad(flat, (0, pad)).reshape(-1, _QBLOCK)
+    lv = jnp.log(fp + 1e-20)
+    lo = jnp.min(lv, axis=-1)
+    hi = jnp.max(lv, axis=-1)
+    scale = jnp.maximum(hi - lo, 1e-6) / 254.0
+    codes = jnp.round((lv - lo[:, None]) / scale[:, None] - 127.0)
+    codes = jnp.clip(codes, -127, 127).astype(jnp.int8)
+    return codes, scale.astype(jnp.float32), lo.astype(jnp.float32), shape
+
+
+def _dq8_log(codes, scale, lo, shape):
+    lv = (codes.astype(jnp.float32) + 127.0) * scale[:, None] \
+        + lo[:, None]
+    flat = jnp.exp(lv).reshape(-1)
+    n = 1
+    for d in shape:
+        n *= d
+    v = flat[:n].reshape(shape)
+    return jnp.where(v <= 2e-20, 0.0, v)
+
+
+class _QGaloreParamState(NamedTuple):
+    proj_q: Any          # int8 projector codes (or None)
+    proj_s: Any          # projector scales
+    m_q: Any             # int8 first-moment codes (linear symmetric)
+    m_s: Any
+    v_q: Any             # int8 second-moment codes (log-domain affine)
+    v_s: Any
+    v_o: Any             # log-domain per-block offsets
+
+
+def q_galore(
+    learning_rate: float | optax.Schedule = 1e-4,
+    rank: int = 128,
+    update_proj_gap: int = 200,
+    galore_scale: float = 0.25,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    min_dim: int = 256,
+) -> optax.GradientTransformation:
+    """Q-GaLore: GaLore with int8 moments AND an int8 projection matrix
+    (the "Q" the round-1 review flagged as missing; reference:
+    optimizers/q_galore_adamw.py + q_galore_projector.py). State cost is
+    ~0.25 bytes/param-dim instead of Adam's 8."""
+
+    def shapes_for(p):
+        m, n = p.shape
+        r = min(rank, min(m, n))
+        pshape = (m, r) if m <= n else (r, n)
+        rshape = (r, n) if m <= n else (m, r)
+        return pshape, rshape
+
+    def init(params):
+        def init_one(p):
+            if _is_matrix(p, min_dim):
+                pshape, rshape = shapes_for(p)
+                pq, ps, _ = _q8(jnp.zeros(pshape, jnp.float32))
+                mq, ms, _ = _q8(jnp.zeros(rshape, jnp.float32))
+                vq, vs, vo, _ = _q8_log(jnp.zeros(rshape, jnp.float32))
+                return _QGaloreParamState(pq, ps, mq, ms, vq, vs, vo)
+            mq, ms, _ = _q8(jnp.zeros_like(p, dtype=jnp.float32))
+            vq, vs, vo, _ = _q8_log(jnp.zeros_like(p, dtype=jnp.float32))
+            return _QGaloreParamState(None, None, mq, ms, vq, vs, vo)
+
+        return GaloreState(
+            count=jnp.zeros((), jnp.int32),
+            inner=jax.tree_util.tree_map(init_one, params))
+
+    def update(grads, state, params=None):
+        count = state.count + 1
+        lr = learning_rate(count) if callable(learning_rate) \
+            else learning_rate
+        refresh = (count - 1) % update_proj_gap == 0
+
+        def upd_one(g, s):
+            gf = g.astype(jnp.float32)
+            if s.proj_q is not None:
+                pshape, rshape = shapes_for(g)
+                proj = _dq8(s.proj_q, s.proj_s, pshape)
+                new_proj = jax.lax.cond(
+                    refresh,
+                    lambda: _make_proj(gf, min(rank, min(g.shape))),
+                    lambda: proj)
+                m0 = jax.lax.cond(
+                    refresh, lambda: jnp.zeros(rshape, jnp.float32),
+                    lambda: _dq8(s.m_q, s.m_s, rshape))
+                v0 = jax.lax.cond(
+                    refresh, lambda: jnp.zeros(rshape, jnp.float32),
+                    lambda: _dq8_log(s.v_q, s.v_s, s.v_o, rshape))
+                r = _project(gf, new_proj)
+                m = b1 * m0 + (1 - b1) * r
+                v = b2 * v0 + (1 - b2) * r * r
+                mh = m / (1 - b1 ** count)
+                vh = v / (1 - b2 ** count)
+                step_r = mh / (jnp.sqrt(vh) + eps)
+                upd = -lr * galore_scale * _unproject(step_r, new_proj,
+                                                      g.shape)
+                pq, ps, _ = _q8(new_proj)
+                mq, ms, _ = _q8(m)
+                vq, vs, vo, _ = _q8_log(v)
+                return upd.astype(g.dtype), _QGaloreParamState(
+                    pq, ps, mq, ms, vq, vs, vo)
+            m = b1 * _dq8(s.m_q, s.m_s, g.shape) + (1 - b1) * gf
+            v = b2 * _dq8_log(s.v_q, s.v_s, s.v_o, g.shape) \
+                + (1 - b2) * gf * gf
+            mh = m / (1 - b1 ** count)
+            vh = v / (1 - b2 ** count)
+            upd = (-lr * mh / (jnp.sqrt(vh) + eps)).astype(g.dtype)
+            mq, ms, _ = _q8(m)
+            vq, vs, vo, _ = _q8_log(v)
+            return upd, _QGaloreParamState(None, None, mq, ms, vq, vs, vo)
+
+        flat_g, treedef = jax.tree_util.tree_flatten(grads)
+        flat_s = treedef.flatten_up_to(state.inner)
+        outs = [upd_one(g, s) for g, s in zip(flat_g, flat_s)]
+        updates = treedef.unflatten([o[0] for o in outs])
+        inner = treedef.unflatten([o[1] for o in outs])
+        return updates, GaloreState(count=count, inner=inner)
+
+    return optax.GradientTransformation(init, update)
+
+
 def state_memory_ratio(params, rank=128, min_dim=256) -> float:
     """Optimizer-state floats per parameter (Adam = 2.0)."""
     total = 0

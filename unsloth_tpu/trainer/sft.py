@@ -114,9 +114,13 @@ def build_optimizer(args: SFTConfig, total_steps: int, trainables=None):
             eps=args.adam_epsilon, weight_decay=args.weight_decay)
 
     if "galore" in args.optim:
-        # Q-GaLore-style low-rank-state optimizer for full fine-tuning
+        # (Q-)GaLore low-rank-state optimizer for full fine-tuning
         # (reference: trainer.py:458-556 builds the Q-GaLore optimizer).
-        from ..optimizers.galore import galore
+        # "qgalore"/"q_galore" selects the int8-state variant.
+        if args.optim.lstrip("q_") != args.optim:
+            from ..optimizers.galore import q_galore as galore
+        else:
+            from ..optimizers.galore import galore
 
         inner = galore(learning_rate=schedule,
                        rank=int(args.extra.get("galore_rank", 128)),
