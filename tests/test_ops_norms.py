@@ -59,3 +59,61 @@ def test_layer_norm_ref(rng):
     out = layer_norm_ref(x, w, b)
     np.testing.assert_allclose(np.mean(np.asarray(out), -1), 0.0, atol=1e-5)
     np.testing.assert_allclose(np.std(np.asarray(out), -1), 1.0, atol=1e-2)
+
+
+def test_layer_norm_pallas_matches_ref(rng):
+    """Fused LayerNorm (BERT/whisper hot path): fwd + grads vs reference,
+    interpret mode on CPU."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unsloth_tpu.ops.rms_norm import layer_norm, layer_norm_ref
+
+    ks = jax.random.split(rng, 3)
+    x = jax.random.normal(ks[0], (5, 37, 256), jnp.float32)
+    w = jax.random.normal(ks[1], (256,)) * 0.5 + 1.0
+    b = jax.random.normal(ks[2], (256,)) * 0.1
+
+    from unsloth_tpu.ops.rms_norm import _ln_bwd_pallas, _ln_fwd_pallas
+
+    # kernels run in interpret mode on CPU
+    got = _ln_fwd_pallas(x, w, b, 1e-5)
+    want = layer_norm_ref(x, w, b, 1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+    g = jax.random.normal(ks[0], x.shape, jnp.float32)
+    dx, dw, db = _ln_bwd_pallas(x, w, g, 1e-5)
+    _, vjp = jax.vjp(lambda x_, w_, b_: layer_norm_ref(x_, w_, b_, 1e-5),
+                     x, w, b)
+    rx, rw, rb = vjp(g)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(rx),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(rw),
+                               atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(db), np.asarray(rb),
+                               atol=1e-3, rtol=1e-4)
+
+    # the public op + autodiff agree with the reference too
+    g1 = jax.grad(lambda x_, w_, b_: jnp.sum(jnp.sin(
+        layer_norm(x_, w_, b_, 1e-5))), argnums=(0, 1, 2))(x, w, b)
+    g2 = jax.grad(lambda x_, w_, b_: jnp.sum(jnp.sin(
+        layer_norm_ref(x_, w_, b_, 1e-5))), argnums=(0, 1, 2))(x, w, b)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_layer_norm_none_bias(rng):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unsloth_tpu.ops.rms_norm import layer_norm, layer_norm_ref
+
+    x = jax.random.normal(rng, (4, 128), jnp.float32)
+    w = jnp.ones((128,))
+    np.testing.assert_allclose(
+        np.asarray(layer_norm(x, w, None, 1e-5)),
+        np.asarray(layer_norm_ref(x, w, None, 1e-5)), atol=1e-5)

@@ -15,7 +15,7 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.rms_norm import layer_norm_ref
+from ..ops.rms_norm import layer_norm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -62,7 +62,7 @@ def bert_forward(params: Dict[str, Any], input_ids: jnp.ndarray,
     tt = token_type_ids if token_type_ids is not None else \
         jnp.zeros((b, t), jnp.int32)
     x = x + jnp.take(params["type_embed"], tt, axis=0)
-    x = layer_norm_ref(x, params["embed_ln"]["w"], params["embed_ln"]["b"],
+    x = layer_norm(x, params["embed_ln"]["w"], params["embed_ln"]["b"],
                        eps)
 
     heads = cfg.num_heads
@@ -78,13 +78,13 @@ def bert_forward(params: Dict[str, Any], input_ids: jnp.ndarray,
         probs = jax.nn.softmax(scores, -1).astype(x.dtype)
         attn = jnp.einsum("bhts,bshd->bthd", probs, v).reshape(b, t, -1)
         attn = _lin(layer["attn_out"], attn)
-        x = layer_norm_ref(x + attn, layer["attn_ln"]["w"],
+        x = layer_norm(x + attn, layer["attn_ln"]["w"],
                            layer["attn_ln"]["b"], eps)
         h = _lin(layer["fc1"], x)
         h = jax.nn.gelu(h.astype(jnp.float32),
                         approximate=False).astype(x.dtype)
         h = _lin(layer["fc2"], h)
-        x = layer_norm_ref(x + h, layer["out_ln"]["w"],
+        x = layer_norm(x + h, layer["out_ln"]["w"],
                            layer["out_ln"]["b"], eps)
     return x
 

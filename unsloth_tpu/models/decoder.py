@@ -52,14 +52,14 @@ from ..ops.attention import attention
 from ..ops.cross_entropy import fast_cross_entropy_loss
 from ..ops.fused_ce_linear import fused_ce_loss_mean
 from ..ops.lora import lora_matmul
-from ..ops.rms_norm import layer_norm_ref, rms_norm
+from ..ops.rms_norm import layer_norm, rms_norm
 from ..ops.rope import apply_rope_qk, rope_inv_freq, rope_table, yarn_attention_factor
 from .config import ModelConfig
 
 
 def _norm(x, w, cfg: ModelConfig):
     if cfg.norm_type == "layernorm":
-        return layer_norm_ref(x, w, None, cfg.rms_norm_eps)
+        return layer_norm(x, w, None, cfg.rms_norm_eps)
     return rms_norm(x, w, cfg.rms_norm_eps, cfg.gemma_norm)
 
 

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.rms_norm import layer_norm_ref
+from ..ops.rms_norm import layer_norm
 
 
 # ---------------------------------------------------------------------------
@@ -176,12 +176,12 @@ def whisper_encode(params, features: jnp.ndarray, cfg: WhisperConfig
     x = x.transpose(0, 2, 1)                     # [B, T, d]
     x = x + enc["pos_embed"][None, :x.shape[1]]
     for layer in enc["layers"]:
-        h = layer_norm_ref(x, layer["ln1"]["w"], layer["ln1"]["b"], cfg.eps)
+        h = layer_norm(x, layer["ln1"]["w"], layer["ln1"]["b"], cfg.eps)
         x = x + _mha(h, h, layer["self_attn"], cfg.encoder_heads, False)
-        h = layer_norm_ref(x, layer["ln2"]["w"], layer["ln2"]["b"], cfg.eps)
+        h = layer_norm(x, layer["ln2"]["w"], layer["ln2"]["b"], cfg.eps)
         h = jax.nn.gelu(_lin(layer["fc1"], h), approximate=False)
         x = x + _lin(layer["fc2"], h)
-    return layer_norm_ref(x, enc["ln_post"]["w"], enc["ln_post"]["b"],
+    return layer_norm(x, enc["ln_post"]["w"], enc["ln_post"]["b"],
                           cfg.eps)
 
 
@@ -193,16 +193,16 @@ def whisper_decode(params, token_ids: jnp.ndarray, encoder_out: jnp.ndarray,
     x = jnp.take(dec["embed"], token_ids, axis=0)
     x = x + dec["pos_embed"][None, :t]
     for layer in dec["layers"]:
-        h = layer_norm_ref(x, layer["ln1"]["w"], layer["ln1"]["b"], cfg.eps)
+        h = layer_norm(x, layer["ln1"]["w"], layer["ln1"]["b"], cfg.eps)
         x = x + _mha(h, h, layer["self_attn"], cfg.decoder_heads, True)
-        h = layer_norm_ref(x, layer["ln_x"]["w"], layer["ln_x"]["b"],
+        h = layer_norm(x, layer["ln_x"]["w"], layer["ln_x"]["b"],
                            cfg.eps)
         x = x + _mha(h, encoder_out, layer["cross_attn"],
                      cfg.decoder_heads, False)
-        h = layer_norm_ref(x, layer["ln2"]["w"], layer["ln2"]["b"], cfg.eps)
+        h = layer_norm(x, layer["ln2"]["w"], layer["ln2"]["b"], cfg.eps)
         h = jax.nn.gelu(_lin(layer["fc1"], h), approximate=False)
         x = x + _lin(layer["fc2"], h)
-    x = layer_norm_ref(x, dec["ln_post"]["w"], dec["ln_post"]["b"], cfg.eps)
+    x = layer_norm(x, dec["ln_post"]["w"], dec["ln_post"]["b"], cfg.eps)
     return jnp.dot(x, dec["embed"].T)
 
 

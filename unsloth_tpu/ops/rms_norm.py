@@ -216,3 +216,139 @@ def layer_norm_ref(x, w, b, eps: float = 1e-5):
     if b is not None:
         out = out + b.astype(jnp.float32)
     return out.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# LayerNorm — Pallas fwd/bwd (BERT / whisper hot path; round-1 review
+# weak #12 flagged these families as running the unfused reference only)
+# ---------------------------------------------------------------------------
+
+def _ln_fwd_kernel(x_ref, w_ref, b_ref, o_ref, *, eps: float):
+    x = x_ref[:].astype(jnp.float32)
+    w = w_ref[:].astype(jnp.float32)
+    b = b_ref[:].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    xhat = (x - mean) * jax.lax.rsqrt(var + eps)
+    o_ref[:] = (xhat * w[None, :] + b[None, :]).astype(o_ref.dtype)
+
+
+def _ln_bwd_kernel(x_ref, w_ref, g_ref, dx_ref, dw_ref, db_ref,
+                   *, eps: float):
+    i = pl.program_id(0)
+    x = x_ref[:].astype(jnp.float32)
+    w = w_ref[:].astype(jnp.float32)
+    g = g_ref[:].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (x - mean) * inv
+
+    dxhat = g * w[None, :]
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx_ref[:] = (inv * (dxhat - m1 - xhat * m2)).astype(dx_ref.dtype)
+
+    dw_block = jnp.sum(g * xhat, axis=0)
+    db_block = jnp.sum(g, axis=0)
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[:] = dw_block
+        db_ref[:] = db_block
+
+    @pl.when(i > 0)
+    def _():
+        dw_ref[:] = dw_ref[:] + dw_block
+        db_ref[:] = db_ref[:] + db_block
+
+
+def _ln_fwd_pallas(x, w, b, eps, block_rows=None):
+    orig_shape = x.shape
+    d = orig_shape[-1]
+    block_rows = block_rows or _auto_block_rows(d, n_bufs=3)
+    x2d, rows, padded = _pad_rows(x.reshape(-1, d), block_rows)
+    grid = (padded // block_rows,)
+    out = pl.pallas_call(
+        functools.partial(_ln_fwd_kernel, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((padded, d), x.dtype),
+        interpret=_interpret(),
+    )(x2d, w, b)
+    return out[:rows].reshape(orig_shape)
+
+
+def _ln_bwd_pallas(x, w, g, eps, block_rows=None):
+    orig_shape = x.shape
+    d = orig_shape[-1]
+    block_rows = block_rows or _auto_block_rows(d, n_bufs=7)
+    x2d, rows, padded = _pad_rows(x.reshape(-1, d), block_rows)
+    g2d, _, _ = _pad_rows(g.reshape(-1, d), block_rows)
+    grid = (padded // block_rows,)
+    dx, dw, db = pl.pallas_call(
+        functools.partial(_ln_bwd_kernel, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((padded, d), x.dtype),
+            jax.ShapeDtypeStruct((d,), jnp.float32),
+            jax.ShapeDtypeStruct((d,), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(x2d, w, g2d)
+    return dx[:rows].reshape(orig_shape), dw, db
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def layer_norm(x, w, b, eps: float = 1e-5):
+    """Fused LayerNorm. x: [..., D]; w, b: [D] (b may be zeros).
+
+    Pallas on TPU, jnp reference elsewhere."""
+    return _ln_dispatch(x, w, b, eps)
+
+
+def _ln_dispatch(x, w, b, eps):
+    if b is None:
+        b = jnp.zeros_like(w)
+    if env.disable_pallas() or not _use_pallas(x):
+        return layer_norm_ref(x, w, b, eps)
+    return _ln_fwd_pallas(x, w, b, eps)
+
+
+def _ln_vjp_fwd(x, w, b, eps):
+    return _ln_dispatch(x, w, b, eps), (x, w, b)
+
+
+def _ln_vjp_bwd(eps, res, g):
+    x, w, b = res
+    if env.disable_pallas() or not _use_pallas(x):
+        _, vjp = jax.vjp(
+            lambda x_, w_, b_: layer_norm_ref(x_, w_, b_, eps), x, w,
+            b if b is not None else jnp.zeros_like(w))
+        return vjp(g)
+    dx, dw, db = _ln_bwd_pallas(x, w, g, eps)
+    return dx, dw.astype(w.dtype), (db.astype(b.dtype)
+                                    if b is not None else None)
+
+
+layer_norm.defvjp(_ln_vjp_fwd, _ln_vjp_bwd)
