@@ -253,3 +253,54 @@ def test_lora_gguf_adapter_export(tmp_path, rng):
     # merged_params rounds to bf16; the GGUF adapter keeps fp32
     np.testing.assert_allclose(base + scale * (b @ a), want,
                                atol=2e-4, rtol=8e-3)
+
+
+@pytest.mark.parametrize("scheme", ["W8A16", "W8A8", "FP8"])
+def test_compressed_tensors_export(tmp_path, rng, scheme):
+    """compressed-tensors checkpoint export (reference:
+    _compressed_quantize.py): int8/fp8 weights + per-channel scales +
+    the quantization_config block, round-trips within quant error."""
+    import jax.numpy as jnp
+    from safetensors import safe_open
+
+    from unsloth_tpu.export.compressed import save_compressed
+    from unsloth_tpu.models.config import ModelConfig
+    from unsloth_tpu.models.loader import LanguageModel
+    from unsloth_tpu.models.params import init_params
+
+    cfg = ModelConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                      num_layers=2, num_heads=2, num_kv_heads=2,
+                      max_position_embeddings=32)
+    params = init_params(cfg, rng)
+    model = LanguageModel(cfg=cfg, params=params,
+                          hf_config={"model_type": "llama"})
+    out = str(tmp_path / f"ct-{scheme}")
+    save_compressed(model, out, scheme=scheme)
+
+    with open(out + "/config.json") as f:
+        qc = json.load(f)["quantization_config"]
+    assert qc["quant_method"] == "compressed-tensors"
+    assert qc["config_groups"]["group_0"]["weights"]["num_bits"] == 8
+    assert ("input_activations" in qc["config_groups"]["group_0"]) == (
+        scheme in ("W8A8", "FP8"))
+
+    if scheme == "FP8":
+        import torch
+
+        with safe_open(out + "/model.safetensors", framework="pt") as f:
+            q = f.get_tensor("model.layers.0.self_attn.q_proj.weight")
+            s = f.get_tensor(
+                "model.layers.0.self_attn.q_proj.weight_scale").numpy()
+        assert q.dtype == torch.float8_e4m3fn
+        back = q.to(torch.float32).numpy() * s
+    else:
+        with safe_open(out + "/model.safetensors",
+                       framework="numpy") as f:
+            q = f.get_tensor("model.layers.0.self_attn.q_proj.weight")
+            s = f.get_tensor(
+                "model.layers.0.self_attn.q_proj.weight_scale")
+        assert q.dtype == np.int8
+        back = q.astype(np.float32) * s
+    want = np.asarray(params["layers"][0]["q"], np.float32)
+    rel = np.abs(back - want).max() / np.abs(want).max()
+    assert rel < 0.02, rel
