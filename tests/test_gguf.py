@@ -303,4 +303,5 @@ def test_compressed_tensors_export(tmp_path, rng, scheme):
         back = q.astype(np.float32) * s
     want = np.asarray(params["layers"][0]["q"], np.float32)
     rel = np.abs(back - want).max() / np.abs(want).max()
-    assert rel < 0.02, rel
+    # fp8 e4m3 has 3 mantissa bits (~6% worst-case step); int8 ~0.8%
+    assert rel < (0.06 if scheme == "FP8" else 0.02), rel
