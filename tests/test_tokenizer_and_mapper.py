@@ -1,6 +1,8 @@
 """Tokenizer-repair + name-mapper tests (reference: tokenizer_utils.py
 behaviors; loader_utils.get_model_name + mapper catalog)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -125,3 +127,107 @@ def test_search_models():
     assert any("Qwen3-8B" in m for m in out)
     assert search_models("llama-3.2", family="llama")
     assert search_models("nonexistent-xyz") == []
+
+
+def _fabricate_sp_model(path, pieces):
+    """Write a minimal sentencepiece tokenizer.model proto."""
+    from transformers.convert_slow_tokenizer import import_protobuf
+
+    pb = import_protobuf()
+    proto = pb.ModelProto()
+    for text, ptype in pieces:
+        p = proto.pieces.add()
+        p.piece = text
+        p.score = 0.0
+        p.type = ptype
+    proto.trainer_spec.model_type = 1  # unigram
+    with open(path, "wb") as f:
+        f.write(proto.SerializeToString())
+    return pb
+
+
+def test_rename_sentencepiece_pieces(tmp_path):
+    """File-level piece renaming (reference: tokenizer_utils.py:347
+    fix_sentencepiece_tokenizer proto surgery)."""
+    from unsloth_tpu.data.tokenizer_utils import rename_sentencepiece_pieces
+
+    mf = str(tmp_path / "tokenizer.model")
+    pb = _fabricate_sp_model(mf, [("<unk>", 2), ("<s>", 3), ("hello", 1),
+                                  ("world", 1)])
+    n = rename_sentencepiece_pieces(mf, {"hello": "<|reserved|>",
+                                         "missing": "x",
+                                         "world": "<s>"})  # <s> exists
+    assert n == 1
+    proto = pb.ModelProto()
+    proto.ParseFromString(open(mf, "rb").read())
+    texts = [p.piece for p in proto.pieces]
+    assert "<|reserved|>" in texts and "hello" not in texts
+    assert texts.count("<s>") == 1  # collision skipped
+
+
+def test_fix_sentencepiece_gguf(tmp_path):
+    """GGUF prep (reference: tokenizer_utils.py:432): NORMAL-typed special
+    tokens become CONTROL; missing added tokens appended."""
+    import json
+
+    from unsloth_tpu.data.tokenizer_utils import fix_sentencepiece_gguf
+
+    d = str(tmp_path)
+    mf = os.path.join(d, "tokenizer.model")
+    pb = _fabricate_sp_model(mf, [
+        ("<unk>", 2), ("<start_of_turn>", 1),   # wrongly NORMAL
+        ("hi", 1)])
+    with open(os.path.join(d, "special_tokens_map.json"), "w") as f:
+        json.dump({"additional_special_tokens": ["<start_of_turn>"],
+                   "eos_token": "<end_of_turn>"}, f)
+    with open(os.path.join(d, "tokenizer_config.json"), "w") as f:
+        json.dump({"added_tokens_decoder": {
+            "100": {"content": "<end_of_turn>", "special": True},
+            "101": {"content": "<extra>", "special": False}}}, f)
+    changed = fix_sentencepiece_gguf(d)
+    assert changed >= 3
+    proto = pb.ModelProto()
+    proto.ParseFromString(open(mf, "rb").read())
+    by = {p.piece: p.type for p in proto.pieces}
+    assert by["<start_of_turn>"] == 3        # retyped to CONTROL
+    assert by["<end_of_turn>"] == 3          # appended as CONTROL
+    assert by["<extra>"] == 4                # appended USER_DEFINED
+    assert by["hi"] == 1                     # untouched
+
+
+def test_convert_to_fast_tokenizer(tmp_path):
+    """Slow GPT2-style tokenizer converts to fast with identical ids
+    (reference: tokenizer_utils.py:141-262)."""
+    import json
+
+    transformers = pytest.importorskip("transformers")
+    from transformers import GPT2Tokenizer
+
+    # fabricate a tiny byte-level BPE vocab
+    vocab = {"<|endoftext|>": 0}
+    import string
+
+    toks = list(string.ascii_lowercase) + ["Ġ", "he", "ll", "o",
+                                           "hell", "Ġw", "or", "ld"]
+    for t in toks:
+        if t not in vocab:
+            vocab[t] = len(vocab)
+    merges = ["h e", "l l", "he ll", "Ġ w", "o r"]
+    d = str(tmp_path)
+    with open(os.path.join(d, "vocab.json"), "w") as f:
+        json.dump(vocab, f)
+    with open(os.path.join(d, "merges.txt"), "w") as f:
+        f.write("#version: 0.2\n" + "\n".join(merges) + "\n")
+    slow = GPT2Tokenizer(os.path.join(d, "vocab.json"),
+                         os.path.join(d, "merges.txt"),
+                         unk_token="<|endoftext|>")
+    assert not slow.is_fast
+
+    from unsloth_tpu.data.tokenizer_utils import (
+        assert_same_tokenization, convert_to_fast_tokenizer)
+
+    probes = ("hello", "hello world", "abc")
+    fast = convert_to_fast_tokenizer(slow, texts=probes)
+    assert fast.is_fast
+    assert assert_same_tokenization(slow, fast,
+                                    texts=("hello", "hello world", "abc"))

@@ -130,3 +130,163 @@ def fix_untrained_tokens(model, tokenizer, train_texts: Optional[List[str]]
                 lm_head.astype(jnp.float32)).astype(lm_head.dtype)
     model.params = params
     return params
+
+
+# ---------------------------------------------------------------------------
+# Slow -> fast tokenizer conversion (reference: tokenizer_utils.py:141-262
+# convert_to_fast_tokenizer + assert_same_tokenization)
+# ---------------------------------------------------------------------------
+
+_PROBE_TEXTS = (
+    "Hello world!",
+    "The quick brown fox jumps over the lazy dog.",
+    "def f(x):\n    return x * 2  # comment",
+    "Unicode: naïve café — 你好 🌍",
+    "   leading spaces\tand\ttabs",
+)
+
+
+def assert_same_tokenization(slow, fast,
+                             texts=_PROBE_TEXTS) -> bool:
+    """True when both tokenizers produce identical ids on the probe set
+    (the reference's equality gate before swapping a converted fast
+    tokenizer in)."""
+    try:
+        for t in texts:
+            a = slow(t, add_special_tokens=False)["input_ids"]
+            b = fast(t, add_special_tokens=False)["input_ids"]
+            if list(a) != list(b):
+                return False
+        return True
+    except Exception:
+        return False
+
+
+def convert_to_fast_tokenizer(tokenizer, texts=_PROBE_TEXTS):
+    """Convert a slow (python) tokenizer to a fast (tokenizers-backed) one,
+    keeping the slow one when conversion fails or changes tokenization on
+    the probe texts."""
+    if getattr(tokenizer, "is_fast", False):
+        return tokenizer
+    try:
+        from transformers import PreTrainedTokenizerFast
+        from transformers.convert_slow_tokenizer import (
+            convert_slow_tokenizer)
+
+        backend = convert_slow_tokenizer(tokenizer)
+        fast = PreTrainedTokenizerFast(
+            tokenizer_object=backend,
+            bos_token=getattr(tokenizer, "bos_token", None),
+            eos_token=getattr(tokenizer, "eos_token", None),
+            unk_token=getattr(tokenizer, "unk_token", None),
+            pad_token=getattr(tokenizer, "pad_token", None),
+            model_max_length=getattr(tokenizer, "model_max_length", None),
+        )
+        fast.chat_template = getattr(tokenizer, "chat_template", None)
+    except Exception:
+        return tokenizer
+    return fast if assert_same_tokenization(tokenizer, fast, texts) \
+        else tokenizer
+
+
+# ---------------------------------------------------------------------------
+# SentencePiece proto surgery (reference: tokenizer_utils.py:347-432
+# fix_sentencepiece_tokenizer / fix_sentencepiece_gguf). Operates on
+# tokenizer.model FILES through the protobuf schema transformers vendors,
+# so no sentencepiece runtime is needed.
+# ---------------------------------------------------------------------------
+
+_SP_CONTROL = 3          # ModelProto.SentencePiece.Type.CONTROL
+_SP_USER_DEFINED = 4
+
+
+def _sp_proto():
+    from transformers.convert_slow_tokenizer import import_protobuf
+
+    return import_protobuf()
+
+
+def rename_sentencepiece_pieces(model_file: str, token_mapping) -> int:
+    """Rename pieces in a tokenizer.model in place (the reference's
+    fix_sentencepiece_tokenizer applied at file level: old piece text ->
+    new piece text). Returns how many pieces were renamed."""
+    pb = _sp_proto()
+    proto = pb.ModelProto()
+    with open(model_file, "rb") as f:
+        proto.ParseFromString(f.read())
+    by_piece = {p.piece: p for p in proto.pieces}
+    renamed = 0
+    for old, new in token_mapping.items():
+        p = by_piece.get(old)
+        if p is None or new in by_piece:
+            continue
+        p.piece = new
+        renamed += 1
+    with open(model_file, "wb") as f:
+        f.write(proto.SerializeToString())
+    return renamed
+
+
+def fix_sentencepiece_gguf(saved_location: str,
+                           special_tokens=None) -> int:
+    """Prepare a sentencepiece tokenizer.model for GGUF conversion
+    (reference: tokenizer_utils.py:432 fix_sentencepiece_gguf, inspired by
+    llama.cpp's convert_hf_to_gguf):
+
+      * appends added-vocab tokens missing from the proto as USER_DEFINED
+      * retypes special tokens stored as NORMAL to CONTROL (llama.cpp's
+        parse_special only honors CONTROL pieces)
+
+    Returns the number of pieces changed/added."""
+    import json
+    import os
+
+    model_file = os.path.join(saved_location, "tokenizer.model")
+    if not os.path.isfile(model_file):
+        return 0
+    pb = _sp_proto()
+    proto = pb.ModelProto()
+    with open(model_file, "rb") as f:
+        proto.ParseFromString(f.read())
+    by_piece = {p.piece: p for p in proto.pieces}
+
+    specials = set(special_tokens or ())
+    added = []
+    for fname in ("special_tokens_map.json", "tokenizer_config.json"):
+        path = os.path.join(saved_location, fname)
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            data = json.load(f)
+        for v in (data.get("additional_special_tokens") or []):
+            specials.add(v["content"] if isinstance(v, dict) else v)
+        for key in ("bos_token", "eos_token", "unk_token", "pad_token"):
+            v = data.get(key)
+            if v:
+                specials.add(v["content"] if isinstance(v, dict) else v)
+        for tok in (data.get("added_tokens_decoder") or {}).values():
+            if isinstance(tok, dict) and tok.get("content"):
+                added.append((tok["content"], bool(tok.get("special"))))
+
+    changed = 0
+    for piece_text, special in added:
+        p = by_piece.get(piece_text)
+        if p is None:
+            p = proto.pieces.add()
+            p.piece = piece_text
+            p.score = 0.0
+            p.type = _SP_CONTROL if special else _SP_USER_DEFINED
+            by_piece[piece_text] = p
+            changed += 1
+        elif special and p.type not in (_SP_CONTROL,):
+            p.type = _SP_CONTROL
+            changed += 1
+    for s in specials:
+        p = by_piece.get(s)
+        if p is not None and p.type != _SP_CONTROL:
+            p.type = _SP_CONTROL
+            changed += 1
+    if changed:
+        with open(model_file, "wb") as f:
+            f.write(proto.SerializeToString())
+    return changed
