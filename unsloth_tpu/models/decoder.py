@@ -71,7 +71,15 @@ def _l2_norm(x, eps: float = 1e-6):
     return out.astype(x.dtype)
 
 
+# Importance-matrix collection hook (export/imatrix.py): when set, eager
+# forward passes record per-input-channel activation statistics for every
+# linear. Inactive (None) on every training/jit path.
+_IMATRIX_TAP = None
+
+
 def _proj(x, layer_p, lora_p, name):
+    if _IMATRIX_TAP is not None and not isinstance(x, jax.core.Tracer):
+        _IMATRIX_TAP.record(name, x)
     lora = lora_p.get(name) if lora_p else None
     bias = layer_p.get(f"{name}_bias")
     return lora_matmul(x, layer_p[name], lora=lora, bias=bias)
@@ -266,6 +274,8 @@ def decoder_layer(
     cos, sin, cos_local, sin_local, segment_ids, positions,
     image_spans=None,
 ):
+    if _IMATRIX_TAP is not None:
+        _IMATRIX_TAP.layer = layer_idx
     if cfg.hybrid_mamba:
         mc = cfg.mamba
         h = _norm(x, layer_p["input_norm"], cfg)
