@@ -224,6 +224,16 @@ def cmd_models(args) -> int:
     return 0
 
 
+def cmd_mcp(args) -> int:
+    from .mcp_server import MCPServer
+    from .models.loader import FastLanguageModel
+
+    model, tok = FastLanguageModel.from_pretrained(
+        args.model_name, load_in_4bit=args.load_in_4bit)
+    MCPServer(model, tok).serve()
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="unsloth_tpu",
@@ -261,6 +271,12 @@ def main(argv=None) -> int:
 
     add_start_parser(sub)
 
+    p_mcp = sub.add_parser(
+        "mcp", help="MCP stdio server exposing the local model as "
+                    "unsloth_generate/unsloth_chat tools")
+    p_mcp.add_argument("--model_name", required=True)
+    p_mcp.add_argument("--load_in_4bit", action="store_true", default=True)
+
     args = parser.parse_args(argv)
     return {
         "train": cmd_train,
@@ -269,6 +285,7 @@ def main(argv=None) -> int:
         "models": cmd_models,
         "serve": cmd_serve,
         "start": cmd_start,
+        "mcp": cmd_mcp,
     }[args.command](args)
 
 
