@@ -138,3 +138,46 @@ def test_num_return_sequences_sampling_diverse(model):
                     return_token_ids=True, num_return_sequences=4)
     assert len(outs) == 4
     assert len({tuple(o) for o in outs}) > 1  # streams sample independently
+
+
+def test_gpt_oss_decode_matches_training_forward(rng):
+    """Prefill+decode logits must equal the training forward for a
+    gpt-oss-style config — sinks, alternating sliding windows, and MoE all
+    flow through the cached path (round-2 fix: sinks were ignored in
+    decode)."""
+    import numpy as np
+
+    from unsloth_tpu.inference.decode import (forward_with_cache,
+                                              init_cache,
+                                              logits_from_hidden)
+    from unsloth_tpu.models.config import ModelConfig
+    from unsloth_tpu.models.decoder import logits_fn
+    from unsloth_tpu.models.params import init_params
+
+    cfg = ModelConfig(
+        model_type="gpt_oss", vocab_size=128, hidden_size=32,
+        intermediate_size=64, num_layers=2, num_heads=2, num_kv_heads=2,
+        max_position_embeddings=64, attn_sinks=True, sliding_window=4,
+        layer_pattern=("sliding", "global"), num_experts=4,
+        num_experts_per_tok=2, moe_intermediate_size=64, router_bias=True,
+        moe_mlp_bias=True, moe_act="gpt_oss_glu", norm_topk_prob=True)
+    params = init_params(cfg, rng, dtype=jnp.float32)
+    assert "sinks" in params["layers"][0]
+
+    b, t = 2, 12
+    ids = jax.random.randint(rng, (b, t), 0, cfg.vocab_size)
+    want = np.asarray(logits_fn(params, None, ids, cfg, remat=False))
+
+    cache = init_cache(cfg, b, 32, dtype=jnp.float32)
+    positions = jnp.broadcast_to(jnp.arange(8, dtype=jnp.int32)[None],
+                                 (b, 8))
+    h, cache = forward_with_cache(params, None, ids[:, :8], cfg, cache,
+                                  positions=positions)
+    got = [np.asarray(logits_from_hidden(params, h, cfg))]
+    for step in range(8, t):
+        pos = jnp.full((b, 1), step, jnp.int32)
+        h, cache = forward_with_cache(params, None, ids[:, step:step + 1],
+                                      cfg, cache, positions=pos)
+        got.append(np.asarray(logits_from_hidden(params, h, cfg)))
+    got = np.concatenate(got, axis=1)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)

@@ -59,10 +59,11 @@ def init_cache(cfg: ModelConfig, batch: int, max_length: int,
 
 
 def _attend_cached(q, k_cache, v_cache, *, q_slots, kv_len_mask,
-                   window: Optional[int], softcap, scale):
+                   window: Optional[int], softcap, scale, sinks=None):
     """q: [B, Tq, Hq, Dh]; caches [B, S, Hkv, Dh]; kv_len_mask [B, S] bool
     marks valid cache slots; q_slots [B, Tq] are cache-slot indices of the
-    query tokens (causality is slot-order, which equals arrival order)."""
+    query tokens (causality is slot-order, which equals arrival order).
+    sinks [Hq]: gpt-oss per-head sink logit joining the denominator."""
     b, tq, hq, dh = q.shape
     s = k_cache.shape[1]
     hkv = k_cache.shape[2]
@@ -81,9 +82,16 @@ def _attend_cached(q, k_cache, v_cache, *, q_slots, kv_len_mask,
     if window is not None:
         mask &= (qp - kv_pos) < window
     scores = jnp.where(mask[:, None, :, :], scores, -jnp.inf)
-    probs = jax.nn.softmax(scores, axis=-1)
-    probs = jnp.where(jnp.any(mask[:, None, :, :], -1, keepdims=True),
-                      probs, 0.0)
+    if sinks is not None:
+        sink_col = jnp.broadcast_to(
+            sinks.astype(jnp.float32)[None, :, None, None],
+            (b, hq, tq, 1))
+        aug = jnp.concatenate([scores, sink_col], axis=-1)
+        probs = jax.nn.softmax(aug, axis=-1)[..., :-1]
+    else:
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = jnp.where(jnp.any(mask[:, None, :, :], -1, keepdims=True),
+                          probs, 0.0)
     out = jnp.einsum("bhts,bshd->bthd", probs, v_cache.astype(jnp.float32))
     return out.astype(q.dtype)
 
@@ -102,6 +110,10 @@ def forward_with_cache(
     invalid, e.g. slots holding left-pad tokens). Returns hidden [B, T, D].
     """
     b, t = input_ids.shape
+    if cfg.hybrid_mamba:
+        raise NotImplementedError(
+            "falcon-h1 decode needs an SSM state cache; use the training "
+            "forward (models/decoder.py) or batch scoring for now")
     if "layers_stacked" in params:
         # decode walks layers individually; slice the stacked leaves
         # (views under jit — no copies)
@@ -140,14 +152,30 @@ def forward_with_cache(
         q = _proj(h, layer_p, lora_p, "q").reshape(b, t, hq, dh)
         k = _proj(h, layer_p, lora_p, "k").reshape(b, t, hkv, dh)
         v = _proj(h, layer_p, lora_p, "v").reshape(b, t, hkv, dh)
-        if cfg.qk_norm:
+        if cfg.qk_norm is True:
             q = rms_norm(q, layer_p["q_norm"], cfg.rms_norm_eps, cfg.gemma_norm)
             k = rms_norm(k, layer_p["k_norm"], cfg.rms_norm_eps, cfg.gemma_norm)
         kind = cfg.layer_kind(i)
-        if kind == "sliding" and cos_l is not None:
-            q, k = apply_rope_qk(q, k, cos_l, sin_l)
-        else:
-            q, k = apply_rope_qk(q, k, cos, sin)
+        if cfg.layer_uses_rope(i):
+            if cfg.rope_interleaved:
+                # llama4: permuted-channel half rope (see decoder.py)
+                q = jnp.concatenate([q[..., 0::2], q[..., 1::2]], axis=-1)
+                k = jnp.concatenate([k[..., 0::2], k[..., 1::2]], axis=-1)
+            if kind == "sliding" and cos_l is not None:
+                q, k = apply_rope_qk(q, k, cos_l, sin_l)
+            else:
+                q, k = apply_rope_qk(q, k, cos, sin)
+            if cfg.qk_norm == "l2":
+                from ..models.decoder import _l2_norm
+
+                q = _l2_norm(q, cfg.rms_norm_eps)
+                k = _l2_norm(k, cfg.rms_norm_eps)
+        elif cfg.attn_temperature_tuning:
+            scales = jnp.log1p(jnp.floor(
+                (positions.astype(jnp.float32) + 1.0) / cfg.floor_scale)) \
+                * cfg.attn_scale + 1.0
+            q = (q.astype(jnp.float32)
+                 * scales[..., None, None]).astype(q.dtype)
 
         k_cache = jax.lax.dynamic_update_slice(
             cache.k[i], k.astype(cache.k[i].dtype), (0, cache.length, 0, 0))
@@ -162,7 +190,8 @@ def forward_with_cache(
         attn = _attend_cached(
             q, k_cache, v_cache, q_slots=q_slots,
             kv_len_mask=kv_valid, window=window,
-            softcap=cfg.attn_softcap, scale=cfg.attn_logit_scale)
+            softcap=cfg.attn_softcap, scale=cfg.attn_logit_scale,
+            sinks=layer_p.get("sinks"))
         attn = attn.reshape(b, t, hq * dh)
         attn = _proj(attn, layer_p, lora_p, "o")
         if cfg.use_post_norms and "post_attn_out_norm" in layer_p:
