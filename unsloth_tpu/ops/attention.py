@@ -26,6 +26,7 @@ label masking, or attention masks out pad via segment mismatch).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -279,8 +280,12 @@ def _tpu_flash(q, k, v, *, causal, segment_ids, scale):
     seg = None
     if segment_ids is not None:
         seg = SegmentIds(q=segment_ids, kv=segment_ids)
-    # measured on v5e at 8K: block 1024 beats 512 by ~10% fwd / ~7% f+b
-    block = next(b for b in (1024, 512, 256, 128) if t % b == 0)
+    # Block 1024 is ~7% faster fwd+bwd at 8K, but its backward buffers
+    # add ~1 GB of HLO temp — enough to OOM the 8B/8K headline config on
+    # a 16 GB chip. Default 512; opt into bigger blocks when memory
+    # allows via UNSLOTH_FLASH_BLOCK.
+    pref = int(os.environ.get("UNSLOTH_FLASH_BLOCK", "512"))
+    block = next(b for b in (pref, 512, 256, 128) if b <= t and t % b == 0)
     sizes = BlockSizes(
         block_q=block, block_k_major=block, block_k=block, block_b=1,
         block_q_major_dkv=block, block_k_major_dkv=block,
