@@ -84,3 +84,27 @@ def test_whisper_loss_and_grads(whisper_ckpt):
     assert np.isfinite(float(loss))
     g = grads["decoder"]["layers"][0]["cross_attn"]["q"]["kernel"]
     assert float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_whisper_trainer_overfits(whisper_ckpt):
+    """ASR fine-tuning loop: a tiny whisper overfits one (features,
+    transcript) pair (the driver's Whisper bench family, BASELINE.md:35)."""
+    import numpy as np
+
+    from unsloth_tpu.models.whisper import load_whisper
+    from unsloth_tpu.trainer.sft import SFTConfig
+    from unsloth_tpu.trainer.whisper import WhisperTrainer
+
+    path, _ = whisper_ckpt
+    params, cfg = load_whisper(path)
+    rng = np.random.RandomState(0)
+    feats = rng.randn(cfg.num_mel_bins, 20).astype(np.float32)
+    labels = [5, 9, 17, 3, 2]
+    ds = [{"features": feats, "labels": labels} for _ in range(4)]
+    args = SFTConfig(per_device_train_batch_size=4, max_steps=25,
+                     learning_rate=3e-3, lr_scheduler_type="constant",
+                     warmup_steps=0, max_seq_length=16)
+    tr = WhisperTrainer((params, cfg), train_dataset=ds, args=args)
+    tr.train()
+    losses = [e["loss"] for e in tr.state_log]
+    assert losses[-1] < losses[0] * 0.5, losses

@@ -116,6 +116,8 @@ class WhisperConfig:
     max_source_positions: int = 1500
     max_target_positions: int = 448
     eps: float = 1e-5
+    decoder_start_token_id: int = 50258
+    pad_token_id: int = 50257
 
     @classmethod
     def from_hf(cls, hf: Dict[str, Any]) -> "WhisperConfig":
@@ -130,6 +132,9 @@ class WhisperConfig:
             num_mel_bins=int(hf.get("num_mel_bins", 80)),
             max_source_positions=int(hf.get("max_source_positions", 1500)),
             max_target_positions=int(hf.get("max_target_positions", 448)),
+            decoder_start_token_id=int(
+                hf.get("decoder_start_token_id", 50258)),
+            pad_token_id=int(hf.get("pad_token_id", 50257)),
         )
 
 
