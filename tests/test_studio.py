@@ -132,3 +132,12 @@ def test_training_job_lifecycle(studio):
 
     code, jobs = _req(url, "/api/jobs")
     assert code == 200 and len(jobs["jobs"]) >= 1
+
+
+def test_resume_validation_rejects_bad_dir(studio):
+    url, _, tmp = studio
+    code, out = _req(url, "/api/train/start", {
+        "model_name": "x", "dataset": "y",
+        "resume_from": str(tmp.mktemp("empty"))})
+    assert code == 409
+    assert "checkpoint" in out["error"]

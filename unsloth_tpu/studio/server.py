@@ -126,6 +126,20 @@ class TrainingJobManager:
             args.append("--packing")
         if config.get("save_model"):
             args.append("--save_model")
+        if config.get("resume_from"):
+            # resume validation (reference: studio resume.py scan): the
+            # checkpoint dir must exist and carry train state before we
+            # spawn a worker that would crash on it
+            from ..trainer.checkpoint import latest_checkpoint
+
+            prev = config["resume_from"]
+            ckpt = prev if os.path.basename(prev).startswith(
+                "checkpoint-") else latest_checkpoint(prev)
+            if not ckpt or not os.path.isdir(ckpt):
+                raise RuntimeError(
+                    f"resume_from={prev!r} has no checkpoint-* directory")
+            args = [a if a != out_dir else prev for a in args]
+            args.append("--resume")
         log_path = os.path.join(out_dir, "job.log")
         log_f = open(log_path, "w")
         self.proc = subprocess.Popen(args, stdout=log_f, stderr=log_f)
