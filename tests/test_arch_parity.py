@@ -173,3 +173,70 @@ def test_falcon_h1_parity(tmp_path_factory):
     hf = FalconH1ForCausalLM.from_pretrained(path,
                                              torch_dtype=torch.float32)
     _parity(path, hf, "falcon_h1", atol=2e-3, rtol=1e-2, t=24)
+
+
+def test_cohere_parity(tmp_path_factory):
+    """cohere's PARALLEL residual (attn and MLP read the same normed
+    input) — round-2 fix: the decoder previously ran it sequentially and
+    no parity test existed to catch it."""
+    from transformers import CohereConfig, CohereForCausalLM
+
+    cfg = CohereConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=64, logit_scale=0.25,
+        tie_word_embeddings=True, pad_token_id=0)
+    torch.manual_seed(0)
+    path = _save(CohereForCausalLM(cfg), tmp_path_factory, "cohere")
+    hf = CohereForCausalLM.from_pretrained(path, torch_dtype=torch.float32)
+    _parity(path, hf, "cohere")
+
+
+def test_cohere2_parity(tmp_path_factory):
+    """cohere2: parallel residual + alternating sliding/global layers with
+    rope only on the sliding layers (global = NoPE)."""
+    from transformers import Cohere2Config, Cohere2ForCausalLM
+
+    cfg = Cohere2Config(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=4, num_attention_heads=2, num_key_value_heads=1,
+        max_position_embeddings=64, sliding_window=8,
+        sliding_window_pattern=4, logit_scale=0.25,
+        tie_word_embeddings=True, pad_token_id=0)
+    torch.manual_seed(0)
+    path = _save(Cohere2ForCausalLM(cfg), tmp_path_factory, "cohere2")
+    hf = Cohere2ForCausalLM.from_pretrained(path,
+                                            torch_dtype=torch.float32)
+    _parity(path, hf, "cohere2", atol=1e-3, rtol=1e-2, t=24)
+
+
+def test_smollm3_parity(tmp_path_factory):
+    """smollm3: llama-like with NoPE layers via no_rope_layers."""
+    from transformers import SmolLM3Config, SmolLM3ForCausalLM
+
+    cfg = SmolLM3Config(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=4, num_attention_heads=2, num_key_value_heads=1,
+        max_position_embeddings=64, no_rope_layers=[1, 1, 1, 0],
+        tie_word_embeddings=True, pad_token_id=0)
+    torch.manual_seed(0)
+    path = _save(SmolLM3ForCausalLM(cfg), tmp_path_factory, "smollm3")
+    hf = SmolLM3ForCausalLM.from_pretrained(path,
+                                            torch_dtype=torch.float32)
+    _parity(path, hf, "smollm3")
+
+
+def test_olmo2_parity(tmp_path_factory):
+    """olmo2: post-norm-only layers (sublayer outputs normed before the
+    residual add) + full-projection-width qk rms-norm."""
+    from transformers import Olmo2Config, Olmo2ForCausalLM
+
+    cfg = Olmo2Config(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        pad_token_id=0)
+    torch.manual_seed(0)
+    path = _save(Olmo2ForCausalLM(cfg), tmp_path_factory, "olmo2")
+    hf = Olmo2ForCausalLM.from_pretrained(path, torch_dtype=torch.float32)
+    _parity(path, hf, "olmo2")

@@ -159,6 +159,12 @@ class ModelConfig:
     floor_scale: float = 8192.0
     attn_scale: float = 0.1
 
+    # cohere/cohere2: attention and MLP both read the SAME normed input
+    # and add into the residual together
+    parallel_residual: bool = False
+    # olmo2: no pre-norms; sublayer OUTPUTS are normed before the add
+    post_norm_only: bool = False
+
     # text-diffusion (masked-diffusion LM): bidirectional attention
     causal: bool = True
     mask_token_id: Optional[int] = None
@@ -365,6 +371,38 @@ def _build_llama_like(cls, hf, model_type, name):
     if model_type == "cohere":
         kw["logit_scale"] = float(hf.get("logit_scale", 0.0625))
         kw["norm_type"] = "layernorm"
+        kw["parallel_residual"] = True
+        kw["rms_norm_eps"] = float(hf.get("layer_norm_eps", 1e-5))
+        kw["tie_word_embeddings"] = bool(
+            hf.get("tie_word_embeddings", True))
+    if model_type == "cohere2":
+        # cohere2: parallel residual + alternating sliding/global layers,
+        # rope ONLY on the sliding layers (global layers are NoPE)
+        kw["logit_scale"] = float(hf.get("logit_scale", 0.0625))
+        kw["norm_type"] = "layernorm"
+        kw["parallel_residual"] = True
+        kw["rms_norm_eps"] = float(hf.get("layer_norm_eps", 1e-5))
+        kw["tie_word_embeddings"] = bool(
+            hf.get("tie_word_embeddings", True))
+        n_l = kw["num_layers"]
+        types = hf.get("layer_types") or [
+            "sliding_attention" if (i + 1) % int(
+                hf.get("sliding_window_pattern", 4)) else "full_attention"
+            for i in range(n_l)]
+        kw["sliding_window"] = int(hf.get("sliding_window", 4096))
+        kw["layer_pattern"] = tuple(
+            "sliding" if t == "sliding_attention" else "global"
+            for t in types)
+        kw["rope_layers"] = tuple(t == "sliding_attention" for t in types)
+    if model_type == "smollm3":
+        no_rope = hf.get("no_rope_layers")
+        if no_rope:
+            kw["rope_layers"] = tuple(bool(v) for v in no_rope)
+        kw["tie_word_embeddings"] = bool(
+            hf.get("tie_word_embeddings", True))
+    if model_type == "olmo2":
+        kw["post_norm_only"] = True
+        kw["qk_norm"] = "full"  # rms over the full projection width
     if model_type == "granite":
         # granite = llama + scalar multipliers (attention/embedding/
         # residual/logits) — the reference disables its granite path
@@ -500,6 +538,9 @@ _HF_BUILDERS = {
     "granite": _build_llama_like,
     "phi3": _build_llama_like,
     "cohere": _build_llama_like,
+    "cohere2": _build_llama_like,
+    "smollm3": _build_llama_like,
+    "olmo2": _build_llama_like,
     "gemma": _build_gemma,
     "gemma2": _build_gemma,
     "gemma3": _build_gemma,

@@ -93,9 +93,15 @@ def attention_block(
     b, t, d = x.shape
     hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
-    q = _proj(x, layer_p, lora_p, "q").reshape(b, t, hq, dh)
-    k = _proj(x, layer_p, lora_p, "k").reshape(b, t, hkv, dh)
-    v = _proj(x, layer_p, lora_p, "v").reshape(b, t, hkv, dh)
+    q = _proj(x, layer_p, lora_p, "q")
+    k = _proj(x, layer_p, lora_p, "k")
+    v = _proj(x, layer_p, lora_p, "v")
+    if cfg.qk_norm == "full":  # olmo2: rms over the full projection width
+        q = rms_norm(q, layer_p["q_norm"], cfg.rms_norm_eps, False)
+        k = rms_norm(k, layer_p["k_norm"], cfg.rms_norm_eps, False)
+    q = q.reshape(b, t, hq, dh)
+    k = k.reshape(b, t, hkv, dh)
+    v = v.reshape(b, t, hkv, dh)
 
     if cfg.hybrid_mamba and cfg.mamba.key_multiplier != 1.0:
         k = k * cfg.mamba.key_multiplier  # falcon-h1 muP key scale
@@ -276,6 +282,24 @@ def decoder_layer(
 ):
     if _IMATRIX_TAP is not None:
         _IMATRIX_TAP.layer = layer_idx
+    if cfg.parallel_residual:
+        # cohere/cohere2: attn and MLP read the SAME normed input
+        h = _norm(x, layer_p["input_norm"], cfg)
+        attn = attention_block(h, layer_p, lora_p, cfg, layer_idx,
+                               cos, sin, cos_local, sin_local,
+                               segment_ids, positions, image_spans)
+        mlp = mlp_block(h, layer_p, lora_p, cfg, layer_idx)
+        return x + attn + mlp
+
+    if cfg.post_norm_only:
+        # olmo2: no pre-norms; sublayer outputs normed before the add
+        attn = attention_block(x, layer_p, lora_p, cfg, layer_idx,
+                               cos, sin, cos_local, sin_local,
+                               segment_ids, positions, image_spans)
+        x = x + _norm(attn, layer_p["post_attn_norm"], cfg)
+        mlp = mlp_block(x, layer_p, lora_p, cfg, layer_idx)
+        return x + _norm(mlp, layer_p["post_ffw_norm"], cfg)
+
     if cfg.hybrid_mamba:
         mc = cfg.mamba
         h = _norm(x, layer_p["input_norm"], cfg)

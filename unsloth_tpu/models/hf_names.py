@@ -69,6 +69,9 @@ def layer_name_map(cfg: ModelConfig, layer_idx: int) -> Dict[str, str]:
         # llama4/falcon-h1 name the MLP module "feed_forward"
         m = {ours: hf.replace("mlp.", "feed_forward.", 1)
              for ours, hf in m.items()}
+    if cfg.post_norm_only:  # olmo2
+        m.pop("input_norm", None)
+        m["post_ffw_norm"] = "post_feedforward_layernorm.weight"
     if cfg.hybrid_mamba:
         m["post_attn_norm"] = "pre_ff_layernorm.weight"
         m.update(_MAMBA_MAP)

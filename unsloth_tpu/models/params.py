@@ -73,6 +73,8 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.float32,
             layer["post_attn_out_norm"] = norm_init()
             layer["pre_ffw_norm"] = norm_init()
             layer["post_ffw_norm"] = norm_init()
+        if cfg.post_norm_only:  # olmo2
+            layer["post_ffw_norm"] = norm_init()
         for j, name in enumerate(("q", "k", "v", "o")):
             layer[name] = rand(lk[j], _linear_dims(cfg, name))
             if cfg.attention_bias and name != "o":
@@ -81,11 +83,14 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.float32,
             if cfg.o_proj_bias and name == "o":
                 layer["o_bias"] = jnp.zeros((d,), dtype)
         if cfg.qk_norm:
-            dh = cfg.head_dim
-            layer["q_norm"] = jnp.zeros((dh,), dtype) if cfg.gemma_norm \
-                else jnp.ones((dh,), dtype)
-            layer["k_norm"] = jnp.zeros((dh,), dtype) if cfg.gemma_norm \
-                else jnp.ones((dh,), dtype)
+            qd = cfg.num_heads * cfg.head_dim if cfg.qk_norm == "full" \
+                else cfg.head_dim
+            kd = cfg.num_kv_heads * cfg.head_dim \
+                if cfg.qk_norm == "full" else cfg.head_dim
+            layer["q_norm"] = jnp.zeros((qd,), dtype) if cfg.gemma_norm \
+                else jnp.ones((qd,), dtype)
+            layer["k_norm"] = jnp.zeros((kd,), dtype) if cfg.gemma_norm \
+                else jnp.ones((kd,), dtype)
         if cfg.attn_sinks:
             layer["sinks"] = rand(lk[12], (cfg.num_heads,), scale=1.0)
         if cfg.layer_is_moe(i):
