@@ -68,3 +68,32 @@ def test_trainer_writes_metrics_jsonl(tmp_path):
                                    max_seq_length=16, packing=False))
     tr.train()
     assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_compile_cache_enabled_on_import():
+    """Importing the package turns on jax's persistent compilation cache
+    (measured on the tunneled TPU: repeat compiles 1.85s -> 0.27s);
+    UNSLOTH_COMPILE_CACHE=0 disables, a path overrides."""
+    import subprocess
+    import sys
+
+    def probe(env_val):
+        import os
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        if env_val is None:
+            env.pop("UNSLOTH_COMPILE_CACHE", None)
+        else:
+            env["UNSLOTH_COMPILE_CACHE"] = env_val
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import unsloth_tpu, jax; "
+             "print(repr(jax.config.jax_compilation_cache_dir))"],
+            env=env, capture_output=True, text=True, timeout=120)
+        assert out.returncode == 0, out.stderr[-500:]
+        return out.stdout.strip().splitlines()[-1]
+
+    assert "jax_cache" in probe(None)
+    assert probe("0") == "None"
+    assert "/tmp/mycache" in probe("/tmp/mycache")
