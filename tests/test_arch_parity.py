@@ -240,3 +240,27 @@ def test_olmo2_parity(tmp_path_factory):
     path = _save(Olmo2ForCausalLM(cfg), tmp_path_factory, "olmo2")
     hf = Olmo2ForCausalLM.from_pretrained(path, torch_dtype=torch.float32)
     _parity(path, hf, "olmo2")
+
+
+def test_deepseek_v3_parity(tmp_path_factory):
+    """DeepSeek-V3: MLA attention (low-rank q/kv, shared rope head,
+    v_head_dim != qk_head_dim, interleaved rope), sigmoid router with
+    bias-corrected group-limited top-k + routed scaling, shared experts,
+    first_k_dense_replace dense layers."""
+    from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+    cfg = DeepseekV3Config(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=32, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4,
+        n_routed_experts=8, num_experts_per_tok=2, n_shared_experts=1,
+        q_lora_rank=32, kv_lora_rank=16, qk_rope_head_dim=8,
+        qk_nope_head_dim=16, v_head_dim=16, first_k_dense_replace=1,
+        n_group=4, topk_group=2, routed_scaling_factor=2.5,
+        norm_topk_prob=True, max_position_embeddings=64,
+        tie_word_embeddings=False, pad_token_id=0)
+    torch.manual_seed(0)
+    path = _save(DeepseekV3ForCausalLM(cfg), tmp_path_factory, "dsv3")
+    hf = DeepseekV3ForCausalLM.from_pretrained(path,
+                                               torch_dtype=torch.float32)
+    _parity(path, hf, "deepseek_v3", atol=2e-3, rtol=1e-2, t=24)

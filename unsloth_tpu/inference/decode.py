@@ -114,6 +114,10 @@ def forward_with_cache(
         raise NotImplementedError(
             "falcon-h1 decode needs an SSM state cache; use the training "
             "forward (models/decoder.py) or batch scoring for now")
+    if cfg.mla is not None:
+        raise NotImplementedError(
+            "deepseek-v3 decode needs the MLA compressed-KV cache; use "
+            "the training forward (models/decoder.py) for now")
     if "layers_stacked" in params:
         # decode walks layers individually; slice the stacked leaves
         # (views under jit — no copies)

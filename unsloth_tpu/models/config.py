@@ -149,6 +149,10 @@ class ModelConfig:
     # shared expert that always runs ("softmax_topk" = qwen/mixtral/gpt-oss)
     moe_routing: str = "softmax_topk"
     moe_shared_expert: bool = False
+    # deepseek-v3 group-limited routing
+    moe_n_group: int = 1
+    moe_topk_group: int = 1
+    moe_routed_scaling: float = 1.0
 
     # llama4 text specifics
     rope_interleaved: bool = False          # pairwise (complex) rotation
@@ -172,6 +176,9 @@ class ModelConfig:
     # falcon-h1: parallel attention + mamba2 per layer
     hybrid_mamba: bool = False
     mamba: Optional["MambaConfig"] = None
+
+    # deepseek-v3 multi-head latent attention
+    mla: Optional["MLAConfig"] = None
 
     # Special tokens
     bos_token_id: Optional[int] = None
@@ -233,6 +240,64 @@ class ModelConfig:
 # ---------------------------------------------------------------------------
 # Per-family HF config builders
 # ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class MLAConfig:
+    """DeepSeek-V3 multi-head latent attention dims (reference supports
+    deepseek through its mapper; HF DeepseekV3Attention semantics)."""
+
+    q_lora_rank: Optional[int] = None     # None => plain q_proj
+    kv_lora_rank: int = 512
+    qk_rope_head_dim: int = 64
+    qk_nope_head_dim: int = 128
+    v_head_dim: int = 128
+
+    @property
+    def qk_head_dim(self) -> int:
+        return self.qk_rope_head_dim + self.qk_nope_head_dim
+
+
+def _build_deepseek_v3(cls, hf, model_type, name):
+    """DeepSeek-V3/R1: MLA attention (low-rank q/kv with a shared rope
+    head), sigmoid router with bias-corrected group-limited top-k and
+    routed scaling, shared experts, first_k_dense_replace dense layers."""
+    kw = _common(hf)
+    n_layers = kw["num_layers"]
+    mla = MLAConfig(
+        q_lora_rank=hf.get("q_lora_rank"),
+        kv_lora_rank=int(hf.get("kv_lora_rank", 512)),
+        qk_rope_head_dim=int(hf.get("qk_rope_head_dim", 64)),
+        qk_nope_head_dim=int(hf.get("qk_nope_head_dim", 128)),
+        v_head_dim=int(hf.get("v_head_dim", 128)),
+    )
+    first_dense = int(hf.get("first_k_dense_replace", 0))
+    scale = mla.qk_head_dim ** -0.5
+    rs = hf.get("rope_scaling") or {}
+    if rs and rs.get("mscale_all_dim"):
+        factor = float(rs.get("factor", 1.0))
+        md = float(rs["mscale_all_dim"])
+        if factor > 1.0:
+            mscale = 0.1 * md * __import__("math").log(factor) + 1.0
+            scale = scale * mscale * mscale
+    kw.update(
+        mla=mla,
+        head_dim=mla.qk_head_dim,
+        attn_logit_scale=scale,
+        rope_interleaved=bool(hf.get("rope_interleave", True)),
+        num_experts=int(hf.get("n_routed_experts", 0)),
+        num_experts_per_tok=int(hf.get("num_experts_per_tok", 8)),
+        moe_intermediate_size=int(hf.get("moe_intermediate_size", 2048)),
+        moe_layer_pattern=tuple(i >= first_dense
+                                for i in range(n_layers)),
+        norm_topk_prob=bool(hf.get("norm_topk_prob", True)),
+        moe_routing="deepseek",
+        moe_shared_expert=int(hf.get("n_shared_experts", 0) or 0) > 0,
+        moe_n_group=int(hf.get("n_group", 1)),
+        moe_topk_group=int(hf.get("topk_group", 1)),
+        moe_routed_scaling=float(hf.get("routed_scaling_factor", 1.0)),
+    )
+    return cls(model_type="deepseek_v3", name=name, **kw)
+
 
 @dataclasses.dataclass(frozen=True)
 class MambaConfig:
@@ -549,6 +614,7 @@ _HF_BUILDERS = {
     "llama4": _build_llama4,
     "llama4_text": _build_llama4,
     "falcon_h1": _build_falcon_h1,
+    "deepseek_v3": _build_deepseek_v3,
 }
 
 

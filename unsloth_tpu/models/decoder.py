@@ -85,11 +85,64 @@ def _proj(x, layer_p, lora_p, name):
     return lora_matmul(x, layer_p[name], lora=lora, bias=bias)
 
 
+def _mla_attention_block(x, layer_p, lora_p, cfg: ModelConfig, layer_idx,
+                         cos, sin, segment_ids, positions):
+    """DeepSeek-V3 multi-head latent attention (HF DeepseekV3Attention
+    semantics): low-rank q (q_a -> rmsnorm -> q_b), compressed kv with one
+    SHARED rope head, nope/rope split, v_head_dim != qk_head_dim."""
+    m = cfg.mla
+    b, t, d = x.shape
+    h = cfg.num_heads
+    nope, rope = m.qk_nope_head_dim, m.qk_rope_head_dim
+    qk_dim = m.qk_head_dim
+
+    if "q_a" in layer_p:
+        qa = _proj(x, layer_p, lora_p, "q_a")
+        qa = rms_norm(qa, layer_p["q_a_norm"], cfg.rms_norm_eps, False)
+        q = _proj(qa, layer_p, lora_p, "q_b")
+    else:
+        q = _proj(x, layer_p, lora_p, "q")
+    q = q.reshape(b, t, h, qk_dim)
+    q_pass, q_rot = q[..., :nope], q[..., nope:]
+
+    ckv = _proj(x, layer_p, lora_p, "kv_a")        # [b,t, kv_lora + rope]
+    k_c, k_rot = ckv[..., :m.kv_lora_rank], ckv[..., m.kv_lora_rank:]
+    kv = rms_norm(k_c, layer_p["kv_a_norm"], cfg.rms_norm_eps, False)
+    kv = _proj(kv, layer_p, lora_p, "kv_b").reshape(
+        b, t, h, nope + m.v_head_dim)
+    k_pass, v = kv[..., :nope], kv[..., nope:]
+    k_rot = k_rot.reshape(b, t, 1, rope)           # shared across heads
+
+    if cfg.rope_interleaved:
+        # interleaved rope == half rope on even/odd-permuted channels
+        # (score-invariant permutation, see the main attention block)
+        q_rot = jnp.concatenate([q_rot[..., 0::2], q_rot[..., 1::2]], -1)
+        k_rot = jnp.concatenate([k_rot[..., 0::2], k_rot[..., 1::2]], -1)
+    q_rot, k_rot = apply_rope_qk(q_rot, k_rot, cos, sin)
+    k_rot = jnp.broadcast_to(k_rot, (b, t, h, rope))
+
+    q = jnp.concatenate([q_pass, q_rot], axis=-1)
+    k = jnp.concatenate([k_pass, k_rot], axis=-1)
+    # v_head_dim < qk_head_dim: pad v for the fused kernels, slice after
+    pad = qk_dim - m.v_head_dim
+    v_p = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, pad))) if pad else v
+    out = attention(
+        q, k, v_p, causal=cfg.causal, segment_ids=segment_ids,
+        scale=cfg.attn_logit_scale, positions=positions)
+    if pad:
+        out = out[..., :m.v_head_dim]
+    out = out.reshape(b, t, h * m.v_head_dim)
+    return _proj(out, layer_p, lora_p, "o")
+
+
 def attention_block(
     x, layer_p, lora_p, cfg: ModelConfig, layer_idx: int,
     cos, sin, cos_local, sin_local,
     segment_ids, positions, image_spans=None,
 ):
+    if cfg.mla is not None:
+        return _mla_attention_block(x, layer_p, lora_p, cfg, layer_idx,
+                                    cos, sin, segment_ids, positions)
     b, t, d = x.shape
     hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
@@ -227,9 +280,19 @@ def moe_block(x, layer_p, cfg: ModelConfig):
     if layer_p.get("router_bias") is not None:
         router_logits = router_logits + layer_p["router_bias"].astype(
             jnp.float32)
+    routing_params = None
+    if cfg.moe_routing == "deepseek":
+        routing_params = {
+            "correction_bias":
+                layer_p["router_correction"].astype(jnp.float32),
+            "n_group": cfg.moe_n_group,
+            "topk_group": cfg.moe_topk_group,
+            "routed_scaling": cfg.moe_routed_scaling,
+        }
     out = moe_mlp(xf, router_logits, layer_p["experts"],
                   cfg.num_experts_per_tok, cfg.moe_act or cfg.hidden_act,
-                  cfg.norm_topk_prob, routing=cfg.moe_routing)
+                  cfg.norm_topk_prob, routing=cfg.moe_routing,
+                  routing_params=routing_params)
     return out.reshape(b, t, d)
 
 
@@ -334,8 +397,11 @@ def decoder_layer(
 
 
 def _rope_tables(cfg: ModelConfig, positions, mrope_positions=None):
+    # MLA (deepseek-v3): only the shared rope head rotates
+    rotary_dim = (cfg.mla.qk_rope_head_dim if cfg.mla is not None
+                  else int(cfg.head_dim * cfg.partial_rotary_factor))
     inv = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling,
-                        rotary_dim=int(cfg.head_dim * cfg.partial_rotary_factor))
+                        rotary_dim=rotary_dim)
     attn_factor = yarn_attention_factor(cfg.rope_scaling)
     if cfg.mrope_section is not None and mrope_positions is not None:
         # M-RoPE (qwen2.5-vl): three position streams [B, 3, T]; rope

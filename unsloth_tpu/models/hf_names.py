@@ -57,10 +57,30 @@ _MOE_ROUTER = "mlp.gate.weight"
 _MOE_ROUTER_BIAS = "mlp.gate.bias"
 
 
+_MLA_MAP = {
+    "q_a": "self_attn.q_a_proj.weight",
+    "q_a_norm": "self_attn.q_a_layernorm.weight",
+    "q_b": "self_attn.q_b_proj.weight",
+    "kv_a": "self_attn.kv_a_proj_with_mqa.weight",
+    "kv_a_norm": "self_attn.kv_a_layernorm.weight",
+    "kv_b": "self_attn.kv_b_proj.weight",
+}
+
+
 def layer_name_map(cfg: ModelConfig, layer_idx: int) -> Dict[str, str]:
     """our name -> HF name for one decoder layer (non-expert tensors)."""
     prefix = f"model.layers.{layer_idx}."
     m = dict(_LAYER_MAP)
+    if cfg.mla is not None:  # deepseek-v3 MLA replaces q/k/v
+        for name in ("k", "v", "q_bias", "k_bias", "v_bias",
+                     "q_norm", "k_norm"):
+            m.pop(name, None)
+        m.update(_MLA_MAP)
+        if cfg.mla.q_lora_rank is None:
+            for name in ("q_a", "q_a_norm", "q_b"):
+                m.pop(name)
+        else:
+            m.pop("q")
     if cfg.use_post_norms:
         m.update(_POST_NORM_MAP)
     else:
@@ -101,6 +121,14 @@ def layer_name_map(cfg: ModelConfig, layer_idx: int) -> Dict[str, str]:
             for ours in ("gate", "up", "down"):
                 out[ours] = (prefix + "feed_forward.shared_expert."
                              + ours + "_proj.weight")
+        if cfg.model_type == "deepseek_v3":
+            out.pop("router_bias", None)
+            out["router_correction"] = (
+                prefix + "mlp.gate.e_score_correction_bias")
+            if cfg.moe_shared_expert:
+                for ours in ("gate", "up", "down"):
+                    out[ours] = (prefix + "mlp.shared_experts."
+                                 + ours + "_proj.weight")
     return out
 
 

@@ -149,6 +149,9 @@ def init_lora_tree(
 ) -> Dict[str, Any]:
     """Build the trainable LoRA tree matching the params schema."""
     targets = set(normalize_target_modules(target_modules))
+    if cfg.mla is not None:
+        # MLA has no plain q/k/v linears; LoRA lands on o + the MLP
+        targets &= {"o", "gate", "up", "down"}
     layers: List[Dict[str, Optional[LoRAWeights]]] = []
     keys = jax.random.split(key, cfg.num_layers)
     for i in range(cfg.num_layers):

@@ -28,7 +28,7 @@ from .activations import glu_for
 
 
 def _route(router_logits, k: int, norm_topk_prob: bool,
-           routing: str = "softmax_topk"):
+           routing: str = "softmax_topk", routing_params=None):
     """HF token-choice routing semantics. "softmax_topk": softmax over ALL
     experts, then top-k; renormalize only when norm_topk_prob (qwen3-moe
     flag; mixtral always renormalizes via its config). "llama4": top-k on
@@ -37,6 +37,31 @@ def _route(router_logits, k: int, norm_topk_prob: bool,
     if routing == "llama4":
         top_vals, sel = jax.lax.top_k(router_logits, k)
         return jax.nn.sigmoid(top_vals), sel
+    if routing == "deepseek":
+        # DeepSeek-V3 (HF DeepseekV3TopkRouter): sigmoid scores; selection
+        # uses bias-corrected scores restricted to the topk_group groups
+        # with the highest top-2 sums; weights are the RAW scores at the
+        # chosen experts, normalized, times routed_scaling_factor.
+        p = routing_params or {}
+        scores = jax.nn.sigmoid(router_logits)
+        corrected = scores + p["correction_bias"][None, :]
+        n, e = scores.shape
+        g = int(p.get("n_group", 1))
+        per = e // g
+        top2, _ = jax.lax.top_k(corrected.reshape(n, g, per),
+                                min(2, per))
+        group_scores = top2.sum(-1)                      # [n, g]
+        _, gidx = jax.lax.top_k(group_scores, int(p.get("topk_group", 1)))
+        gmask = jnp.zeros((n, g), corrected.dtype).at[
+            jnp.arange(n)[:, None], gidx].set(1.0)
+        smask = jnp.repeat(gmask, per, axis=1)
+        masked = jnp.where(smask > 0, corrected, 0.0)
+        _, sel = jax.lax.top_k(masked, k)
+        weights = jnp.take_along_axis(scores, sel, axis=1)
+        if norm_topk_prob:
+            weights = weights / (jnp.sum(weights, -1, keepdims=True)
+                                 + 1e-20)
+        return weights * float(p.get("routed_scaling", 1.0)), sel
     probs = jax.nn.softmax(router_logits, axis=-1)
     weights, sel = jax.lax.top_k(probs, k)
     if norm_topk_prob:
@@ -47,14 +72,15 @@ def _route(router_logits, k: int, norm_topk_prob: bool,
 def moe_mlp_dense(x, router_logits, experts: Dict[str, jnp.ndarray],
                   num_experts_per_tok: int, act: str,
                   norm_topk_prob: bool = False,
-                  routing: str = "softmax_topk"):
+                  routing: str = "softmax_topk", routing_params=None):
     """Reference einsum implementation (parity oracle; used off-TPU).
     x: [N, D]; experts: gate/up [E, F, D], down [E, D, F]; optional
     per-expert biases gate_bias/up_bias [E, F], down_bias [E, D]
     (gpt-oss — applied inside each expert, before the routing weight)."""
     n, d = x.shape
     k = num_experts_per_tok
-    weights, sel = _route(router_logits, k, norm_topk_prob, routing)
+    weights, sel = _route(router_logits, k, norm_topk_prob, routing,
+                          routing_params)
     glu = glu_for(act)
     scale_input = routing == "llama4"
 
@@ -86,7 +112,7 @@ def moe_mlp_grouped(x, router_logits, experts: Dict[str, jnp.ndarray],
                     num_experts_per_tok: int, act: str,
                     norm_topk_prob: bool = False,
                     interpret: Optional[bool] = None,
-                    routing: str = "softmax_topk"):
+                    routing: str = "softmax_topk", routing_params=None):
     """Grouped-GEMM implementation. Same signature/semantics as dense."""
     from jax.experimental.pallas.ops.tpu.megablox import gmm
 
@@ -97,7 +123,7 @@ def moe_mlp_grouped(x, router_logits, experts: Dict[str, jnp.ndarray],
     num_experts = experts["gate"].shape[0]
     k = num_experts_per_tok
     weights, sel = _route(router_logits, k, norm_topk_prob,
-                          routing)                          # [N, k]
+                          routing, routing_params)          # [N, k]
     scale_input = routing == "llama4"
 
     flat_expert = sel.reshape(-1)                           # [N*k]
@@ -156,13 +182,14 @@ def moe_mlp_grouped(x, router_logits, experts: Dict[str, jnp.ndarray],
 
 def moe_mlp(x, router_logits, experts, num_experts_per_tok: int, act: str,
             norm_topk_prob: bool = False, impl: str = "auto",
-            routing: str = "softmax_topk"):
+            routing: str = "softmax_topk", routing_params=None):
     """Dispatching MoE MLP. impl: auto | grouped | dense."""
     if impl == "dense" or (impl == "auto" and (
             env.disable_pallas() or jax.default_backend() != "tpu")):
         return moe_mlp_dense(x, router_logits, experts,
                              num_experts_per_tok, act, norm_topk_prob,
-                             routing=routing)
+                             routing=routing,
+                             routing_params=routing_params)
     return moe_mlp_grouped(x, router_logits, experts,
                            num_experts_per_tok, act, norm_topk_prob,
-                           routing=routing)
+                           routing=routing, routing_params=routing_params)
