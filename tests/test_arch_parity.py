@@ -264,3 +264,24 @@ def test_deepseek_v3_parity(tmp_path_factory):
     hf = DeepseekV3ForCausalLM.from_pretrained(path,
                                                torch_dtype=torch.float32)
     _parity(path, hf, "deepseek_v3", atol=2e-3, rtol=1e-2, t=24)
+
+
+def test_glm4_moe_parity(tmp_path_factory):
+    """GLM-4.5-MoE: partial rotary + per-head qk-norm attention with
+    deepseek-style routing/shared experts."""
+    from transformers import Glm4MoeConfig, Glm4MoeForCausalLM
+
+    cfg = Glm4MoeConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=32, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        n_routed_experts=8, num_experts_per_tok=2, n_shared_experts=1,
+        first_k_dense_replace=1, n_group=4, topk_group=2,
+        use_qk_norm=True, norm_topk_prob=True,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        pad_token_id=0)
+    torch.manual_seed(0)
+    path = _save(Glm4MoeForCausalLM(cfg), tmp_path_factory, "glm4moe")
+    hf = Glm4MoeForCausalLM.from_pretrained(path,
+                                            torch_dtype=torch.float32)
+    _parity(path, hf, "glm4_moe", atol=2e-3, rtol=1e-2, t=24)

@@ -299,6 +299,30 @@ def _build_deepseek_v3(cls, hf, model_type, name):
     return cls(model_type="deepseek_v3", name=name, **kw)
 
 
+def _build_glm4_moe(cls, hf, model_type, name):
+    """GLM-4.5-MoE: llama-style GQA attention (partial rotary, optional
+    per-head qk-norm) + deepseek-style sigmoid group-limited routing with
+    shared experts and first_k_dense_replace dense layers."""
+    kw = _common(hf)
+    n_layers = kw["num_layers"]
+    first_dense = int(hf.get("first_k_dense_replace", 0))
+    kw.update(
+        qk_norm=bool(hf.get("use_qk_norm", False)),
+        num_experts=int(hf.get("n_routed_experts", 0)),
+        num_experts_per_tok=int(hf.get("num_experts_per_tok", 8)),
+        moe_intermediate_size=int(hf.get("moe_intermediate_size", 1408)),
+        moe_layer_pattern=tuple(i >= first_dense
+                                for i in range(n_layers)),
+        norm_topk_prob=bool(hf.get("norm_topk_prob", True)),
+        moe_routing="deepseek",
+        moe_shared_expert=int(hf.get("n_shared_experts", 0) or 0) > 0,
+        moe_n_group=int(hf.get("n_group", 1)),
+        moe_topk_group=int(hf.get("topk_group", 1)),
+        moe_routed_scaling=float(hf.get("routed_scaling_factor", 1.0)),
+    )
+    return cls(model_type="glm4_moe", name=name, **kw)
+
+
 @dataclasses.dataclass(frozen=True)
 class MambaConfig:
     """falcon-h1 hybrid-mamba mixer dims + muP multipliers (reference:
@@ -615,6 +639,7 @@ _HF_BUILDERS = {
     "llama4_text": _build_llama4,
     "falcon_h1": _build_falcon_h1,
     "deepseek_v3": _build_deepseek_v3,
+    "glm4_moe": _build_glm4_moe,
 }
 
 

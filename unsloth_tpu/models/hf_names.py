@@ -121,7 +121,7 @@ def layer_name_map(cfg: ModelConfig, layer_idx: int) -> Dict[str, str]:
             for ours in ("gate", "up", "down"):
                 out[ours] = (prefix + "feed_forward.shared_expert."
                              + ours + "_proj.weight")
-        if cfg.model_type == "deepseek_v3":
+        if cfg.moe_routing == "deepseek":  # deepseek-v3 / glm4-moe
             out.pop("router_bias", None)
             out["router_correction"] = (
                 prefix + "mlp.gate.e_score_correction_bias")
