@@ -181,3 +181,50 @@ def test_gpt_oss_decode_matches_training_forward(rng):
         got.append(np.asarray(logits_from_hidden(params, h, cfg)))
     got = np.concatenate(got, axis=1)
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_deepseek_mla_decode_matches_training_forward(tmp_path_factory):
+    """MLA compressed-KV decode: prefill+decode logits == training forward
+    for a tiny DeepSeek-V3 checkpoint (cache holds kv_lora+rope per token)."""
+    import numpy as np
+    import torch
+    from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+    from unsloth_tpu.inference.decode import (forward_with_cache,
+                                              init_cache,
+                                              logits_from_hidden)
+    from unsloth_tpu.models.loader import FastLanguageModel
+
+    cfg_hf = DeepseekV3Config(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4,
+        n_routed_experts=4, num_experts_per_tok=2, n_shared_experts=1,
+        q_lora_rank=32, kv_lora_rank=16, qk_rope_head_dim=8,
+        qk_nope_head_dim=16, v_head_dim=16, first_k_dense_replace=1,
+        n_group=2, topk_group=1, max_position_embeddings=64,
+        tie_word_embeddings=False, pad_token_id=0)
+    torch.manual_seed(0)
+    path = str(tmp_path_factory.mktemp("dsv3d"))
+    DeepseekV3ForCausalLM(cfg_hf).save_pretrained(
+        path, safe_serialization=True)
+    model, _ = FastLanguageModel.from_pretrained(path, load_in_4bit=False,
+                                                 dtype="float32")
+    cfg = model.cfg
+    b, t = 2, 12
+    ids = jax.random.randint(jax.random.PRNGKey(0), (b, t), 0, 96)
+    want = np.asarray(model.logits(ids, remat=False))
+
+    cache = init_cache(cfg, b, 32, dtype=jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(8, dtype=jnp.int32)[None], (b, 8))
+    h, cache = forward_with_cache(model.params, None, ids[:, :8], cfg,
+                                  cache, positions=pos)
+    got = [np.asarray(logits_from_hidden(model.params, h, cfg))]
+    for step in range(8, t):
+        p1 = jnp.full((b, 1), step, jnp.int32)
+        h, cache = forward_with_cache(model.params, None,
+                                      ids[:, step:step + 1], cfg, cache,
+                                      positions=p1)
+        got.append(np.asarray(logits_from_hidden(model.params, h, cfg)))
+    got = np.concatenate(got, axis=1)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)

@@ -50,6 +50,18 @@ class KVCache:
 
 def init_cache(cfg: ModelConfig, batch: int, max_length: int,
                dtype=jnp.bfloat16) -> KVCache:
+    if cfg.mla is not None:
+        # MLA caches the COMPRESSED kv per token (kv_lora + rope dims —
+        # the whole point of multi-head latent attention): k holds
+        # [rmsnorm'd latent, roped shared-rope head]; v is unused.
+        m = cfg.mla
+        shape = (batch, max_length, 1, m.kv_lora_rank + m.qk_rope_head_dim)
+        return KVCache(
+            k=[jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)],
+            v=[jnp.zeros((batch, max_length, 1, 1), dtype)
+               for _ in range(cfg.num_layers)],
+            length=jnp.zeros((), jnp.int32),
+        )
     shape = (batch, max_length, cfg.num_kv_heads, cfg.head_dim)
     return KVCache(
         k=[jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)],
@@ -115,9 +127,9 @@ def forward_with_cache(
             "falcon-h1 decode needs an SSM state cache; use the training "
             "forward (models/decoder.py) or batch scoring for now")
     if cfg.mla is not None:
-        raise NotImplementedError(
-            "deepseek-v3 decode needs the MLA compressed-KV cache; use "
-            "the training forward (models/decoder.py) for now")
+        return _mla_forward_with_cache(params, lora, input_ids, cfg,
+                                       cache, positions=positions,
+                                       kv_valid_extra=kv_valid_extra)
     if "layers_stacked" in params:
         # decode walks layers individually; slice the stacked leaves
         # (views under jit — no copies)
@@ -222,6 +234,113 @@ def forward_with_cache(
     x = _norm(x, params["final_norm"], cfg)
     new_cache = KVCache(k=new_k, v=new_v, length=cache.length + t)
     return x, new_cache
+
+
+def _mla_forward_with_cache(params, lora, input_ids, cfg: ModelConfig,
+                            cache: KVCache, *, positions,
+                            kv_valid_extra=None):
+    """DeepSeek-V3 decode: the cache holds each token's COMPRESSED kv
+    (rmsnorm'd latent + already-roped shared rope head); kv_b re-expands
+    the cached latents at every step (the simple, memory-optimal MLA
+    decode; the matrix-absorbed variant is a later optimization)."""
+    from ..models.decoder import _l2_norm  # noqa: F401 (parity of deps)
+
+    m = cfg.mla
+    b, t = input_ids.shape
+    lora_layers = (lora or {}).get("layers")
+    embed_w = (lora or {}).get("embed")
+    if embed_w is None:
+        embed_w = params["embed"]
+    x = jnp.take(embed_w, input_ids, axis=0)
+    if cfg.embed_scale is not None:
+        x = x * jnp.asarray(cfg.embed_scale, dtype=x.dtype)
+
+    cos, sin, _, _ = _rope_tables(cfg, positions)
+    h_heads = cfg.num_heads
+    nope, rope = m.qk_nope_head_dim, m.qk_rope_head_dim
+    qk_dim = m.qk_head_dim
+
+    s_max = cache.k[0].shape[1]
+    kv_slots = jnp.arange(s_max, dtype=jnp.int32)[None]
+    kv_valid = jnp.broadcast_to(kv_slots < (cache.length + t), (b, s_max))
+    if kv_valid_extra is not None:
+        kv_valid = kv_valid & kv_valid_extra
+    q_slots = cache.length + jnp.arange(t, dtype=jnp.int32)[None]
+    q_slots = jnp.broadcast_to(q_slots, (b, t))
+
+    new_k = []
+    for i, layer_p in enumerate(params["layers"]):
+        lora_p = lora_layers[i] if lora_layers else None
+        h = _norm(x, layer_p["input_norm"], cfg)
+
+        if "q_a" in layer_p:
+            qa = _proj(h, layer_p, lora_p, "q_a")
+            qa = rms_norm(qa, layer_p["q_a_norm"], cfg.rms_norm_eps,
+                          False)
+            q = _proj(qa, layer_p, lora_p, "q_b")
+        else:
+            q = _proj(h, layer_p, lora_p, "q")
+        q = q.reshape(b, t, h_heads, qk_dim)
+        q_pass, q_rot = q[..., :nope], q[..., nope:]
+
+        ckv = _proj(h, layer_p, lora_p, "kv_a")
+        k_c = rms_norm(ckv[..., :m.kv_lora_rank], layer_p["kv_a_norm"],
+                       cfg.rms_norm_eps, False)
+        k_rot = ckv[..., m.kv_lora_rank:].reshape(b, t, 1, rope)
+        if cfg.rope_interleaved:
+            q_rot = jnp.concatenate([q_rot[..., 0::2], q_rot[..., 1::2]],
+                                    -1)
+            k_rot = jnp.concatenate([k_rot[..., 0::2], k_rot[..., 1::2]],
+                                    -1)
+        q_rot, k_rot = apply_rope_qk(q_rot, k_rot, cos, sin)
+        q = jnp.concatenate([q_pass, q_rot], axis=-1)
+
+        entry = jnp.concatenate([k_c, k_rot[:, :, 0, :]], axis=-1)
+        k_cache = jax.lax.dynamic_update_slice(
+            cache.k[i], entry[:, :, None, :].astype(cache.k[i].dtype),
+            (0, cache.length, 0, 0))
+        new_k.append(k_cache)
+
+        cached = k_cache[:, :, 0, :]                    # [B, S, lora+rope]
+        lat = cached[..., :m.kv_lora_rank]
+        rot_all = cached[..., m.kv_lora_rank:]          # already roped
+        kv = _proj(lat, layer_p, lora_p, "kv_b").reshape(
+            b, s_max, h_heads, nope + m.v_head_dim)
+        k_pass_all, v_all = kv[..., :nope], kv[..., nope:]
+        k_all = jnp.concatenate(
+            [k_pass_all,
+             jnp.broadcast_to(rot_all[:, :, None, :],
+                              (b, s_max, h_heads, rope))], axis=-1)
+        pad = qk_dim - m.v_head_dim
+        v_p = jnp.pad(v_all, ((0, 0), (0, 0), (0, 0), (0, pad)))             if pad else v_all
+        attn = _attend_cached(
+            q, k_all, v_p, q_slots=q_slots, kv_len_mask=kv_valid,
+            window=None, softcap=None, scale=cfg.attn_logit_scale)
+        if pad:
+            attn = attn[..., :m.v_head_dim]
+        attn = _proj(attn.reshape(b, t, h_heads * m.v_head_dim), layer_p,
+                     lora_p, "o")
+        x = x + attn
+
+        h2 = _norm(x, layer_p["post_attn_norm"], cfg)
+        if cfg.layer_is_moe(i) and "experts" in layer_p:
+            from ..models.decoder import moe_block
+
+            mlp = moe_block(h2, layer_p, cfg)
+            if cfg.moe_shared_expert and "gate" in layer_p:
+                glu = glu_for(cfg.hidden_act)
+                e = _proj(h2, layer_p, lora_p, "gate")
+                g = _proj(h2, layer_p, lora_p, "up")
+                mlp = mlp + _proj(glu(e, g), layer_p, lora_p, "down")
+        else:
+            glu = glu_for(cfg.hidden_act)
+            e = _proj(h2, layer_p, lora_p, "gate")
+            g = _proj(h2, layer_p, lora_p, "up")
+            mlp = _proj(glu(e, g), layer_p, lora_p, "down")
+        x = x + mlp
+
+    x = _norm(x, params["final_norm"], cfg)
+    return x, KVCache(k=new_k, v=cache.v, length=cache.length + t)
 
 
 def logits_from_hidden(params, h, cfg: ModelConfig, lora=None):
