@@ -285,3 +285,24 @@ def test_glm4_moe_parity(tmp_path_factory):
     hf = Glm4MoeForCausalLM.from_pretrained(path,
                                             torch_dtype=torch.float32)
     _parity(path, hf, "glm4_moe", atol=2e-3, rtol=1e-2, t=24)
+
+
+def test_qwen3_next_parity(tmp_path_factory):
+    """Qwen3-Next: gated-DeltaNet linear-attention layers + output-gated
+    full attention + qwen-MoE with a sigmoid-gated shared expert."""
+    from transformers import Qwen3NextConfig, Qwen3NextForCausalLM
+
+    cfg = Qwen3NextConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, linear_num_key_heads=2, linear_num_value_heads=4,
+        linear_key_head_dim=16, linear_value_head_dim=16,
+        linear_conv_kernel_dim=4, num_experts=4, num_experts_per_tok=2,
+        decoder_sparse_step=1, moe_intermediate_size=32,
+        shared_expert_intermediate_size=32, max_position_embeddings=64,
+        tie_word_embeddings=False, pad_token_id=0)
+    torch.manual_seed(0)
+    path = _save(Qwen3NextForCausalLM(cfg), tmp_path_factory, "q3next")
+    hf = Qwen3NextForCausalLM.from_pretrained(path,
+                                              torch_dtype=torch.float32)
+    _parity(path, hf, "qwen3_next", atol=2e-3, rtol=1e-2, t=24)

@@ -153,6 +153,8 @@ class ModelConfig:
     moe_n_group: int = 1
     moe_topk_group: int = 1
     moe_routed_scaling: float = 1.0
+    # qwen2-moe/qwen3-next: shared expert scaled by sigmoid(x @ gate)
+    moe_shared_gate: bool = False
 
     # llama4 text specifics
     rope_interleaved: bool = False          # pairwise (complex) rotation
@@ -180,6 +182,11 @@ class ModelConfig:
     # deepseek-v3 multi-head latent attention
     mla: Optional["MLAConfig"] = None
 
+    # qwen3-next: gated DeltaNet linear-attention layers + output-gated
+    # full attention
+    gdn: Optional["GDNConfig"] = None
+    gated_attention: bool = False
+
     # Special tokens
     bos_token_id: Optional[int] = None
     eos_token_id: Optional[int] = None
@@ -194,12 +201,15 @@ class ModelConfig:
         return self.num_experts > 0
 
     def layer_kind(self, layer_idx: int) -> str:
-        """'global', 'sliding' or 'chunked' for a given layer."""
-        if self.layer_pattern is None or (
-                self.sliding_window is None
-                and self.attention_chunk_size is None):
+        """'global', 'sliding', 'chunked' or 'linear' for a given layer."""
+        if self.layer_pattern is None:
             return "global"
-        return self.layer_pattern[layer_idx % len(self.layer_pattern)]
+        kind = self.layer_pattern[layer_idx % len(self.layer_pattern)]
+        if kind == "sliding" and self.sliding_window is None:
+            return "global"
+        if kind == "chunked" and self.attention_chunk_size is None:
+            return "global"
+        return kind
 
     def layer_uses_rope(self, layer_idx: int) -> bool:
         if self.rope_layers is None:
@@ -297,6 +307,70 @@ def _build_deepseek_v3(cls, hf, model_type, name):
         moe_routed_scaling=float(hf.get("routed_scaling_factor", 1.0)),
     )
     return cls(model_type="deepseek_v3", name=name, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class GDNConfig:
+    """Qwen3-Next gated DeltaNet (linear attention) dims."""
+
+    num_k_heads: int = 16
+    num_v_heads: int = 32
+    k_head_dim: int = 128
+    v_head_dim: int = 128
+    conv_kernel: int = 4
+    chunk_size: int = 64
+
+    @property
+    def key_dim(self) -> int:
+        return self.num_k_heads * self.k_head_dim
+
+    @property
+    def value_dim(self) -> int:
+        return self.num_v_heads * self.v_head_dim
+
+
+def _build_qwen3_next(cls, hf, model_type, name):
+    """Qwen3-Next: hybrid gated-DeltaNet (linear attention) / gated full
+    attention, qwen-MoE with a sigmoid-gated shared expert, partial
+    rotary, per-head qk-norm."""
+    kw = _common(hf)
+    n_layers = kw["num_layers"]
+    types = hf.get("layer_types")
+    if not types:
+        interval = int(hf.get("full_attention_interval", 4))
+        types = ["full_attention" if (i + 1) % interval == 0
+                 else "linear_attention" for i in range(n_layers)]
+    sparse_step = int(hf.get("decoder_sparse_step", 1) or 0)
+    mlp_only = set(hf.get("mlp_only_layers") or ())
+    n_experts = int(hf.get("num_experts", 0))
+    kw.update(
+        qk_norm=True,
+        gated_attention=True,
+        gemma_norm=True,   # Qwen3NextRMSNorm is the (1 + w) convention
+        layer_pattern=tuple(
+            "linear" if t == "linear_attention" else "global"
+            for t in types),
+        gdn=GDNConfig(
+            num_k_heads=int(hf.get("linear_num_key_heads", 16)),
+            num_v_heads=int(hf.get("linear_num_value_heads", 32)),
+            k_head_dim=int(hf.get("linear_key_head_dim", 128)),
+            v_head_dim=int(hf.get("linear_value_head_dim", 128)),
+            conv_kernel=int(hf.get("linear_conv_kernel_dim", 4)),
+        ),
+        num_experts=n_experts,
+        num_experts_per_tok=int(hf.get("num_experts_per_tok", 8)),
+        moe_intermediate_size=int(hf.get("moe_intermediate_size", 512)),
+        norm_topk_prob=bool(hf.get("norm_topk_prob", True)),
+        moe_layer_pattern=tuple(
+            bool(n_experts) and sparse_step and ((i + 1) % sparse_step
+                                                 == 0) and i not in
+            mlp_only for i in range(n_layers)),
+        moe_shared_expert=True,
+        moe_shared_gate=True,
+        shared_expert_intermediate_size=int(
+            hf.get("shared_expert_intermediate_size", 512)),
+    )
+    return cls(model_type="qwen3_next", name=name, **kw)
 
 
 def _build_glm4_moe(cls, hf, model_type, name):
@@ -640,6 +714,7 @@ _HF_BUILDERS = {
     "falcon_h1": _build_falcon_h1,
     "deepseek_v3": _build_deepseek_v3,
     "glm4_moe": _build_glm4_moe,
+    "qwen3_next": _build_qwen3_next,
 }
 
 

@@ -152,7 +152,14 @@ def attention_block(
     if cfg.qk_norm == "full":  # olmo2: rms over the full projection width
         q = rms_norm(q, layer_p["q_norm"], cfg.rms_norm_eps, False)
         k = rms_norm(k, layer_p["k_norm"], cfg.rms_norm_eps, False)
-    q = q.reshape(b, t, hq, dh)
+    out_gate = None
+    if cfg.gated_attention:
+        # qwen3-next: q_proj emits [q | gate] per head; the gate sigmoids
+        # the attention output before o_proj
+        qg = q.reshape(b, t, hq, 2 * dh)
+        q, out_gate = qg[..., :dh], qg[..., dh:].reshape(b, t, hq * dh)
+    else:
+        q = q.reshape(b, t, hq, dh)
     k = k.reshape(b, t, hkv, dh)
     v = v.reshape(b, t, hkv, dh)
 
@@ -217,18 +224,83 @@ def attention_block(
         sinks=layer_p.get("sinks"),
     )
     out = out.reshape(b, t, hq * dh)
+    if out_gate is not None:
+        out = out * jax.nn.sigmoid(out_gate.astype(jnp.float32)).astype(
+            out.dtype)
     return _proj(out, layer_p, lora_p, "o")
+
+
+def _gdn_block(x, layer_p, cfg: ModelConfig):
+    """Qwen3-Next gated DeltaNet mixer (HF Qwen3NextGatedDeltaNet
+    semantics): fused qkvz/ba projections with megatron-style head-group
+    ordering, causal conv over [q|k|v], chunked gated delta rule, gated
+    rms-norm with z, out projection."""
+    from ..ops.delta_net import chunk_gated_delta_rule
+    from ..ops.ssm import causal_conv1d
+
+    g = cfg.gdn
+    b, t, d = x.shape
+    nk, nv = g.num_k_heads, g.num_v_heads
+    dk, dv = g.k_head_dim, g.v_head_dim
+    r = nv // nk
+
+    qkvz = jnp.dot(x, layer_p["gdn_qkvz"].T.astype(x.dtype))
+    ba = jnp.dot(x, layer_p["gdn_ba"].T.astype(x.dtype))
+    qkvz = qkvz.reshape(b, t, nk, 2 * dk + 2 * r * dv)
+    q = qkvz[..., :dk]
+    k = qkvz[..., dk:2 * dk]
+    v = qkvz[..., 2 * dk:2 * dk + r * dv].reshape(b, t, nv, dv)
+    z = qkvz[..., 2 * dk + r * dv:].reshape(b, t, nv, dv)
+    ba = ba.reshape(b, t, nk, 2 * r)
+    b_ = ba[..., :r].reshape(b, t, nv)
+    a = ba[..., r:].reshape(b, t, nv)
+
+    mixed = jnp.concatenate(
+        [q.reshape(b, t, -1), k.reshape(b, t, -1), v.reshape(b, t, -1)],
+        axis=-1)
+    mixed = jax.nn.silu(causal_conv1d(
+        mixed.astype(jnp.float32),
+        layer_p["gdn_conv_w"].astype(jnp.float32),
+        layer_p.get("gdn_conv_b"))).astype(x.dtype)
+    kd = g.key_dim
+    q = mixed[..., :kd].reshape(b, t, nk, dk)
+    k = mixed[..., kd:2 * kd].reshape(b, t, nk, dk)
+    v = mixed[..., 2 * kd:].reshape(b, t, nv, dv)
+
+    beta = jax.nn.sigmoid(b_.astype(jnp.float32))
+    gdecay = -jnp.exp(layer_p["gdn_A_log"].astype(jnp.float32))         * jax.nn.softplus(a.astype(jnp.float32)
+                          + layer_p["gdn_dt_bias"].astype(jnp.float32))
+    if r > 1:
+        q = jnp.repeat(q, r, axis=2)
+        k = jnp.repeat(k, r, axis=2)
+    out, _ = chunk_gated_delta_rule(q, k, v, gdecay, beta,
+                                    chunk_size=g.chunk_size)
+    # gated rms-norm (norm BEFORE gate), per v-head
+    of = out.astype(jnp.float32)
+    of = of * jax.lax.rsqrt(jnp.mean(of * of, -1, keepdims=True)
+                            + cfg.rms_norm_eps)
+    of = of * layer_p["gdn_norm"].astype(jnp.float32)
+    of = of * jax.nn.silu(z.astype(jnp.float32))
+    out = of.reshape(b, t, nv * dv).astype(x.dtype)
+    return jnp.dot(out, layer_p["gdn_out"].T.astype(x.dtype))
 
 
 def mlp_block(x, layer_p, lora_p, cfg: ModelConfig, layer_idx: int):
     if cfg.layer_is_moe(layer_idx) and "experts" in layer_p:
         out = moe_block(x, layer_p, cfg)
         if cfg.moe_shared_expert and "gate" in layer_p:
-            # llama4: the shared expert always runs, added to routed out
+            # the shared expert always runs, added to the routed output
+            # (llama4/deepseek: plain add; qwen3-next: scaled by
+            # sigmoid(x @ shared_expert_gate))
             glu = glu_for(cfg.hidden_act)
             e = _proj(x, layer_p, lora_p, "gate")
             g = _proj(x, layer_p, lora_p, "up")
-            out = out + _proj(glu(e, g), layer_p, lora_p, "down")
+            shared = _proj(glu(e, g), layer_p, lora_p, "down")
+            if cfg.moe_shared_gate and "shared_gate" in layer_p:
+                sg = jnp.dot(x, layer_p["shared_gate"].T.astype(x.dtype))
+                shared = shared * jax.nn.sigmoid(
+                    sg.astype(jnp.float32)).astype(shared.dtype)
+            out = out + shared
         return out
 
     def dense_mlp(xc):
@@ -378,9 +450,12 @@ def decoder_layer(
         return x + mlp_block(h, layer_p, lora_p, cfg, layer_idx)
 
     h = _norm(x, layer_p["input_norm"], cfg)
-    attn = attention_block(h, layer_p, lora_p, cfg, layer_idx,
-                           cos, sin, cos_local, sin_local,
-                           segment_ids, positions, image_spans)
+    if cfg.layer_kind(layer_idx) == "linear":
+        attn = _gdn_block(h, layer_p, cfg)
+    else:
+        attn = attention_block(h, layer_p, lora_p, cfg, layer_idx,
+                               cos, sin, cos_local, sin_local,
+                               segment_ids, positions, image_spans)
     if cfg.use_post_norms and "post_attn_out_norm" in layer_p:
         attn = _norm(attn, layer_p["post_attn_out_norm"], cfg)
     rm = cfg.residual_multiplier

@@ -57,6 +57,18 @@ _MOE_ROUTER = "mlp.gate.weight"
 _MOE_ROUTER_BIAS = "mlp.gate.bias"
 
 
+_GDN_MAP = {
+    "gdn_qkvz": "linear_attn.in_proj_qkvz.weight",
+    "gdn_ba": "linear_attn.in_proj_ba.weight",
+    "gdn_conv_w": "linear_attn.conv1d.weight",
+    "gdn_conv_b": "linear_attn.conv1d.bias",
+    "gdn_dt_bias": "linear_attn.dt_bias",
+    "gdn_A_log": "linear_attn.A_log",
+    "gdn_norm": "linear_attn.norm.weight",
+    "gdn_out": "linear_attn.out_proj.weight",
+}
+
+
 _MLA_MAP = {
     "q_a": "self_attn.q_a_proj.weight",
     "q_a_norm": "self_attn.q_a_layernorm.weight",
@@ -89,6 +101,12 @@ def layer_name_map(cfg: ModelConfig, layer_idx: int) -> Dict[str, str]:
         # llama4/falcon-h1 name the MLP module "feed_forward"
         m = {ours: hf.replace("mlp.", "feed_forward.", 1)
              for ours, hf in m.items()}
+    if cfg.gdn is not None and cfg.layer_kind(layer_idx) == "linear":
+        # qwen3-next linear-attention layer: GDN mixer replaces attention
+        for name in ("q", "k", "v", "o", "q_bias", "k_bias", "v_bias",
+                     "o_bias", "q_norm", "k_norm"):
+            m.pop(name, None)
+        m.update(_GDN_MAP)
     if cfg.post_norm_only:  # olmo2
         m.pop("input_norm", None)
         m["post_ffw_norm"] = "post_feedforward_layernorm.weight"
@@ -120,6 +138,12 @@ def layer_name_map(cfg: ModelConfig, layer_idx: int) -> Dict[str, str]:
             # slots inside MoE layers
             for ours in ("gate", "up", "down"):
                 out[ours] = (prefix + "feed_forward.shared_expert."
+                             + ours + "_proj.weight")
+        if cfg.moe_shared_gate:
+            # qwen3-next / qwen2-moe shared expert with sigmoid gate
+            out["shared_gate"] = prefix + "mlp.shared_expert_gate.weight"
+            for ours in ("gate", "up", "down"):
+                out[ours] = (prefix + "mlp.shared_expert."
                              + ours + "_proj.weight")
         if cfg.moe_routing == "deepseek":  # deepseek-v3 / glm4-moe
             out.pop("router_bias", None)

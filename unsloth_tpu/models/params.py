@@ -35,8 +35,9 @@ def normalize_target_modules(mods: Sequence[str]) -> tuple:
 def _linear_dims(cfg: ModelConfig, name: str):
     d, f = cfg.hidden_size, cfg.intermediate_size
     hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    q_out = hq * dh * (2 if cfg.gated_attention else 1)
     return {
-        "q": (hq * dh, d), "k": (hkv * dh, d), "v": (hkv * dh, d),
+        "q": (q_out, d), "k": (hkv * dh, d), "v": (hkv * dh, d),
         "o": (d, hq * dh),
         "gate": (f, d), "up": (f, d), "down": (d, f),
     }[name]
@@ -162,6 +163,9 @@ def init_lora_tree(
                 continue
             if name in ("gate", "up", "down") and cfg.layer_is_moe(i):
                 continue  # MoE expert LoRA comes later
+            if name in ("q", "k", "v", "o") and \
+                    cfg.layer_kind(i) == "linear":
+                continue  # GDN layers have no q/k/v/o linears
             out_f, in_f = _linear_dims(cfg, name)
             layer[name] = init_lora(lk[j], in_f, out_f, r, alpha, dtype,
                                     use_rslora)
