@@ -88,6 +88,80 @@ def build_model(cfg, key, quantize=True):
     return params
 
 
+def gpt_oss_20b_config(num_layers):
+    """gpt-oss-20b dims (BASELINE.md:36 driver config: MoE QLoRA)."""
+    from unsloth_tpu.models.config import ModelConfig
+
+    return ModelConfig(
+        model_type="gpt_oss", name="gpt-oss-20b-bench",
+        vocab_size=201088, hidden_size=2880, intermediate_size=2880,
+        num_layers=num_layers, num_heads=64, num_kv_heads=8, head_dim=64,
+        rope_theta=150000.0, max_position_embeddings=131072,
+        sliding_window=128, layer_pattern=("sliding", "global"),
+        attention_bias=True, o_proj_bias=True, attn_sinks=True,
+        num_experts=32, num_experts_per_tok=4,
+        moe_intermediate_size=2880, router_bias=True, moe_mlp_bias=True,
+        moe_act="gpt_oss_glu", norm_topk_prob=True,
+    )
+
+
+def build_moe_model(cfg, key):
+    """Layer-by-layer init with stacked-NF4 experts: one layer's dense
+    experts exist transiently (~1.6 GB for gpt-oss dims); storage stays
+    ~0.55 B/param so the 20B-class model fits a 16 GB chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from unsloth_tpu.models.params import _linear_dims
+    from unsloth_tpu.ops.nf4 import quantize_nf4, quantize_nf4_stacked
+
+    d = cfg.hidden_size
+    f = cfg.moe_intermediate_size
+    e = cfg.num_experts
+    keys = iter(jax.random.split(key, 8 * (cfg.num_layers + 2)))
+
+    def rand(shape, scale=0.01, dtype=jnp.bfloat16):
+        return jax.random.normal(next(keys), shape, dtype=dtype) * scale
+
+    params = {
+        "embed": rand((cfg.vocab_size, d), scale=0.02),
+        "final_norm": jnp.ones((d,), jnp.bfloat16),
+        "lm_head": rand((cfg.vocab_size, d), scale=0.02),
+        "layers": [],
+    }
+
+    def build_layer():
+        layer = {
+            "input_norm": jnp.ones((d,), jnp.bfloat16),
+            "post_attn_norm": jnp.ones((d,), jnp.bfloat16),
+            "sinks": rand((cfg.num_heads,), 1.0, jnp.float32),
+            "router": rand((e, d), 0.02, jnp.float32),
+            "router_bias": jnp.zeros((e,), jnp.float32),
+        }
+        for name in ("q", "k", "v", "o"):
+            w = rand(_linear_dims(cfg, name))
+            layer[name] = quantize_nf4(w, dtype=jnp.bfloat16)
+            out_dim = _linear_dims(cfg, name)[0]
+            layer[f"{name}_bias"] = jnp.zeros((out_dim,), jnp.bfloat16)
+        experts = {}
+        for name, shape in (("gate", (e, f, d)), ("up", (e, f, d)),
+                            ("down", (e, d, f))):
+            w = rand(shape)
+            experts[name] = quantize_nf4_stacked(w, dtype=jnp.bfloat16)
+            jax.block_until_ready(experts[name].packed)
+        experts["gate_bias"] = jnp.zeros((e, f), jnp.bfloat16)
+        experts["up_bias"] = jnp.zeros((e, f), jnp.bfloat16)
+        experts["down_bias"] = jnp.zeros((e, d), jnp.bfloat16)
+        layer["experts"] = experts
+        return layer
+
+    layer0 = build_layer()
+    params["layers"].append(layer0)
+    for _ in range(1, cfg.num_layers):
+        params["layers"].append(jax.tree_util.tree_map(jnp.copy, layer0))
+    return params
+
+
 def llama31_8b_config(num_layers):
     from unsloth_tpu.models.config import ModelConfig, RopeScaling
 
@@ -115,11 +189,22 @@ def linear_params_per_layer(cfg):
 
 def flops_per_token(cfg, seq):
     """Standard model-FLOPs accounting (fwd): 2 FLOPs per weight per token
-    for every matmul, plus causal attention score/value matmuls."""
-    per_layer = 2 * linear_params_per_layer(cfg)
-    # QK^T + AV: 2 * (2 * T * hidden) per token per layer, halved by
+    for every matmul (ACTIVE experts only for MoE), plus causal attention
+    score/value matmuls."""
+    if cfg.is_moe:
+        dh = cfg.head_dim
+        attn_p = cfg.hidden_size * dh * (cfg.num_heads * 2
+                                         + cfg.num_kv_heads * 2)
+        moe_p = cfg.num_experts_per_tok * 3 * cfg.hidden_size \
+            * (cfg.moe_intermediate_size or cfg.intermediate_size)
+        per_layer = 2 * (attn_p + moe_p)
+        qdim = cfg.num_heads * dh
+    else:
+        per_layer = 2 * linear_params_per_layer(cfg)
+        qdim = cfg.hidden_size
+    # QK^T + AV: 2 * (2 * T * qdim) per token per layer, halved by
     # causality.
-    attn = 2 * seq * cfg.hidden_size
+    attn = 2 * seq * qdim
     lm_head = 2 * cfg.vocab_size * cfg.hidden_size
     return cfg.num_layers * (per_layer + attn) + lm_head
 
@@ -264,6 +349,9 @@ def main():
     import jax
 
     quick = os.environ.get("BENCH_QUICK") == "1"
+    bench_model = os.environ.get("BENCH_MODEL", "llama")
+    if bench_model == "gpt_oss":
+        return main_gpt_oss(quick)
     num_layers = _env_int("BENCH_LAYERS", 2 if quick else 32)
     seq = _env_int("BENCH_SEQ", 512 if quick else 8192)
     bsz = _env_int("BENCH_BATCH", 1)
@@ -366,6 +454,61 @@ def main():
         },
     }
     print(json.dumps(result))
+
+
+def main_gpt_oss(quick: bool):
+    """BENCH_MODEL=gpt_oss: the gpt-oss-20B-class MoE QLoRA config
+    (BASELINE.md:36) — NF4 attention + stacked-NF4 experts."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from unsloth_tpu.models.decoder import loss_fn
+    from unsloth_tpu.models.params import init_lora_tree
+
+    num_layers = _env_int("BENCH_LAYERS", 2 if quick else 24)
+    seq = _env_int("BENCH_SEQ", 512 if quick else 4096)
+    bsz = _env_int("BENCH_BATCH", 1)
+    n_steps = _env_int("BENCH_STEPS", 2 if quick else 4)
+
+    cfg = gpt_oss_20b_config(num_layers)
+    key = jax.random.PRNGKey(0)
+    params = build_moe_model(cfg, key)
+    lora = init_lora_tree(cfg, key, r=16, alpha=16, dtype=jnp.float32)
+    batch = make_packed_batch(cfg, key, bsz, seq, packed=True)
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(lora)
+    step = compile_step(cfg, tx, "auto", list(batch))
+    peak_gb = None
+    try:
+        compiled = step.lower(lora, opt_state, params, batch).compile()
+        ma = compiled.memory_analysis()
+        peak_gb = round((ma.argument_size_in_bytes
+                         + ma.temp_size_in_bytes
+                         + ma.output_size_in_bytes) / 1e9, 2)
+        step = compiled
+    except Exception as e:
+        print(f"memory_analysis unavailable: {e}", file=sys.stderr)
+    tokens = batch["input_ids"].size
+    dt, loss = measure(step, lora, opt_state, params, batch, n_steps)
+    tps = tokens / dt
+    mfu = 3 * flops_per_token(cfg, seq) * tokens / dt \
+        / V5E_BF16_PEAK_FLOPS
+    print(json.dumps({
+        "metric": "gpt_oss_20b_moe_qlora_sft_tokens_per_sec_per_chip"
+                  + ("" if num_layers == 24 else f"_layers{num_layers}"),
+        "value": round(tps, 2),
+        "unit": "tokens/s/chip",
+        "vs_baseline": None,
+        "detail": {"seq": seq, "batch": bsz, "layers": num_layers,
+                   "step_time_s": round(dt, 4),
+                   "peak_hbm_gb": peak_gb, "mfu": round(mfu, 4),
+                   "loss": round(loss, 3),
+                   "backend": jax.default_backend(),
+                   "note": "MoE QLoRA: NF4 attention + stacked-NF4 "
+                           "experts (dense experts exist one layer at a "
+                           "time under remat)"},
+    }))
 
 
 if __name__ == "__main__":

@@ -60,3 +60,62 @@ def test_expert_imbalance(rng):
     grouped = moe_mlp_grouped(x, router, experts, 1, "silu", interpret=True)
     np.testing.assert_allclose(np.asarray(grouped), np.asarray(dense),
                                atol=2e-5, rtol=2e-4)
+
+
+def test_nf4_stacked_experts_round_trip(rng):
+    """Stacked per-expert NF4 (MoE QLoRA): quantize/dequant error bound
+    and storage ~0.56 B/param."""
+    import jax.numpy as jnp
+
+    from unsloth_tpu.ops.nf4 import (dequantize_nf4_stacked,
+                                     quantize_nf4_stacked)
+
+    w = jax.random.normal(rng, (4, 32, 128), jnp.float32) * 0.1
+    q = quantize_nf4_stacked(w)
+    back = dequantize_nf4_stacked(q, jnp.float32)
+    assert back.shape == w.shape
+    rel = float(jnp.abs(back - w).max() / jnp.abs(w).max())
+    assert rel < 0.15, rel
+    nbytes = q.packed.size + q.absmax.size * 4
+    assert nbytes < w.size * 0.6
+
+
+def test_moe_qlora_trains(rng):
+    """A MoE model with NF4-quantized experts trains (LoRA on attention;
+    experts frozen NF4) — the gpt-oss MoE QLoRA shape (BASELINE.md:36)."""
+    import jax.numpy as jnp
+    import optax
+
+    from unsloth_tpu.models.config import ModelConfig
+    from unsloth_tpu.models.decoder import loss_fn
+    from unsloth_tpu.models.params import (init_lora_tree, init_params,
+                                           quantize_params)
+    from unsloth_tpu.ops.nf4 import NF4Stacked
+
+    cfg = ModelConfig(vocab_size=256, hidden_size=64, intermediate_size=128,
+                      num_layers=2, num_heads=2, num_kv_heads=2,
+                      max_position_embeddings=64, num_experts=4,
+                      num_experts_per_tok=2, moe_intermediate_size=128,
+                      norm_topk_prob=True)
+    params = quantize_params(init_params(cfg, rng, dtype=jnp.float32), cfg,
+                             dtype=jnp.float32)
+    assert isinstance(params["layers"][0]["experts"]["gate"], NF4Stacked)
+    lora = init_lora_tree(cfg, rng, r=4, alpha=8)
+    ids = jax.random.randint(rng, (2, 32), 0, cfg.vocab_size)
+    batch = {"input_ids": ids, "labels": ids}
+    tx = optax.adam(5e-3)
+    opt = tx.init(lora)
+
+    @jax.jit
+    def step(lora, opt, params):
+        loss, g = jax.value_and_grad(
+            lambda l: loss_fn(params, l, batch, cfg, remat=True))(lora)
+        upd, opt = tx.update(g, opt, lora)
+        return optax.apply_updates(lora, upd), opt, loss
+
+    losses = []
+    for _ in range(12):
+        lora, opt, loss = step(lora, opt, params)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] - 0.2, losses

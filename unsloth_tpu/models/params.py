@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.lora import LoRAWeights, init_lora
-from ..ops.nf4 import NF4Tensor, quantize_nf4
+from ..ops.nf4 import NF4Tensor, quantize_nf4, quantize_nf4_stacked
 from .config import ModelConfig
 
 DEFAULT_TARGET_MODULES = ("q", "k", "v", "o", "gate", "up", "down")
@@ -137,6 +137,16 @@ def quantize_params(params: Dict[str, Any], cfg: ModelConfig,
                 new_layer[name] = quantize_nf4(
                     w, block_size=block_size, double_quant=double_quant,
                     dtype=dtype)
+            elif name == "experts" and "experts" not in skip:
+                # MoE QLoRA: stacked per-expert NF4 (gpt-oss-class MoE is
+                # mostly expert params — this is what fits it on a chip)
+                new_layer[name] = {
+                    en: (quantize_nf4_stacked(ew, block_size=block_size,
+                                              dtype=dtype)
+                         if hasattr(ew, "ndim") and ew.ndim == 3
+                         and ew.shape[-1] % block_size == 0 else ew)
+                    for en, ew in w.items()
+                }
             else:
                 new_layer[name] = w
         out["layers"].append(new_layer)

@@ -27,6 +27,20 @@ from ..utils import env
 from .activations import glu_for
 
 
+def _dense_experts(experts: Dict[str, jnp.ndarray], dtype):
+    """Materialize NF4Stacked expert weights (transient; recomputed under
+    remat so only one layer's dense experts ever exist at a time)."""
+    from .nf4 import NF4Stacked, dequantize_nf4_stacked
+
+    out = {}
+    for name, w in experts.items():
+        if isinstance(w, NF4Stacked):
+            out[name] = dequantize_nf4_stacked(w, dtype)
+        else:
+            out[name] = w
+    return out
+
+
 def _route(router_logits, k: int, norm_topk_prob: bool,
            routing: str = "softmax_topk", routing_params=None):
     """HF token-choice routing semantics. "softmax_topk": softmax over ALL
@@ -79,6 +93,7 @@ def moe_mlp_dense(x, router_logits, experts: Dict[str, jnp.ndarray],
     (gpt-oss — applied inside each expert, before the routing weight)."""
     n, d = x.shape
     k = num_experts_per_tok
+    experts = _dense_experts(experts, x.dtype)
     weights, sel = _route(router_logits, k, norm_topk_prob, routing,
                           routing_params)
     glu = glu_for(act)
@@ -120,6 +135,7 @@ def moe_mlp_grouped(x, router_logits, experts: Dict[str, jnp.ndarray],
         interpret = jax.default_backend() != "tpu"
 
     n, d = x.shape
+    experts = _dense_experts(experts, x.dtype)
     num_experts = experts["gate"].shape[0]
     k = num_experts_per_tok
     weights, sel = _route(router_logits, k, norm_topk_prob,
@@ -146,16 +162,35 @@ def moe_mlp_grouped(x, router_logits, experts: Dict[str, jnp.ndarray],
                 return t
         return v
 
+    def _fit_lane(v: int) -> int:
+        for t in (512, 256, 128):
+            if v % t == 0:
+                return t
+        return v
+
     m = n * k
     f = experts["gate"].shape[1]
 
     def tiled_gmm(lhs, rhs):
-        k_dim = rhs.shape[2]   # transpose_rhs: rhs is [E, n_out, k]
-        n_dim = rhs.shape[1]
-        return gmm(lhs, rhs, group_sizes=group_sizes,
-                   preferred_element_type=jnp.float32,
-                   tiling=(_fit(m), _fit(k_dim), _fit(n_dim)),
-                   transpose_rhs=True, interpret=interpret)
+        # Mosaic requires the LAST dim of every block to be 128-divisible
+        # (or the full dim). Dims like gpt-oss's 2880 are not — zero-pad
+        # the contraction and output dims to the next 128 multiple (exact:
+        # zeros contribute nothing) and slice the output back.
+        k0 = rhs.shape[2]      # transpose_rhs: rhs is [E, n_out, k]
+        n0 = rhs.shape[1]
+        kp = (-k0) % 128
+        np_ = (-n0) % 128
+        if kp:
+            lhs = jnp.pad(lhs, ((0, 0), (0, kp)))
+            rhs = jnp.pad(rhs, ((0, 0), (0, 0), (0, kp)))
+        if np_:
+            rhs = jnp.pad(rhs, ((0, 0), (0, np_), (0, 0)))
+        out = gmm(lhs, rhs, group_sizes=group_sizes,
+                  preferred_element_type=jnp.float32,
+                  tiling=(_fit(m), _fit_lane(k0 + kp),
+                          _fit_lane(n0 + np_)),
+                  transpose_rhs=True, interpret=interpret)
+        return out[:, :n0] if np_ else out
 
     gmm_ = tiled_gmm
     sorted_expert = jnp.take(flat_expert, order)            # [N*k]

@@ -202,3 +202,59 @@ def nf4_matmul_ref(x: jnp.ndarray, q: NF4Tensor,
 def quantization_error(w: jnp.ndarray, q: NF4Tensor) -> float:
     wd = dequantize_nf4(q, dtype=jnp.float32)
     return float(jnp.sqrt(jnp.mean((w.astype(jnp.float32) - wd) ** 2)))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class NF4Stacked:
+    """Stacked per-expert NF4 weights [E, out, in] (MoE QLoRA base).
+
+    Same split-half packing as NF4Tensor, one leading expert axis; the
+    reference reaches MoE QLoRA through bnb quantizing each expert Linear
+    (gpt-oss enable: models/loader.py:1087-1094). Dequantization
+    materializes ONE LAYER's experts transiently (recomputed under remat),
+    which is what lets a 20B-class MoE fit a 16 GB chip: storage stays
+    ~0.55 B/param."""
+
+    packed: jnp.ndarray            # uint8 [E, out, in//2]
+    absmax: jnp.ndarray            # fp32 [E, n_blocks]
+    shape: Tuple[int, int, int]
+    block_size: int = DEFAULT_BLOCK
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def tree_flatten(self):
+        return (self.packed, self.absmax), (self.shape, self.block_size,
+                                            self.dtype)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        packed, absmax = children
+        shape, block_size, dtype = aux
+        return cls(packed, absmax, shape, block_size, dtype)
+
+    @property
+    def ndim(self) -> int:
+        return 3
+
+
+def quantize_nf4_stacked(w: jnp.ndarray, block_size: int = DEFAULT_BLOCK,
+                         dtype=jnp.bfloat16) -> NF4Stacked:
+    """[E, out, in] -> stacked NF4 (plain fp32 absmax per expert).
+
+    Implemented by flattening the expert axis into rows and reusing the
+    2-D path (row-major blocks make the layouts identical); the vmap
+    formulation lowered ~40x slower on TPU."""
+    e, out_f, in_f = w.shape
+    q = quantize_nf4(w.reshape(e * out_f, in_f), block_size=block_size,
+                     double_quant=False, dtype=dtype)
+    return NF4Stacked(q.packed.reshape(e, out_f, in_f // 2),
+                      q.absmax, (e, out_f, in_f), block_size, dtype)
+
+
+def dequantize_nf4_stacked(q: NF4Stacked, dtype=None) -> jnp.ndarray:
+    dtype = dtype or q.dtype
+    e, out_f, in_f = q.shape
+    flat = NF4Tensor(q.packed.reshape(e * out_f, in_f // 2),
+                     q.absmax.reshape(-1), None, None,
+                     (e * out_f, in_f), q.block_size, dtype)
+    return dequantize_nf4(flat, dtype).reshape(e, out_f, in_f)
