@@ -228,3 +228,128 @@ def test_deepseek_mla_decode_matches_training_forward(tmp_path_factory):
         got.append(np.asarray(logits_from_hidden(model.params, h, cfg)))
     got = np.concatenate(got, axis=1)
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_falcon_h1_decode_matches_training_forward(tmp_path_factory):
+    """falcon-h1 hybrid decode: the cache carries per-layer SSM recurrent
+    state (conv window + state matrix) next to the attention KV; prefill
+    runs the chunked SSD scan and captures the final state, decode runs
+    the O(1) recurrent step (reference: models/falcon_h1.py cached path).
+    Oracle: our training forward, itself HF-parity-tested."""
+    import torch
+    from transformers import FalconH1Config, FalconH1ForCausalLM
+
+    from unsloth_tpu.inference.decode import (forward_with_cache,
+                                              init_cache,
+                                              logits_from_hidden)
+    from unsloth_tpu.models.loader import FastLanguageModel
+
+    cfg_hf = FalconH1Config(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, vocab_size_multiple_of=1, max_position_embeddings=256,
+        mamba_d_ssm=64, mamba_n_heads=4, mamba_d_head=16, mamba_n_groups=2,
+        mamba_d_state=16, mamba_d_conv=4, mamba_chunk_size=8,
+        tie_word_embeddings=False, pad_token_id=0,
+        embedding_multiplier=2.0, lm_head_multiplier=0.5,
+        attention_in_multiplier=1.5, attention_out_multiplier=0.8,
+        ssm_in_multiplier=1.25, ssm_out_multiplier=0.9,
+        key_multiplier=0.7, mlp_multipliers=[1.2, 0.6],
+        ssm_multipliers=[1.1, 0.9, 1.3, 0.8, 1.05])
+    torch.manual_seed(0)
+    path = str(tmp_path_factory.mktemp("falconh1d"))
+    FalconH1ForCausalLM(cfg_hf).save_pretrained(path,
+                                                safe_serialization=True)
+    model, _ = FastLanguageModel.from_pretrained(path, load_in_4bit=False,
+                                                 dtype="float32")
+    cfg = model.cfg
+    b, t = 2, 12
+    ids = jax.random.randint(jax.random.PRNGKey(0), (b, t), 1, 96)
+    want = np.asarray(model.logits(ids, remat=False))
+
+    cache = init_cache(cfg, b, 32, dtype=jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(7, dtype=jnp.int32)[None], (b, 7))
+    h, cache = forward_with_cache(model.params, None, ids[:, :7], cfg,
+                                  cache, positions=pos)
+    got = [np.asarray(logits_from_hidden(model.params, h, cfg))]
+    for step in range(7, t):
+        p1 = jnp.full((b, 1), step, jnp.int32)
+        h, cache = forward_with_cache(model.params, None,
+                                      ids[:, step:step + 1], cfg, cache,
+                                      positions=p1)
+        got.append(np.asarray(logits_from_hidden(model.params, h, cfg)))
+    got = np.concatenate(got, axis=1)
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-2)
+
+
+def test_falcon_h1_generate_left_padded(tmp_path_factory):
+    """Batched falcon-h1 generation with left-padded prompts matches the
+    solo (unpadded) run — padded tokens must not pollute the SSM state."""
+    import torch
+    from transformers import FalconH1Config, FalconH1ForCausalLM
+
+    from unsloth_tpu.models.loader import FastLanguageModel
+
+    cfg_hf = FalconH1Config(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=16, vocab_size_multiple_of=1, max_position_embeddings=256,
+        mamba_d_ssm=32, mamba_n_heads=2, mamba_d_head=16, mamba_n_groups=1,
+        mamba_d_state=8, mamba_d_conv=4, mamba_chunk_size=8,
+        tie_word_embeddings=False, pad_token_id=0)
+    torch.manual_seed(1)
+    path = str(tmp_path_factory.mktemp("falconh1g"))
+    FalconH1ForCausalLM(cfg_hf).save_pretrained(path,
+                                                safe_serialization=True)
+    model, _ = FastLanguageModel.from_pretrained(path, load_in_4bit=False,
+                                                 dtype="float32")
+    p_short = list(range(1, 6))
+    p_long = list(range(1, 40))
+    both = generate(model, [p_short, p_long],
+                    SamplingParams(max_tokens=4), return_token_ids=True)
+    solo = generate(model, [p_short], SamplingParams(max_tokens=4),
+                    return_token_ids=True)
+    assert both[0] == solo[0]
+
+
+def test_mla_absorbed_matches_expanded(tmp_path_factory):
+    """The matrix-absorbed MLA decode (W_UK folded into q, W_UV into the
+    output; attention computed directly over the latent cache) is
+    algebraically identical to re-expanding kv_b per step (DeepSeek-V2
+    paper §2.1.2). Both paths must produce the same logits."""
+    import torch
+    from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+    from unsloth_tpu.inference.decode import (_mla_forward_with_cache,
+                                              init_cache,
+                                              logits_from_hidden)
+    from unsloth_tpu.models.loader import FastLanguageModel
+
+    cfg_hf = DeepseekV3Config(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4,
+        n_routed_experts=4, num_experts_per_tok=2, n_shared_experts=1,
+        q_lora_rank=32, kv_lora_rank=16, qk_rope_head_dim=8,
+        qk_nope_head_dim=16, v_head_dim=16, first_k_dense_replace=1,
+        n_group=2, topk_group=1, max_position_embeddings=64,
+        tie_word_embeddings=False, pad_token_id=0)
+    torch.manual_seed(3)
+    path = str(tmp_path_factory.mktemp("dsv3abs"))
+    DeepseekV3ForCausalLM(cfg_hf).save_pretrained(
+        path, safe_serialization=True)
+    model, _ = FastLanguageModel.from_pretrained(path, load_in_4bit=False,
+                                                 dtype="float32")
+    cfg = model.cfg
+    b, t = 2, 10
+    ids = jax.random.randint(jax.random.PRNGKey(7), (b, t), 0, 96)
+    pos = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None], (b, t))
+    outs = {}
+    for absorb in (True, False):
+        cache = init_cache(cfg, b, 16, dtype=jnp.float32)
+        h, _ = _mla_forward_with_cache(model.params, None, ids, cfg,
+                                       cache, positions=pos,
+                                       absorb=absorb)
+        outs[absorb] = np.asarray(logits_from_hidden(model.params, h, cfg))
+    np.testing.assert_allclose(outs[True], outs[False], atol=5e-4,
+                               rtol=1e-3)

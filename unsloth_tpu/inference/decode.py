@@ -39,9 +39,12 @@ class KVCache:
     k: Any   # list of [B, S, Hkv, Dh] per layer
     v: Any
     length: jnp.ndarray  # [] int32 — tokens already written
+    # hybrid-mamba (falcon-h1) recurrent state, per layer; None otherwise
+    conv: Any = None     # list of [B, K-1, convC] fp32
+    ssm: Any = None      # list of [B, H, P, N] fp32
 
     def tree_flatten(self):
-        return (self.k, self.v, self.length), None
+        return (self.k, self.v, self.length, self.conv, self.ssm), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -63,10 +66,19 @@ def init_cache(cfg: ModelConfig, batch: int, max_length: int,
             length=jnp.zeros((), jnp.int32),
         )
     shape = (batch, max_length, cfg.num_kv_heads, cfg.head_dim)
+    conv = ssm = None
+    if cfg.hybrid_mamba:
+        mc = cfg.mamba
+        conv_c = mc.d_ssm + 2 * mc.n_groups * mc.d_state
+        conv = [jnp.zeros((batch, mc.d_conv - 1, conv_c), jnp.float32)
+                for _ in range(cfg.num_layers)]
+        ssm = [jnp.zeros((batch, mc.n_heads, mc.head_dim, mc.d_state),
+                         jnp.float32) for _ in range(cfg.num_layers)]
     return KVCache(
         k=[jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)],
         v=[jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)],
         length=jnp.zeros((), jnp.int32),
+        conv=conv, ssm=ssm,
     )
 
 
@@ -123,9 +135,9 @@ def forward_with_cache(
     """
     b, t = input_ids.shape
     if cfg.hybrid_mamba:
-        raise NotImplementedError(
-            "falcon-h1 decode needs an SSM state cache; use the training "
-            "forward (models/decoder.py) or batch scoring for now")
+        return _hybrid_forward_with_cache(params, lora, input_ids, cfg,
+                                          cache, positions=positions,
+                                          kv_valid_extra=kv_valid_extra)
     if cfg.mla is not None:
         return _mla_forward_with_cache(params, lora, input_ids, cfg,
                                        cache, positions=positions,
@@ -236,13 +248,133 @@ def forward_with_cache(
     return x, new_cache
 
 
+def _hybrid_forward_with_cache(params, lora, input_ids, cfg: ModelConfig,
+                               cache: KVCache, *, positions,
+                               kv_valid_extra=None):
+    """falcon-h1 decode: every layer runs attention (KV cache) AND a
+    mamba2 SSD mixer (recurrent conv+ssm state) in parallel on the same
+    normed input, with the full muP multiplier set (reference:
+    models/falcon_h1.py:1-756; HF FalconH1Mixer cached path). Prefill
+    (T>1) runs the chunked scan and captures the final state; decode
+    (T=1) runs the O(1) recurrent step."""
+    from ..models.decoder import mamba_call_kwargs
+    from ..ops.ssm import mamba2_mixer, mamba2_mixer_step
+
+    mc = cfg.mamba
+    b, t = input_ids.shape
+    lora_layers = (lora or {}).get("layers")
+    embed_w = (lora or {}).get("embed")
+    if embed_w is None:
+        embed_w = params["embed"]
+    x = jnp.take(embed_w, input_ids, axis=0)
+    if cfg.embed_scale is not None:
+        x = x * jnp.asarray(cfg.embed_scale, dtype=x.dtype)
+
+    cos, sin, _, _ = _rope_tables(cfg, positions)
+
+    s_max = cache.k[0].shape[1]
+    kv_slots = jnp.arange(s_max, dtype=jnp.int32)[None]
+    kv_valid = jnp.broadcast_to(kv_slots < (cache.length + t), (b, s_max))
+    if kv_valid_extra is not None:
+        kv_valid = kv_valid & kv_valid_extra
+    q_slots = cache.length + jnp.arange(t, dtype=jnp.int32)[None]
+    q_slots = jnp.broadcast_to(q_slots, (b, t))
+    # mamba padding mask for the current window (left-padded prompts):
+    # padded inputs must not enter the conv window or the SSM state
+    if kv_valid_extra is not None and t > 1:
+        pad_mask = jax.lax.dynamic_slice(
+            kv_valid_extra.astype(jnp.float32), (0, cache.length), (b, t))
+    else:
+        pad_mask = None
+
+    new_k, new_v, new_conv, new_ssm = [], [], [], []
+    for i, layer_p in enumerate(params["layers"]):
+        lora_p = lora_layers[i] if lora_layers else None
+        h = _norm(x, layer_p["input_norm"], cfg)
+
+        # --- SSD mixer with recurrent state ---
+        mp, mkw = mamba_call_kwargs(layer_p, cfg)
+        if t == 1:
+            m_out, (cs, ss) = mamba2_mixer_step(
+                h, mp, (cache.conv[i], cache.ssm[i]), **mkw)
+        else:
+            m_out, (cs, ss) = mamba2_mixer(
+                h, mp, chunk_size=mc.chunk_size, padding_mask=pad_mask,
+                return_state=True, **mkw)
+        new_conv.append(cs)
+        new_ssm.append(ss)
+        m_out = m_out * mc.ssm_out_multiplier
+
+        # --- attention on the same normed input ---
+        ha = h * mc.attention_in_multiplier
+        hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+        q = _proj(ha, layer_p, lora_p, "q").reshape(b, t, hq, dh)
+        k = _proj(ha, layer_p, lora_p, "k").reshape(b, t, hkv, dh)
+        v = _proj(ha, layer_p, lora_p, "v").reshape(b, t, hkv, dh)
+        if mc.key_multiplier != 1.0:
+            k = k * mc.key_multiplier
+        q, k = apply_rope_qk(q, k, cos, sin)
+
+        k_cache = jax.lax.dynamic_update_slice(
+            cache.k[i], k.astype(cache.k[i].dtype), (0, cache.length, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            cache.v[i], v.astype(cache.v[i].dtype), (0, cache.length, 0, 0))
+        new_k.append(k_cache)
+        new_v.append(v_cache)
+
+        attn = _attend_cached(
+            q, k_cache, v_cache, q_slots=q_slots, kv_len_mask=kv_valid,
+            window=None, softcap=cfg.attn_softcap,
+            scale=cfg.attn_logit_scale)
+        attn = attn.reshape(b, t, hq * dh)
+        attn = _proj(attn, layer_p, lora_p, "o")
+        attn = attn * mc.attention_out_multiplier
+
+        x = x + m_out + attn
+
+        h2 = _norm(x, layer_p["post_attn_norm"], cfg)
+        glu = glu_for(cfg.hidden_act)
+        gm, dm = mc.mlp_multipliers
+        e = _proj(h2, layer_p, lora_p, "gate")
+        g = _proj(h2, layer_p, lora_p, "up")
+        x = x + _proj(glu(e * gm, g), layer_p, lora_p, "down") * dm
+
+    x = _norm(x, params["final_norm"], cfg)
+    return x, KVCache(k=new_k, v=new_v, length=cache.length + t,
+                      conv=new_conv, ssm=new_ssm)
+
+
+def _materialize_weight(w, lora=None, dtype=jnp.float32):
+    """Effective dense weight [out, in]: dequant-if-needed + LoRA delta."""
+    from ..ops.nf4 import NF4Tensor, dequantize_nf4
+
+    if isinstance(w, NF4Tensor):
+        wd = dequantize_nf4(w, dtype=dtype)
+    elif hasattr(w, "scales"):
+        from ..ops.fp8 import dequantize_fp8
+
+        wd = dequantize_fp8(w, dtype=dtype)
+    else:
+        wd = w.astype(dtype)
+    if lora is not None:
+        wd = wd + lora.scale * jnp.dot(
+            lora.b.astype(dtype), lora.a.astype(dtype))
+    return wd
+
+
 def _mla_forward_with_cache(params, lora, input_ids, cfg: ModelConfig,
                             cache: KVCache, *, positions,
-                            kv_valid_extra=None):
+                            kv_valid_extra=None, absorb: bool = True):
     """DeepSeek-V3 decode: the cache holds each token's COMPRESSED kv
-    (rmsnorm'd latent + already-roped shared rope head); kv_b re-expands
-    the cached latents at every step (the simple, memory-optimal MLA
-    decode; the matrix-absorbed variant is a later optimization)."""
+    (rmsnorm'd latent + already-roped shared rope head).
+
+    absorb=True (default) is the matrix-absorbed MLA decode (DeepSeek-V2
+    paper §2.1.2): kv_b's up-projections W_UK/W_UV are folded into the
+    query and the attention output, so scores and context are computed
+    directly against the [S, kv_lora_rank] latent cache — nothing of size
+    [S, H, qk_dim] is ever materialized. absorb=False re-expands the
+    cached latents through kv_b each step (the naive decode; kept as the
+    parity oracle — the two are algebraically identical)."""
     from ..models.decoder import _l2_norm  # noqa: F401 (parity of deps)
 
     m = cfg.mla
@@ -304,20 +436,50 @@ def _mla_forward_with_cache(params, lora, input_ids, cfg: ModelConfig,
         cached = k_cache[:, :, 0, :]                    # [B, S, lora+rope]
         lat = cached[..., :m.kv_lora_rank]
         rot_all = cached[..., m.kv_lora_rank:]          # already roped
-        kv = _proj(lat, layer_p, lora_p, "kv_b").reshape(
-            b, s_max, h_heads, nope + m.v_head_dim)
-        k_pass_all, v_all = kv[..., :nope], kv[..., nope:]
-        k_all = jnp.concatenate(
-            [k_pass_all,
-             jnp.broadcast_to(rot_all[:, :, None, :],
-                              (b, s_max, h_heads, rope))], axis=-1)
-        pad = qk_dim - m.v_head_dim
-        v_p = jnp.pad(v_all, ((0, 0), (0, 0), (0, 0), (0, pad)))             if pad else v_all
-        attn = _attend_cached(
-            q, k_all, v_p, q_slots=q_slots, kv_len_mask=kv_valid,
-            window=None, softcap=None, scale=cfg.attn_logit_scale)
-        if pad:
-            attn = attn[..., :m.v_head_dim]
+        if absorb:
+            # Matrix-absorbed decode: fold W_UK into q, W_UV into the
+            # output — attend directly over the latent cache.
+            wb = _materialize_weight(
+                layer_p["kv_b"], lora_p.get("kv_b") if lora_p else None,
+                dtype=jnp.float32).reshape(
+                    h_heads, nope + m.v_head_dim, m.kv_lora_rank)
+            w_uk, w_uv = wb[:, :nope, :], wb[:, nope:, :]
+            q_pass, q_rot2 = q[..., :nope], q[..., nope:]
+            q_lat = jnp.einsum("bthn,hnr->bthr",
+                               q_pass.astype(jnp.float32), w_uk)
+            scale = cfg.attn_logit_scale
+            if scale is None:
+                scale = qk_dim ** -0.5
+            scores = (jnp.einsum("bthr,bsr->bhts", q_lat,
+                                 lat.astype(jnp.float32))
+                      + jnp.einsum("bthr,bsr->bhts",
+                                   q_rot2.astype(jnp.float32),
+                                   rot_all.astype(jnp.float32))) * scale
+            kv_pos = jnp.arange(s_max, dtype=jnp.int32)[None, None, :]
+            mask = (kv_pos <= q_slots[:, :, None]) & kv_valid[:, None, :]
+            scores = jnp.where(mask[:, None, :, :], scores, -jnp.inf)
+            probs = jax.nn.softmax(scores, axis=-1)
+            ctx_lat = jnp.einsum("bhts,bsr->bthr", probs,
+                                 lat.astype(jnp.float32))
+            attn = jnp.einsum("bthr,hvr->bthv", ctx_lat,
+                              w_uv).astype(x.dtype)
+        else:
+            kv = _proj(lat, layer_p, lora_p, "kv_b").reshape(
+                b, s_max, h_heads, nope + m.v_head_dim)
+            k_pass_all, v_all = kv[..., :nope], kv[..., nope:]
+            k_all = jnp.concatenate(
+                [k_pass_all,
+                 jnp.broadcast_to(rot_all[:, :, None, :],
+                                  (b, s_max, h_heads, rope))], axis=-1)
+            pad = qk_dim - m.v_head_dim
+            v_p = jnp.pad(
+                v_all, ((0, 0), (0, 0), (0, 0), (0, pad))) \
+                if pad else v_all
+            attn = _attend_cached(
+                q, k_all, v_p, q_slots=q_slots, kv_len_mask=kv_valid,
+                window=None, softcap=None, scale=cfg.attn_logit_scale)
+            if pad:
+                attn = attn[..., :m.v_head_dim]
         attn = _proj(attn.reshape(b, t, h_heads * m.v_head_dim), layer_p,
                      lora_p, "o")
         x = x + attn

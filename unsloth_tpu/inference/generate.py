@@ -94,7 +94,11 @@ def _generate_jit(params, lora, prompt_ids, prompt_mask, cfg, rng,
 
         cache = KVCache(k=[tile(k) for k in cache.k],
                         v=[tile(v) for v in cache.v],
-                        length=cache.length)
+                        length=cache.length,
+                        conv=[tile(c) for c in cache.conv]
+                        if cache.conv is not None else None,
+                        ssm=[tile(s) for s in cache.ssm]
+                        if cache.ssm is not None else None)
         logits = tile(logits)
         next_positions = tile(next_positions)
         kv_valid_extra = tile(kv_valid_extra)

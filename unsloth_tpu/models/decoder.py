@@ -368,12 +368,10 @@ def moe_block(x, layer_p, cfg: ModelConfig):
     return out.reshape(b, t, d)
 
 
-def _mamba_block(x, layer_p, cfg: ModelConfig, segment_ids):
-    """falcon-h1 parallel SSD mixer (reference: models/falcon_h1.py;
-    semantics: HF FalconH1Mixer.torch_forward)."""
+def mamba_call_kwargs(layer_p, cfg: ModelConfig):
+    """Assemble the (params dict, keyword args) both the training mixer
+    and the cached decode step share (reference: models/falcon_h1.py)."""
     import numpy as np
-
-    from ..ops.ssm import mamba2_mixer
 
     mc = cfg.mamba
     p = {
@@ -394,20 +392,30 @@ def _mamba_block(x, layer_p, cfg: ModelConfig, segment_ids):
     mup[2 * mc.d_ssm:2 * mc.d_ssm + gn] *= bm
     mup[2 * mc.d_ssm + gn:2 * mc.d_ssm + 2 * gn] *= cm
     mup[2 * mc.d_ssm + 2 * gn:] *= dtm
-    pad_mask = None
-    if segment_ids is not None:
-        pad_mask = (segment_ids != 0).astype(jnp.float32)
-    return mamba2_mixer(
-        x, p, d_ssm=mc.d_ssm, n_heads=mc.n_heads, head_dim=mc.head_dim,
+    kwargs = dict(
+        d_ssm=mc.d_ssm, n_heads=mc.n_heads, head_dim=mc.head_dim,
         n_groups=mc.n_groups, d_state=mc.d_state,
-        chunk_size=mc.chunk_size,
         time_step_limit=(mc.time_step_min, mc.time_step_max),
         ssm_in_multiplier=mc.ssm_in_multiplier,
         mup_vector=jnp.asarray(mup),
         rms_norm_weight=layer_p.get("mamba_norm") if mc.rms_norm else None,
         rms_norm_eps=cfg.rms_norm_eps,
-        padding_mask=pad_mask,
     )
+    return p, kwargs
+
+
+def _mamba_block(x, layer_p, cfg: ModelConfig, segment_ids):
+    """falcon-h1 parallel SSD mixer (reference: models/falcon_h1.py;
+    semantics: HF FalconH1Mixer.torch_forward)."""
+    from ..ops.ssm import mamba2_mixer
+
+    p, kwargs = mamba_call_kwargs(layer_p, cfg)
+    pad_mask = None
+    if segment_ids is not None:
+        pad_mask = (segment_ids != 0).astype(jnp.float32)
+    return mamba2_mixer(
+        x, p, chunk_size=cfg.mamba.chunk_size, padding_mask=pad_mask,
+        **kwargs)
 
 
 def decoder_layer(

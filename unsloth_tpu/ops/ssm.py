@@ -41,13 +41,19 @@ def causal_conv1d(x: jnp.ndarray, w: jnp.ndarray,
 
 
 def ssd_chunked(xd: jnp.ndarray, Ad: jnp.ndarray, B: jnp.ndarray,
-                C: jnp.ndarray, chunk_size: int) -> jnp.ndarray:
+                C: jnp.ndarray, chunk_size: int,
+                initial_state: Optional[jnp.ndarray] = None,
+                return_final: bool = False) -> jnp.ndarray:
     """Chunked SSD scan.
 
     xd [B, T, H, P] — dt-discretized inputs (x * dt)
     Ad [B, T, H]    — dt-discretized decay exponents (A * dt, negative)
     B, C [B, T, H, N] — input/output projections (head-expanded)
-    Returns y [B, T, H, P] (fp32).
+    initial_state [B, H, P, N] — recurrent state entering token 0 (decode
+    continuation); zeros if None. With return_final=True also returns the
+    state AFTER the last real token (padding inside the trailing chunk is
+    state-neutral: Ad=0 ⇒ decay 1, xd=0 ⇒ no input).
+    Returns y [B, T, H, P] (fp32) [, final_state].
     """
     b, t, h, p = xd.shape
     n = B.shape[-1]
@@ -88,8 +94,11 @@ def ssd_chunked(xd: jnp.ndarray, Ad: jnp.ndarray, B: jnp.ndarray,
         s_next = s * jnp.exp(a_sum)[:, :, None, None] + st
         return s_next, entering
 
-    init = jnp.zeros((b, h, p, n), xd.dtype)
-    _, entering = jax.lax.scan(
+    if initial_state is None:
+        init = jnp.zeros((b, h, p, n), xd.dtype)
+    else:
+        init = initial_state.astype(xd.dtype)
+    final, entering = jax.lax.scan(
         step, init,
         (A_sum.transpose(1, 0, 2), chunk_states.transpose(1, 0, 2, 3, 4)))
     entering = entering.transpose(1, 0, 2, 3, 4)         # [b, nc, h, p, n]
@@ -99,6 +108,8 @@ def ssd_chunked(xd: jnp.ndarray, Ad: jnp.ndarray, B: jnp.ndarray,
         * jnp.exp(A_cs)[..., None]
 
     y = (Y_diag + Y_off).reshape(b, tt, h, p)
+    if return_final:
+        return y[:, :t], final
     return y[:, :t]
 
 
@@ -118,6 +129,7 @@ def mamba2_mixer(
     rms_norm_weight: Optional[jnp.ndarray] = None,
     rms_norm_eps: float = 1e-5,
     padding_mask: Optional[jnp.ndarray] = None,
+    return_state: bool = False,
 ) -> jnp.ndarray:
     """The full falcon-h1/mamba2 mixer (HF FalconH1Mixer.torch_forward).
 
@@ -125,6 +137,12 @@ def mamba2_mixer(
     conv_b [convC]?, dt_bias [H], A_log [H], D [H], out_proj [D, d_ssm].
     padding_mask [B, T] (1 = real) zeroes padded tokens before the conv
     and scan (HF apply_mask_to_padding_states).
+
+    return_state=True also returns (conv_state [B, K-1, convC] fp32 — the
+    trailing pre-activation conv window — and ssm_state [B, H, P, N] fp32)
+    for decode continuation via `mamba2_mixer_step`. Left-padded prompts
+    are safe (state is zero through pads); right padding would decay the
+    state and is the caller's responsibility to avoid.
     """
     bsz, t, _ = x.shape
     dtype = x.dtype
@@ -139,6 +157,7 @@ def mamba2_mixer(
     xBC = proj[..., d_ssm:d_ssm + conv_dim]
     dt = proj[..., d_ssm + conv_dim:]                    # [B, T, H]
 
+    xBC_pre = xBC.astype(jnp.float32)                    # pre-conv window
     xBC = causal_conv1d(xBC, p["conv_w"].astype(jnp.float32),
                         p.get("conv_b"))
     xBC = jax.nn.silu(xBC.astype(jnp.float32))
@@ -160,10 +179,24 @@ def mamba2_mixer(
     Cm = jnp.repeat(Cm.reshape(bsz, t, n_groups, d_state), rep, axis=2)
 
     y = ssd_chunked(xs * dt[..., None], A[None, None, :] * dt,
-                    Bm, Cm, chunk_size)
+                    Bm, Cm, chunk_size, return_final=return_state)
+    if return_state:
+        y, ssm_state = y
     y = y + xs * p["D"].astype(jnp.float32)[None, None, :, None]
     y = y.reshape(bsz, t, d_ssm)
 
+    out = _gate_norm_out(y, gate, p, dtype, rms_norm_weight, rms_norm_eps)
+    if not return_state:
+        return out
+    k = p["conv_w"].shape[-1]
+    if t >= k - 1:
+        conv_state = xBC_pre[:, t - (k - 1):, :]
+    else:
+        conv_state = jnp.pad(xBC_pre, ((0, 0), (k - 1 - t, 0), (0, 0)))
+    return out, (conv_state, ssm_state)
+
+
+def _gate_norm_out(y, gate, p, dtype, rms_norm_weight, rms_norm_eps):
     if rms_norm_weight is not None:
         # gated rms norm (mamba_rms_norm=True variant): norm(y * silu(g))
         g = jax.nn.silu(gate.astype(jnp.float32))
@@ -174,3 +207,77 @@ def mamba2_mixer(
     else:
         y = y * jax.nn.silu(gate.astype(jnp.float32))
     return jnp.dot(y.astype(dtype), p["out_proj"].T.astype(dtype))
+
+
+def mamba2_mixer_step(
+    x: jnp.ndarray,
+    p: Dict[str, Any],
+    state: Tuple[jnp.ndarray, jnp.ndarray],
+    *,
+    d_ssm: int,
+    n_heads: int,
+    head_dim: int,
+    n_groups: int,
+    d_state: int,
+    time_step_limit: Tuple[float, float] = (0.0, float("inf")),
+    ssm_in_multiplier: float = 1.0,
+    mup_vector: Optional[jnp.ndarray] = None,
+    rms_norm_weight: Optional[jnp.ndarray] = None,
+    rms_norm_eps: float = 1e-5,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Single-token recurrent step (HF FalconH1Mixer cached-decode path).
+
+    x [B, 1, D]; state = (conv_state [B, K-1, convC] fp32,
+    ssm_state [B, H, P, N] fp32). Returns (y [B, 1, D], new state).
+    Matches `mamba2_mixer(return_state=True)` exactly: the recurrence
+    s' = s * exp(A·dt) + B ⊗ (x·dt); y = C·s' + D·x is the one-token
+    specialization of the chunked SSD scan.
+    """
+    conv_state, ssm_state = state
+    bsz = x.shape[0]
+    dtype = x.dtype
+    x = x * ssm_in_multiplier
+    proj = jnp.dot(x, p["in_proj"].T.astype(x.dtype))
+    if mup_vector is not None:
+        proj = proj * mup_vector.astype(proj.dtype)
+    conv_dim = d_ssm + 2 * n_groups * d_state
+    gate = proj[..., :d_ssm]
+    xBC = proj[..., d_ssm:d_ssm + conv_dim]
+    dt = proj[..., d_ssm + conv_dim:]                    # [B, 1, H]
+
+    w = p["conv_w"]
+    if w.ndim == 3:
+        w = w[:, 0, :]
+    w = w.astype(jnp.float32)                            # [convC, K]
+    window = jnp.concatenate(
+        [conv_state, xBC.astype(jnp.float32)], axis=1)   # [B, K, convC]
+    conv = jnp.einsum("bkc,ck->bc", window, w)
+    if p.get("conv_b") is not None:
+        conv = conv + p["conv_b"].astype(jnp.float32)
+    xBC = jax.nn.silu(conv)[:, None, :]                  # [B, 1, convC]
+    new_conv_state = window[:, 1:, :]
+
+    xs = xBC[..., :d_ssm]
+    Bm = xBC[..., d_ssm:d_ssm + n_groups * d_state]
+    Cm = xBC[..., d_ssm + n_groups * d_state:]
+
+    dt = jax.nn.softplus(dt.astype(jnp.float32)
+                         + p["dt_bias"].astype(jnp.float32))[:, 0]  # [B,H]
+    dt = jnp.clip(dt, time_step_limit[0], time_step_limit[1])
+    A = -jnp.exp(p["A_log"].astype(jnp.float32))         # [H]
+
+    xs = xs.reshape(bsz, n_heads, head_dim)
+    rep = n_heads // n_groups
+    Bm = jnp.repeat(Bm.reshape(bsz, n_groups, d_state), rep, axis=1)
+    Cm = jnp.repeat(Cm.reshape(bsz, n_groups, d_state), rep, axis=1)
+
+    decay = jnp.exp(A[None, :] * dt)                     # [B, H]
+    xd = xs * dt[..., None]                              # [B, H, P]
+    new_ssm = ssm_state * decay[:, :, None, None] \
+        + xd[..., None] * Bm[:, :, None, :]              # [B, H, P, N]
+    y = jnp.einsum("bhn,bhpn->bhp", Cm, new_ssm)
+    y = y + xs * p["D"].astype(jnp.float32)[None, :, None]
+    y = y.reshape(bsz, 1, d_ssm)
+
+    out = _gate_norm_out(y, gate, p, dtype, rms_norm_weight, rms_norm_eps)
+    return out, (new_conv_state, new_ssm)
