@@ -306,3 +306,72 @@ def test_qwen3_next_parity(tmp_path_factory):
     hf = Qwen3NextForCausalLM.from_pretrained(path,
                                               torch_dtype=torch.float32)
     _parity(path, hf, "qwen3_next", atol=2e-3, rtol=1e-2, t=24)
+
+
+def test_gemma3n_parity(tmp_path_factory):
+    """gemma-3n text: AltUp 4-stream hiddens (predict/correct mixing),
+    Laurel low-rank residual, per-layer input embeddings, gaussian-topk
+    activation sparsity, v-norm, attention scale 1.0, sliding/full
+    pattern with local rope (STATUS r2 gap #1; reference reaches gemma-3n
+    via FastModel auto path, README.md:187)."""
+    from transformers import Gemma3nTextConfig, Gemma3nForCausalLM
+
+    cfg = Gemma3nTextConfig(
+        vocab_size=96, vocab_size_per_layer_input=64, hidden_size=32,
+        hidden_size_per_layer_input=8, intermediate_size=64,
+        num_hidden_layers=6, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=16, max_position_embeddings=128, sliding_window=8,
+        laurel_rank=4, altup_num_inputs=4, altup_active_idx=0,
+        altup_coef_clip=120.0, altup_correct_scale=True,
+        num_kv_shared_layers=0,
+        activation_sparsity_pattern=[0.5, 0.5, 0.0, 0.0, 0.0, 0.0],
+        rope_theta=1_000_000.0, rope_local_base_freq=10_000.0,
+        final_logit_softcapping=30.0, tie_word_embeddings=True,
+        pad_token_id=0)
+    torch.manual_seed(0)
+    path = _save(Gemma3nForCausalLM(cfg), tmp_path_factory, "gemma3n")
+    hf = Gemma3nForCausalLM.from_pretrained(path,
+                                            torch_dtype=torch.float32)
+    _parity(path, hf, "gemma3n", atol=2e-3, rtol=1e-2, t=24)
+
+
+def test_gemma3n_lora_train_step(tmp_path_factory):
+    """LoRA grads flow through the AltUp stack and a few adamw steps
+    reduce the loss (gemma-3n fine-tuning is the reference's headline
+    use of the family)."""
+    import optax
+    from transformers import Gemma3nTextConfig, Gemma3nForCausalLM
+
+    cfg = Gemma3nTextConfig(
+        vocab_size=96, vocab_size_per_layer_input=64, hidden_size=32,
+        hidden_size_per_layer_input=8, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=16, max_position_embeddings=128, sliding_window=8,
+        laurel_rank=4, num_kv_shared_layers=0,
+        activation_sparsity_pattern=[0.5, 0.0],
+        tie_word_embeddings=True, pad_token_id=0)
+    torch.manual_seed(1)
+    path = _save(Gemma3nForCausalLM(cfg), tmp_path_factory, "gemma3ntr")
+    model, _ = FastLanguageModel.from_pretrained(path, load_in_4bit=False,
+                                                 dtype="float32")
+    model = FastLanguageModel.get_peft_model(model, r=4)
+    ids = np.arange(1, 17).reshape(1, 16) % 64
+    batch = {"input_ids": jnp.asarray(ids, jnp.int32),
+             "labels": jnp.asarray(ids, jnp.int32)}
+    opt = optax.adamw(1e-2)
+
+    @jax.jit
+    def step(lora, opt_state):
+        loss, g = jax.value_and_grad(
+            lambda lo: model.loss_fn(lo, batch))(lora)
+        up, opt_state = opt.update(g, opt_state, lora)
+        return optax.apply_updates(lora, up), opt_state, loss
+
+    lora, opt_state = model.lora, opt.init(model.lora)
+    first = None
+    for _ in range(12):
+        lora, opt_state, loss = step(lora, opt_state)
+        if first is None:
+            first = float(loss)
+    assert np.isfinite(float(loss))
+    assert float(loss) < first - 0.2, (first, float(loss))

@@ -353,3 +353,49 @@ def test_mla_absorbed_matches_expanded(tmp_path_factory):
         outs[absorb] = np.asarray(logits_from_hidden(model.params, h, cfg))
     np.testing.assert_allclose(outs[True], outs[False], atol=5e-4,
                                rtol=1e-3)
+
+
+def test_gemma3n_decode_matches_training_forward(tmp_path_factory):
+    """gemma-3n decode: AltUp streams are per-token, so the cache is a
+    plain KV cache; prefill + stepwise decode must equal the training
+    forward (itself HF-parity-tested in test_arch_parity)."""
+    import torch
+    from transformers import Gemma3nForCausalLM, Gemma3nTextConfig
+
+    from unsloth_tpu.inference.decode import (forward_with_cache,
+                                              init_cache,
+                                              logits_from_hidden)
+    from unsloth_tpu.models.loader import FastLanguageModel
+
+    cfg_hf = Gemma3nTextConfig(
+        vocab_size=96, vocab_size_per_layer_input=64, hidden_size=32,
+        hidden_size_per_layer_input=8, intermediate_size=64,
+        num_hidden_layers=6, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=16, max_position_embeddings=128, sliding_window=8,
+        laurel_rank=4, num_kv_shared_layers=0,
+        activation_sparsity_pattern=[0.5, 0.5, 0.0, 0.0, 0.0, 0.0],
+        tie_word_embeddings=True, pad_token_id=0)
+    torch.manual_seed(2)
+    path = str(tmp_path_factory.mktemp("gemma3nd"))
+    Gemma3nForCausalLM(cfg_hf).save_pretrained(path,
+                                               safe_serialization=True)
+    model, _ = FastLanguageModel.from_pretrained(path, load_in_4bit=False,
+                                                 dtype="float32")
+    cfg = model.cfg
+    b, t = 2, 12
+    ids = jax.random.randint(jax.random.PRNGKey(0), (b, t), 1, 64)
+    want = np.asarray(model.logits(ids, remat=False))
+
+    cache = init_cache(cfg, b, 32, dtype=jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(7, dtype=jnp.int32)[None], (b, 7))
+    h, cache = forward_with_cache(model.params, None, ids[:, :7], cfg,
+                                  cache, positions=pos)
+    got = [np.asarray(logits_from_hidden(model.params, h, cfg))]
+    for step in range(7, t):
+        p1 = jnp.full((b, 1), step, jnp.int32)
+        h, cache = forward_with_cache(model.params, None,
+                                      ids[:, step:step + 1], cfg, cache,
+                                      positions=p1)
+        got.append(np.asarray(logits_from_hidden(model.params, h, cfg)))
+    got = np.concatenate(got, axis=1)
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-2)

@@ -134,6 +134,10 @@ def forward_with_cache(
     invalid, e.g. slots holding left-pad tokens). Returns hidden [B, T, D].
     """
     b, t = input_ids.shape
+    if cfg.altup is not None:
+        return _gemma3n_forward_with_cache(params, lora, input_ids, cfg,
+                                           cache, positions=positions,
+                                           kv_valid_extra=kv_valid_extra)
     if cfg.hybrid_mamba:
         return _hybrid_forward_with_cache(params, lora, input_ids, cfg,
                                           cache, positions=positions,
@@ -342,6 +346,138 @@ def _hybrid_forward_with_cache(params, lora, input_ids, cfg: ModelConfig,
     x = _norm(x, params["final_norm"], cfg)
     return x, KVCache(k=new_k, v=new_v, length=cache.length + t,
                       conv=new_conv, ssm=new_ssm)
+
+
+def _gemma3n_forward_with_cache(params, lora, input_ids, cfg: ModelConfig,
+                                cache: KVCache, *, positions,
+                                kv_valid_extra=None):
+    """gemma-3n decode: AltUp streams are per-token (no recurrent state
+    besides attention), so the cache is a plain KV cache; each layer's
+    attention reads/writes its own slots. Mirrors our no-cache training
+    forward (HF's no-cache semantics — KV sharing only activates with
+    HF's cache, see models/gemma3n.py docstring)."""
+    from ..models.gemma3n import (_altup_correct, _altup_predict,
+                                  _gaussian_topk, _gelu_tanh,
+                                  _magnitude_match, _rms, _rms_noscale,
+                                  _target_mag)
+
+    a = cfg.altup
+    eps = cfg.rms_norm_eps
+    b, t = input_ids.shape
+    lora_layers = (lora or {}).get("layers")
+    embed_w = (lora or {}).get("embed")
+    if embed_w is None:
+        embed_w = params["embed"]
+    x0 = jnp.take(embed_w, input_ids, axis=0)
+    if cfg.embed_scale is not None:
+        x0 = x0 * jnp.asarray(cfg.embed_scale, dtype=x0.dtype)
+
+    p = a.hidden_per_layer
+    n_layers = cfg.num_layers
+    pl_ids = jnp.where(input_ids < a.vocab_per_layer, input_ids, 0)
+    pl_emb = jnp.take(params["embed_per_layer"], pl_ids, axis=0)
+    pl_emb = pl_emb * jnp.asarray(float(p) ** 0.5, pl_emb.dtype)
+    pl_emb = pl_emb.reshape(b, t, n_layers, p)
+    pl_proj = jnp.dot(x0, params["per_layer_model_proj"].T.astype(x0.dtype))
+    pl_proj = pl_proj * jnp.asarray(cfg.hidden_size ** -0.5, x0.dtype)
+    pl_proj = pl_proj.reshape(b, t, n_layers, p)
+    pl_proj = _rms(pl_proj, params["per_layer_proj_norm"], eps)
+    per_layer_inputs = (pl_proj + pl_emb) * jnp.asarray(2.0 ** -0.5,
+                                                        x0.dtype)
+
+    cos, sin, cos_l, sin_l = _rope_tables(cfg, positions)
+
+    tm = _target_mag(x0)
+    streams = [x0]
+    for i in range(1, a.num_inputs):
+        y = jnp.dot(x0, params[f"altup_proj_{i}"].T.astype(x0.dtype))
+        streams.append(_magnitude_match(y, tm))
+    h = jnp.stack(streams, axis=0)
+
+    s_max = cache.k[0].shape[1]
+    kv_slots = jnp.arange(s_max, dtype=jnp.int32)[None]
+    kv_valid = jnp.broadcast_to(kv_slots < (cache.length + t), (b, s_max))
+    if kv_valid_extra is not None:
+        kv_valid = kv_valid & kv_valid_extra
+    q_slots = cache.length + jnp.arange(t, dtype=jnp.int32)[None]
+    q_slots = jnp.broadcast_to(q_slots, (b, t))
+
+    new_k, new_v = [], []
+    for i, layer_p in enumerate(params["layers"]):
+        lora_p = lora_layers[i] if lora_layers else None
+        predictions = _altup_predict(h, layer_p, cfg)
+        active = predictions[a.active_idx]
+        a_norm = _rms(active, layer_p["input_norm"], eps)
+
+        lr = jnp.dot(a_norm, layer_p["laurel_left"].T.astype(a_norm.dtype))
+        lr = jnp.dot(lr, layer_p["laurel_right"].T.astype(a_norm.dtype))
+        laurel = a_norm + _rms(lr, layer_p["laurel_norm"], eps)
+
+        hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+        q = _proj(a_norm, layer_p, lora_p, "q").reshape(b, t, hq, dh)
+        k = _proj(a_norm, layer_p, lora_p, "k").reshape(b, t, hkv, dh)
+        v = _proj(a_norm, layer_p, lora_p, "v").reshape(b, t, hkv, dh)
+        from ..ops.rms_norm import rms_norm as _rmsn
+
+        q = _rmsn(q, layer_p["q_norm"], eps, False)
+        k = _rmsn(k, layer_p["k_norm"], eps, False)
+        v = _rms_noscale(v, eps)
+        kind = cfg.layer_kind(i)
+        if kind == "sliding" and cos_l is not None:
+            q, k = apply_rope_qk(q, k, cos_l, sin_l)
+        else:
+            q, k = apply_rope_qk(q, k, cos, sin)
+
+        k_cache = jax.lax.dynamic_update_slice(
+            cache.k[i], k.astype(cache.k[i].dtype), (0, cache.length, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            cache.v[i], v.astype(cache.v[i].dtype), (0, cache.length, 0, 0))
+        new_k.append(k_cache)
+        new_v.append(v_cache)
+
+        window = cfg.sliding_window if kind == "sliding" else None
+        attn = _attend_cached(
+            q, k_cache, v_cache, q_slots=q_slots, kv_len_mask=kv_valid,
+            window=window, softcap=None, scale=cfg.attn_logit_scale)
+        attn = _proj(attn.reshape(b, t, hq * dh), layer_p, lora_p, "o")
+        attn = _rms(attn, layer_p["post_attn_out_norm"], eps)
+
+        attn_gated = active + attn
+        attn_laurel = (attn_gated + laurel) * (2.0 ** -0.5)
+
+        h2 = _rms(attn_laurel, layer_p["pre_ffw_norm"], eps)
+        gate = _proj(h2, layer_p, lora_p, "gate")
+        sparsity = a.activation_sparsity[i] \
+            if i < len(a.activation_sparsity) else 0.0
+        if sparsity > 0.0:
+            gate = _gaussian_topk(gate, sparsity)
+        up = _proj(h2, layer_p, lora_p, "up")
+        mlp = _proj(_gelu_tanh(gate) * up, layer_p, lora_p, "down")
+        mlp = _rms(mlp, layer_p["post_ffw_norm"], eps)
+        activated = attn_laurel + mlp
+
+        corrected = _altup_correct(predictions, activated, layer_p, cfg)
+        first = corrected[a.active_idx]
+        if a.correct_scale:
+            first = (first.astype(jnp.float32)
+                     * layer_p["altup_correct_scale"].astype(jnp.float32)
+                     ).astype(first.dtype)
+        g = _gelu_tanh(jnp.dot(first,
+                               layer_p["pli_gate"].T.astype(first.dtype)))
+        g = g * per_layer_inputs[:, :, i, :]
+        proj = jnp.dot(g, layer_p["pli_proj"].T.astype(g.dtype))
+        proj = _rms(proj, layer_p["pli_norm"], eps)
+        h = jnp.concatenate([corrected[:1], corrected[1:] + proj[None]],
+                            axis=0)
+
+    tm = _target_mag(h[0])
+    outs = [h[0]]
+    for i in range(1, a.num_inputs):
+        y = jnp.dot(h[i], params[f"altup_unembed_{i}"].T.astype(h.dtype))
+        outs.append(_magnitude_match(y, tm))
+    x = jnp.mean(jnp.stack(outs, axis=0), axis=0)
+    x = _rms(x, params["final_norm"], eps)
+    return x, KVCache(k=new_k, v=new_v, length=cache.length + t)
 
 
 def _materialize_weight(w, lora=None, dtype=jnp.float32):

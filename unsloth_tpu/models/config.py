@@ -187,6 +187,9 @@ class ModelConfig:
     gdn: Optional["GDNConfig"] = None
     gated_attention: bool = False
 
+    # gemma-3n: AltUp multi-stream hiddens + Laurel + per-layer embeddings
+    altup: Optional["AltUpConfig"] = None
+
     # Special tokens
     bos_token_id: Optional[int] = None
     eos_token_id: Optional[int] = None
@@ -623,6 +626,76 @@ def _build_gemma(cls, hf, model_type, name):
     return cls(model_type=model_type, name=name, **kw)
 
 
+@dataclasses.dataclass(frozen=True)
+class AltUpConfig:
+    """gemma-3n text extras (HF Gemma3nTextConfig; the reference reaches
+    gemma-3n through FastModel's auto path — loader.py dispatch):
+    AltUp multi-stream hiddens, Laurel low-rank residual, per-layer
+    embeddings, activation sparsity, KV-shared tail layers."""
+
+    num_inputs: int = 4
+    active_idx: int = 0
+    coef_clip: Optional[float] = None
+    correct_scale: bool = True
+    laurel_rank: int = 64
+    hidden_per_layer: int = 256
+    vocab_per_layer: int = 262144
+    num_kv_shared_layers: int = 0
+    activation_sparsity: Tuple[float, ...] = ()
+
+
+def _build_gemma3n(cls, hf, model_type, name):
+    """gemma-3n text: AltUp (4-stream hiddens with learned predict/correct
+    mixing), Laurel block, per-layer input embeddings, gaussian-topk
+    activation sparsity in early layers, sliding/full pattern with local
+    rope, v-norm, attention scale 1.0."""
+    inter = hf.get("intermediate_size", 16384)
+    if isinstance(inter, (list, tuple)):
+        inter = inter[0]
+    hf = dict(hf, intermediate_size=int(inter))
+    kw = _common(hf)
+    n_layers = kw["num_layers"]
+    kw["tie_word_embeddings"] = bool(hf.get("tie_word_embeddings", True))
+    act = (hf.get("hidden_activation") or hf.get("hidden_act")
+           or "gelu_pytorch_tanh")
+    kw["hidden_act"] = {"gelu_pytorch_tanh": "gelu_tanh"}.get(act, act)
+    layer_types = hf.get("layer_types") or [
+        "full_attention" if (i + 1) % 5 == 0 else "sliding_attention"
+        for i in range(n_layers)]
+    sparsity = hf.get("activation_sparsity_pattern")
+    if sparsity is None:
+        sparsity = [0.0] * n_layers
+    kw.update(
+        intermediate_size=int(inter),
+        qk_norm=True,
+        use_post_norms=True,
+        embed_scale=float(kw["hidden_size"]) ** 0.5,
+        final_softcap=float(hf["final_logit_softcapping"])
+        if hf.get("final_logit_softcapping") else None,
+        attn_logit_scale=1.0,  # HF Gemma3nTextAttention scaling=1.0
+        sliding_window=int(hf.get("sliding_window", 512)),
+        layer_pattern=tuple(
+            "sliding" if t == "sliding_attention" else "global"
+            for t in layer_types),
+        rope_local_theta=float(hf.get("rope_local_base_freq", 10000.0)),
+        altup=AltUpConfig(
+            num_inputs=int(hf.get("altup_num_inputs", 4)),
+            active_idx=int(hf.get("altup_active_idx", 0)),
+            coef_clip=(float(hf["altup_coef_clip"])
+                       if hf.get("altup_coef_clip") else None),
+            correct_scale=bool(hf.get("altup_correct_scale", True)),
+            laurel_rank=int(hf.get("laurel_rank", 64)),
+            hidden_per_layer=int(hf.get("hidden_size_per_layer_input",
+                                        256)),
+            vocab_per_layer=int(hf.get("vocab_size_per_layer_input",
+                                       262144)),
+            num_kv_shared_layers=int(hf.get("num_kv_shared_layers", 0)),
+            activation_sparsity=tuple(float(s) for s in sparsity),
+        ),
+    )
+    return cls(model_type="gemma3n", name=name, **kw)
+
+
 def _build_llama4(cls, hf, model_type, name):
     """Llama-4 text (reference: models/llama4.py): interleaved RoPE with
     NoPE layers, chunked local attention, L2 qk-norm, temperature-tuned
@@ -707,6 +780,8 @@ _HF_BUILDERS = {
     "gemma": _build_gemma,
     "gemma2": _build_gemma,
     "gemma3": _build_gemma,
+    "gemma3n": _build_gemma3n,
+    "gemma3n_text": _build_gemma3n,
     "gemma3_text": _build_gemma,
     "gpt_oss": _build_gpt_oss,
     "llama4": _build_llama4,

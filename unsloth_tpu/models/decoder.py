@@ -538,6 +538,14 @@ def forward(
         instead of hand-written D2H copies, so the compiler overlaps the
         transfers with compute.
     """
+    if cfg.altup is not None:
+        # gemma-3n: multi-stream AltUp stack lives in its own module
+        from .gemma3n import gemma3n_forward
+
+        return gemma3n_forward(params, lora, input_ids, cfg,
+                               positions=positions,
+                               segment_ids=segment_ids,
+                               remat=remat, remat_policy=remat_policy)
     b, t = input_ids.shape
     if positions is None:
         positions = jnp.broadcast_to(

@@ -55,16 +55,31 @@ class CheckpointReader:
                 for name in f.keys():
                     self._name_to_file[name] = "model.safetensors"
         self._open_files: Dict[str, Any] = {}
+        self._aliases: Dict[str, str] = {}
+        for name in list(self._name_to_file):
+            # gemma-3n-style checkpoints nest the text tower under
+            # model.language_model.* (and HF's key-mapping regex mangles
+            # per_layer_model_projection); alias back to model.* names.
+            alias = name
+            if "per_layer_model.language_model_projection" in alias:
+                alias = alias.replace(
+                    "per_layer_model.language_model_projection",
+                    "per_layer_model_projection")
+            if alias.startswith("model.language_model."):
+                alias = "model." + alias[len("model.language_model."):]
+            if alias != name and alias not in self._name_to_file:
+                self._aliases[alias] = name
 
     def names(self) -> Iterable[str]:
         return self._name_to_file.keys()
 
     def __contains__(self, name: str) -> bool:
-        return name in self._name_to_file
+        return name in self._name_to_file or name in self._aliases
 
     def get(self, name: str) -> np.ndarray:
         from safetensors import safe_open
 
+        name = self._aliases.get(name, name)
         fname = self._name_to_file[name]
         if fname not in self._open_files:
             self._open_files[fname] = safe_open(

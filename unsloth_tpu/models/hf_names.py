@@ -79,6 +79,29 @@ _MLA_MAP = {
 }
 
 
+# gemma-3n per-layer extras (HF Gemma3nTextDecoderLayer / AltUp / Laurel)
+_GEMMA3N_LAYER_MAP = {
+    "altup_correct_scale": "altup.correct_output_scale",
+    "altup_corr_coefs": "altup.correction_coefs.weight",
+    "altup_pred_coefs": "altup.prediction_coefs.weight",
+    "altup_router": "altup.modality_router.weight",
+    "altup_router_norm": "altup.router_norm.weight",
+    "laurel_left": "laurel.linear_left.weight",
+    "laurel_right": "laurel.linear_right.weight",
+    "laurel_norm": "laurel.post_laurel_norm.weight",
+    "pli_gate": "per_layer_input_gate.weight",
+    "pli_proj": "per_layer_projection.weight",
+    "pli_norm": "post_per_layer_input_norm.weight",
+}
+
+# gemma-3n top-level extras (HF Gemma3nTextModel)
+_GEMMA3N_TOP_MAP = {
+    "embed_per_layer": "model.embed_tokens_per_layer.weight",
+    "per_layer_model_proj": "model.per_layer_model_projection.weight",
+    "per_layer_proj_norm": "model.per_layer_projection_norm.weight",
+}
+
+
 def layer_name_map(cfg: ModelConfig, layer_idx: int) -> Dict[str, str]:
     """our name -> HF name for one decoder layer (non-expert tensors)."""
     prefix = f"model.layers.{layer_idx}."
@@ -117,6 +140,8 @@ def layer_name_map(cfg: ModelConfig, layer_idx: int) -> Dict[str, str]:
             m.pop("mamba_norm")
         if not (cfg.mamba and cfg.mamba.conv_bias):
             m.pop("mamba_conv_b")
+    if cfg.altup is not None:
+        m.update(_GEMMA3N_LAYER_MAP)
     out = {ours: prefix + hf for ours, hf in m.items()}
     if cfg.attn_sinks:
         out["sinks"] = prefix + "self_attn.sinks"
@@ -189,6 +214,12 @@ def top_level_map(cfg: ModelConfig) -> Dict[str, str]:
         m.pop("lm_head")
     if cfg.hybrid_mamba:
         m["final_norm"] = "model.final_layernorm.weight"
+    if cfg.altup is not None:
+        m.update(_GEMMA3N_TOP_MAP)
+        for i in range(1, cfg.altup.num_inputs):
+            m[f"altup_proj_{i}"] = f"model.altup_projections.{i - 1}.weight"
+            m[f"altup_unembed_{i}"] = \
+                f"model.altup_unembed_projections.{i - 1}.weight"
     return m
 
 
