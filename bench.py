@@ -147,7 +147,11 @@ def build_moe_model(cfg, key):
         for name, shape in (("gate", (e, f, d)), ("up", (e, f, d)),
                             ("down", (e, d, f))):
             w = rand(shape)
-            experts[name] = quantize_nf4_stacked(w, dtype=jnp.bfloat16)
+            # block 32: splits-half boundary alignment (in/2 % bs == 0
+            # for gpt-oss's 2880) enables the fused nf4_gmm kernel
+            bs = 64 if (shape[-1] // 2) % 64 == 0 else 32
+            experts[name] = quantize_nf4_stacked(w, block_size=bs,
+                                                 dtype=jnp.bfloat16)
             jax.block_until_ready(experts[name].packed)
         experts["gate_bias"] = jnp.zeros((e, f), jnp.bfloat16)
         experts["up_bias"] = jnp.zeros((e, f), jnp.bfloat16)

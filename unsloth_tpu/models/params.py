@@ -139,12 +139,22 @@ def quantize_params(params: Dict[str, Any], cfg: ModelConfig,
                     dtype=dtype)
             elif name == "experts" and "experts" not in skip:
                 # MoE QLoRA: stacked per-expert NF4 (gpt-oss-class MoE is
-                # mostly expert params — this is what fits it on a chip)
+                # mostly expert params — this is what fits it on a chip).
+                # The fused nf4_gmm kernel needs quant blocks aligned to
+                # the split-half packing boundary (in/2 % bs == 0); drop
+                # to a 32-elem block when 64 doesn't align (e.g. gpt-oss
+                # 2880 -> half 1440 = 45*32).
+                def _bs(in_f: int) -> int:
+                    for b in (block_size, 32):
+                        if in_f % b == 0 and (in_f // 2) % b == 0:
+                            return b
+                    return 0
+
                 new_layer[name] = {
-                    en: (quantize_nf4_stacked(ew, block_size=block_size,
-                                              dtype=dtype)
+                    en: (quantize_nf4_stacked(ew, block_size=_bs(
+                        ew.shape[-1]), dtype=dtype)
                          if hasattr(ew, "ndim") and ew.ndim == 3
-                         and ew.shape[-1] % block_size == 0 else ew)
+                         and _bs(ew.shape[-1]) else ew)
                     for en, ew in w.items()
                 }
             else:

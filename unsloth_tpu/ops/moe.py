@@ -131,11 +131,21 @@ def moe_mlp_grouped(x, router_logits, experts: Dict[str, jnp.ndarray],
     """Grouped-GEMM implementation. Same signature/semantics as dense."""
     from jax.experimental.pallas.ops.tpu.megablox import gmm
 
+    from .nf4 import NF4Stacked
+    from .nf4_gmm import nf4_gmm, use_nf4_gmm
+
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     n, d = x.shape
-    experts = _dense_experts(experts, x.dtype)
+    # NF4Stacked experts with aligned blocks run the fused
+    # dequant-inside-gmm kernel (4.2x faster fwd than dequantize+gmm at
+    # gpt-oss dims, measured on v5e); others are materialized transiently.
+    fused = {name: isinstance(w, NF4Stacked) and use_nf4_gmm(w)
+             for name, w in experts.items()}
+    experts = {name: (w if fused[name]
+                      else _dense_experts({name: w}, x.dtype)[name])
+               for name, w in experts.items()}
     num_experts = experts["gate"].shape[0]
     k = num_experts_per_tok
     weights, sel = _route(router_logits, k, norm_topk_prob,
@@ -192,7 +202,12 @@ def moe_mlp_grouped(x, router_logits, experts: Dict[str, jnp.ndarray],
                   transpose_rhs=True, interpret=interpret)
         return out[:, :n0] if np_ else out
 
-    gmm_ = tiled_gmm
+    def gmm_(lhs, name):
+        w = experts[name]
+        if fused[name]:
+            return nf4_gmm(lhs, w, group_sizes)
+        return tiled_gmm(lhs, w)
+
     sorted_expert = jnp.take(flat_expert, order)            # [N*k]
 
     def bias(name):
@@ -201,10 +216,10 @@ def moe_mlp_grouped(x, router_logits, experts: Dict[str, jnp.ndarray],
             if b is not None else 0
 
     # gate/up: [E, F, D] with transpose_rhs => contracts D
-    e = gmm_(xs, experts["gate"]).astype(x.dtype) + bias("gate_bias")
-    g = gmm_(xs, experts["up"]).astype(x.dtype) + bias("up_bias")
+    e = gmm_(xs, "gate").astype(x.dtype) + bias("gate_bias")
+    g = gmm_(xs, "up").astype(x.dtype) + bias("up_bias")
     h = glu(e, g)
-    y = gmm_(h, experts["down"]).astype(x.dtype) + bias("down_bias")
+    y = gmm_(h, "down").astype(x.dtype) + bias("down_bias")
 
     out = jnp.zeros((n, d), x.dtype)
     if scale_input:
