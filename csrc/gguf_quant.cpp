@@ -509,3 +509,225 @@ void dequantize_q6_K(const uint8_t* src, float* dst, int64_t n) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// IQ4_NL / IQ4_XS — non-linear 4-bit quantization.
+//
+// Transcribes ggml's quantize_row_iq4_nl_impl (ggml-quants.c; ggml is MIT
+// licensed) — identical arithmetic is REQUIRED for llama.cpp-compatible
+// artifacts (reference: save.py:3806 runs llama-quantize for IQ types).
+// The 16-entry non-linear codebook (kvalues_iq4nl) is a public constant.
+// Optional per-row quant_weights plug in our imatrix collection
+// (export/imatrix.py), matching llama.cpp's imatrix-weighted IQ4 search.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+const int8_t kvalues_iq4nl[16] = {
+    -127, -104, -83, -65, -49, -35, -22, -10, 1, 13, 25, 38, 53, 69, 89, 113,
+};
+
+constexpr float GROUP_MAX_EPS = 1e-15f;
+
+inline int best_index_int8(int n, const int8_t* val, float x) {
+    if (x <= val[0]) return 0;
+    if (x >= val[n - 1]) return n - 1;
+    int ml = 0, mu = n - 1;
+    while (mu - ml > 1) {
+        int mav = (ml + mu) / 2;
+        if (x < val[mav]) mu = mav; else ml = mav;
+    }
+    return x - val[mu - 1] < val[mu] - x ? mu - 1 : mu;
+}
+
+// One super-block; ggml's quantize_row_iq4_nl_impl with ntry=7.
+void quantize_iq4_block(const int super_block_size, const int block_size,
+                        const float* x, uint16_t* dh, uint8_t* q4,
+                        uint16_t* scales_h, uint8_t* scales_l,
+                        float* scales, float* weights, uint8_t* L,
+                        const int8_t* values, const float* quant_weights,
+                        const int ntry) {
+    float sigma2 = 0;
+    for (int j = 0; j < super_block_size; ++j) sigma2 += x[j] * x[j];
+    sigma2 *= 2.f / super_block_size;
+
+    std::memset(q4, 0, super_block_size / 2);
+    dh[0] = fp32_to_fp16(0.f);
+
+    float max_scale = 0, amax_scale = 0;
+    for (int ib = 0; ib < super_block_size / block_size; ++ib) {
+        const float* xb = x + ib * block_size;
+        uint8_t* Lb = L + ib * block_size;
+        if (quant_weights) {
+            const float* qw = quant_weights + ib * block_size;
+            for (int j = 0; j < block_size; ++j)
+                weights[j] = qw[j] * std::sqrt(sigma2 + xb[j] * xb[j]);
+        } else {
+            for (int j = 0; j < block_size; ++j) weights[j] = xb[j] * xb[j];
+        }
+        float amax = 0, max = 0;
+        for (int j = 0; j < block_size; ++j) {
+            float ax = std::fabs(xb[j]);
+            if (ax > amax) { amax = ax; max = xb[j]; }
+        }
+        if (amax < GROUP_MAX_EPS) { scales[ib] = 0; continue; }
+        float d = ntry > 0 ? -max / values[0] : max / values[0];
+        float id = 1 / d;
+        float sumqx = 0, sumq2 = 0;
+        for (int j = 0; j < block_size; ++j) {
+            float al = id * xb[j];
+            int l = best_index_int8(16, values, al);
+            Lb[j] = (uint8_t)l;
+            float q = values[l];
+            float w = weights[j];
+            sumqx += w * q * xb[j];
+            sumq2 += w * q * q;
+        }
+        d = sumqx / sumq2;
+        float best = d * sumqx;
+        for (int itry = -ntry; itry <= ntry; ++itry) {
+            id = (itry + values[0]) / max;
+            sumqx = sumq2 = 0;
+            for (int j = 0; j < block_size; ++j) {
+                float al = id * xb[j];
+                int l = best_index_int8(16, values, al);
+                float q = values[l];
+                float w = weights[j];
+                sumqx += w * q * xb[j];
+                sumq2 += w * q * q;
+            }
+            if (sumq2 > 0 && sumqx * sumqx > best * sumq2) {
+                d = sumqx / sumq2;
+                best = d * sumqx;
+            }
+        }
+        scales[ib] = d;
+        float abs_d = std::fabs(d);
+        if (abs_d > amax_scale) { amax_scale = abs_d; max_scale = d; }
+    }
+
+    if (super_block_size / block_size > 1) {
+        std::memset(scales_h, 0,
+                    (super_block_size / (8 * block_size)) * sizeof(uint16_t));
+        float d = -max_scale / 32;
+        dh[0] = fp32_to_fp16(d);
+        float id = d ? 1 / d : 0.f;
+        for (int ib = 0; ib < super_block_size / block_size; ++ib) {
+            int l = (int)std::nearbyint(id * scales[ib]);
+            l = l < -32 ? -32 : (l > 31 ? 31 : l);
+            float dl = d * l;
+            float idl = dl ? 1 / dl : 0.f;
+            uint8_t* Lb = L + ib * block_size;
+            const float* xb = x + ib * block_size;
+            for (int j = 0; j < block_size; ++j)
+                Lb[j] = (uint8_t)best_index_int8(16, values, idl * xb[j]);
+            l += 32;
+            uint8_t l_l = (uint8_t)(l & 0xF);
+            uint8_t l_h = (uint8_t)(l >> 4);
+            if (ib % 2 == 0) scales_l[ib / 2] = l_l;
+            else scales_l[ib / 2] |= (uint8_t)(l_l << 4);
+            scales_h[ib / 8] |= (uint16_t)(l_h << (2 * (ib % 8)));
+        }
+    } else {
+        dh[0] = fp32_to_fp16(scales[0]);
+        if (ntry > 0) {
+            float id = scales[0] ? 1 / scales[0] : 0;
+            for (int j = 0; j < super_block_size; ++j)
+                L[j] = (uint8_t)best_index_int8(16, values, id * x[j]);
+        }
+    }
+
+    for (int i = 0; i < super_block_size / 32; ++i) {
+        for (int j = 0; j < 16; ++j)
+            q4[16 * i + j] =
+                (uint8_t)(L[32 * i + j] | (L[32 * i + 16 + j] << 4));
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// block_iq4_nl: { fp16 d; uint8 qs[16]; } = 18 B per 32 elements.
+// quant_weights: per-row imatrix weights [n_per_row] or NULL.
+void quantize_iq4_nl(const float* src, uint8_t* dst, int64_t nrow,
+                     int64_t n_per_row, const float* quant_weights) {
+    float scales[1], weights[32];
+    uint8_t L[32];
+    uint16_t unused_h;
+    uint8_t unused_l[4];
+    for (int64_t r = 0; r < nrow; ++r) {
+        const float* x = src + r * n_per_row;
+        uint8_t* y = dst + r * (n_per_row / 32) * 18;
+        for (int64_t ib = 0; ib < n_per_row / 32; ++ib) {
+            uint8_t* b = y + ib * 18;
+            const float* qw =
+                quant_weights ? quant_weights + 32 * ib : nullptr;
+            quantize_iq4_block(32, 32, x + 32 * ib, (uint16_t*)b, b + 2,
+                               &unused_h, unused_l, scales, weights, L,
+                               kvalues_iq4nl, qw, 7);
+        }
+    }
+}
+
+void dequantize_iq4_nl(const uint8_t* src, float* dst, int64_t n) {
+    const int64_t nb = n / 32;
+    for (int64_t ib = 0; ib < nb; ++ib) {
+        const uint8_t* y = src + ib * 18;
+        float* x = dst + ib * 32;
+        uint16_t dh;
+        std::memcpy(&dh, y, 2);
+        const float d = fp16_to_fp32(dh);
+        const uint8_t* qs = y + 2;
+        for (int j = 0; j < 16; ++j) {
+            x[j] = d * kvalues_iq4nl[qs[j] & 0xF];
+            x[j + 16] = d * kvalues_iq4nl[qs[j] >> 4];
+        }
+    }
+}
+
+// block_iq4_xs: { fp16 d; uint16 scales_h; uint8 scales_l[4];
+//                 uint8 qs[128]; } = 136 B per 256 elements.
+void quantize_iq4_xs(const float* src, uint8_t* dst, int64_t nrow,
+                     int64_t n_per_row, const float* quant_weights) {
+    float scales[8], weights[32];
+    uint8_t L[256];
+    for (int64_t r = 0; r < nrow; ++r) {
+        const float* x = src + r * n_per_row;
+        uint8_t* y = dst + r * (n_per_row / 256) * 136;
+        for (int64_t ib = 0; ib < n_per_row / 256; ++ib) {
+            uint8_t* b = y + ib * 136;
+            const float* qw =
+                quant_weights ? quant_weights + 256 * ib : nullptr;
+            quantize_iq4_block(256, 32, x + 256 * ib, (uint16_t*)b,
+                               b + 8, (uint16_t*)(b + 2), b + 4, scales,
+                               weights, L, kvalues_iq4nl, qw, 7);
+        }
+    }
+}
+
+void dequantize_iq4_xs(const uint8_t* src, float* dst, int64_t n) {
+    const int64_t nb = n / 256;
+    for (int64_t ib = 0; ib < nb; ++ib) {
+        const uint8_t* y = src + ib * 136;
+        float* x = dst + ib * 256;
+        uint16_t dh, scales_h;
+        std::memcpy(&dh, y, 2);
+        std::memcpy(&scales_h, y + 2, 2);
+        const float d = fp16_to_fp32(dh);
+        const uint8_t* scales_l = y + 4;
+        const uint8_t* qs = y + 8;
+        for (int ib32 = 0; ib32 < 8; ++ib32) {
+            int ls = ((scales_l[ib32 / 2] >> (4 * (ib32 % 2))) & 0xF)
+                     | (((scales_h >> (2 * ib32)) & 3) << 4);
+            const float dl = d * (ls - 32);
+            const uint8_t* q = qs + 16 * ib32;
+            for (int j = 0; j < 16; ++j) {
+                x[32 * ib32 + j] = dl * kvalues_iq4nl[q[j] & 0xF];
+                x[32 * ib32 + 16 + j] = dl * kvalues_iq4nl[q[j] >> 4];
+            }
+        }
+    }
+}
+
+}  // extern "C"

@@ -305,3 +305,100 @@ def test_compressed_tensors_export(tmp_path, rng, scheme):
     rel = np.abs(back - want).max() / np.abs(want).max()
     # fp8 e4m3 has 3 mantissa bits (~6% worst-case step); int8 ~0.8%
     assert rel < (0.06 if scheme == "FP8" else 0.02), rel
+
+
+@pytest.mark.parametrize("ggml_type,max_rmse", [
+    (GGMLType.IQ4_NL, 0.085), (GGMLType.IQ4_XS, 0.085)])
+def test_iq4_roundtrip(ggml_type, max_rmse):
+    """IQ4 non-linear 4-bit codecs (ggml block_iq4_nl / block_iq4_xs;
+    reference: save.py:3806 reaches these via llama-quantize)."""
+    if _native_lib() is None:
+        pytest.skip("native quantizer unavailable")
+    rng = np.random.RandomState(7)
+    x = (rng.randn(16, 1024) * 0.1).astype(np.float32)
+    raw = quantize_tensor(x, ggml_type, n_per_row=1024)
+    bpb, epb = {GGMLType.IQ4_NL: (18, 32),
+                GGMLType.IQ4_XS: (136, 256)}[ggml_type]
+    assert raw.size == x.size // epb * bpb
+    back = dequantize_tensor(raw, ggml_type, x.size)
+    assert _rmse(back, x.reshape(-1)) < max_rmse, _rmse(back, x.reshape(-1))
+
+
+def test_iq4_nl_beats_q4_0():
+    """The non-linear codebook must beat the uniform Q4_0 grid on
+    gaussian weights (that is its whole point)."""
+    if _native_lib() is None:
+        pytest.skip("native quantizer unavailable")
+    rng = np.random.RandomState(8)
+    x = (rng.randn(256, 256) * 0.1).astype(np.float32)
+    iq = dequantize_tensor(quantize_tensor(x, GGMLType.IQ4_NL,
+                                           n_per_row=256),
+                           GGMLType.IQ4_NL, x.size)
+    q40 = dequantize_tensor(quantize_tensor(x, GGMLType.Q4_0),
+                            GGMLType.Q4_0, x.size)
+    flat = x.reshape(-1)
+    assert _rmse(iq, flat) < _rmse(q40, flat), (
+        _rmse(iq, flat), _rmse(q40, flat))
+
+
+def test_iq4_xs_imatrix_lowers_weighted_error():
+    """Per-row imatrix importance weights steer the IQ4_XS search: the
+    weighted-quantized tensor must have lower IMPORTANCE-WEIGHTED error
+    than the unweighted one (llama.cpp imatrix semantics)."""
+    if _native_lib() is None:
+        pytest.skip("native quantizer unavailable")
+    rng = np.random.RandomState(9)
+    x = (rng.randn(64, 512) * 0.1).astype(np.float32)
+    # importance concentrated on a contiguous channel span
+    qw = np.ones(512, np.float32)
+    qw[:128] = 50.0
+    plain = dequantize_tensor(
+        quantize_tensor(x, GGMLType.IQ4_XS, n_per_row=512),
+        GGMLType.IQ4_XS, x.size).reshape(64, 512)
+    weighted = dequantize_tensor(
+        quantize_tensor(x, GGMLType.IQ4_XS, n_per_row=512,
+                        quant_weights=qw),
+        GGMLType.IQ4_XS, x.size).reshape(64, 512)
+    def werr(y):
+        return float((qw[None, :] * (y - x) ** 2).sum())
+    assert werr(weighted) <= werr(plain), (werr(weighted), werr(plain))
+
+
+def test_iq4_zero_block():
+    if _native_lib() is None:
+        pytest.skip("native quantizer unavailable")
+    x = np.zeros(512, np.float32)
+    for t in (GGMLType.IQ4_NL, GGMLType.IQ4_XS):
+        back = dequantize_tensor(quantize_tensor(x, t, n_per_row=512),
+                                 t, x.size)
+        np.testing.assert_array_equal(back, 0)
+
+
+def test_model_export_iq4_xs(tmp_path):
+    """End-to-end: save_to_gguf with iq4_xs (+imatrix) produces a
+    readable container with IQ4_XS tensors and a Q6_K output head."""
+    from unsloth_tpu.export.gguf import save_to_gguf
+    from unsloth_tpu.export.gguf_writer import read_gguf
+    from unsloth_tpu.models.config import ModelConfig
+    from unsloth_tpu.models.loader import LanguageModel
+    from unsloth_tpu.models.params import init_params
+
+    import jax
+
+    cfg = ModelConfig(vocab_size=512, hidden_size=256,
+                      intermediate_size=512, num_layers=2, num_heads=4,
+                      num_kv_heads=2, max_position_embeddings=128)
+    model = LanguageModel(cfg=cfg,
+                          params=init_params(cfg, jax.random.PRNGKey(0)))
+    imatrix = {"blk.0.attn_q.weight": np.abs(
+        np.random.RandomState(0).randn(256).astype(np.float32)) + 0.1}
+    out = str(tmp_path / "m.gguf")
+    save_to_gguf(model, out, quantization_method="iq4_xs",
+                 imatrix=imatrix)
+    md, tensors, data = read_gguf(out, load_tensors=True)
+    assert md["general.file_type"] == 30
+    assert "blk.0.attn_q.weight" in data
+    # reconstruction sanity on the imatrix-weighted tensor
+    orig = np.asarray(model.params["layers"][0]["q"], np.float32)
+    got = data["blk.0.attn_q.weight"].reshape(orig.shape)
+    assert _rmse(got, orig) < 0.1

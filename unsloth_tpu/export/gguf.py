@@ -33,6 +33,7 @@ QUANT_ALIASES = {
     "q4_0": "q4_0",
     "q4_k": "q4_k_m", "q4_k_m": "q4_k_m", "q4_k_s": "q4_k_s",
     "q6_k": "q6_k",
+    "iq4_nl": "iq4_nl", "iq4_xs": "iq4_xs",
 }
 
 _QUANT_TO_TYPE = {
@@ -44,6 +45,8 @@ _QUANT_TO_TYPE = {
     "q4_k_m": GGMLType.Q4_K,
     "q4_k_s": GGMLType.Q4_K,
     "q6_k": GGMLType.Q6_K,
+    "iq4_nl": GGMLType.IQ4_NL,
+    "iq4_xs": GGMLType.IQ4_XS,
 }
 
 
@@ -219,11 +222,15 @@ def _type_for(name: str, arr_shape, base_type: GGMLType,
         return GGMLType.F32
     if base_type in (GGMLType.F32, GGMLType.F16, GGMLType.BF16):
         return base_type
-    block = 256 if base_type in (GGMLType.Q4_K, GGMLType.Q6_K) else 32
+    block = 256 if base_type in (GGMLType.Q4_K, GGMLType.Q6_K,
+                                 GGMLType.IQ4_XS) else 32
     if arr_shape[-1] % block != 0:
         return GGMLType.F16
     if name == "output.weight":
-        return (GGMLType.Q6_K if base_type == GGMLType.Q4_K
+        # llama.cpp upgrades the output head: Q6_K for 4-bit base types
+        return (GGMLType.Q6_K if base_type in (GGMLType.Q4_K,
+                                               GGMLType.IQ4_XS,
+                                               GGMLType.IQ4_NL)
                 and arr_shape[-1] % 256 == 0 else GGMLType.Q8_0)
     if name == "token_embd.weight":
         return GGMLType.Q8_0 if base_type == GGMLType.Q8_0 else base_type
@@ -237,8 +244,13 @@ def _type_for(name: str, arr_shape, base_type: GGMLType,
 
 
 def save_to_gguf(model, path: str, quantization_method: str = "q8_0",
-                 name: Optional[str] = None) -> str:
-    """Merge (if LoRA present) + write one .gguf file. Returns file path."""
+                 name: Optional[str] = None,
+                 imatrix: Optional[Dict[str, np.ndarray]] = None) -> str:
+    """Merge (if LoRA present) + write one .gguf file. Returns file path.
+
+    imatrix: per-tensor importance weights keyed by gguf tensor name
+    (export/imatrix.py collect_imatrix output) — feeds the IQ4 weighted
+    search (reference: save.py:3806 imatrix + IQ quants)."""
     method = QUANT_ALIASES.get(quantization_method.lower())
     if method is None:
         raise ValueError(
@@ -258,9 +270,12 @@ def save_to_gguf(model, path: str, quantization_method: str = "q8_0",
         if gguf_name.endswith("norm.weight") and cfg.gemma_norm:
             pass  # gemma stores (1+w) convention; llama.cpp expects the
             # stored-form weight, which is what we have — no shift.
-        w.add_tensor(gguf_name, arr,
-                     _type_for(gguf_name, arr.shape, base_type,
-                               method=method, n_layer=cfg.num_layers))
+        t = _type_for(gguf_name, arr.shape, base_type,
+                      method=method, n_layer=cfg.num_layers)
+        qw = None
+        if imatrix is not None and t in (GGMLType.IQ4_NL, GGMLType.IQ4_XS):
+            qw = imatrix.get(gguf_name)
+        w.add_tensor(gguf_name, arr, t, quant_weights=qw)
     w.write()
     return path
 
@@ -268,6 +283,7 @@ def save_to_gguf(model, path: str, quantization_method: str = "q8_0",
 def _file_type_code(t: GGMLType) -> int:
     return {GGMLType.F32: 0, GGMLType.F16: 1, GGMLType.Q4_0: 2,
             GGMLType.Q8_0: 7, GGMLType.Q4_K: 15, GGMLType.Q6_K: 18,
+            GGMLType.IQ4_NL: 25, GGMLType.IQ4_XS: 30,
             GGMLType.BF16: 32}.get(t, 1)
 
 
@@ -281,7 +297,8 @@ def save_pretrained_gguf(model, save_dir: str,
     method = QUANT_ALIASES.get(quantization_method.lower(),
                                quantization_method)
     out = os.path.join(save_dir, f"model-{method.upper()}.gguf")
-    save_to_gguf(model, out, quantization_method=quantization_method)
+    save_to_gguf(model, out, quantization_method=quantization_method,
+                 imatrix=kwargs.get("imatrix"))
     _write_ollama_modelfile(model, save_dir, os.path.basename(out))
     return out
 

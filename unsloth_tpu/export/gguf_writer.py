@@ -49,6 +49,8 @@ class GGMLType(enum.IntEnum):
     Q8_0 = 8
     Q4_K = 12
     Q6_K = 14
+    IQ4_NL = 20
+    IQ4_XS = 23
     BF16 = 30
 
 
@@ -61,10 +63,16 @@ _TYPE_TRAITS = {
     GGMLType.Q4_0: (18, 32),
     GGMLType.Q4_K: (144, 256),
     GGMLType.Q6_K: (210, 256),
+    GGMLType.IQ4_NL: (18, 32),
+    GGMLType.IQ4_XS: (136, 256),
 }
 
 _NATIVE_ONLY = {GGMLType.Q4_K: ("quantize_q4_K", "dequantize_q4_K"),
                 GGMLType.Q6_K: ("quantize_q6_K", "dequantize_q6_K")}
+
+# IQ types take (src, dst, nrow, n_per_row, quant_weights-or-NULL)
+_NATIVE_IQ = {GGMLType.IQ4_NL: ("quantize_iq4_nl", "dequantize_iq4_nl"),
+              GGMLType.IQ4_XS: ("quantize_iq4_xs", "dequantize_iq4_xs")}
 
 
 # ---------------------------------------------------------------------------
@@ -94,7 +102,9 @@ def _native_lib():
         for name in ("quantize_q8_0", "dequantize_q8_0", "quantize_q4_0",
                      "dequantize_q4_0", "fp32_to_fp16_buffer",
                      "quantize_q4_K", "dequantize_q4_K",
-                     "quantize_q6_K", "dequantize_q6_K"):
+                     "quantize_q6_K", "dequantize_q6_K",
+                     "quantize_iq4_nl", "dequantize_iq4_nl",
+                     "quantize_iq4_xs", "dequantize_iq4_xs"):
             getattr(lib, name).restype = None
         _LIB = lib
     except Exception:
@@ -131,8 +141,16 @@ def _q4_0_numpy(x: np.ndarray) -> np.ndarray:
     return out.reshape(-1)
 
 
-def quantize_tensor(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
-    """fp32 array -> raw GGUF tensor bytes."""
+def quantize_tensor(x: np.ndarray, ggml_type: GGMLType,
+                    n_per_row: int = 0,
+                    quant_weights: np.ndarray = None) -> np.ndarray:
+    """fp32 array -> raw GGUF tensor bytes.
+
+    n_per_row + quant_weights: per-row imatrix importance weights for the
+    IQ4 search (llama.cpp's imatrix-weighted quantization; reference:
+    save.py:3806 runs llama-imatrix + llama-quantize for IQ types)."""
+    if ggml_type in _NATIVE_IQ:
+        return _quantize_iq(x, ggml_type, n_per_row, quant_weights)
     x = np.ascontiguousarray(x, dtype=np.float32)
     n = x.size
     if ggml_type == GGMLType.F32:
@@ -183,8 +201,48 @@ def quantize_tensor(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
     raise ValueError(f"unsupported ggml type {ggml_type}")
 
 
+def _quantize_iq(x: np.ndarray, ggml_type: GGMLType, n_per_row: int,
+                 quant_weights) -> np.ndarray:
+    lib = _native_lib()
+    if lib is None:
+        raise RuntimeError(
+            f"{ggml_type.name} requires the native quantizer "
+            f"(csrc/libgguf_quant.so failed to build)")
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    n = x.size
+    if not n_per_row:
+        n_per_row = x.shape[-1] if x.ndim > 1 else n
+    bpb, epb = _TYPE_TRAITS[ggml_type]
+    assert n_per_row % epb == 0, \
+        f"{ggml_type.name} needs row size % {epb} == 0"
+    nrow = n // n_per_row
+    out = np.empty(n // epb * bpb, np.uint8)
+    if quant_weights is not None:
+        qw = np.ascontiguousarray(quant_weights, dtype=np.float32)
+        assert qw.size == n_per_row, (qw.size, n_per_row)
+        qw_ptr = qw.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    else:
+        qw_ptr = None
+    fn = getattr(lib, _NATIVE_IQ[ggml_type][0])
+    fn(x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+       out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+       ctypes.c_int64(nrow), ctypes.c_int64(n_per_row), qw_ptr)
+    return out
+
+
 def dequantize_tensor(raw: np.ndarray, ggml_type: GGMLType, n: int
                       ) -> np.ndarray:
+    if ggml_type in _NATIVE_IQ:
+        lib = _native_lib()
+        if lib is None:
+            raise RuntimeError(f"{ggml_type.name} needs the native lib")
+        out = np.empty(n, np.float32)
+        fn = getattr(lib, _NATIVE_IQ[ggml_type][1])
+        fn(np.ascontiguousarray(raw).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8)),
+           out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+           ctypes.c_int64(n))
+        return out
     if ggml_type == GGMLType.F32:
         return raw.view(np.float32)[:n].copy()
     if ggml_type == GGMLType.F16:
@@ -300,11 +358,15 @@ class GGUFWriter:
         self.metadata.append((key, value, vtype))
 
     def add_tensor(self, name: str, array: np.ndarray,
-                   ggml_type: GGMLType):
+                   ggml_type: GGMLType,
+                   quant_weights: np.ndarray = None):
         """array: numpy fp32/any float, row-major [out..., in] — GGUF dims
-        are written reversed (ne[0] = innermost)."""
-        raw = quantize_tensor(np.asarray(array, dtype=np.float32),
-                              ggml_type)
+        are written reversed (ne[0] = innermost). quant_weights: optional
+        per-row imatrix importance weights (IQ4 search)."""
+        array = np.asarray(array, dtype=np.float32)
+        n_per_row = array.shape[-1] if array.ndim > 1 else array.size
+        raw = quantize_tensor(array, ggml_type, n_per_row=n_per_row,
+                              quant_weights=quant_weights)
         self.tensors.append((name, tuple(array.shape), ggml_type, raw))
 
     def write(self):

@@ -252,7 +252,11 @@ def _nf4_gmm_bwd_impl(g, q: NF4Stacked, group_sizes, interpret=None):
     e, n, k = q.shape
     bs = q.block_size
     half = k // 2
-    g2, gs, m, m_pad, tm, n_pad, meta, num_tiles = _prep(g, q, group_sizes)
+    # tm 256 (not 512): the bwd holds TWO [tm, tj] fp32 accumulators plus
+    # two output blocks in VMEM — tm=512 with tj=1440 (gpt-oss) overflows
+    # the 16 MB scoped VMEM by ~600 KB.
+    g2, gs, m, m_pad, tm, n_pad, meta, num_tiles = _prep(g, q, group_sizes,
+                                                         tm_cap=256)
     g2 = _pad_n(g2, n, n_pad, axis=1)
     tj = _pick_tile(half, 512, bs)      # output tiles over each K half
     n_j = half // tj
