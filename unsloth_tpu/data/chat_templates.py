@@ -96,7 +96,7 @@ register(ChatTemplate(
             "<|start_header_id|>user<|end_header_id|>\n\n{{ .Prompt }}"
             "<|eot_id|>{{ end }}<|start_header_id|>assistant"
             "<|end_header_id|>\n\n{{ .Response }}<|eot_id|>"),
-), "llama-3.1", "llama-31", "llama-3.2", "llama-3.3")
+), "llama-3.1", "llama-31", "llama3", "llama-3.2", "llama-3.3")
 
 
 # ---------------------------------------------------------------------------
@@ -156,7 +156,7 @@ register(ChatTemplate(
     ollama=("{{ if .System }}<start_of_turn>user\n{{ .System }} {{ end }}"
             "{{ if .Prompt }}{{ .Prompt }}{{ end }}<end_of_turn>\n"
             "<start_of_turn>model\n{{ .Response }}<end_of_turn>\n"),
-), "gemma-2", "gemma2", "gemma-3", "gemma3", "gemma-3n")
+), "gemma-2", "gemma2", "gemma-3", "gemma3", "gemma-3n", "gemma3n")
 
 
 # ---------------------------------------------------------------------------
@@ -220,7 +220,7 @@ register(ChatTemplate(
     stop_word="<|end|>",
     instruction_part="<|user|>\n",
     response_part="<|assistant|>\n",
-), "phi-3.5", "phi3")
+), "phi-3.5", "phi-35", "phi3")
 
 
 # ---------------------------------------------------------------------------

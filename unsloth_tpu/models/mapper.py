@@ -176,6 +176,17 @@ MODEL_CATALOG: Dict[str, List[str]] = {
     ],
 }
 
+# Merge the full harvested registry (reference mapper.py's "500+ models"
+# list) under the curated families above.
+from .catalog_data import CATALOG_DATA  # noqa: E402
+
+for _fam, _models in CATALOG_DATA.items():
+    _dst = MODEL_CATALOG.setdefault(_fam, [])
+    for _m in _models:
+        if _m not in _dst:
+            _dst.append(_m)
+del _fam, _models, _dst, _m
+
 _QUANT_SUFFIXES = ("-unsloth-bnb-4bit", "-bnb-4bit", "-unsloth-dynamic-fp8",
                    "-FP8", "-bnb-8bit")
 
