@@ -375,3 +375,131 @@ def test_gemma3n_lora_train_step(tmp_path_factory):
             first = float(loss)
     assert np.isfinite(float(loss))
     assert float(loss) < first - 0.2, (first, float(loss))
+
+
+def test_olmo3_parity(tmp_path_factory):
+    """olmo3: olmo2's post-norm-only structure + sliding/full pattern
+    where sliding layers use UNSCALED default rope while full layers
+    apply the config rope_scaling (HF Olmo3Model dual rotary tables)."""
+    from transformers import Olmo3Config, Olmo3ForCausalLM
+
+    cfg = Olmo3Config(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=4, num_attention_heads=2, num_key_value_heads=1,
+        max_position_embeddings=4096, sliding_window=8,
+        layer_types=["sliding_attention", "sliding_attention",
+                     "sliding_attention", "full_attention"],
+        rope_scaling={"rope_type": "yarn", "factor": 2.0,
+                      "original_max_position_embeddings": 128},
+        tie_word_embeddings=False, pad_token_id=0)
+    torch.manual_seed(0)
+    path = _save(Olmo3ForCausalLM(cfg), tmp_path_factory, "olmo3")
+    hf = Olmo3ForCausalLM.from_pretrained(path, torch_dtype=torch.float32)
+    _parity(path, hf, "olmo3", atol=2e-3, rtol=1e-2, t=24)
+
+
+def test_exaone4_parity(tmp_path_factory):
+    """exaone4: post-norm-only residual + per-head qk-norm before rope;
+    hybrid sliding/full where ONLY sliding layers get rope (HF
+    Exaone4Attention NoPE global layers)."""
+    from transformers import Exaone4Config, Exaone4ForCausalLM
+
+    cfg = Exaone4Config(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=4, num_attention_heads=2, num_key_value_heads=1,
+        max_position_embeddings=256, sliding_window=8,
+        sliding_window_pattern=4,
+        layer_types=["sliding_attention", "sliding_attention",
+                     "sliding_attention", "full_attention"],
+        tie_word_embeddings=False, pad_token_id=0)
+    torch.manual_seed(0)
+    path = _save(Exaone4ForCausalLM(cfg), tmp_path_factory, "exaone4")
+    hf = Exaone4ForCausalLM.from_pretrained(path,
+                                            torch_dtype=torch.float32)
+    _parity(path, hf, "exaone4", atol=2e-3, rtol=1e-2, t=24)
+
+
+def test_seed_oss_parity(tmp_path_factory):
+    """seed_oss: llama archetype with attention bias + explicit head_dim
+    (ByteDance Seed-OSS; covered by the generic builder)."""
+    from transformers import SeedOssConfig, SeedOssForCausalLM
+
+    cfg = SeedOssConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=16, max_position_embeddings=128, attention_bias=True,
+        attention_dropout=0.0, tie_word_embeddings=False, pad_token_id=0)
+    torch.manual_seed(0)
+    path = _save(SeedOssForCausalLM(cfg), tmp_path_factory, "seedoss")
+    hf = SeedOssForCausalLM.from_pretrained(path,
+                                            torch_dtype=torch.float32)
+    _parity(path, hf, "seed_oss", atol=2e-3, rtol=1e-2, t=24)
+
+
+def test_helium_parity(tmp_path_factory):
+    """helium (kyutai): llama archetype, tight rms eps."""
+    from transformers import HeliumConfig, HeliumForCausalLM
+
+    cfg = HeliumConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=16, max_position_embeddings=128,
+        tie_word_embeddings=False, pad_token_id=0)
+    torch.manual_seed(0)
+    path = _save(HeliumForCausalLM(cfg), tmp_path_factory, "helium")
+    hf = HeliumForCausalLM.from_pretrained(path,
+                                           torch_dtype=torch.float32)
+    _parity(path, hf, "helium", atol=2e-3, rtol=1e-2, t=24)
+
+
+def test_ernie4_5_parity(tmp_path_factory):
+    """ernie4_5 (Baidu): llama archetype, tied embeddings."""
+    from transformers import Ernie4_5Config, Ernie4_5ForCausalLM
+
+    cfg = Ernie4_5Config(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=16, max_position_embeddings=128,
+        tie_word_embeddings=True, pad_token_id=0)
+    torch.manual_seed(0)
+    path = _save(Ernie4_5ForCausalLM(cfg), tmp_path_factory, "ernie45")
+    hf = Ernie4_5ForCausalLM.from_pretrained(path,
+                                             torch_dtype=torch.float32)
+    _parity(path, hf, "ernie4_5", atol=2e-3, rtol=1e-2, t=24)
+
+
+def test_starcoder2_parity(tmp_path_factory):
+    """starcoder2: non-gated gelu MLP (c_fc -> c_proj), biased LayerNorms,
+    bias on every linear, tied embeddings — first non-GLU family
+    (reference covers it through FastModel's generic path)."""
+    from transformers import Starcoder2Config, Starcoder2ForCausalLM
+
+    cfg = Starcoder2Config(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        max_position_embeddings=128, use_bias=True,
+        tie_word_embeddings=True, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2)
+    torch.manual_seed(0)
+    path = _save(Starcoder2ForCausalLM(cfg), tmp_path_factory, "sc2")
+    hf = Starcoder2ForCausalLM.from_pretrained(path,
+                                               torch_dtype=torch.float32)
+    _parity(path, hf, "starcoder2", atol=2e-3, rtol=1e-2, t=24)
+
+
+def test_nemotron_parity(tmp_path_factory):
+    """nemotron: relu^2 non-gated MLP, LayerNorm1P ((1+w) scale with
+    bias), partial rotary factor 0.5."""
+    from transformers import NemotronConfig, NemotronForCausalLM
+
+    cfg = NemotronConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=16, max_position_embeddings=128,
+        partial_rotary_factor=0.5, tie_word_embeddings=False,
+        pad_token_id=0)
+    torch.manual_seed(0)
+    path = _save(NemotronForCausalLM(cfg), tmp_path_factory, "nemotron")
+    hf = NemotronForCausalLM.from_pretrained(path,
+                                             torch_dtype=torch.float32)
+    _parity(path, hf, "nemotron", atol=2e-3, rtol=1e-2, t=24)

@@ -106,12 +106,16 @@ class ModelConfig:
     attn_sinks: bool = False               # gpt-oss learned sink logits
 
     # MLP
-    hidden_act: str = "silu"  # silu|gelu|gelu_tanh
+    hidden_act: str = "silu"  # silu|gelu|gelu_tanh|relu2
     mlp_bias: bool = False
+    # starcoder2/nemotron: plain act(up)->down MLP, no gate projection
+    mlp_gated: bool = True
 
     # Norm
     rms_norm_eps: float = 1e-6
-    norm_type: str = "rmsnorm"      # rmsnorm|layernorm
+    # rmsnorm | layernorm | layernorm1p (nemotron: LayerNorm with 1+w)
+    norm_type: str = "rmsnorm"
+    norm_bias: bool = False         # starcoder2/nemotron: biased norms
     gemma_norm: bool = False        # (1 + w) scale convention, fp32 norm
     # gemma2/3 sandwich norms: pre/post attention + pre/post mlp
     use_post_norms: bool = False
@@ -569,6 +573,34 @@ def _build_llama_like(cls, hf, model_type, name):
     if model_type == "olmo2":
         kw["post_norm_only"] = True
         kw["qk_norm"] = "full"  # rms over the full projection width
+    if model_type == "olmo3":
+        # olmo2 structure + sliding/full pattern; sliding layers use
+        # UNSCALED default rope, full layers apply config rope_scaling
+        # (HF Olmo3Model keeps two rotary tables).
+        kw["post_norm_only"] = True
+        kw["qk_norm"] = "full"
+        types = hf.get("layer_types") or []
+        if types:
+            kw["sliding_window"] = int(hf.get("sliding_window", 4096))
+            kw["layer_pattern"] = tuple(
+                "sliding" if t == "sliding_attention" else "global"
+                for t in types)
+            kw["rope_local_theta"] = float(hf.get("rope_theta", 10000.0))
+    if model_type == "exaone4":
+        # post-norm-only residual structure (like olmo2) + per-head
+        # qk-norm before rope; hybrid models rope ONLY the sliding
+        # layers (HF Exaone4Attention: rope iff sliding_window is None
+        # or is_sliding).
+        kw["post_norm_only"] = True
+        kw["qk_norm"] = True
+        types = hf.get("layer_types") or []
+        if types and hf.get("sliding_window"):
+            kw["sliding_window"] = int(hf["sliding_window"])
+            kw["layer_pattern"] = tuple(
+                "sliding" if t == "sliding_attention" else "global"
+                for t in types)
+            kw["rope_layers"] = tuple(
+                t == "sliding_attention" for t in types)
     if model_type == "granite":
         # granite = llama + scalar multipliers (attention/embedding/
         # residual/logits) — the reference disables its granite path
@@ -584,6 +616,33 @@ def _build_llama_like(cls, hf, model_type, name):
     if model_type == "phi3":
         kw["partial_rotary_factor"] = float(
             hf.get("partial_rotary_factor", 1.0))
+    if model_type == "starcoder2":
+        # gelu act(c_fc)->c_proj MLP (no gate), biased LayerNorms,
+        # bias on every linear, tied embeddings.
+        kw["mlp_gated"] = False
+        kw["norm_type"] = "layernorm"
+        kw["norm_bias"] = True
+        kw["rms_norm_eps"] = float(hf.get("norm_epsilon", 1e-5))
+        act = hf.get("hidden_act", "gelu_pytorch_tanh")
+        kw["hidden_act"] = {"gelu_pytorch_tanh": "gelu_tanh"}.get(act, act)
+        bias = bool(hf.get("use_bias", True))
+        kw["attention_bias"] = bias
+        kw["o_proj_bias"] = bias
+        kw["mlp_bias"] = bias
+        kw["tie_word_embeddings"] = bool(
+            hf.get("tie_word_embeddings", True))
+        if hf.get("sliding_window"):
+            kw["sliding_window"] = int(hf["sliding_window"])
+            kw["layer_pattern"] = ("sliding",)
+    if model_type == "nemotron":
+        # relu^2 act(up)->down MLP (no gate), LayerNorm1P ((1+w) scale,
+        # biased), partial rotary.
+        kw["mlp_gated"] = False
+        kw["norm_type"] = "layernorm1p"
+        kw["norm_bias"] = True
+        kw["rms_norm_eps"] = float(hf.get("norm_eps", 1e-5))
+        kw["partial_rotary_factor"] = float(
+            hf.get("partial_rotary_factor", 0.5))
     if model_type in ("qwen2_5_vl", "qwen2_vl"):
         rs = hf.get("rope_scaling") or {}
         if rs.get("mrope_section"):

@@ -57,10 +57,18 @@ from ..ops.rope import apply_rope_qk, rope_inv_freq, rope_table, yarn_attention_
 from .config import ModelConfig
 
 
-def _norm(x, w, cfg: ModelConfig):
+def _norm(x, w, cfg: ModelConfig, b=None):
     if cfg.norm_type == "layernorm":
-        return layer_norm(x, w, None, cfg.rms_norm_eps)
+        return layer_norm(x, w, b, cfg.rms_norm_eps)
+    if cfg.norm_type == "layernorm1p":
+        # nemotron LayerNorm1P: (1 + w) scale
+        return layer_norm(x, w + 1.0, b, cfg.rms_norm_eps)
     return rms_norm(x, w, cfg.rms_norm_eps, cfg.gemma_norm)
+
+
+def _normp(x, p, name: str, cfg: ModelConfig):
+    """_norm reading weight (+ optional bias) from a param dict."""
+    return _norm(x, p[name], cfg, p.get(name + "_bias"))
 
 
 def _l2_norm(x, eps: float = 1e-6):
@@ -304,6 +312,13 @@ def mlp_block(x, layer_p, lora_p, cfg: ModelConfig, layer_idx: int):
         return out
 
     def dense_mlp(xc):
+        if not cfg.mlp_gated:
+            # starcoder2/nemotron: act(up) -> down, no gate projection
+            from ..ops.activations import act_for
+
+            act = act_for(cfg.hidden_act)
+            return _proj(act(_proj(xc, layer_p, lora_p, "up")),
+                         layer_p, lora_p, "down")
         glu = glu_for(cfg.hidden_act)
         e = _proj(xc, layer_p, lora_p, "gate")
         g = _proj(xc, layer_p, lora_p, "up")
@@ -427,7 +442,7 @@ def decoder_layer(
         _IMATRIX_TAP.layer = layer_idx
     if cfg.parallel_residual:
         # cohere/cohere2: attn and MLP read the SAME normed input
-        h = _norm(x, layer_p["input_norm"], cfg)
+        h = _normp(x, layer_p, "input_norm", cfg)
         attn = attention_block(h, layer_p, lora_p, cfg, layer_idx,
                                cos, sin, cos_local, sin_local,
                                segment_ids, positions, image_spans)
@@ -439,13 +454,13 @@ def decoder_layer(
         attn = attention_block(x, layer_p, lora_p, cfg, layer_idx,
                                cos, sin, cos_local, sin_local,
                                segment_ids, positions, image_spans)
-        x = x + _norm(attn, layer_p["post_attn_norm"], cfg)
+        x = x + _normp(attn, layer_p, "post_attn_norm", cfg)
         mlp = mlp_block(x, layer_p, lora_p, cfg, layer_idx)
-        return x + _norm(mlp, layer_p["post_ffw_norm"], cfg)
+        return x + _normp(mlp, layer_p, "post_ffw_norm", cfg)
 
     if cfg.hybrid_mamba:
         mc = cfg.mamba
-        h = _norm(x, layer_p["input_norm"], cfg)
+        h = _normp(x, layer_p, "input_norm", cfg)
         mamba_out = _mamba_block(h, layer_p, cfg, segment_ids) \
             * mc.ssm_out_multiplier
         attn = attention_block(h * mc.attention_in_multiplier, layer_p,
@@ -454,10 +469,10 @@ def decoder_layer(
                                positions, image_spans) \
             * mc.attention_out_multiplier
         x = x + mamba_out + attn
-        h = _norm(x, layer_p["post_attn_norm"], cfg)  # pre_ff_layernorm
+        h = _normp(x, layer_p, "post_attn_norm", cfg)  # pre_ff_layernorm
         return x + mlp_block(h, layer_p, lora_p, cfg, layer_idx)
 
-    h = _norm(x, layer_p["input_norm"], cfg)
+    h = _normp(x, layer_p, "input_norm", cfg)
     if cfg.layer_kind(layer_idx) == "linear":
         attn = _gdn_block(h, layer_p, cfg)
     else:
@@ -465,17 +480,17 @@ def decoder_layer(
                                cos, sin, cos_local, sin_local,
                                segment_ids, positions, image_spans)
     if cfg.use_post_norms and "post_attn_out_norm" in layer_p:
-        attn = _norm(attn, layer_p["post_attn_out_norm"], cfg)
+        attn = _normp(attn, layer_p, "post_attn_out_norm", cfg)
     rm = cfg.residual_multiplier
     x = x + (attn * rm if rm is not None else attn)
 
     if cfg.use_post_norms and "pre_ffw_norm" in layer_p:
-        h = _norm(x, layer_p["pre_ffw_norm"], cfg)
+        h = _normp(x, layer_p, "pre_ffw_norm", cfg)
     else:
-        h = _norm(x, layer_p["post_attn_norm"], cfg)
+        h = _normp(x, layer_p, "post_attn_norm", cfg)
     mlp = mlp_block(h, layer_p, lora_p, cfg, layer_idx)
     if cfg.use_post_norms and "post_ffw_norm" in layer_p:
-        mlp = _norm(mlp, layer_p["post_ffw_norm"], cfg)
+        mlp = _normp(mlp, layer_p, "post_ffw_norm", cfg)
     return x + (mlp * rm if rm is not None else mlp)
 
 
@@ -570,7 +585,7 @@ def forward(
     if "layers_stacked" in params:
         x = _scan_layers(params, lora, x, cfg, cos, sin, segment_ids,
                          positions, image_spans, remat)
-        return _norm(x, params["final_norm"], cfg)
+        return _normp(x, params, "final_norm", cfg)
 
     lora_layers = (lora or {}).get("layers")
 
@@ -606,7 +621,7 @@ def forward(
     else:
         x = run_stack(x, decoder_layer)
 
-    return _norm(x, params["final_norm"], cfg)
+    return _normp(x, params, "final_norm", cfg)
 
 
 def _scan_layers(params, lora, x, cfg, cos, sin, segment_ids, positions,

@@ -142,6 +142,19 @@ def layer_name_map(cfg: ModelConfig, layer_idx: int) -> Dict[str, str]:
             m.pop("mamba_conv_b")
     if cfg.altup is not None:
         m.update(_GEMMA3N_LAYER_MAP)
+    if not cfg.mlp_gated:
+        m.pop("gate", None)
+        m.pop("gate_bias", None)
+        if cfg.model_type == "starcoder2":
+            m["up"] = "mlp.c_fc.weight"
+            m["up_bias"] = "mlp.c_fc.bias"
+            m["down"] = "mlp.c_proj.weight"
+            m["down_bias"] = "mlp.c_proj.bias"
+    if cfg.norm_bias:
+        for key in ("input_norm", "post_attn_norm", "post_attn_out_norm",
+                    "pre_ffw_norm", "post_ffw_norm"):
+            if key in m:
+                m[key + "_bias"] = m[key][:-len(".weight")] + ".bias"
     out = {ours: prefix + hf for ours, hf in m.items()}
     if cfg.attn_sinks:
         out["sinks"] = prefix + "self_attn.sinks"
@@ -214,6 +227,8 @@ def top_level_map(cfg: ModelConfig) -> Dict[str, str]:
         m.pop("lm_head")
     if cfg.hybrid_mamba:
         m["final_norm"] = "model.final_layernorm.weight"
+    if cfg.norm_bias:
+        m["final_norm_bias"] = "model.norm.bias"
     if cfg.altup is not None:
         m.update(_GEMMA3N_TOP_MAP)
         for i in range(1, cfg.altup.num_inputs):

@@ -110,11 +110,17 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.float32,
                 layer["experts"]["up_bias"] = jnp.zeros((e, f), dtype)
                 layer["experts"]["down_bias"] = jnp.zeros((e, d), dtype)
         else:
-            for j, name in enumerate(("gate", "up", "down")):
+            mlp_projs = ("gate", "up", "down") if cfg.mlp_gated \
+                else ("up", "down")
+            for j, name in enumerate(mlp_projs):
                 layer[name] = rand(lk[4 + j], _linear_dims(cfg, name))
                 if cfg.mlp_bias:
                     layer[f"{name}_bias"] = jnp.zeros(
                         (_linear_dims(cfg, name)[0],), dtype)
+        if cfg.norm_bias:
+            for nk in list(layer):
+                if nk.endswith("_norm") and nk not in ("q_norm", "k_norm"):
+                    layer[nk + "_bias"] = jnp.zeros((d,), dtype)
         params["layers"].append(layer)
     return params
 
@@ -183,6 +189,8 @@ def init_lora_tree(
                 continue
             if name in ("gate", "up", "down") and cfg.layer_is_moe(i):
                 continue  # MoE expert LoRA comes later
+            if name == "gate" and not cfg.mlp_gated:
+                continue  # starcoder2/nemotron: no gate projection
             if name in ("q", "k", "v", "o") and \
                     cfg.layer_kind(i) == "linear":
                 continue  # GDN layers have no q/k/v/o linears

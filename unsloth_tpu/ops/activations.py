@@ -93,3 +93,27 @@ def glu_for(act_name: str):
         return ACT2GLU[act_name]
     except KeyError:
         raise ValueError(f"Unsupported gated activation: {act_name!r}") from None
+
+
+def act_for(act_name: str):
+    """Plain (non-gated) activation — starcoder2's gelu c_fc->c_proj MLP
+    and nemotron's relu^2 up->down MLP (no gate projection)."""
+    import jax
+
+    def relu2(x):
+        r = jax.nn.relu(x.astype(jnp.float32))
+        return (r * r).astype(x.dtype)
+
+    table = {
+        "silu": lambda x: jax.nn.silu(x.astype(jnp.float32)).astype(x.dtype),
+        "gelu": lambda x: jax.nn.gelu(
+            x.astype(jnp.float32), approximate=False).astype(x.dtype),
+        "gelu_tanh": lambda x: jax.nn.gelu(
+            x.astype(jnp.float32), approximate=True).astype(x.dtype),
+        "relu": lambda x: jax.nn.relu(x),
+        "relu2": relu2,
+    }
+    try:
+        return table[act_name]
+    except KeyError:
+        raise ValueError(f"Unsupported activation: {act_name!r}") from None
