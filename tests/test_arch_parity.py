@@ -503,3 +503,22 @@ def test_nemotron_parity(tmp_path_factory):
     hf = NemotronForCausalLM.from_pretrained(path,
                                              torch_dtype=torch.float32)
     _parity(path, hf, "nemotron", atol=2e-3, rtol=1e-2, t=24)
+
+
+def test_lfm2_parity(tmp_path_factory):
+    """LFM2 (LiquidAI): hybrid gated short-conv mixer + full-attention
+    layers with per-head qk-norm, auto-adjusted SwiGLU width, final
+    embedding_norm (reference catalogs LFM2; HF Lfm2ForCausalLM)."""
+    from transformers import Lfm2Config, Lfm2ForCausalLM
+
+    cfg = Lfm2Config(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=4, num_attention_heads=2, num_key_value_heads=1,
+        max_position_embeddings=128, conv_L_cache=3, conv_bias=False,
+        layer_types=["conv", "conv", "full_attention", "conv"],
+        block_multiple_of=16,
+        tie_word_embeddings=True, pad_token_id=0)
+    torch.manual_seed(0)
+    path = _save(Lfm2ForCausalLM(cfg), tmp_path_factory, "lfm2")
+    hf = Lfm2ForCausalLM.from_pretrained(path, torch_dtype=torch.float32)
+    _parity(path, hf, "lfm2", atol=2e-3, rtol=1e-2, t=24)

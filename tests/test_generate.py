@@ -399,3 +399,45 @@ def test_gemma3n_decode_matches_training_forward(tmp_path_factory):
         got.append(np.asarray(logits_from_hidden(model.params, h, cfg)))
     got = np.concatenate(got, axis=1)
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-2)
+
+
+def test_lfm2_decode_matches_training_forward(tmp_path_factory):
+    """LFM2 decode: conv layers keep a rolling pre-conv window in the
+    cache; prefill + stepwise decode must equal the training forward."""
+    import torch
+    from transformers import Lfm2Config, Lfm2ForCausalLM
+
+    from unsloth_tpu.inference.decode import (forward_with_cache,
+                                              init_cache,
+                                              logits_from_hidden)
+    from unsloth_tpu.models.loader import FastLanguageModel
+
+    cfg_hf = Lfm2Config(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=4, num_attention_heads=2, num_key_value_heads=1,
+        max_position_embeddings=128, conv_L_cache=3, conv_bias=False,
+        layer_types=["conv", "conv", "full_attention", "conv"],
+        block_multiple_of=16, tie_word_embeddings=True, pad_token_id=0)
+    torch.manual_seed(4)
+    path = str(tmp_path_factory.mktemp("lfm2d"))
+    Lfm2ForCausalLM(cfg_hf).save_pretrained(path, safe_serialization=True)
+    model, _ = FastLanguageModel.from_pretrained(path, load_in_4bit=False,
+                                                 dtype="float32")
+    cfg = model.cfg
+    b, t = 2, 12
+    ids = jax.random.randint(jax.random.PRNGKey(0), (b, t), 1, 96)
+    want = np.asarray(model.logits(ids, remat=False))
+
+    cache = init_cache(cfg, b, 32, dtype=jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(7, dtype=jnp.int32)[None], (b, 7))
+    h, cache = forward_with_cache(model.params, None, ids[:, :7], cfg,
+                                  cache, positions=pos)
+    got = [np.asarray(logits_from_hidden(model.params, h, cfg))]
+    for step in range(7, t):
+        p1 = jnp.full((b, 1), step, jnp.int32)
+        h, cache = forward_with_cache(model.params, None,
+                                      ids[:, step:step + 1], cfg, cache,
+                                      positions=p1)
+        got.append(np.asarray(logits_from_hidden(model.params, h, cfg)))
+    got = np.concatenate(got, axis=1)
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-2)

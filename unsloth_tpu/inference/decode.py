@@ -74,6 +74,10 @@ def init_cache(cfg: ModelConfig, batch: int, max_length: int,
                 for _ in range(cfg.num_layers)]
         ssm = [jnp.zeros((batch, mc.n_heads, mc.head_dim, mc.d_state),
                          jnp.float32) for _ in range(cfg.num_layers)]
+    elif cfg.short_conv_l:
+        # lfm2: rolling pre-conv window for the gated short-conv layers
+        conv = [jnp.zeros((batch, cfg.short_conv_l - 1, cfg.hidden_size),
+                          jnp.float32) for _ in range(cfg.num_layers)]
     return KVCache(
         k=[jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)],
         v=[jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)],
@@ -177,9 +181,30 @@ def forward_with_cache(
         kv_valid = kv_valid & kv_valid_extra
 
     new_k, new_v = [], []
+    new_conv = [] if cache.conv is not None else None
+    conv_pad_mask = None
+    if cache.conv is not None and kv_valid_extra is not None and t > 1:
+        conv_pad_mask = jax.lax.dynamic_slice(
+            kv_valid_extra.astype(jnp.float32), (0, cache.length), (b, t))
     for i, layer_p in enumerate(params["layers"]):
         lora_p = lora_layers[i] if lora_layers else None
         h = _norm(x, layer_p["input_norm"], cfg)
+        if cfg.layer_kind(i) == "conv":
+            # lfm2 gated short-conv layer: recurrent pre-conv window
+            y, cs = _short_conv_with_state(h, layer_p, cfg, cache.conv[i],
+                                           pad_mask=conv_pad_mask)
+            new_conv.append(cs)
+            new_k.append(cache.k[i])
+            new_v.append(cache.v[i])
+            x = x + y
+            h2 = _norm(x, layer_p["post_attn_norm"], cfg)
+            glu = glu_for(cfg.hidden_act)
+            e = _proj(h2, layer_p, lora_p, "gate")
+            g = _proj(h2, layer_p, lora_p, "up")
+            x = x + _proj(glu(e, g), layer_p, lora_p, "down")
+            continue
+        if new_conv is not None:
+            new_conv.append(cache.conv[i])
         hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
         q = _proj(h, layer_p, lora_p, "q").reshape(b, t, hq, dh)
         k = _proj(h, layer_p, lora_p, "k").reshape(b, t, hkv, dh)
@@ -248,8 +273,48 @@ def forward_with_cache(
         x = x + mlp
 
     x = _norm(x, params["final_norm"], cfg)
-    new_cache = KVCache(k=new_k, v=new_v, length=cache.length + t)
+    new_cache = KVCache(k=new_k, v=new_v, length=cache.length + t,
+                        conv=new_conv)
     return x, new_cache
+
+
+def _short_conv_with_state(h, layer_p, cfg: ModelConfig, conv_state,
+                           *, pad_mask=None):
+    """LFM2 short-conv with a rolling [B, L-1, D] window of the pre-conv
+    gated input (B*x). Prefill (T>1) runs the full causal conv and
+    returns the trailing window; decode (T=1) is the O(1) update."""
+    from ..ops.ssm import causal_conv1d
+
+    b, t, d = h.shape
+    if pad_mask is not None:
+        h = h * pad_mask[..., None].astype(h.dtype)
+    bcx = h @ layer_p["conv_in"].T.astype(h.dtype)
+    if "conv_in_bias" in layer_p:
+        bcx = bcx + layer_p["conv_in_bias"].astype(bcx.dtype)
+    bm, cm, xm = bcx[..., :d], bcx[..., d:2 * d], bcx[..., 2 * d:]
+    bx = (bm * xm).astype(jnp.float32)
+    w = layer_p["conv_w"]
+    if w.ndim == 3:
+        w = w[:, 0, :]
+    w = w.astype(jnp.float32)
+    l = w.shape[-1]
+    if t == 1:
+        window = jnp.concatenate([conv_state, bx], axis=1)   # [B, L, D]
+        conv = jnp.einsum("bld,dl->bd", window, w)[:, None, :]
+        if layer_p.get("conv_b") is not None:
+            conv = conv + layer_p["conv_b"].astype(jnp.float32)
+        new_state = window[:, 1:, :]
+    else:
+        conv = causal_conv1d(bx, w, layer_p.get("conv_b"))
+        if t >= l - 1:
+            new_state = bx[:, t - (l - 1):, :]
+        else:
+            new_state = jnp.pad(bx, ((0, 0), (l - 1 - t, 0), (0, 0)))
+    y = (cm.astype(jnp.float32) * conv).astype(h.dtype)
+    out = y @ layer_p["conv_out"].T.astype(h.dtype)
+    if "conv_out_bias" in layer_p:
+        out = out + layer_p["conv_out_bias"].astype(out.dtype)
+    return out, new_state
 
 
 def _hybrid_forward_with_cache(params, lora, input_ids, cfg: ModelConfig,

@@ -194,6 +194,10 @@ class ModelConfig:
     # gemma-3n: AltUp multi-stream hiddens + Laurel + per-layer embeddings
     altup: Optional["AltUpConfig"] = None
 
+    # lfm2: gated short-conv mixer layers (layer_pattern kind "conv")
+    short_conv_l: int = 0
+    short_conv_bias: bool = False
+
     # Special tokens
     bos_token_id: Optional[int] = None
     eos_token_id: Optional[int] = None
@@ -703,6 +707,34 @@ class AltUpConfig:
     activation_sparsity: Tuple[float, ...] = ()
 
 
+def _build_lfm2(cls, hf, model_type, name):
+    """LFM2 (LiquidAI): hybrid stack of gated short-conv mixer layers and
+    full-attention layers (per-head qk-norm before rope); SwiGLU MLP with
+    auto-adjusted width; final 'embedding_norm'."""
+    kw = _common(hf)
+    kw["rms_norm_eps"] = float(hf.get("norm_eps", 1e-5))
+    kw["qk_norm"] = True
+    kw["tie_word_embeddings"] = bool(hf.get("tie_word_embeddings", True))
+    inter = int(hf.get("intermediate_size", 4 * kw["hidden_size"]))
+    if hf.get("block_auto_adjust_ff_dim", True):
+        inter = int(2 * inter / 3)
+        mult = hf.get("block_ffn_dim_multiplier")
+        if mult is not None:
+            inter = int(float(mult) * inter)
+        m_of = int(hf.get("block_multiple_of", 256))
+        inter = m_of * ((inter + m_of - 1) // m_of)
+    kw["intermediate_size"] = inter
+    types = hf.get("layer_types") or []
+    if types:
+        kw["layer_pattern"] = tuple(
+            "global" if t == "full_attention" else "conv" for t in types)
+    kw.update(
+        short_conv_l=int(hf.get("conv_L_cache", 3)),
+        short_conv_bias=bool(hf.get("conv_bias", False)),
+    )
+    return cls(model_type="lfm2", name=name, **kw)
+
+
 def _build_gemma3n(cls, hf, model_type, name):
     """gemma-3n text: AltUp (4-stream hiddens with learned predict/correct
     mixing), Laurel block, per-layer input embeddings, gaussian-topk
@@ -841,6 +873,7 @@ _HF_BUILDERS = {
     "gemma3": _build_gemma,
     "gemma3n": _build_gemma3n,
     "gemma3n_text": _build_gemma3n,
+    "lfm2": _build_lfm2,
     "gemma3_text": _build_gemma,
     "gpt_oss": _build_gpt_oss,
     "llama4": _build_llama4,

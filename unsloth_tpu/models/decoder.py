@@ -433,6 +433,29 @@ def _mamba_block(x, layer_p, cfg: ModelConfig, segment_ids):
         **kwargs)
 
 
+def _short_conv_block(x, layer_p, cfg: ModelConfig, segment_ids):
+    """LFM2 gated short-conv mixer (HF Lfm2ShortConv): in_proj emits
+    [B | C | x], a depthwise causal conv over B*x, gated by C, out_proj.
+    Padded tokens are zeroed before the conv (apply_mask_to_padding)."""
+    from ..ops.ssm import causal_conv1d
+
+    if segment_ids is not None:
+        x = x * (segment_ids != 0).astype(x.dtype)[..., None]
+    d = x.shape[-1]
+    bcx = x @ layer_p["conv_in"].T.astype(x.dtype)
+    if "conv_in_bias" in layer_p:
+        bcx = bcx + layer_p["conv_in_bias"].astype(bcx.dtype)
+    bm, cm, xm = bcx[..., :d], bcx[..., d:2 * d], bcx[..., 2 * d:]
+    conv = causal_conv1d((bm * xm).astype(jnp.float32),
+                         layer_p["conv_w"].astype(jnp.float32),
+                         layer_p.get("conv_b"))
+    y = (cm.astype(jnp.float32) * conv).astype(x.dtype)
+    out = y @ layer_p["conv_out"].T.astype(x.dtype)
+    if "conv_out_bias" in layer_p:
+        out = out + layer_p["conv_out_bias"].astype(out.dtype)
+    return out
+
+
 def decoder_layer(
     x, layer_p, lora_p, cfg: ModelConfig, layer_idx: int,
     cos, sin, cos_local, sin_local, segment_ids, positions,
@@ -475,6 +498,8 @@ def decoder_layer(
     h = _normp(x, layer_p, "input_norm", cfg)
     if cfg.layer_kind(layer_idx) == "linear":
         attn = _gdn_block(h, layer_p, cfg)
+    elif cfg.layer_kind(layer_idx) == "conv":
+        attn = _short_conv_block(h, layer_p, cfg, segment_ids)
     else:
         attn = attention_block(h, layer_p, lora_p, cfg, layer_idx,
                                cos, sin, cos_local, sin_local,

@@ -142,6 +142,28 @@ def layer_name_map(cfg: ModelConfig, layer_idx: int) -> Dict[str, str]:
             m.pop("mamba_conv_b")
     if cfg.altup is not None:
         m.update(_GEMMA3N_LAYER_MAP)
+    if cfg.model_type == "lfm2":
+        m.update({
+            "o": "self_attn.out_proj.weight",
+            "q_norm": "self_attn.q_layernorm.weight",
+            "k_norm": "self_attn.k_layernorm.weight",
+            "gate": "feed_forward.w1.weight",
+            "up": "feed_forward.w3.weight",
+            "down": "feed_forward.w2.weight",
+            "input_norm": "operator_norm.weight",
+            "post_attn_norm": "ffn_norm.weight",
+        })
+        if cfg.layer_kind(layer_idx) == "conv":
+            for nm in ("q", "k", "v", "o", "q_bias", "k_bias", "v_bias",
+                       "o_bias", "q_norm", "k_norm"):
+                m.pop(nm, None)
+            m["conv_in"] = "conv.in_proj.weight"
+            m["conv_w"] = "conv.conv.weight"
+            m["conv_out"] = "conv.out_proj.weight"
+            if cfg.short_conv_bias:
+                m["conv_in_bias"] = "conv.in_proj.bias"
+                m["conv_b"] = "conv.conv.bias"
+                m["conv_out_bias"] = "conv.out_proj.bias"
     if not cfg.mlp_gated:
         m.pop("gate", None)
         m.pop("gate_bias", None)
@@ -227,6 +249,8 @@ def top_level_map(cfg: ModelConfig) -> Dict[str, str]:
         m.pop("lm_head")
     if cfg.hybrid_mamba:
         m["final_norm"] = "model.final_layernorm.weight"
+    if cfg.model_type == "lfm2":
+        m["final_norm"] = "model.embedding_norm.weight"
     if cfg.norm_bias:
         m["final_norm_bias"] = "model.norm.bias"
     if cfg.altup is not None:
