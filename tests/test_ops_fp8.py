@@ -103,3 +103,46 @@ def test_fp8_base_model_trains(rng):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] - 0.3, losses
+
+
+def test_fused_fp8_matmul_fwd_matches_ref():
+    """Fused dequant-inside-matmul Pallas kernel (interpret mode) vs the
+    dequantize-then-dot reference (reference: kernels/fp8.py:175-323
+    w8a8_block_fp8_matmul)."""
+    import jax
+    import jax.numpy as jnp
+
+    from unsloth_tpu.ops.fp8 import fp8_matmul_ref, quantize_fp8_block
+    from unsloth_tpu.ops.fp8_matmul import _fwd_pallas
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    w = jax.random.normal(k1, (256, 384), jnp.float32) * 0.1
+    q = quantize_fp8_block(w)
+    x = jax.random.normal(k2, (50, 384), jnp.float32) * 0.5
+    got = _fwd_pallas(x, q, interpret=True)
+    want = fp8_matmul_ref(x, q)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_fused_fp8_matmul_bwd_matches_autodiff():
+    import jax
+    import jax.numpy as jnp
+
+    from unsloth_tpu.ops.fp8 import fp8_matmul_ref, quantize_fp8_block
+    from unsloth_tpu.ops.fp8_matmul import _bwd_pallas
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    w = jax.random.normal(k1, (384, 256), jnp.float32) * 0.1
+    q = quantize_fp8_block(w)
+    x = jax.random.normal(k2, (30, 256), jnp.float32)
+
+    def loss(x_):
+        return jnp.sum(jnp.sin(fp8_matmul_ref(x_, q)))
+
+    y = fp8_matmul_ref(x, q)
+    g = jnp.cos(y)
+    dx = _bwd_pallas(g, q, interpret=True)
+    want = jax.grad(loss)(x)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(want),
+                               atol=1e-3, rtol=1e-3)

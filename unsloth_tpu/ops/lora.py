@@ -67,7 +67,10 @@ def base_matmul(x: jnp.ndarray, w: BaseWeight) -> jnp.ndarray:
         wd = dequantize_nf4(w, dtype=x.dtype)
     elif hasattr(w, "scales"):  # FP8Tensor
         from .fp8 import dequantize_fp8
+        from .fp8_matmul import fp8_matmul, use_fused_fp8
 
+        if use_fused_fp8(w):  # opt-in: UNSLOTH_FUSED_FP8=1
+            return fp8_matmul(x, w)
         wd = dequantize_fp8(w, dtype=x.dtype)
     else:
         wd = w.astype(x.dtype)
