@@ -141,3 +141,41 @@ def test_resume_validation_rejects_bad_dir(studio):
         "resume_from": str(tmp.mktemp("empty"))})
     assert code == 409
     assert "checkpoint" in out["error"]
+
+
+def test_spa_served_and_new_routes(studio):
+    """The multi-view SPA (studio/app.html) is served at / with all six
+    views; families + per-job metrics endpoints answer (reference:
+    studio/frontend React app surface)."""
+    url, srv, _ = studio
+    code, html = _req(url, "/", token=None)
+    assert code == 200
+    for view in ("Dashboard", "Train", "Chat", "Models", "Export",
+                 "Jobs"):
+        assert view in html, view
+    assert "api/train/start" in html or "train/start" in html
+
+    code, fams = _req(url, "/api/models/families")
+    assert code == 200 and "llama" in fams["families"]
+
+    code, out = _req(url, "/api/jobs/nonexistent1/metrics")
+    assert code == 200 and out["entries"] == []
+
+    code, out = _req(url, "/api/jobs/../../etc/metrics")
+    assert code == 400
+
+
+def test_estimate_with_model_name(studio):
+    """model_name resolution: a local checkpoint dir feeds
+    estimate_hbm_for_config; an unknown hub name gets a clear 404."""
+    url, _, tmp = studio
+    path = str(tmp.mktemp("est"))
+    make_hf_checkpoint(path, TINY_LLAMA)
+    code, out = _req(url, "/api/estimate", {
+        "model_name": path, "seq_length": 512, "batch_size": 1,
+        "load_in_4bit": True})
+    assert code == 200 and "total_gb" in out
+
+    code, out = _req(url, "/api/estimate", {
+        "model_name": "org/definitely-not-local", "seq_length": 512})
+    assert code == 404 and "dims" in out["error"]

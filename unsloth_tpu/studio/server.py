@@ -251,8 +251,16 @@ class StudioServer(InferenceServer):
                 return True
 
             def do_GET(self):
-                if self.path in ("/", "/index.html"):
-                    data = _DASHBOARD_HTML.encode()
+                if self.path in ("/", "/index.html", "/app", "/app.html"):
+                    # multi-view SPA (studio/app.html); falls back to the
+                    # inline dashboard if the asset is missing
+                    app_path = os.path.join(os.path.dirname(__file__),
+                                            "app.html")
+                    if os.path.exists(app_path):
+                        with open(app_path, "rb") as f:
+                            data = f.read()
+                    else:
+                        data = _DASHBOARD_HTML.encode()
                     self.send_response(200)
                     self.send_header("Content-Type", "text/html")
                     self.send_header("Content-Length", str(len(data)))
@@ -266,6 +274,11 @@ class StudioServer(InferenceServer):
                 if self.path.startswith("/api/metrics"):
                     return self._send(
                         200, {"entries": server.jobs.metrics()})
+                if self.path == "/api/models/families":
+                    from ..models.mapper import MODEL_CATALOG
+
+                    return self._send(
+                        200, {"families": sorted(MODEL_CATALOG)})
                 if self.path.startswith("/api/models"):
                     from urllib.parse import parse_qs, urlparse
 
@@ -275,6 +288,24 @@ class StudioServer(InferenceServer):
                     return self._send(200, {"models": search_models(
                         query=(q.get("q") or [""])[0],
                         family=(q.get("family") or [None])[0])})
+                if self.path.startswith("/api/jobs/") and \
+                        self.path.endswith("/metrics"):
+                    jid = self.path.split("/")[3]
+                    if not jid.isalnum():
+                        return self._send(400, {"error": "bad job id"})
+                    path = os.path.join(server.jobs.workdir, jid,
+                                        "metrics.jsonl")
+                    entries = []
+                    if os.path.exists(path):
+                        with open(path) as f:
+                            for line in f:
+                                line = line.strip()
+                                if line:
+                                    try:
+                                        entries.append(json.loads(line))
+                                    except json.JSONDecodeError:
+                                        pass
+                    return self._send(200, {"entries": entries[-2000:]})
                 if self.path == "/api/jobs":
                     jobs = []
                     wd = server.jobs.workdir
@@ -306,8 +337,29 @@ class StudioServer(InferenceServer):
                         if self.path == "/api/train/stop":
                             return self._send(200, server.jobs.stop())
                         if self.path == "/api/estimate":
-                            from ..utils.memory import estimate_hbm
+                            from ..utils.memory import (
+                                estimate_hbm, estimate_hbm_for_config)
 
+                            name = body.pop("model_name", None)
+                            if name:
+                                from ..models.config import load_hf_config
+                                from ..models.loader import \
+                                    _resolve_model_path
+
+                                try:
+                                    hf = load_hf_config(
+                                        _resolve_model_path(name))
+                                except FileNotFoundError:
+                                    return self._send(404, {
+                                        "error": f"{name!r} is not a "
+                                        "local checkpoint (offline "
+                                        "image); pass explicit dims "
+                                        "(vocab_size, hidden_size, "
+                                        "intermediate_size, num_layers, "
+                                        "num_heads) instead"})
+                                return self._send(
+                                    200, estimate_hbm_for_config(
+                                        hf, **body))
                             return self._send(200, estimate_hbm(**body))
                         if self.path == "/api/export":
                             return self._send(200,
