@@ -522,3 +522,23 @@ def test_lfm2_parity(tmp_path_factory):
     path = _save(Lfm2ForCausalLM(cfg), tmp_path_factory, "lfm2")
     hf = Lfm2ForCausalLM.from_pretrained(path, torch_dtype=torch.float32)
     _parity(path, hf, "lfm2", atol=2e-3, rtol=1e-2, t=24)
+
+
+def test_bamba_parity(tmp_path_factory):
+    """Bamba (IBM): SERIAL hybrid — each layer is a mamba2 SSD mixer OR
+    partial-rotary attention (cf. falcon-h1's parallel layout); gated
+    mamba rms-norm always on. Reuses the falcon-h1 SSD machinery."""
+    from transformers import BambaConfig, BambaForCausalLM
+
+    cfg = BambaConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        attn_layer_indices=[1, 3], max_position_embeddings=256,
+        mamba_n_heads=4, mamba_d_head=32, mamba_n_groups=1,
+        mamba_d_state=16, mamba_d_conv=4, mamba_chunk_size=8,
+        mamba_expand=2, partial_rotary_factor=0.5,
+        tie_word_embeddings=False, pad_token_id=0)
+    torch.manual_seed(0)
+    path = _save(BambaForCausalLM(cfg), tmp_path_factory, "bamba")
+    hf = BambaForCausalLM.from_pretrained(path, torch_dtype=torch.float32)
+    _parity(path, hf, "bamba", atol=2e-3, rtol=1e-2, t=24)

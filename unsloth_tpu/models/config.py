@@ -707,6 +707,26 @@ class AltUpConfig:
     activation_sparsity: Tuple[float, ...] = ()
 
 
+def _build_bamba(cls, hf, model_type, name):
+    """Bamba (IBM/CMU/Princeton): SERIAL hybrid — each layer is either a
+    mamba2 (SSD) mixer or partial-rotary attention (HF BambaDecoderLayer;
+    cf. falcon-h1 where both run in PARALLEL per layer). The mamba2 math
+    and checkpoint names are shared with falcon-h1 (`mamba.*`, gated
+    rms-norm always on)."""
+    kw = _common(hf)
+    kw["partial_rotary_factor"] = float(
+        hf.get("partial_rotary_factor", 0.5))
+    mc = dict(hf)
+    mc.setdefault("mamba_rms_norm", True)  # BambaRMSNormGated always
+    kw["mamba"] = MambaConfig.from_hf(mc)
+    n_layers = kw["num_layers"]
+    attn_idx = set(int(i) for i in (hf.get("attn_layer_indices") or []))
+    kw["layer_pattern"] = tuple(
+        "global" if i in attn_idx else "mamba" for i in range(n_layers))
+    kw["tie_word_embeddings"] = bool(hf.get("tie_word_embeddings", False))
+    return cls(model_type="bamba", name=name, **kw)
+
+
 def _build_lfm2(cls, hf, model_type, name):
     """LFM2 (LiquidAI): hybrid stack of gated short-conv mixer layers and
     full-attention layers (per-head qk-norm before rope); SwiGLU MLP with
@@ -874,6 +894,7 @@ _HF_BUILDERS = {
     "gemma3n": _build_gemma3n,
     "gemma3n_text": _build_gemma3n,
     "lfm2": _build_lfm2,
+    "bamba": _build_bamba,
     "gemma3_text": _build_gemma,
     "gpt_oss": _build_gpt_oss,
     "llama4": _build_llama4,

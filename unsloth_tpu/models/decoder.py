@@ -500,6 +500,9 @@ def decoder_layer(
         attn = _gdn_block(h, layer_p, cfg)
     elif cfg.layer_kind(layer_idx) == "conv":
         attn = _short_conv_block(h, layer_p, cfg, segment_ids)
+    elif cfg.layer_kind(layer_idx) == "mamba":
+        # bamba-style SERIAL hybrid: the SSD mixer replaces attention
+        attn = _mamba_block(h, layer_p, cfg, segment_ids)
     else:
         attn = attention_block(h, layer_p, lora_p, cfg, layer_idx,
                                cos, sin, cos_local, sin_local,

@@ -120,8 +120,8 @@ def layer_name_map(cfg: ModelConfig, layer_idx: int) -> Dict[str, str]:
         m.update(_POST_NORM_MAP)
     else:
         m.update(_PLAIN_NORM_MAP)
-    if cfg.model_type in ("llama4", "falcon_h1"):
-        # llama4/falcon-h1 name the MLP module "feed_forward"
+    if cfg.model_type in ("llama4", "falcon_h1", "bamba"):
+        # llama4/falcon-h1/bamba name the MLP module "feed_forward"
         m = {ours: hf.replace("mlp.", "feed_forward.", 1)
              for ours, hf in m.items()}
     if cfg.gdn is not None and cfg.layer_kind(layer_idx) == "linear":
@@ -140,6 +140,18 @@ def layer_name_map(cfg: ModelConfig, layer_idx: int) -> Dict[str, str]:
             m.pop("mamba_norm")
         if not (cfg.mamba and cfg.mamba.conv_bias):
             m.pop("mamba_conv_b")
+    if cfg.model_type == "bamba":
+        # serial hybrid: per-layer mamba OR attention
+        m["post_attn_norm"] = "pre_ff_layernorm.weight"
+        if cfg.layer_kind(layer_idx) == "mamba":
+            for nm in ("q", "k", "v", "o", "q_bias", "k_bias", "v_bias",
+                       "o_bias", "q_norm", "k_norm"):
+                m.pop(nm, None)
+            m.update(_MAMBA_MAP)
+            if not cfg.mamba.rms_norm:
+                m.pop("mamba_norm")
+            if not cfg.mamba.conv_bias:
+                m.pop("mamba_conv_b")
     if cfg.altup is not None:
         m.update(_GEMMA3N_LAYER_MAP)
     if cfg.model_type == "lfm2":
@@ -247,7 +259,7 @@ def top_level_map(cfg: ModelConfig) -> Dict[str, str]:
     m = dict(_TOP_MAP)
     if cfg.tie_word_embeddings:
         m.pop("lm_head")
-    if cfg.hybrid_mamba:
+    if cfg.hybrid_mamba or cfg.model_type == "bamba":
         m["final_norm"] = "model.final_layernorm.weight"
     if cfg.model_type == "lfm2":
         m["final_norm"] = "model.embedding_norm.weight"

@@ -264,11 +264,15 @@ class SFTTrainer:
         if packing == "auto":
             # text-only causal LM => pack; vision/multimodal models are
             # blocklisted (reference: trainer.py:713-901 VLM blocklist);
-            # hybrid-mamba too: SSM state flows across packed documents,
-            # so packing would leak context between them.
+            # any mamba/conv mixer too (falcon-h1, bamba, lfm2): recurrent
+            # state flows across packed documents, leaking context.
+            cfg = self.model.cfg
+            recurrent = (getattr(cfg, "mamba", None) is not None
+                         or getattr(cfg, "short_conv_l", 0)
+                         or "conv" in (getattr(cfg, "layer_pattern", None)
+                                       or ()))
             packing = (type(self.model).__name__ == "LanguageModel"
-                       and not getattr(self.model.cfg, "hybrid_mamba",
-                                       False))
+                       and not recurrent)
         if packing:
             rows = pack_sequences(examples, args.max_seq_length, pad_id)
             self._batches = batch_packed_rows(
