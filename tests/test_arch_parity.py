@@ -542,3 +542,40 @@ def test_bamba_parity(tmp_path_factory):
     path = _save(BambaForCausalLM(cfg), tmp_path_factory, "bamba")
     hf = BambaForCausalLM.from_pretrained(path, torch_dtype=torch.float32)
     _parity(path, hf, "bamba", atol=2e-3, rtol=1e-2, t=24)
+
+
+def test_dots1_parity(tmp_path_factory):
+    """dots1 (rednote-hilab dots.llm1): per-head qk-norm before rope +
+    DeepSeek-V3-style group-limited sigmoid MoE with shared experts."""
+    from transformers import Dots1Config, Dots1ForCausalLM
+
+    cfg = Dots1Config(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        moe_intermediate_size=32, num_hidden_layers=3,
+        num_attention_heads=2, num_key_value_heads=1,
+        n_routed_experts=4, num_experts_per_tok=2, n_shared_experts=1,
+        first_k_dense_replace=1, n_group=2, topk_group=1,
+        routed_scaling_factor=1.5, norm_topk_prob=True,
+        max_position_embeddings=128, tie_word_embeddings=False,
+        pad_token_id=0)
+    torch.manual_seed(0)
+    path = _save(Dots1ForCausalLM(cfg), tmp_path_factory, "dots1")
+    hf = Dots1ForCausalLM.from_pretrained(path, torch_dtype=torch.float32)
+    _parity(path, hf, "dots1", atol=2e-3, rtol=1e-2, t=24)
+
+
+def test_hunyuan_parity(tmp_path_factory):
+    """HunYuan-V1-dense (Tencent): per-head weighted qk-norm applied
+    AFTER rope (query/key_layernorm post-rotary)."""
+    from transformers import HunYuanDenseV1Config, HunYuanDenseV1ForCausalLM
+
+    cfg = HunYuanDenseV1Config(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=16, max_position_embeddings=128,
+        tie_word_embeddings=False, pad_token_id=0)
+    torch.manual_seed(0)
+    path = _save(HunYuanDenseV1ForCausalLM(cfg), tmp_path_factory, "hunyuan")
+    hf = HunYuanDenseV1ForCausalLM.from_pretrained(
+        path, torch_dtype=torch.float32)
+    _parity(path, hf, "hunyuan", atol=2e-3, rtol=1e-2, t=24)

@@ -227,6 +227,11 @@ def forward_with_cache(
 
                 q = _l2_norm(q, cfg.rms_norm_eps)
                 k = _l2_norm(k, cfg.rms_norm_eps)
+            elif cfg.qk_norm == "post_rope":  # hunyuan
+                q = rms_norm(q, layer_p["q_norm"], cfg.rms_norm_eps,
+                             False)
+                k = rms_norm(k, layer_p["k_norm"], cfg.rms_norm_eps,
+                             False)
         elif cfg.attn_temperature_tuning:
             scales = jnp.log1p(jnp.floor(
                 (positions.astype(jnp.float32) + 1.0) / cfg.floor_scale)) \

@@ -577,6 +577,10 @@ def _build_llama_like(cls, hf, model_type, name):
     if model_type == "olmo2":
         kw["post_norm_only"] = True
         kw["qk_norm"] = "full"  # rms over the full projection width
+    if model_type == "hunyuan_v1_dense":
+        # per-head weighted rms-norm AFTER rope (HF HunYuanDenseV1Attention
+        # applies query/key_layernorm post-rotary)
+        kw["qk_norm"] = "post_rope"
     if model_type == "olmo3":
         # olmo2 structure + sliding/full pattern; sliding layers use
         # UNSCALED default rope, full layers apply config rope_scaling
@@ -705,6 +709,30 @@ class AltUpConfig:
     vocab_per_layer: int = 262144
     num_kv_shared_layers: int = 0
     activation_sparsity: Tuple[float, ...] = ()
+
+
+def _build_dots1(cls, hf, model_type, name):
+    """dots1 (rednote-hilab dots.llm1): standard attention with per-head
+    qk-norm + DeepSeek-V3-style MoE (sigmoid router, bias-corrected
+    group-limited top-k, routed scaling, shared experts, first-k dense)."""
+    kw = _common(hf)
+    n_layers = kw["num_layers"]
+    first_dense = int(hf.get("first_k_dense_replace", 0))
+    kw.update(
+        qk_norm=True,
+        num_experts=int(hf.get("n_routed_experts") or 0),
+        num_experts_per_tok=int(hf.get("num_experts_per_tok") or 0),
+        moe_intermediate_size=int(hf.get("moe_intermediate_size", 1408)),
+        moe_layer_pattern=tuple(i >= first_dense
+                                for i in range(n_layers)),
+        moe_routing="deepseek",
+        moe_shared_expert=bool(hf.get("n_shared_experts")),
+        moe_n_group=int(hf.get("n_group", 1)),
+        moe_topk_group=int(hf.get("topk_group", 1)),
+        moe_routed_scaling=float(hf.get("routed_scaling_factor", 1.0)),
+        norm_topk_prob=bool(hf.get("norm_topk_prob", False)),
+    )
+    return cls(model_type="dots1", name=name, **kw)
 
 
 def _build_bamba(cls, hf, model_type, name):
@@ -895,6 +923,7 @@ _HF_BUILDERS = {
     "gemma3n_text": _build_gemma3n,
     "lfm2": _build_lfm2,
     "bamba": _build_bamba,
+    "dots1": _build_dots1,
     "gemma3_text": _build_gemma,
     "gpt_oss": _build_gpt_oss,
     "llama4": _build_llama4,

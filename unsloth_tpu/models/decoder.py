@@ -195,6 +195,9 @@ def attention_block(
         if cfg.qk_norm == "l2":  # llama4: weightless L2 norm after rope
             q = _l2_norm(q, cfg.rms_norm_eps)
             k = _l2_norm(k, cfg.rms_norm_eps)
+        elif cfg.qk_norm == "post_rope":  # hunyuan: weighted rms after rope
+            q = rms_norm(q, layer_p["q_norm"], cfg.rms_norm_eps, False)
+            k = rms_norm(k, layer_p["k_norm"], cfg.rms_norm_eps, False)
     elif cfg.attn_temperature_tuning:
         # llama4 NoPE layers: q scaled by a log-floor temperature of the
         # absolute position (HF Llama4TextAttention.forward).

@@ -154,6 +154,9 @@ def layer_name_map(cfg: ModelConfig, layer_idx: int) -> Dict[str, str]:
                 m.pop("mamba_conv_b")
     if cfg.altup is not None:
         m.update(_GEMMA3N_LAYER_MAP)
+    if cfg.model_type == "hunyuan_v1_dense":
+        m["q_norm"] = "self_attn.query_layernorm.weight"
+        m["k_norm"] = "self_attn.key_layernorm.weight"
     if cfg.model_type == "lfm2":
         m.update({
             "o": "self_attn.out_proj.weight",
