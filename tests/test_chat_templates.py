@@ -135,3 +135,42 @@ def test_get_chat_template_with_hf_tokenizer(tmp_path):
         [{"role": "user", "content": "Hi"}], tokenize=False,
         add_generation_prompt=True)
     assert text == "<|im_start|>user\nHi<|im_end|>\n<|im_start|>assistant\n"
+
+
+def test_construct_chat_template_round_trip():
+    """construct_chat_template (reference: chat_templates.py:2424): a
+    literal example with {SYSTEM}/{INPUT}/{OUTPUT} becomes a jinja
+    template that renders multi-turn conversations + an Ollama string."""
+    from jinja2 import Template
+
+    from unsloth_tpu.data.chat_templates import construct_chat_template
+
+    t = construct_chat_template(
+        chat_template=("<|sys|>{SYSTEM}<|end|>\n<|user|>{INPUT}<|end|>\n"
+                       "<|asst|>{OUTPUT}<|end|>\n"),
+        default_system_message="be helpful", name="customtest")
+    msgs = [{"role": "system", "content": "S"},
+            {"role": "user", "content": "U1"},
+            {"role": "assistant", "content": "A1"},
+            {"role": "user", "content": "U2"}]
+    out = Template(t.jinja).render(messages=msgs,
+                                   add_generation_prompt=True)
+    assert out == ("<|sys|>S<|end|>\n<|user|>U1<|end|>\n"
+                   "<|asst|>A1<|end|>\n<|user|>U2<|end|>\n<|asst|>")
+    # default system injected when absent
+    out2 = Template(t.jinja).render(messages=msgs[1:2],
+                                    add_generation_prompt=False)
+    assert out2.startswith("<|sys|>be helpful")
+    assert "{{ .Response }}" in t.ollama and "{{ .System }}" in t.ollama
+
+
+def test_top_level_data_api_exports():
+    """Reference-parity: the package root exposes the data-layer API
+    (reference: unsloth/__init__.py star-imports)."""
+    import unsloth_tpu
+
+    for n in ("get_chat_template", "apply_chat_template",
+              "standardize_sharegpt", "to_sharegpt",
+              "construct_chat_template", "train_on_responses_only",
+              "SFTTrainer", "UnslothTrainer", "CHAT_TEMPLATES"):
+        assert callable(getattr(unsloth_tpu, n)) or n == "CHAT_TEMPLATES"

@@ -50,6 +50,27 @@ from .utils import env as _env
 FastTextModel = FastLanguageModel
 
 
+# data-layer API parity (reference exports these from the package root:
+# unsloth/__init__.py via chat_templates/zoo star-imports)
+_LAZY = {
+    "get_chat_template": ("unsloth_tpu.data.chat_templates",
+                          "get_chat_template"),
+    "apply_chat_template": ("unsloth_tpu.data.chat_templates",
+                            "apply_chat_template"),
+    "standardize_sharegpt": ("unsloth_tpu.data.chat_templates",
+                             "standardize_sharegpt"),
+    "to_sharegpt": ("unsloth_tpu.data.chat_templates", "to_sharegpt"),
+    "construct_chat_template": ("unsloth_tpu.data.chat_templates",
+                                "construct_chat_template"),
+    "CHAT_TEMPLATES": ("unsloth_tpu.data.chat_templates",
+                       "CHAT_TEMPLATES"),
+    "train_on_responses_only": ("unsloth_tpu.trainer.sft",
+                                "train_on_responses_only"),
+    "SFTTrainer": ("unsloth_tpu.trainer.sft", "SFTTrainer"),
+    "UnslothTrainer": ("unsloth_tpu.trainer.sft", "SFTTrainer"),
+}
+
+
 def __getattr__(name):
     # heavyweight facades load lazily (they pull vision/audio deps)
     if name == "FastVisionModel":
@@ -64,6 +85,11 @@ def __getattr__(name):
         from .models.diffusion import FastDiffusionModel
 
         return FastDiffusionModel
+    if name in _LAZY:
+        import importlib
+
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 

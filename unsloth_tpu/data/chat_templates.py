@@ -738,3 +738,88 @@ def apply_chat_template(dataset, tokenizer, chat_template: Optional[str] = None,
     if hasattr(dataset, "map"):
         return dataset.map(fmt)
     return [fmt(ex) for ex in dataset]
+
+
+def _jinja_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") \
+        .replace("\n", "\\n") + "'"
+
+
+def construct_chat_template(tokenizer=None, chat_template: str = "",
+                            default_system_message: Optional[str] = None,
+                            name: str = "custom"):
+    """Build a jinja chat template + Ollama TEMPLATE from ONE literal
+    example containing {SYSTEM} (optional), {INPUT} and {OUTPUT} markers
+    (reference: chat_templates.py:2424 construct_chat_template).
+
+    The example `A{SYSTEM}B{INPUT}C{OUTPUT}D` maps to: system turn =
+    A + system + (B is the user prefix), user turn = B + content,
+    assistant turn = C + content + D; the generation prompt is C.
+    Registers the result under `name`, installs it on the tokenizer if
+    given, and returns the ChatTemplate."""
+    if "{INPUT}" not in chat_template or "{OUTPUT}" not in chat_template:
+        raise ValueError("chat_template must contain {INPUT} and {OUTPUT}")
+    if chat_template.index("{INPUT}") > chat_template.index("{OUTPUT}"):
+        raise ValueError("{INPUT} must come before {OUTPUT}")
+
+    rest = chat_template
+    if "{SYSTEM}" in rest:
+        sys_prefix, rest = rest.split("{SYSTEM}", 1)
+        has_system = True
+    else:
+        sys_prefix, has_system = "", False
+    user_prefix, rest = rest.split("{INPUT}", 1)
+    asst_prefix, asst_suffix = rest.split("{OUTPUT}", 1)
+    # the assistant suffix is the turn closer (e.g. "<|end|>\n"); when the
+    # span between {SYSTEM} and {INPUT} starts with it, that leading piece
+    # closes the SYSTEM turn rather than prefixing every user turn
+    sys_suffix = ""
+    if has_system and asst_suffix and user_prefix.startswith(asst_suffix):
+        sys_suffix = asst_suffix
+        user_prefix = user_prefix[len(asst_suffix):]
+
+    first_prefix = "" if has_system else sys_prefix
+    jinja = (
+        "{% for message in messages %}"
+        "{% if message['role'] == 'system' %}"
+        f"{{{{ {_jinja_str(sys_prefix)} + message['content'] + "
+        f"{_jinja_str(sys_suffix)} }}}}"
+        "{% elif message['role'] == 'user' %}"
+        f"{{{{ {_jinja_str(user_prefix)} + message['content'] }}}}"
+        "{% else %}"
+        f"{{{{ {_jinja_str(asst_prefix)} + message['content'] + "
+        f"{_jinja_str(asst_suffix)} }}}}"
+        "{% endif %}{% endfor %}"
+        "{% if add_generation_prompt %}"
+        f"{{{{ {_jinja_str(asst_prefix)} }}}}{{% endif %}}"
+    )
+    if has_system and default_system_message:
+        jinja = (
+            "{% if messages[0]['role'] != 'system' %}"
+            f"{{{{ {_jinja_str(sys_prefix + default_system_message
+                               + sys_suffix)} }}}}"
+            "{% endif %}" + jinja)
+    elif first_prefix:
+        jinja = f"{{{{ {_jinja_str(first_prefix)} }}}}" + jinja
+
+    ollama = ""
+    if has_system:
+        ollama += ("{{ if .System }}" + sys_prefix + "{{ .System }}"
+                   + sys_suffix + "{{ end }}")
+    ollama += ("{{ if .Prompt }}" + user_prefix + "{{ .Prompt }}"
+               + "{{ end }}" + asst_prefix + "{{ .Response }}"
+               + asst_suffix)
+
+    stop = asst_suffix.strip() or None
+    t = ChatTemplate(
+        name=name, jinja=jinja,
+        eos_token=stop or "", stop_word=stop or "",
+        default_system=default_system_message,
+        instruction_part=user_prefix or None,
+        response_part=asst_prefix or None,
+        ollama=ollama)
+    register(t)
+    if tokenizer is not None:
+        tokenizer.chat_template = jinja
+        tokenizer._unsloth_template = t
+    return t
