@@ -579,3 +579,23 @@ def test_hunyuan_parity(tmp_path_factory):
     hf = HunYuanDenseV1ForCausalLM.from_pretrained(
         path, torch_dtype=torch.float32)
     _parity(path, hf, "hunyuan", atol=2e-3, rtol=1e-2, t=24)
+
+
+def test_granitemoe_parity(tmp_path_factory):
+    """granitemoe (IBM): granite's muP-style multipliers + MoE with
+    topk-then-softmax routing and fused input_linear [E, 2F, D]
+    (gate rows then up rows; HF GraniteMoeMoE/GraniteMoeTopKGating)."""
+    from transformers import GraniteMoeConfig, GraniteMoeForCausalLM
+
+    cfg = GraniteMoeConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=128, embedding_multiplier=2.0,
+        attention_multiplier=0.1, residual_multiplier=0.5,
+        logits_scaling=3.0, tie_word_embeddings=False, pad_token_id=0)
+    torch.manual_seed(0)
+    path = _save(GraniteMoeForCausalLM(cfg), tmp_path_factory, "gmoe")
+    hf = GraniteMoeForCausalLM.from_pretrained(path,
+                                               torch_dtype=torch.float32)
+    _parity(path, hf, "granitemoe", atol=2e-3, rtol=1e-2, t=24)

@@ -609,6 +609,21 @@ def _build_llama_like(cls, hf, model_type, name):
                 for t in types)
             kw["rope_layers"] = tuple(
                 t == "sliding_attention" for t in types)
+    if model_type == "granitemoe":
+        kw["embed_scale"] = float(hf.get("embedding_multiplier", 1.0))
+        kw["attn_logit_scale"] = float(hf.get("attention_multiplier",
+                                              kw["hidden_size"] ** -0.5))
+        kw["residual_multiplier"] = float(hf.get("residual_multiplier",
+                                                 1.0))
+        ls = float(hf.get("logits_scaling", 1.0))
+        if ls != 1.0:
+            kw["logit_scale"] = 1.0 / ls
+        kw.update(
+            num_experts=int(hf.get("num_local_experts", 8)),
+            num_experts_per_tok=int(hf.get("num_experts_per_tok", 2)),
+            moe_intermediate_size=int(hf.get("intermediate_size", 1024)),
+            moe_routing="topk_softmax",
+        )
     if model_type == "granite":
         # granite = llama + scalar multipliers (attention/embedding/
         # residual/logits) — the reference disables its granite path

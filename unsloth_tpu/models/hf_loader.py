@@ -201,6 +201,21 @@ def _load_experts(reader, cfg, layer_idx, dtype, put):
     l4 = f"model.layers.{layer_idx}.feed_forward.experts.gate_up_proj"
     if l4 in reader:
         return _load_llama4_experts(reader, cfg, layer_idx, dtype, put)
+    gm = f"model.layers.{layer_idx}.block_sparse_moe.input_linear.weight"
+    if gm in reader:
+        # granitemoe: input_linear [E, 2F, D] (gate rows then up rows),
+        # output_linear [E, D, F] — already out-major, just split
+        import numpy as _np
+
+        w = _np.asarray(reader.get(gm), _np.float32)
+        f = w.shape[1] // 2
+        down = _np.asarray(reader.get(
+            f"model.layers.{layer_idx}.block_sparse_moe."
+            "output_linear.weight"), _np.float32)
+        out = {"gate": w[:, :f, :], "up": w[:, f:, :], "down": down}
+        return {k: put(f"layers.{layer_idx}.experts.{k}",
+                       jnp.asarray(_np.ascontiguousarray(v)).astype(dtype))
+                for k, v in out.items()}
     namer = hf_names.expert_name
     if hf_names.mixtral_expert_name(layer_idx, 0, "gate") in reader:
         namer = hf_names.mixtral_expert_name

@@ -202,6 +202,8 @@ def layer_name_map(cfg: ModelConfig, layer_idx: int) -> Dict[str, str]:
             out["router_bias"] = prefix + "mlp.router.bias"
         elif cfg.model_type == "llama4":
             out["router"] = prefix + "feed_forward.router.weight"
+        elif cfg.model_type == "granitemoe":
+            out["router"] = prefix + "block_sparse_moe.router.layer.weight"
         else:
             out["router"] = prefix + _MOE_ROUTER
             out["router_bias"] = prefix + _MOE_ROUTER_BIAS

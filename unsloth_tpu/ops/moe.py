@@ -51,6 +51,11 @@ def _route(router_logits, k: int, norm_topk_prob: bool,
     if routing == "llama4":
         top_vals, sel = jax.lax.top_k(router_logits, k)
         return jax.nn.sigmoid(top_vals), sel
+    if routing == "topk_softmax":
+        # granitemoe (HF GraniteMoeTopKGating): top-k on the raw logits
+        # FIRST, then softmax over just the selected k
+        top_vals, sel = jax.lax.top_k(router_logits.astype(jnp.float32), k)
+        return jax.nn.softmax(top_vals, axis=-1), sel
     if routing == "deepseek":
         # DeepSeek-V3 (HF DeepseekV3TopkRouter): sigmoid scores; selection
         # uses bias-corrected scores restricted to the topk_group groups
