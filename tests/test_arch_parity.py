@@ -599,3 +599,27 @@ def test_granitemoe_parity(tmp_path_factory):
     hf = GraniteMoeForCausalLM.from_pretrained(path,
                                                torch_dtype=torch.float32)
     _parity(path, hf, "granitemoe", atol=2e-3, rtol=1e-2, t=24)
+
+
+def test_minimax_parity(tmp_path_factory):
+    """MiniMax: alternating lightning (decayed linear) attention and full
+    rope attention, mixtral MoE, weighted NORMED residual stream
+    (HF MiniMaxDecoderLayer / MiniMaxLightningAttention)."""
+    from transformers import MiniMaxConfig, MiniMaxForCausalLM
+
+    cfg = MiniMaxConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=4, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=16, num_local_experts=4, num_experts_per_tok=2,
+        layer_types=["linear_attention", "full_attention",
+                     "linear_attention", "full_attention"],
+        block_size=8, full_attn_alpha_factor=0.9, full_attn_beta_factor=1.1,
+        linear_attn_alpha_factor=1.2, linear_attn_beta_factor=0.8,
+        mlp_alpha_factor=1.05, mlp_beta_factor=0.95,
+        max_position_embeddings=128, tie_word_embeddings=False,
+        pad_token_id=0)
+    torch.manual_seed(0)
+    path = _save(MiniMaxForCausalLM(cfg), tmp_path_factory, "minimax")
+    hf = MiniMaxForCausalLM.from_pretrained(path,
+                                            torch_dtype=torch.float32)
+    _parity(path, hf, "minimax", atol=2e-3, rtol=1e-2, t=24)

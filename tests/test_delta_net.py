@@ -59,3 +59,39 @@ def test_grads_flow(rng):
     for gr in grads:
         assert np.isfinite(np.asarray(gr)).all()
         assert float(jnp.abs(gr).max()) > 0
+
+
+def test_lightning_attention_chunked_matches_sequential():
+    """The chunked lightning attention equals the sequential decayed
+    recurrence (HF's decode path) — including with a partial last block."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unsloth_tpu.ops.lightning_attention import (
+        lightning_attention, lightning_attention_ref, lightning_slopes)
+
+    b, t, h, d = 2, 21, 3, 8
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.nn.silu(jax.random.normal(k1, (b, t, h, d)))
+    k = jax.nn.silu(jax.random.normal(k2, (b, t, h, d)))
+    v = jax.random.normal(k3, (b, t, h, d))
+    s = lightning_slopes(h, layer_idx=1, num_layers=4)
+    got, state = lightning_attention(q, k, v, s, block_size=8,
+                                     return_state=True)
+    want = lightning_attention_ref(q, k, v, s)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+    # the returned state is exact (partial last block): one more decode
+    # step from it matches the sequential recurrence over t+1 tokens
+    k4 = jax.random.PRNGKey(9)
+    qn = jax.nn.silu(jax.random.normal(k4, (b, 1, h, d)))
+    kn, vn = qn * 0.7, qn * 1.3
+    got2, _ = lightning_attention(qn, kn, vn, s, block_size=8,
+                                  initial_state=state, return_state=True)
+    want2 = lightning_attention_ref(
+        jnp.concatenate([q, qn], 1), jnp.concatenate([k, kn], 1),
+        jnp.concatenate([v, vn], 1), s)[:, -1:]
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               atol=1e-5, rtol=1e-5)

@@ -441,3 +441,55 @@ def test_lfm2_decode_matches_training_forward(tmp_path_factory):
         got.append(np.asarray(logits_from_hidden(model.params, h, cfg)))
     got = np.concatenate(got, axis=1)
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-2)
+
+
+def test_minimax_decode_matches_training_forward(tmp_path_factory):
+    """MiniMax decode: lightning layers carry a [B, H, Dh, Dh] decayed
+    linear-attention state in cache.ssm (HF get_linear_cache); full
+    layers use the KV cache. Prefill (chunked, partial last block) +
+    per-token decode logits == training forward, itself HF-parity-tested
+    (test_arch_parity.py::test_minimax_parity)."""
+    import numpy as np
+    import torch
+    from transformers import MiniMaxConfig, MiniMaxForCausalLM
+
+    from unsloth_tpu.inference.decode import (forward_with_cache,
+                                              init_cache,
+                                              logits_from_hidden)
+    from unsloth_tpu.models.loader import FastLanguageModel
+
+    cfg_hf = MiniMaxConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=4, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=16, num_local_experts=4, num_experts_per_tok=2,
+        layer_types=["linear_attention", "full_attention",
+                     "linear_attention", "full_attention"],
+        block_size=8, full_attn_alpha_factor=0.9, full_attn_beta_factor=1.1,
+        linear_attn_alpha_factor=1.2, linear_attn_beta_factor=0.8,
+        mlp_alpha_factor=1.05, mlp_beta_factor=0.95,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        pad_token_id=0)
+    torch.manual_seed(0)
+    path = str(tmp_path_factory.mktemp("minimaxd"))
+    MiniMaxForCausalLM(cfg_hf).save_pretrained(path,
+                                               safe_serialization=True)
+    model, _ = FastLanguageModel.from_pretrained(path, load_in_4bit=False,
+                                                 dtype="float32")
+    cfg = model.cfg
+    b, t = 2, 13  # 13: prefill of 9 is a partial lightning block (8+1)
+    ids = jax.random.randint(jax.random.PRNGKey(0), (b, t), 0, 96)
+    want = np.asarray(model.logits(ids, remat=False))
+
+    cache = init_cache(cfg, b, 32, dtype=jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(9, dtype=jnp.int32)[None], (b, 9))
+    h, cache = forward_with_cache(model.params, None, ids[:, :9], cfg,
+                                  cache, positions=pos)
+    got = [np.asarray(logits_from_hidden(model.params, h, cfg))]
+    for step in range(9, t):
+        p1 = jnp.full((b, 1), step, jnp.int32)
+        h, cache = forward_with_cache(model.params, None,
+                                      ids[:, step:step + 1], cfg, cache,
+                                      positions=p1)
+        got.append(np.asarray(logits_from_hidden(model.params, h, cfg)))
+    got = np.concatenate(got, axis=1)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)

@@ -78,6 +78,11 @@ def init_cache(cfg: ModelConfig, batch: int, max_length: int,
         # lfm2: rolling pre-conv window for the gated short-conv layers
         conv = [jnp.zeros((batch, cfg.short_conv_l - 1, cfg.hidden_size),
                           jnp.float32) for _ in range(cfg.num_layers)]
+    elif cfg.lightning is not None:
+        # minimax: decayed linear-attention state for the lightning layers
+        ssm = [jnp.zeros((batch, cfg.num_heads, cfg.head_dim,
+                          cfg.head_dim), jnp.float32)
+               for _ in range(cfg.num_layers)]
     return KVCache(
         k=[jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)],
         v=[jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)],
@@ -150,6 +155,10 @@ def forward_with_cache(
         return _mla_forward_with_cache(params, lora, input_ids, cfg,
                                        cache, positions=positions,
                                        kv_valid_extra=kv_valid_extra)
+    if cfg.lightning is not None:
+        return _minimax_forward_with_cache(params, lora, input_ids, cfg,
+                                           cache, positions=positions,
+                                           kv_valid_extra=kv_valid_extra)
     if "layers_stacked" in params:
         # decode walks layers individually; slice the stacked leaves
         # (views under jit — no copies)
@@ -416,6 +425,116 @@ def _hybrid_forward_with_cache(params, lora, input_ids, cfg: ModelConfig,
     x = _norm(x, params["final_norm"], cfg)
     return x, KVCache(k=new_k, v=new_v, length=cache.length + t,
                       conv=new_conv, ssm=new_ssm)
+
+
+def _minimax_forward_with_cache(params, lora, input_ids, cfg: ModelConfig,
+                                cache: KVCache, *, positions,
+                                kv_valid_extra=None):
+    """MiniMax decode: lightning (decayed linear attention) layers carry a
+    [B, H, Dh, Dh] recurrent state in cache.ssm; full-attention layers use
+    the plain KV cache; residuals are the weighted NORMED stream (HF
+    MiniMaxDecoderLayer; reference catalogs MiniMax via FastModel).
+    Prefill and decode both route through `lightning_attention`, whose
+    returned state is exact for any T."""
+    from ..models.decoder import moe_block
+    from ..ops.lightning_attention import (lightning_attention,
+                                           lightning_slopes)
+
+    lc = cfg.lightning
+    b, t = input_ids.shape
+    lora_layers = (lora or {}).get("layers")
+    embed_w = (lora or {}).get("embed")
+    if embed_w is None:
+        embed_w = params["embed"]
+    x = jnp.take(embed_w, input_ids, axis=0)
+    if cfg.embed_scale is not None:
+        x = x * jnp.asarray(cfg.embed_scale, dtype=x.dtype)
+
+    cos, sin, _, _ = _rope_tables(cfg, positions)
+
+    s_max = cache.k[0].shape[1]
+    kv_slots = jnp.arange(s_max, dtype=jnp.int32)[None]
+    kv_valid = jnp.broadcast_to(kv_slots < (cache.length + t), (b, s_max))
+    if kv_valid_extra is not None:
+        kv_valid = kv_valid & kv_valid_extra
+    q_slots = cache.length + jnp.arange(t, dtype=jnp.int32)[None]
+    q_slots = jnp.broadcast_to(q_slots, (b, t))
+    # left-padded prompts: pad tokens must not enter the lightning state
+    # (HF zeroes v under the attention mask; decay still advances, but the
+    # pre-pad state is zero so outputs are exact)
+    if kv_valid_extra is not None and t > 1:
+        pad_mask = jax.lax.dynamic_slice(
+            kv_valid_extra.astype(jnp.float32), (0, cache.length), (b, t))
+    else:
+        pad_mask = None
+
+    hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    new_k, new_v, new_ssm = [], [], []
+    for i, layer_p in enumerate(params["layers"]):
+        lora_p = lora_layers[i] if lora_layers else None
+        h = _norm(x, layer_p["input_norm"], cfg)
+        if cfg.layer_kind(i) == "linear":
+            qkv = jax.nn.silu(
+                (h @ layer_p["lightn_qkv"].T.astype(h.dtype))
+                .astype(jnp.float32)).reshape(b, t, hq, 3 * dh)
+            q = qkv[..., :dh]
+            k = qkv[..., dh:2 * dh]
+            v = qkv[..., 2 * dh:]
+            if pad_mask is not None:
+                v = v * pad_mask[..., None, None]
+            y, state = lightning_attention(
+                q, k, v, lightning_slopes(hq, i, cfg.num_layers),
+                block_size=lc.block_size, initial_state=cache.ssm[i],
+                return_state=True)
+            new_ssm.append(state)
+            new_k.append(cache.k[i])
+            new_v.append(cache.v[i])
+            y = y.reshape(b, t, hq * dh)
+            # HF MiniMaxLightningAttention.norm uses the DEFAULT rms eps
+            # (1e-6), not config.rms_norm_eps (see decoder._lightning_block)
+            y = rms_norm(y, layer_p["lightn_norm"], 1e-6, False)
+            gate = jax.nn.sigmoid(
+                (h @ layer_p["lightn_gate"].T.astype(h.dtype))
+                .astype(jnp.float32))
+            y = (y.astype(jnp.float32) * gate).astype(h.dtype)
+            attn = y @ layer_p["lightn_out"].T.astype(h.dtype)
+            aa, bb = lc.linear_alpha, lc.linear_beta
+        else:
+            q = _proj(h, layer_p, lora_p, "q").reshape(b, t, hq, dh)
+            k = _proj(h, layer_p, lora_p, "k").reshape(b, t, hkv, dh)
+            v = _proj(h, layer_p, lora_p, "v").reshape(b, t, hkv, dh)
+            q, k = apply_rope_qk(q, k, cos, sin)
+            k_cache = jax.lax.dynamic_update_slice(
+                cache.k[i], k.astype(cache.k[i].dtype),
+                (0, cache.length, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                cache.v[i], v.astype(cache.v[i].dtype),
+                (0, cache.length, 0, 0))
+            new_k.append(k_cache)
+            new_v.append(v_cache)
+            new_ssm.append(cache.ssm[i])
+            attn = _attend_cached(
+                q, k_cache, v_cache, q_slots=q_slots, kv_len_mask=kv_valid,
+                window=None, softcap=cfg.attn_softcap,
+                scale=cfg.attn_logit_scale)
+            attn = attn.reshape(b, t, hq * dh)
+            attn = _proj(attn, layer_p, lora_p, "o")
+            aa, bb = lc.full_alpha, lc.full_beta
+        x = h * aa + attn * bb
+
+        h2 = _norm(x, layer_p["post_attn_norm"], cfg)
+        if cfg.layer_is_moe(i) and "experts" in layer_p:
+            mlp = moe_block(h2, layer_p, cfg)
+        else:
+            glu = glu_for(cfg.hidden_act)
+            e = _proj(h2, layer_p, lora_p, "gate")
+            g = _proj(h2, layer_p, lora_p, "up")
+            mlp = _proj(glu(e, g), layer_p, lora_p, "down")
+        x = h2 * lc.mlp_alpha + mlp * lc.mlp_beta
+
+    x = _norm(x, params["final_norm"], cfg)
+    return x, KVCache(k=new_k, v=new_v, length=cache.length + t,
+                      ssm=new_ssm)
 
 
 def _gemma3n_forward_with_cache(params, lora, input_ids, cfg: ModelConfig,

@@ -198,6 +198,10 @@ class ModelConfig:
     short_conv_l: int = 0
     short_conv_bias: bool = False
 
+    # minimax: lightning (decayed linear) attention layers + weighted
+    # normed residuals
+    lightning: Optional["LightningConfig"] = None
+
     # Special tokens
     bos_token_id: Optional[int] = None
     eos_token_id: Optional[int] = None
@@ -726,6 +730,50 @@ class AltUpConfig:
     activation_sparsity: Tuple[float, ...] = ()
 
 
+@dataclasses.dataclass(frozen=True)
+class LightningConfig:
+    """MiniMax lightning-attention extras (HF MiniMaxConfig): block size
+    for the chunked decayed linear attention plus the per-sublayer
+    residual alpha/beta weights (the residual stream is the NORMED
+    hidden, re-weighted each sublayer)."""
+
+    block_size: int = 256
+    linear_alpha: float = 1.0
+    linear_beta: float = 1.0
+    full_alpha: float = 1.0
+    full_beta: float = 1.0
+    mlp_alpha: float = 1.0
+    mlp_beta: float = 1.0
+
+
+def _build_minimax(cls, hf, model_type, name):
+    """MiniMax-Text/M1: alternating lightning (decayed linear) attention
+    and full rope attention, mixtral-style MoE, weighted normed
+    residuals (HF MiniMaxDecoderLayer)."""
+    kw = _common(hf)
+    n_layers = kw["num_layers"]
+    types = hf.get("layer_types") or [
+        "full_attention" if i % 2 == 1 else "linear_attention"
+        for i in range(n_layers)]
+    kw.update(
+        layer_pattern=tuple("linear" if t == "linear_attention"
+                            else "global" for t in types),
+        num_experts=int(hf.get("num_local_experts", 8)),
+        num_experts_per_tok=int(hf.get("num_experts_per_tok", 2)),
+        norm_topk_prob=True,  # mixtral-style renormalize
+        lightning=LightningConfig(
+            block_size=int(hf.get("block_size", 256)),
+            linear_alpha=float(hf.get("linear_attn_alpha_factor", 1.0)),
+            linear_beta=float(hf.get("linear_attn_beta_factor", 1.0)),
+            full_alpha=float(hf.get("full_attn_alpha_factor", 1.0)),
+            full_beta=float(hf.get("full_attn_beta_factor", 1.0)),
+            mlp_alpha=float(hf.get("mlp_alpha_factor", 1.0)),
+            mlp_beta=float(hf.get("mlp_beta_factor", 1.0)),
+        ),
+    )
+    return cls(model_type="minimax", name=name, **kw)
+
+
 def _build_dots1(cls, hf, model_type, name):
     """dots1 (rednote-hilab dots.llm1): standard attention with per-head
     qk-norm + DeepSeek-V3-style MoE (sigmoid router, bias-corrected
@@ -939,6 +987,7 @@ _HF_BUILDERS = {
     "lfm2": _build_lfm2,
     "bamba": _build_bamba,
     "dots1": _build_dots1,
+    "minimax": _build_minimax,
     "gemma3_text": _build_gemma,
     "gpt_oss": _build_gpt_oss,
     "llama4": _build_llama4,

@@ -459,6 +459,36 @@ def _short_conv_block(x, layer_p, cfg: ModelConfig, segment_ids):
     return out
 
 
+def _lightning_block(x, layer_p, cfg: ModelConfig, layer_idx: int,
+                     segment_ids):
+    """MiniMax lightning attention (HF MiniMaxLightningAttention): silu
+    feature map on a fused qkv, chunked decayed linear attention, head
+    rms-norm, sigmoid output gate, out projection."""
+    from ..ops.lightning_attention import (lightning_attention,
+                                           lightning_slopes)
+
+    b, t, _ = x.shape
+    h, dh = cfg.num_heads, cfg.head_dim
+    qkv = jax.nn.silu(
+        (x @ layer_p["lightn_qkv"].T.astype(x.dtype)).astype(jnp.float32))
+    qkv = qkv.reshape(b, t, h, 3 * dh)
+    q, k, v = qkv[..., :dh], qkv[..., dh:2 * dh], qkv[..., 2 * dh:]
+    if segment_ids is not None:
+        v = v * (segment_ids != 0).astype(v.dtype)[..., None, None]
+    slopes = lightning_slopes(h, layer_idx, cfg.num_layers)
+    out = lightning_attention(q, k, v, slopes,
+                              block_size=cfg.lightning.block_size)
+    out = out.reshape(b, t, h * dh)
+    # HF's MiniMaxLightningAttention.norm uses MiniMaxRMSNorm's DEFAULT
+    # eps (1e-6), not config.rms_norm_eps — and the decayed core outputs
+    # can have ~1e-5 variance, so the eps is numerically significant.
+    out = rms_norm(out, layer_p["lightn_norm"], 1e-6, False)
+    gate = jax.nn.sigmoid(
+        (x @ layer_p["lightn_gate"].T.astype(x.dtype)).astype(jnp.float32))
+    out = (out.astype(jnp.float32) * gate).astype(x.dtype)
+    return out @ layer_p["lightn_out"].T.astype(x.dtype)
+
+
 def decoder_layer(
     x, layer_p, lora_p, cfg: ModelConfig, layer_idx: int,
     cos, sin, cos_local, sin_local, segment_ids, positions,
@@ -466,6 +496,23 @@ def decoder_layer(
 ):
     if _IMATRIX_TAP is not None:
         _IMATRIX_TAP.layer = layer_idx
+    if cfg.lightning is not None:
+        # minimax: the residual stream is the NORMED hidden, re-weighted
+        # by per-sublayer alpha/beta (HF MiniMaxDecoderLayer)
+        lc = cfg.lightning
+        h = _normp(x, layer_p, "input_norm", cfg)
+        if cfg.layer_kind(layer_idx) == "linear":
+            a = _lightning_block(h, layer_p, cfg, layer_idx, segment_ids)
+            aa, bb = lc.linear_alpha, lc.linear_beta
+        else:
+            a = attention_block(h, layer_p, lora_p, cfg, layer_idx,
+                                cos, sin, cos_local, sin_local,
+                                segment_ids, positions, image_spans)
+            aa, bb = lc.full_alpha, lc.full_beta
+        x = h * aa + a * bb
+        h2 = _normp(x, layer_p, "post_attn_norm", cfg)
+        m = mlp_block(h2, layer_p, lora_p, cfg, layer_idx)
+        return h2 * lc.mlp_alpha + m * lc.mlp_beta
     if cfg.parallel_residual:
         # cohere/cohere2: attn and MLP read the SAME normed input
         h = _normp(x, layer_p, "input_norm", cfg)

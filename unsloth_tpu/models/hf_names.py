@@ -154,6 +154,17 @@ def layer_name_map(cfg: ModelConfig, layer_idx: int) -> Dict[str, str]:
                 m.pop("mamba_conv_b")
     if cfg.altup is not None:
         m.update(_GEMMA3N_LAYER_MAP)
+    if cfg.lightning is not None and \
+            cfg.layer_kind(layer_idx) == "linear":
+        # minimax lightning layer: fused qkv + gate + head norm replace
+        # the standard attention projections
+        for nm in ("q", "k", "v", "o", "q_bias", "k_bias", "v_bias",
+                   "o_bias", "q_norm", "k_norm"):
+            m.pop(nm, None)
+        m["lightn_qkv"] = "self_attn.qkv_proj.weight"
+        m["lightn_out"] = "self_attn.out_proj.weight"
+        m["lightn_gate"] = "self_attn.output_gate.weight"
+        m["lightn_norm"] = "self_attn.norm.weight"
     if cfg.model_type == "hunyuan_v1_dense":
         m["q_norm"] = "self_attn.query_layernorm.weight"
         m["k_norm"] = "self_attn.key_layernorm.weight"

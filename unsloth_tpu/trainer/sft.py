@@ -267,10 +267,13 @@ class SFTTrainer:
             # any mamba/conv mixer too (falcon-h1, bamba, lfm2): recurrent
             # state flows across packed documents, leaking context.
             cfg = self.model.cfg
+            pattern = getattr(cfg, "layer_pattern", None) or ()
             recurrent = (getattr(cfg, "mamba", None) is not None
                          or getattr(cfg, "short_conv_l", 0)
-                         or "conv" in (getattr(cfg, "layer_pattern", None)
-                                       or ()))
+                         or "conv" in pattern
+                         # linear attention (qwen3-next GDN, minimax
+                         # lightning): decayed state crosses documents
+                         or "linear" in pattern)
             packing = (type(self.model).__name__ == "LanguageModel"
                        and not recurrent)
         if packing:
