@@ -623,3 +623,54 @@ def test_minimax_parity(tmp_path_factory):
     hf = MiniMaxForCausalLM.from_pretrained(path,
                                             torch_dtype=torch.float32)
     _parity(path, hf, "minimax", atol=2e-3, rtol=1e-2, t=24)
+
+
+def test_granitemoeshared_parity(tmp_path_factory):
+    """granite-3.1-a*: granitemoe (topk-then-softmax routing, fused
+    input_linear experts, scalar multipliers) + an always-on fused
+    shared MLP added to the routed output (HF GraniteMoeSharedMLP)."""
+    from transformers import (GraniteMoeSharedConfig,
+                              GraniteMoeSharedForCausalLM)
+
+    cfg = GraniteMoeSharedConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        shared_intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, num_key_value_heads=1,
+        num_local_experts=4, num_experts_per_tok=2,
+        embedding_multiplier=6.0, attention_multiplier=0.08,
+        residual_multiplier=0.22, logits_scaling=4.0,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        pad_token_id=0)
+    torch.manual_seed(0)
+    path = _save(GraniteMoeSharedForCausalLM(cfg), tmp_path_factory,
+                 "granitemoeshared")
+    hf = GraniteMoeSharedForCausalLM.from_pretrained(
+        path, torch_dtype=torch.float32)
+    _parity(path, hf, "granitemoeshared", atol=2e-3, rtol=1e-2, t=24)
+
+
+def test_granitemoehybrid_parity(tmp_path_factory):
+    """granite-4.0-h: serial mamba2/attention hybrid (layers_block_type)
+    with granite multipliers, fused-expert MoE + always-on shared MLP,
+    NoPE attention (HF GraniteMoeHybridDecoderLayer)."""
+    from transformers import (GraniteMoeHybridConfig,
+                              GraniteMoeHybridForCausalLM)
+
+    cfg = GraniteMoeHybridConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        shared_intermediate_size=64, num_hidden_layers=4,
+        num_attention_heads=2, num_key_value_heads=1,
+        num_local_experts=4, num_experts_per_tok=2,
+        layers_block_type=["mamba", "attention", "mamba", "mamba"],
+        mamba_n_heads=4, mamba_d_state=8, mamba_d_conv=4, mamba_expand=2,
+        mamba_n_groups=1, mamba_chunk_size=8,
+        embedding_multiplier=6.0, attention_multiplier=0.08,
+        residual_multiplier=0.22, logits_scaling=4.0,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        pad_token_id=0)
+    torch.manual_seed(0)
+    path = _save(GraniteMoeHybridForCausalLM(cfg), tmp_path_factory,
+                 "granitemoehybrid")
+    hf = GraniteMoeHybridForCausalLM.from_pretrained(
+        path, torch_dtype=torch.float32)
+    _parity(path, hf, "granitemoehybrid", atol=2e-3, rtol=1e-2, t=24)

@@ -493,3 +493,103 @@ def test_minimax_decode_matches_training_forward(tmp_path_factory):
         got.append(np.asarray(logits_from_hidden(model.params, h, cfg)))
     got = np.concatenate(got, axis=1)
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_bamba_decode_matches_training_forward(tmp_path_factory):
+    """bamba serial hybrid decode: mamba layers carry conv+SSM state in
+    the cache (prefill: chunked SSD scan; decode: O(1) step); attention
+    layers use the KV cache. Oracle: our training forward, itself
+    HF-parity-tested (test_arch_parity-adjacent bamba test)."""
+    import numpy as np
+    import torch
+    from transformers import BambaConfig, BambaForCausalLM
+
+    from unsloth_tpu.inference.decode import (forward_with_cache,
+                                              init_cache,
+                                              logits_from_hidden)
+    from unsloth_tpu.models.loader import FastLanguageModel
+
+    cfg_hf = BambaConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=2, num_key_value_heads=1,
+        attn_layer_indices=[1], mamba_n_heads=4, mamba_d_state=8,
+        mamba_d_conv=4, mamba_expand=2, mamba_n_groups=1,
+        mamba_chunk_size=8, max_position_embeddings=64,
+        tie_word_embeddings=False, pad_token_id=0)
+    torch.manual_seed(0)
+    path = str(tmp_path_factory.mktemp("bambad"))
+    BambaForCausalLM(cfg_hf).save_pretrained(path, safe_serialization=True)
+    model, _ = FastLanguageModel.from_pretrained(path, load_in_4bit=False,
+                                                 dtype="float32")
+    cfg = model.cfg
+    b, t = 2, 13
+    ids = jax.random.randint(jax.random.PRNGKey(0), (b, t), 0, 96)
+    want = np.asarray(model.logits(ids, remat=False))
+
+    cache = init_cache(cfg, b, 32, dtype=jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(9, dtype=jnp.int32)[None], (b, 9))
+    h, cache = forward_with_cache(model.params, None, ids[:, :9], cfg,
+                                  cache, positions=pos)
+    got = [np.asarray(logits_from_hidden(model.params, h, cfg))]
+    for step in range(9, t):
+        p1 = jnp.full((b, 1), step, jnp.int32)
+        h, cache = forward_with_cache(model.params, None,
+                                      ids[:, step:step + 1], cfg, cache,
+                                      positions=p1)
+        got.append(np.asarray(logits_from_hidden(model.params, h, cfg)))
+    got = np.concatenate(got, axis=1)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_granitemoehybrid_decode_matches_training_forward(
+        tmp_path_factory):
+    """granite-4.0-h decode: serial mamba/attention + granite residual
+    multiplier + MoE w/ shared MLP, all through the cached path (also
+    regression-tests residual_multiplier in forward_with_cache, which
+    was silently dropped before round 2)."""
+    import numpy as np
+    import torch
+    from transformers import (GraniteMoeHybridConfig,
+                              GraniteMoeHybridForCausalLM)
+
+    from unsloth_tpu.inference.decode import (forward_with_cache,
+                                              init_cache,
+                                              logits_from_hidden)
+    from unsloth_tpu.models.loader import FastLanguageModel
+
+    cfg_hf = GraniteMoeHybridConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=48,
+        shared_intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=2, num_key_value_heads=1,
+        num_local_experts=4, num_experts_per_tok=2,
+        layers_block_type=["mamba", "attention", "mamba"],
+        mamba_n_heads=4, mamba_d_state=8, mamba_d_conv=4, mamba_expand=2,
+        mamba_n_groups=1, mamba_chunk_size=8,
+        embedding_multiplier=6.0, attention_multiplier=0.08,
+        residual_multiplier=0.22, logits_scaling=4.0,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        pad_token_id=0)
+    torch.manual_seed(0)
+    path = str(tmp_path_factory.mktemp("gmhd"))
+    GraniteMoeHybridForCausalLM(cfg_hf).save_pretrained(
+        path, safe_serialization=True)
+    model, _ = FastLanguageModel.from_pretrained(path, load_in_4bit=False,
+                                                 dtype="float32")
+    cfg = model.cfg
+    b, t = 2, 13
+    ids = jax.random.randint(jax.random.PRNGKey(0), (b, t), 0, 96)
+    want = np.asarray(model.logits(ids, remat=False))
+
+    cache = init_cache(cfg, b, 32, dtype=jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(9, dtype=jnp.int32)[None], (b, 9))
+    h, cache = forward_with_cache(model.params, None, ids[:, :9], cfg,
+                                  cache, positions=pos)
+    got = [np.asarray(logits_from_hidden(model.params, h, cfg))]
+    for step in range(9, t):
+        p1 = jnp.full((b, 1), step, jnp.int32)
+        h, cache = forward_with_cache(model.params, None,
+                                      ids[:, step:step + 1], cfg, cache,
+                                      positions=p1)
+        got.append(np.asarray(logits_from_hidden(model.params, h, cfg)))
+    got = np.concatenate(got, axis=1)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)

@@ -67,7 +67,10 @@ def init_cache(cfg: ModelConfig, batch: int, max_length: int,
         )
     shape = (batch, max_length, cfg.num_kv_heads, cfg.head_dim)
     conv = ssm = None
-    if cfg.hybrid_mamba:
+    if cfg.mamba is not None:
+        # falcon-h1 (parallel, every layer) or bamba/granitemoehybrid
+        # (serial, per-layer); allocate state uniformly — serial
+        # attention layers just carry theirs through untouched
         mc = cfg.mamba
         conv_c = mc.d_ssm + 2 * mc.n_groups * mc.d_state
         conv = [jnp.zeros((batch, mc.d_conv - 1, conv_c), jnp.float32)
@@ -189,8 +192,10 @@ def forward_with_cache(
     if kv_valid_extra is not None:
         kv_valid = kv_valid & kv_valid_extra
 
+    rm = cfg.residual_multiplier
     new_k, new_v = [], []
     new_conv = [] if cache.conv is not None else None
+    new_ssm = [] if cache.ssm is not None else None
     conv_pad_mask = None
     if cache.conv is not None and kv_valid_extra is not None and t > 1:
         conv_pad_mask = jax.lax.dynamic_slice(
@@ -198,6 +203,30 @@ def forward_with_cache(
     for i, layer_p in enumerate(params["layers"]):
         lora_p = lora_layers[i] if lora_layers else None
         h = _norm(x, layer_p["input_norm"], cfg)
+        if cfg.layer_kind(i) == "mamba":
+            # bamba / granitemoehybrid serial hybrid: the SSD mixer
+            # replaces attention; conv window + state matrix ride the
+            # cache (prefill: chunked scan; decode: O(1) recurrent step)
+            from ..models.decoder import mamba_call_kwargs, mlp_block
+            from ..ops.ssm import mamba2_mixer, mamba2_mixer_step
+
+            mp, mkw = mamba_call_kwargs(layer_p, cfg)
+            if t == 1:
+                y, (cs, ss) = mamba2_mixer_step(
+                    h, mp, (cache.conv[i], cache.ssm[i]), **mkw)
+            else:
+                y, (cs, ss) = mamba2_mixer(
+                    h, mp, chunk_size=cfg.mamba.chunk_size,
+                    padding_mask=conv_pad_mask, return_state=True, **mkw)
+            new_conv.append(cs)
+            new_ssm.append(ss)
+            new_k.append(cache.k[i])
+            new_v.append(cache.v[i])
+            x = x + (y * rm if rm is not None else y)
+            h2 = _norm(x, layer_p["post_attn_norm"], cfg)
+            mlp = mlp_block(h2, layer_p, lora_p, cfg, i)
+            x = x + (mlp * rm if rm is not None else mlp)
+            continue
         if cfg.layer_kind(i) == "conv":
             # lfm2 gated short-conv layer: recurrent pre-conv window
             y, cs = _short_conv_with_state(h, layer_p, cfg, cache.conv[i],
@@ -214,6 +243,8 @@ def forward_with_cache(
             continue
         if new_conv is not None:
             new_conv.append(cache.conv[i])
+        if new_ssm is not None:
+            new_ssm.append(cache.ssm[i])
         hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
         q = _proj(h, layer_p, lora_p, "q").reshape(b, t, hq, dh)
         k = _proj(h, layer_p, lora_p, "k").reshape(b, t, hkv, dh)
@@ -267,28 +298,22 @@ def forward_with_cache(
         attn = _proj(attn, layer_p, lora_p, "o")
         if cfg.use_post_norms and "post_attn_out_norm" in layer_p:
             attn = _norm(attn, layer_p["post_attn_out_norm"], cfg)
-        x = x + attn
+        x = x + (attn * rm if rm is not None else attn)
 
         if cfg.use_post_norms and "pre_ffw_norm" in layer_p:
             h2 = _norm(x, layer_p["pre_ffw_norm"], cfg)
         else:
             h2 = _norm(x, layer_p["post_attn_norm"], cfg)
-        if cfg.layer_is_moe(i) and "experts" in layer_p:
-            from ..models.decoder import moe_block
+        from ..models.decoder import mlp_block
 
-            mlp = moe_block(h2, layer_p, cfg)
-        else:
-            glu = glu_for(cfg.hidden_act)
-            e = _proj(h2, layer_p, lora_p, "gate")
-            g = _proj(h2, layer_p, lora_p, "up")
-            mlp = _proj(glu(e, g), layer_p, lora_p, "down")
+        mlp = mlp_block(h2, layer_p, lora_p, cfg, i)
         if cfg.use_post_norms and "post_ffw_norm" in layer_p:
             mlp = _norm(mlp, layer_p["post_ffw_norm"], cfg)
-        x = x + mlp
+        x = x + (mlp * rm if rm is not None else mlp)
 
     x = _norm(x, params["final_norm"], cfg)
     new_cache = KVCache(k=new_k, v=new_v, length=cache.length + t,
-                        conv=new_conv)
+                        conv=new_conv, ssm=new_ssm)
     return x, new_cache
 
 

@@ -613,7 +613,7 @@ def _build_llama_like(cls, hf, model_type, name):
                 for t in types)
             kw["rope_layers"] = tuple(
                 t == "sliding_attention" for t in types)
-    if model_type == "granitemoe":
+    if model_type in ("granitemoe", "granitemoeshared"):
         kw["embed_scale"] = float(hf.get("embedding_multiplier", 1.0))
         kw["attn_logit_scale"] = float(hf.get("attention_multiplier",
                                               kw["hidden_size"] ** -0.5))
@@ -628,6 +628,12 @@ def _build_llama_like(cls, hf, model_type, name):
             moe_intermediate_size=int(hf.get("intermediate_size", 1024)),
             moe_routing="topk_softmax",
         )
+        if model_type == "granitemoeshared":
+            # granite-3.1-a*: granitemoe + an always-on fused shared MLP
+            # added to the routed output (HF GraniteMoeSharedMLP)
+            kw["moe_shared_expert"] = True
+            kw["intermediate_size"] = int(
+                hf.get("shared_intermediate_size", 1024))
     if model_type == "granite":
         # granite = llama + scalar multipliers (attention/embedding/
         # residual/logits) — the reference disables its granite path
@@ -818,6 +824,47 @@ def _build_bamba(cls, hf, model_type, name):
     return cls(model_type="bamba", name=name, **kw)
 
 
+def _build_granitemoehybrid(cls, hf, model_type, name):
+    """granite-4.0-h: SERIAL mamba2/attention hybrid (layers_block_type
+    picks the mixer per layer, like bamba) with granite's scalar
+    multipliers, granitemoe fused-expert MoE (0 experts allowed) and an
+    always-on fused shared MLP added to the routed output; NoPE unless
+    position_embedding_type == "rope" (HF GraniteMoeHybridDecoderLayer;
+    reference catalogs granite-4.0-h via mapper.py)."""
+    kw = _common(hf)
+    kw["embed_scale"] = float(hf.get("embedding_multiplier", 1.0))
+    kw["attn_logit_scale"] = float(hf.get("attention_multiplier",
+                                          kw["hidden_size"] ** -0.5))
+    kw["residual_multiplier"] = float(hf.get("residual_multiplier", 1.0))
+    ls = float(hf.get("logits_scaling", 1.0))
+    if ls != 1.0:
+        kw["logit_scale"] = 1.0 / ls
+    mc = dict(hf)
+    mc.setdefault("mamba_rms_norm", True)  # gated RMSNorm always on
+    kw["mamba"] = MambaConfig.from_hf(mc)
+    n_layers = kw["num_layers"]
+    # serialized as layer_types; constructor kwarg is layers_block_type
+    types = (hf.get("layer_types") or hf.get("layers_block_type")
+             or ["mamba"] * n_layers)
+    kw["layer_pattern"] = tuple(
+        "global" if t == "attention" else "mamba" for t in types)
+    if hf.get("position_embedding_type") != "rope":
+        kw["rope_layers"] = (False,) * n_layers  # NoPE
+    n_experts = int(hf.get("num_local_experts", 0) or 0)
+    kw.update(
+        num_experts=n_experts,
+        num_experts_per_tok=int(hf.get("num_experts_per_tok", 0) or 0),
+        moe_intermediate_size=int(hf.get("intermediate_size", 1024)),
+        moe_routing="topk_softmax",
+        moe_shared_expert=bool(n_experts),
+        # the dense/shared MLP dims are shared_intermediate_size; the
+        # routed experts use intermediate_size
+        intermediate_size=int(hf.get("shared_intermediate_size", 1024)),
+    )
+    kw["tie_word_embeddings"] = bool(hf.get("tie_word_embeddings", True))
+    return cls(model_type="granitemoehybrid", name=name, **kw)
+
+
 def _build_lfm2(cls, hf, model_type, name):
     """LFM2 (LiquidAI): hybrid stack of gated short-conv mixer layers and
     full-attention layers (per-head qk-norm before rope); SwiGLU MLP with
@@ -986,6 +1033,7 @@ _HF_BUILDERS = {
     "gemma3n_text": _build_gemma3n,
     "lfm2": _build_lfm2,
     "bamba": _build_bamba,
+    "granitemoehybrid": _build_granitemoehybrid,
     "dots1": _build_dots1,
     "minimax": _build_minimax,
     "gemma3_text": _build_gemma,

@@ -178,7 +178,10 @@ def _load_fused_projections(reader, cfg, i, layer, dtype, load_in_4bit,
             if hasattr(arr, "packed") else put(f"layers.{i}.{name}", arr)
 
     qkv_name = f"model.layers.{i}.self_attn.qkv_proj.weight"
-    if qkv_name in reader and "q" not in layer:
+    if qkv_name in reader and "q" not in layer and \
+            cfg.layer_kind(i) != "linear":
+        # (minimax lightning layers keep qkv_proj FUSED as lightn_qkv —
+        # its per-head [q|k|v] row order differs from the phi-3 layout)
         w = _to_jnp(reader.get(qkv_name), dtype)
         nq = cfg.num_heads * cfg.head_dim
         nkv = cfg.num_kv_heads * cfg.head_dim
@@ -191,6 +194,17 @@ def _load_fused_projections(reader, cfg, i, layer, dtype, load_in_4bit,
         f = w.shape[0] // 2
         store("gate", w[:f])
         store("up", w[f:])
+    sm_name = f"model.layers.{i}.shared_mlp.input_linear.weight"
+    if sm_name in reader and "gate" not in layer:
+        # granitemoeshared / granitemoehybrid: fused [2F, D] shared MLP
+        # (first F rows gate/activated, last F rows up — HF
+        # GraniteMoeSharedMLP.chunk(2)); output_linear is the down proj
+        w = _to_jnp(reader.get(sm_name), dtype)
+        f = w.shape[0] // 2
+        store("gate", w[:f])
+        store("up", w[f:])
+        store("down", _to_jnp(reader.get(
+            f"model.layers.{i}.shared_mlp.output_linear.weight"), dtype))
 
 
 def _load_experts(reader, cfg, layer_idx, dtype, put):

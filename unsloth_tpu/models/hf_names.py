@@ -140,9 +140,11 @@ def layer_name_map(cfg: ModelConfig, layer_idx: int) -> Dict[str, str]:
             m.pop("mamba_norm")
         if not (cfg.mamba and cfg.mamba.conv_bias):
             m.pop("mamba_conv_b")
-    if cfg.model_type == "bamba":
-        # serial hybrid: per-layer mamba OR attention
-        m["post_attn_norm"] = "pre_ff_layernorm.weight"
+    if cfg.model_type in ("bamba", "granitemoehybrid"):
+        # serial hybrid: per-layer mamba OR attention (granitemoehybrid
+        # keeps the standard post_attention_layernorm name)
+        if cfg.model_type == "bamba":
+            m["post_attn_norm"] = "pre_ff_layernorm.weight"
         if cfg.layer_kind(layer_idx) == "mamba":
             for nm in ("q", "k", "v", "o", "q_bias", "k_bias", "v_bias",
                        "o_bias", "q_norm", "k_norm"):
@@ -213,7 +215,8 @@ def layer_name_map(cfg: ModelConfig, layer_idx: int) -> Dict[str, str]:
             out["router_bias"] = prefix + "mlp.router.bias"
         elif cfg.model_type == "llama4":
             out["router"] = prefix + "feed_forward.router.weight"
-        elif cfg.model_type == "granitemoe":
+        elif cfg.model_type in ("granitemoe", "granitemoeshared",
+                                "granitemoehybrid"):
             out["router"] = prefix + "block_sparse_moe.router.layer.weight"
         else:
             out["router"] = prefix + _MOE_ROUTER
