@@ -674,3 +674,41 @@ def test_granitemoehybrid_parity(tmp_path_factory):
     hf = GraniteMoeHybridForCausalLM.from_pretrained(
         path, torch_dtype=torch.float32)
     _parity(path, hf, "granitemoehybrid", atol=2e-3, rtol=1e-2, t=24)
+
+
+def test_zamba2_parity(tmp_path_factory):
+    """Zamba2: all-mamba2 stack + cycled SHARED transformer blocks on the
+    hybrid layers (concat([h, embeddings]) input, per-hybrid-layer
+    adapters + linear, (head_dim/2)^-0.5 scaling, optional rope). HF
+    cannot safetensors-save the tied shared modules, so the checkpoint is
+    written manually with one physical copy per tensor (named by the
+    FIRST hybrid layer owning each block — the layout our loader reads)."""
+    import numpy as np
+    from safetensors.numpy import save_file
+    from transformers import Zamba2Config, Zamba2ForCausalLM
+
+    cfg = Zamba2Config(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=6, num_attention_heads=4, num_key_value_heads=4,
+        attention_head_dim=16, num_mem_blocks=2, mamba_ngroups=1,
+        mamba_headdim=8, n_mamba_heads=8, mamba_d_state=16, mamba_d_conv=4,
+        mamba_expand=2, chunk_size=8, use_mem_rope=True,
+        use_shared_attention_adapter=True, adapter_rank=4,
+        max_position_embeddings=64,
+        layers_block_type=["mamba", "hybrid", "mamba", "hybrid", "mamba",
+                           "hybrid"],
+        hybrid_layer_ids=[1, 3, 5], pad_token_id=0)
+    torch.manual_seed(0)
+    hf = Zamba2ForCausalLM(cfg)
+    hf.eval()
+    path = str(tmp_path_factory.mktemp("zamba2"))
+    seen, tensors = set(), {}
+    for k, v in hf.state_dict().items():
+        ptr = v.data_ptr()
+        if ptr in seen:
+            continue
+        seen.add(ptr)
+        tensors[k] = np.ascontiguousarray(v.detach().numpy())
+    save_file(tensors, f"{path}/model.safetensors")
+    cfg.save_pretrained(path)
+    _parity(path, hf, "zamba2", atol=2e-3, rtol=1e-2, t=24)

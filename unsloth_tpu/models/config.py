@@ -202,6 +202,9 @@ class ModelConfig:
     # normed residuals
     lightning: Optional["LightningConfig"] = None
 
+    # zamba2: shared transformer blocks over an all-mamba stack
+    zamba: Optional["ZambaConfig"] = None
+
     # Special tokens
     bos_token_id: Optional[int] = None
     eos_token_id: Optional[int] = None
@@ -737,6 +740,23 @@ class AltUpConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class ZambaConfig:
+    """Zamba2 shared-transformer extras (HF Zamba2Config): every layer is
+    a mamba2 mixer; `hybrid_ids` layers ALSO run one of `num_mem_blocks`
+    SHARED attention+MLP blocks over concat([h, embeddings]) (block
+    g % num_mem_blocks for the g-th hybrid layer), project it with a
+    per-layer linear and add it to the mamba input. The shared blocks
+    carry per-hybrid-layer low-rank adapters ("LoRA in the base model")
+    on qkv and gate_up."""
+
+    num_mem_blocks: int = 1
+    hybrid_ids: Tuple[int, ...] = ()
+    use_rope: bool = False
+    adapter_rank: int = 0     # 0 => no adapters
+    use_attn_adapter: bool = False  # q/k/v adapters (gate_up always on)
+
+
+@dataclasses.dataclass(frozen=True)
 class LightningConfig:
     """MiniMax lightning-attention extras (HF MiniMaxConfig): block size
     for the chunked decayed linear attention plus the per-sublayer
@@ -822,6 +842,55 @@ def _build_bamba(cls, hf, model_type, name):
         "global" if i in attn_idx else "mamba" for i in range(n_layers))
     kw["tie_word_embeddings"] = bool(hf.get("tie_word_embeddings", False))
     return cls(model_type="bamba", name=name, **kw)
+
+
+def _build_zamba2(cls, hf, model_type, name):
+    """Zamba2 (Zyphra): all-mamba2 stack with cycled SHARED transformer
+    blocks on the `hybrid` layers, per-hybrid-layer adapters and linear
+    projections, optional rope over the concat width (HF Zamba2Model;
+    beyond the reference's catalog — shared-block hybrid family)."""
+    kw = _common(hf)
+    n_layers = kw["num_layers"]
+    hidden = kw["hidden_size"]
+    types = hf.get("layers_block_type") or ["mamba"] * n_layers
+    hybrid_ids = [i for i, t in enumerate(types) if t == "hybrid"]
+    kw.update(
+        head_dim=int(hf.get("attention_head_dim", 2 * hidden // max(
+            1, kw["num_heads"]))),
+        # HF Zamba2Attention: scaling = (head_dim/2)^-0.5
+        attn_logit_scale=(int(hf.get(
+            "attention_head_dim", 2 * hidden // max(1, kw["num_heads"])))
+            / 2) ** -0.5,
+        layer_pattern=tuple("hybrid" if t == "hybrid" else "mamba"
+                            for t in types),
+        zamba=ZambaConfig(
+            num_mem_blocks=int(hf.get("num_mem_blocks", 1)),
+            hybrid_ids=tuple(hybrid_ids),
+            use_rope=bool(hf.get("use_mem_rope", False)),
+            adapter_rank=int(hf.get("adapter_rank", 128)),
+            use_attn_adapter=bool(
+                hf.get("use_shared_attention_adapter", False)),
+        ),
+    )
+    mc = MambaConfig(
+        d_ssm=int(hf.get("mamba_expand", 2)) * hidden,
+        n_heads=int(hf.get("n_mamba_heads", 8)),
+        head_dim=int(hf.get("mamba_headdim", 64)),
+        n_groups=int(hf.get("mamba_ngroups", 1)),
+        d_state=int(hf.get("mamba_d_state", 64)),
+        d_conv=int(hf.get("mamba_d_conv", 4)),
+        chunk_size=int(hf.get("chunk_size", 256)),
+        conv_bias=bool(hf.get("use_conv_bias", True)),
+        proj_bias=bool(hf.get("add_bias_linear", False)),
+        rms_norm=True,  # Zamba2RMSNormGated always (eps hardcoded 1e-5)
+        # HF clamps dt to time_step_min only (max is commented out)
+        time_step_min=float(hf.get("time_step_min", 0.001)),
+        time_step_max=float("inf"),
+    )
+    kw["mamba"] = mc
+    kw["hidden_act"] = hf.get("hidden_act", "gelu")
+    kw["tie_word_embeddings"] = bool(hf.get("tie_word_embeddings", True))
+    return cls(model_type="zamba2", name=name, **kw)
 
 
 def _build_granitemoehybrid(cls, hf, model_type, name):
@@ -1034,6 +1103,7 @@ _HF_BUILDERS = {
     "lfm2": _build_lfm2,
     "bamba": _build_bamba,
     "granitemoehybrid": _build_granitemoehybrid,
+    "zamba2": _build_zamba2,
     "dots1": _build_dots1,
     "minimax": _build_minimax,
     "gemma3_text": _build_gemma,

@@ -639,6 +639,14 @@ def forward(
                                positions=positions,
                                segment_ids=segment_ids,
                                remat=remat, remat_policy=remat_policy)
+    if cfg.zamba is not None:
+        # zamba2: shared-transformer-over-mamba stack in its own module
+        from .zamba2 import zamba2_forward
+
+        return zamba2_forward(params, lora, input_ids, cfg,
+                              positions=positions,
+                              segment_ids=segment_ids,
+                              remat=remat, remat_policy=remat_policy)
     b, t = input_ids.shape
     if positions is None:
         positions = jnp.broadcast_to(

@@ -141,6 +141,11 @@ def load_params(
             continue
         params[ours] = load_one(hf, ours, quantize=False)
 
+    if cfg.zamba is not None:
+        _load_zamba2_layers(reader, cfg, params, dtype, put)
+        reader.close()
+        return params
+
     for i in range(cfg.num_layers):
         layer: Dict[str, Any] = {}
         for ours, hf in hf_names.layer_name_map(cfg, i).items():
@@ -205,6 +210,57 @@ def _load_fused_projections(reader, cfg, i, layer, dtype, load_in_4bit,
         store("up", w[f:])
         store("down", _to_jnp(reader.get(
             f"model.layers.{i}.shared_mlp.output_linear.weight"), dtype))
+
+
+def _load_zamba2_layers(reader, cfg, params, dtype, put):
+    """Zamba2: shared transformer blocks are TIED torch modules — the
+    checkpoint stores one physical copy whose name is the FIRST hybrid
+    layer using that block (blocks cycle, so block b first appears at
+    hybrid_ids[b]); per-hybrid-layer adapters live inside the owning
+    block's adapter lists at global hybrid index g. Mamba weights sit
+    under `mamba.` (plain layers) or `mamba_decoder.mamba.` (hybrid)."""
+    z = cfg.zamba
+
+    def get(name):
+        return put(name, _to_jnp(reader.get(name), dtype))
+
+    params["blocks"] = []
+    for b in range(z.num_mem_blocks):
+        pre = f"model.layers.{z.hybrid_ids[b]}.shared_transformer."
+        params["blocks"].append({
+            "q": get(pre + "self_attn.q_proj.weight"),
+            "k": get(pre + "self_attn.k_proj.weight"),
+            "v": get(pre + "self_attn.v_proj.weight"),
+            "o": get(pre + "self_attn.o_proj.weight"),
+            "gate_up": get(pre + "feed_forward.gate_up_proj.weight"),
+            "down": get(pre + "feed_forward.down_proj.weight"),
+            "input_norm": get(pre + "input_layernorm.weight"),
+            "pre_ff_norm": get(pre + "pre_ff_layernorm.weight"),
+        })
+
+    mamba_names = dict(hf_names._MAMBA_MAP)
+    if not cfg.mamba.conv_bias:
+        mamba_names.pop("mamba_conv_b")
+    for i in range(cfg.num_layers):
+        hybrid = i in z.hybrid_ids
+        mp = f"model.layers.{i}." + ("mamba_decoder." if hybrid else "")
+        layer = {"input_norm": get(mp + "input_layernorm.weight")}
+        for ours, hf in mamba_names.items():
+            layer[ours] = get(mp + hf)
+        if hybrid:
+            g = z.hybrid_ids.index(i)
+            layer["linear"] = get(f"model.layers.{i}.linear.weight")
+            ap = (f"model.layers.{z.hybrid_ids[g % z.num_mem_blocks]}"
+                  ".shared_transformer.")
+            if z.use_attn_adapter:
+                for nm in ("q", "k", "v"):
+                    base = ap + f"self_attn.linear_{nm}_adapter_list.{g}"
+                    layer[f"adapter_{nm}_a"] = get(base + ".0.weight")
+                    layer[f"adapter_{nm}_b"] = get(base + ".1.weight")
+            base = ap + f"feed_forward.gate_up_proj_adapter_list.{g}"
+            layer["adapter_gu_a"] = get(base + ".0.weight")
+            layer["adapter_gu_b"] = get(base + ".1.weight")
+        params["layers"].append(layer)
 
 
 def _load_experts(reader, cfg, layer_idx, dtype, put):

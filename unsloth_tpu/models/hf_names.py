@@ -278,7 +278,7 @@ def top_level_map(cfg: ModelConfig) -> Dict[str, str]:
     m = dict(_TOP_MAP)
     if cfg.tie_word_embeddings:
         m.pop("lm_head")
-    if cfg.hybrid_mamba or cfg.model_type == "bamba":
+    if cfg.hybrid_mamba or cfg.model_type in ("bamba", "zamba2"):
         m["final_norm"] = "model.final_layernorm.weight"
     if cfg.model_type == "lfm2":
         m["final_norm"] = "model.embedding_norm.weight"

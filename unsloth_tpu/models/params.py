@@ -179,6 +179,37 @@ def init_lora_tree(
     if cfg.mla is not None:
         # MLA has no plain q/k/v linears; LoRA lands on o + the MLP
         targets &= {"o", "gate", "up", "down"}
+    if cfg.zamba is not None:
+        # zamba2: per-layer weights are mamba mixers; the fine-tuning
+        # surface is the SHARED transformer blocks (q/k/v/o + fused
+        # gate_up + down) — few blocks, reused every hybrid layer
+        z = cfg.zamba
+        d = cfg.hidden_size
+        dims = {
+            "q": (cfg.num_heads * cfg.head_dim, 2 * d),
+            "k": (cfg.num_kv_heads * cfg.head_dim, 2 * d),
+            "v": (cfg.num_kv_heads * cfg.head_dim, 2 * d),
+            "o": (d, cfg.num_heads * cfg.head_dim),
+            "gate_up": (2 * cfg.intermediate_size, d),
+            "down": (d, cfg.intermediate_size),
+        }
+        wanted = [n for n in dims
+                  if n in targets or (n == "gate_up"
+                                      and {"gate", "up"} & targets)]
+        blocks = []
+        keys_b = jax.random.split(key, max(1, cfg.zamba.num_mem_blocks))
+        for b in range(z.num_mem_blocks):
+            ks = jax.random.split(keys_b[b], len(dims))
+            blk = {}
+            for j, name in enumerate(dims):
+                if name not in wanted:
+                    continue
+                out_f, in_f = dims[name]
+                blk[name] = init_lora(ks[j], in_f, out_f, r, alpha,
+                                      dtype, use_rslora)
+            blocks.append(blk)
+        return {"layers": [{} for _ in range(cfg.num_layers)],
+                "blocks": blocks}
     layers: List[Dict[str, Optional[LoRAWeights]]] = []
     keys = jax.random.split(key, cfg.num_layers)
     for i in range(cfg.num_layers):
