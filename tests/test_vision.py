@@ -128,3 +128,102 @@ def test_vision_lora_training_step(gemma3_ckpt):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+@pytest.fixture(scope="module")
+def llava_ckpt(tmp_path_factory):
+    from transformers import CLIPVisionConfig, LlamaConfig, LlavaConfig
+    from transformers import LlavaForConditionalGeneration
+
+    cfg = LlavaConfig(
+        text_config=LlamaConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, num_key_value_heads=1,
+            vocab_size=256, max_position_embeddings=128),
+        vision_config=CLIPVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+            num_attention_heads=2, image_size=28, patch_size=14,
+            num_channels=3),
+        image_token_index=250, vision_feature_layer=-2,
+        vision_feature_select_strategy="default")
+    torch.manual_seed(0)
+    model = LlavaForConditionalGeneration(cfg)
+    model.eval()
+    path = str(tmp_path_factory.mktemp("llava"))
+    model.save_pretrained(path, safe_serialization=True)
+    return path, model
+
+
+def test_llava_multimodal_parity(llava_ckpt):
+    """llava-1.5: CLIP tower hidden_states[-2] (CLS dropped, quick-gelu),
+    2-layer MLP projector, features spliced at <image> tokens, fully
+    causal attention (HF LlavaForConditionalGeneration; the reference
+    catalogs llava-1.5/1.6 in mapper.py)."""
+    from unsloth_tpu.models.vision import FastVisionModel
+    from unsloth_tpu.models.decoder import forward as text_forward
+    from unsloth_tpu.ops.lora import base_matmul
+
+    path, hf_model = llava_ckpt
+    model, _ = FastVisionModel.from_pretrained(path, load_in_4bit=False,
+                                               dtype="float32")
+    assert model.family == "llava"
+    assert model.mm_tokens_per_image == 4  # (28/14)^2
+
+    rng = np.random.RandomState(0)
+    pixels = rng.randn(1, 3, 28, 28).astype(np.float32)
+    ids = np.array([[5, 6, 250, 250, 250, 250, 7, 8]], np.int64)
+
+    with torch.no_grad():
+        hf_out = hf_model(
+            input_ids=torch.tensor(ids),
+            pixel_values=torch.tensor(pixels),
+        ).logits.numpy()
+
+    embeds, spans = model.embed_multimodal(
+        jnp.asarray(ids, jnp.int32), jnp.asarray(pixels))
+    assert spans is None  # llava attention stays fully causal
+    h = text_forward(model.params, None, jnp.asarray(ids, jnp.int32),
+                     model.cfg, inputs_embeds=embeds, remat=False)
+    w = model.params.get("lm_head")
+    if w is None:
+        w = model.params["embed"]
+    logits = base_matmul(h, w)
+    np.testing.assert_allclose(np.asarray(logits), hf_out,
+                               atol=5e-4, rtol=5e-3)
+
+
+def test_llava_lora_training_step(llava_ckpt):
+    import optax
+
+    from unsloth_tpu.models.vision import FastVisionModel
+
+    path, _ = llava_ckpt
+    model, _ = FastVisionModel.from_pretrained(path, load_in_4bit=False,
+                                               dtype="float32")
+    model = FastVisionModel.get_peft_model(model, r=4, lora_alpha=8)
+
+    rng = np.random.RandomState(1)
+    pixels = jnp.asarray(rng.randn(2, 3, 28, 28).astype(np.float32))
+    ids = np.full((2, 12), 9, np.int32)
+    ids[:, 2:6] = 250
+    labels = ids.copy()
+    labels[:, :6] = -100
+    batch = {"input_ids": jnp.asarray(ids), "labels": jnp.asarray(labels),
+             "pixel_values": pixels}
+
+    tx = optax.adamw(5e-3)
+    opt_state = tx.init(model.lora)
+
+    @jax.jit
+    def step(lora, opt_state, batch):
+        loss, grads = jax.value_and_grad(
+            lambda l: model.vision_loss_fn(l, batch, remat=False))(lora)
+        updates, opt_state = tx.update(grads, opt_state, lora)
+        return optax.apply_updates(lora, updates), opt_state, loss
+
+    losses = []
+    for _ in range(8):
+        model.lora, opt_state, loss = step(model.lora, opt_state, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

@@ -40,9 +40,14 @@ class VisionLanguageModel(LanguageModel):
     projector: Optional[Dict[str, Any]] = None
     image_token_id: int = 0
     mm_tokens_per_image: int = 256
+    # vision family: "gemma3" (SigLIP + avg-pool projector, bidirectional
+    # image spans) or "llava" (CLIP[-2] + MLP projector, fully causal)
+    family: str = "gemma3"
+    vision_cfg_extra: Dict[str, Any] = dataclasses.field(
+        default_factory=dict)
 
     def embed_multimodal(self, input_ids, pixel_values):
-        """Returns (inputs_embeds [B,T,D], image_spans [B,T]).
+        """Returns (inputs_embeds [B,T,D], image_spans [B,T] or None).
         pixel_values: [B_img, C, H, W] — one image per nonzero span, in
         order of appearance across the batch."""
         embed_w = (self.lora or {}).get("embed")
@@ -52,10 +57,20 @@ class VisionLanguageModel(LanguageModel):
         if self.cfg.embed_scale is not None:
             x = x * jnp.asarray(self.cfg.embed_scale, dtype=x.dtype)
 
-        feats = siglip_forward(self.vision, pixel_values, self.vision_cfg)
-        feats = gemma3_project(self.projector, feats, self.vision_cfg,
-                               self.mm_tokens_per_image,
-                               rms_eps=self.cfg.rms_norm_eps)
+        if self.family == "llava":
+            from .vision_tower import clip_forward, llava_project
+
+            feats = clip_forward(self.vision, pixel_values,
+                                 self.vision_cfg,
+                                 feature_layer=self.vision_cfg_extra.get(
+                                     "feature_layer", -2))
+            feats = llava_project(self.projector, feats)
+        else:
+            feats = siglip_forward(self.vision, pixel_values,
+                                   self.vision_cfg)
+            feats = gemma3_project(self.projector, feats, self.vision_cfg,
+                                   self.mm_tokens_per_image,
+                                   rms_eps=self.cfg.rms_norm_eps)
         feats = feats.astype(x.dtype)       # [B_img, mm_tokens, D]
 
         is_image = input_ids == self.image_token_id          # [B, T]
@@ -68,6 +83,9 @@ class VisionLanguageModel(LanguageModel):
         gathered = jnp.take(flat_feats, order, axis=0).reshape(x.shape)
         x = jnp.where(is_image.reshape(*is_image.shape, 1), gathered, x)
 
+        if self.family == "llava":
+            # llava attention is fully causal — no bidirectional spans
+            return x, None
         # image spans: id = image ordinal + 1 (0 = text)
         span = jnp.where(
             is_image,
@@ -195,7 +213,18 @@ class FastVisionModel:
 
         text_params = _load_text_params(reader, text_cfg, dtype,
                                         load_in_4bit)
-        vision, projector = _load_vision_params(reader, vision_cfg, dtype)
+        family = "llava" if hf.get("model_type") == "llava" else "gemma3"
+        extra = {}
+        if family == "llava":
+            vision, projector = _load_clip_vision_params(
+                reader, vision_cfg, dtype)
+            extra["feature_layer"] = int(hf.get("vision_feature_layer",
+                                                -2))
+            mm_tokens = vision_cfg.num_patches
+        else:
+            vision, projector = _load_vision_params(reader, vision_cfg,
+                                                    dtype)
+            mm_tokens = int(hf.get("mm_tokens_per_image", 256))
         reader.close()
 
         tokenizer = load_tokenizer(path)
@@ -205,7 +234,8 @@ class FastVisionModel:
             vision_cfg=vision_cfg, vision=vision, projector=projector,
             image_token_id=int(hf.get("image_token_index",
                                       hf.get("image_token_id", 0))),
-            mm_tokens_per_image=int(hf.get("mm_tokens_per_image", 256)))
+            mm_tokens_per_image=mm_tokens, family=family,
+            vision_cfg_extra=extra)
         return model, tokenizer
 
     @staticmethod
@@ -377,5 +407,70 @@ def _load_vision_params(reader, vcfg: VisionConfig, dtype):
                            dtype),
         "mm_norm": _to_jnp(reader.get(pp + "mm_soft_emb_norm.weight"),
                            dtype),
+    }
+    return vision, projector
+
+
+def _load_clip_vision_params(reader, vcfg: VisionConfig, dtype):
+    """llava-1.5 CLIP tower (HF CLIPVisionModel under
+    `vision_tower.vision_model.`): CLS token, biasless patch conv,
+    pre-layernorm; MLP projector `multi_modal_projector.linear_1/2`."""
+    prefixes = ("model.vision_tower.vision_model.",
+                "vision_tower.vision_model.")
+    prefix = None
+    for p in prefixes:
+        if p + "embeddings.patch_embedding.weight" in reader:
+            prefix = p
+            break
+    assert prefix, "no CLIP vision tower found in checkpoint"
+
+    def get(name):
+        return _to_jnp(reader.get(prefix + name), dtype)
+
+    conv = get("embeddings.patch_embedding.weight")  # [H, C, P, P]
+    h = conv.shape[0]
+    vision = {
+        "patch_embed": {"kernel": conv.reshape(h, -1).T},
+        "class_embed": get("embeddings.class_embedding"),
+        "pos_embed": get("embeddings.position_embedding.weight"),
+        "pre_ln": {"w": get("pre_layrnorm.weight"),   # HF's typo
+                   "b": get("pre_layrnorm.bias")},
+        "layers": [],
+    }
+    for i in range(vcfg.num_layers):
+        p = f"encoder.layers.{i}."
+
+        def lin(sub):
+            return {"kernel": get(p + sub + ".weight").T,
+                    "bias": get(p + sub + ".bias")}
+
+        vision["layers"].append({
+            "ln1": {"w": get(p + "layer_norm1.weight"),
+                    "b": get(p + "layer_norm1.bias")},
+            "ln2": {"w": get(p + "layer_norm2.weight"),
+                    "b": get(p + "layer_norm2.bias")},
+            "q": lin("self_attn.q_proj"),
+            "k": lin("self_attn.k_proj"),
+            "v": lin("self_attn.v_proj"),
+            "out": lin("self_attn.out_proj"),
+            "fc1": lin("mlp.fc1"),
+            "fc2": lin("mlp.fc2"),
+        })
+
+    pp = None
+    for p in ("model.multi_modal_projector.", "multi_modal_projector."):
+        if p + "linear_1.weight" in reader:
+            pp = p
+            break
+    assert pp, "no llava projector in checkpoint"
+    projector = {
+        "linear_1": {"kernel": _to_jnp(reader.get(pp + "linear_1.weight"),
+                                       dtype).T,
+                     "bias": _to_jnp(reader.get(pp + "linear_1.bias"),
+                                     dtype)},
+        "linear_2": {"kernel": _to_jnp(reader.get(pp + "linear_2.weight"),
+                                       dtype).T,
+                     "bias": _to_jnp(reader.get(pp + "linear_2.bias"),
+                                     dtype)},
     }
     return vision, projector

@@ -112,6 +112,51 @@ def siglip_forward(vision: Dict[str, Any], pixel_values: jnp.ndarray,
                           eps)
 
 
+def clip_forward(vision: Dict[str, Any], pixel_values: jnp.ndarray,
+                 cfg: VisionConfig, feature_layer: int = -2,
+                 drop_cls: bool = True) -> jnp.ndarray:
+    """CLIP ViT (llava-1.5 tower — HF CLIPVisionModel): CLS token +
+    pre-layernorm + quick-gelu MLPs; returns hidden_states[feature_layer]
+    (llava's vision_feature_layer=-2 stops BEFORE the last encoder layer
+    and skips post_layernorm), optionally dropping the CLS position
+    (vision_feature_select_strategy="default")."""
+    b = pixel_values.shape[0]
+    patches = extract_patches(pixel_values, cfg.patch_size)
+    x = jnp.dot(patches, vision["patch_embed"]["kernel"])
+    cls = jnp.broadcast_to(vision["class_embed"][None, None],
+                           (b, 1, x.shape[-1])).astype(x.dtype)
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + vision["pos_embed"][None]
+    eps = cfg.layer_norm_eps
+    x = layer_norm_ref(x, vision["pre_ln"]["w"], vision["pre_ln"]["b"],
+                       eps)
+
+    n = len(vision["layers"])
+    # hidden_states[i] = embeddings output after i layers; [-2] => n-1
+    stop = n + 1 + feature_layer if feature_layer < 0 else feature_layer
+    quick_gelu = lambda u: u * jax.nn.sigmoid(1.702 * u)  # noqa: E731
+    for layer in vision["layers"][:stop]:
+        h = layer_norm_ref(x, layer["ln1"]["w"], layer["ln1"]["b"], eps)
+        x = x + _attn(h, layer, cfg.num_heads, eps)
+        h = layer_norm_ref(x, layer["ln2"]["w"], layer["ln2"]["b"], eps)
+        h = jnp.dot(h, layer["fc1"]["kernel"]) + layer["fc1"]["bias"]
+        h = quick_gelu(h)
+        h = jnp.dot(h, layer["fc2"]["kernel"]) + layer["fc2"]["bias"]
+        x = x + h
+    return x[:, 1:] if drop_cls else x
+
+
+def llava_project(projector: Dict[str, Any], vision_out: jnp.ndarray
+                  ) -> jnp.ndarray:
+    """[B, nP, H_vit] -> [B, nP, H_text]: linear, gelu, linear (HF
+    LlavaMultiModalProjector, projector_hidden_act="gelu")."""
+    x = jnp.dot(vision_out, projector["linear_1"]["kernel"]) \
+        + projector["linear_1"]["bias"]
+    x = jax.nn.gelu(x, approximate=False)
+    return jnp.dot(x, projector["linear_2"]["kernel"]) \
+        + projector["linear_2"]["bias"]
+
+
 def gemma3_project(projector: Dict[str, Any], vision_out: jnp.ndarray,
                    cfg: VisionConfig, mm_tokens_per_image: int,
                    rms_eps: float = 1e-6) -> jnp.ndarray:
