@@ -131,3 +131,66 @@ def test_qwen_vl_lora_training_step(qwen_vl_ckpt):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+@pytest.fixture(scope="module")
+def qwen2_vl_ckpt(tmp_path_factory):
+    from transformers import Qwen2VLConfig
+    from transformers.models.qwen2_vl import (
+        Qwen2VLForConditionalGeneration)
+
+    cfg = Qwen2VLConfig(
+        text_config=dict(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, num_key_value_heads=1,
+            vocab_size=256, max_position_embeddings=256,
+            rope_theta=1000000.0,
+            rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]}),
+        vision_config=dict(
+            depth=2, embed_dim=32, mlp_ratio=2, num_heads=2,
+            patch_size=14, temporal_patch_size=2, spatial_merge_size=2,
+            in_channels=3, hidden_size=32),
+        image_token_id=IMG_TOKEN, video_token_id=151,
+        vision_start_token_id=148, vision_end_token_id=149)
+    torch.manual_seed(0)
+    model = Qwen2VLForConditionalGeneration(cfg)
+    model.eval()
+    path = str(tmp_path_factory.mktemp("qwen2vl"))
+    model.save_pretrained(path, safe_serialization=True)
+    return path, model
+
+
+def test_qwen2_vl_multimodal_logit_parity(qwen2_vl_ckpt):
+    """Qwen2-VL (2.0): LayerNorm ViT blocks, plain quick-gelu MLP, NO
+    windowed attention (per-image full attention), LayerNorm merger;
+    same M-RoPE text side (HF Qwen2VLForConditionalGeneration; the
+    reference catalogs 20 Qwen2-VL repos in mapper.py)."""
+    from unsloth_tpu.models.vision import FastVisionModel
+
+    path, hf_model = qwen2_vl_ckpt
+    model, _ = FastVisionModel.from_pretrained(path, load_in_4bit=False,
+                                               dtype="float32")
+    assert model.vision_cfg.norm == "ln" and not model.vision_cfg.windowed
+
+    ids, pixel, grid = _inputs()
+    with torch.no_grad():
+        hf_logits = hf_model(
+            input_ids=torch.tensor(ids),
+            pixel_values=torch.tensor(pixel),
+            image_grid_thw=torch.tensor(grid),
+        ).logits.numpy()
+
+    from unsloth_tpu.models.decoder import forward as text_forward
+    from unsloth_tpu.ops.lora import base_matmul
+
+    embeds, mpos = model.embed_multimodal(
+        jnp.asarray(ids, jnp.int32), jnp.asarray(pixel), grid)
+    h = text_forward(model.params, None, jnp.asarray(ids, jnp.int32),
+                     model.cfg, inputs_embeds=embeds,
+                     mrope_positions=mpos, remat=False)
+    w = model.params.get("lm_head")
+    if w is None:
+        w = model.params["embed"]
+    logits = base_matmul(h, w)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits,
+                               atol=2e-3, rtol=2e-2)

@@ -47,6 +47,12 @@ class QwenVisionConfig:
     fullatt_block_indexes: Tuple[int, ...] = (7, 15, 23, 31)
     in_channels: int = 3
     eps: float = 1e-6
+    # qwen2-vl (2.0) ViT: LayerNorm (w/ bias), plain fc1/act/fc2 MLP with
+    # quick-gelu, NO windowed attention (every block attends per image)
+    windowed: bool = True
+    norm: str = "rms"            # "rms" (2.5) | "ln" (2.0)
+    gated_mlp: bool = True       # False: fc1/act/fc2 (2.0)
+    act: str = "silu"            # 2.0: "quick_gelu"
 
     @property
     def head_dim(self) -> int:
@@ -58,6 +64,23 @@ class QwenVisionConfig:
 
     @classmethod
     def from_hf(cls, hf: Dict[str, Any]) -> "QwenVisionConfig":
+        if "embed_dim" in hf:  # qwen2-vl (2.0) vision config
+            embed = int(hf["embed_dim"])
+            return cls(
+                hidden_size=embed,
+                out_hidden_size=int(hf.get("hidden_size", 3584)),
+                intermediate_size=int(embed * float(
+                    hf.get("mlp_ratio", 4.0))),
+                num_heads=int(hf.get("num_heads", 16)),
+                depth=int(hf.get("depth", 32)),
+                patch_size=int(hf.get("patch_size", 14)),
+                temporal_patch_size=int(hf.get("temporal_patch_size", 2)),
+                spatial_merge_size=int(hf.get("spatial_merge_size", 2)),
+                in_channels=int(hf.get("in_channels",
+                                       hf.get("in_chans", 3))),
+                windowed=False, norm="ln", gated_mlp=False,
+                act=hf.get("hidden_act", "quick_gelu"),
+            )
         return cls(
             hidden_size=int(hf.get("hidden_size", 1280)),
             out_hidden_size=int(hf.get("out_hidden_size", 3584)),
@@ -176,7 +199,16 @@ def qwen_vision_forward(vision: Dict[str, Any], pixel_patches: jnp.ndarray,
         x = x + vision["patch_embed"]["bias"]
     x = x.astype(pixel_patches.dtype)
 
-    window_index, window_seg, image_seg = window_layout(grid_thw, cfg)
+    if cfg.windowed:
+        window_index, window_seg, image_seg = window_layout(grid_thw, cfg)
+    else:
+        # qwen2-vl: no windows — identity cell order, per-image segments
+        cells = [t * (h // cfg.spatial_merge_size)
+                 * (w // cfg.spatial_merge_size) for t, h, w in grid_thw]
+        window_index = np.arange(sum(cells))
+        window_seg = np.zeros(sum(cells) * unit, np.int32)  # unused
+        image_seg = np.repeat(np.repeat(np.arange(len(cells)), cells),
+                              unit).astype(np.int32)
     pos2d = rot_pos_ids(grid_thw, cfg)                 # [S, 2]
 
     # half-dim rope table: h positions drive the first hd/4 channels,
@@ -197,19 +229,43 @@ def qwen_vision_forward(vision: Dict[str, Any], pixel_patches: jnp.ndarray,
     win_seg = jnp.asarray(window_seg)
     img_seg = jnp.asarray(image_seg)
 
-    for i, layer in enumerate(vision["layers"]):
-        seg = img_seg if i in cfg.fullatt_block_indexes else win_seg
-        h = rms_norm(x, layer["norm1"], cfg.eps)
-        x = x + _vis_attention(h, layer, cfg, cos, sin, seg)
-        h = rms_norm(x, layer["norm2"], cfg.eps)
+    def norm(u, w):
+        if cfg.norm == "ln":
+            from ..ops.rms_norm import layer_norm_ref
+
+            return layer_norm_ref(u, w["w"], w["b"], cfg.eps)
+        return rms_norm(u, w, cfg.eps)
+
+    def mlp(h, layer):
+        if not cfg.gated_mlp:
+            # qwen2-vl VisionMlp: fc1 -> act -> fc2
+            u = jnp.dot(h, layer["fc1"]["kernel"]) + layer["fc1"]["bias"]
+            uf = u.astype(jnp.float32)
+            if cfg.act == "quick_gelu":
+                uf = uf * jax.nn.sigmoid(1.702 * uf)
+            else:
+                uf = jax.nn.gelu(uf, approximate=False)
+            u = uf.astype(h.dtype)
+            return jnp.dot(u, layer["fc2"]["kernel"]) \
+                + layer["fc2"]["bias"]
         gate = jnp.dot(h, layer["gate"]["kernel"]) + layer["gate"]["bias"]
         up = jnp.dot(h, layer["up"]["kernel"]) + layer["up"]["bias"]
-        act = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
-        x = x + (jnp.dot(act, layer["down"]["kernel"])
-                 + layer["down"]["bias"])
+        act = jax.nn.silu(gate.astype(jnp.float32)).astype(h.dtype) * up
+        return jnp.dot(act, layer["down"]["kernel"]) \
+            + layer["down"]["bias"]
 
-    # merger: RMSNorm then 2x2 cell concat -> MLP
-    x = rms_norm(x, vision["merger"]["ln_q"], cfg.eps)
+    for i, layer in enumerate(vision["layers"]):
+        if not cfg.windowed:
+            seg = img_seg
+        else:
+            seg = img_seg if i in cfg.fullatt_block_indexes else win_seg
+        h = norm(x, layer["norm1"])
+        x = x + _vis_attention(h, layer, cfg, cos, sin, seg)
+        h = norm(x, layer["norm2"])
+        x = x + mlp(h, layer)
+
+    # merger: norm then 2x2 cell concat -> MLP
+    x = norm(x, vision["merger"]["ln_q"])
     x = x.reshape(-1, unit * cfg.hidden_size)
     x = jnp.dot(x, vision["merger"]["fc1"]["kernel"]) \
         + vision["merger"]["fc1"]["bias"]
@@ -280,6 +336,7 @@ def load_qwen_vision_params(reader, cfg: QwenVisionConfig, dtype):
     def has(name):
         return (prefix + name) in reader
 
+    ln = cfg.norm == "ln"
     conv = get("patch_embed.proj.weight")   # [H, C, Tp, P, P]
     kernel = conv.reshape(conv.shape[0], -1).T
     vision = {
@@ -289,7 +346,9 @@ def load_qwen_vision_params(reader, cfg: QwenVisionConfig, dtype):
             if has("patch_embed.proj.bias") else None,
         },
         "merger": {
-            "ln_q": get("merger.ln_q.weight"),
+            "ln_q": {"w": get("merger.ln_q.weight"),
+                     "b": get("merger.ln_q.bias")} if ln
+            else get("merger.ln_q.weight"),
             "fc1": {"kernel": get("merger.mlp.0.weight").T,
                     "bias": get("merger.mlp.0.bias")},
             "fc2": {"kernel": get("merger.mlp.2.weight").T,
@@ -304,13 +363,22 @@ def load_qwen_vision_params(reader, cfg: QwenVisionConfig, dtype):
             return {"kernel": get(p + stem + ".weight").T,
                     "bias": get(p + stem + ".bias")}
 
-        vision["layers"].append({
-            "norm1": get(p + "norm1.weight"),
-            "norm2": get(p + "norm2.weight"),
+        def nrm(stem):
+            if ln:
+                return {"w": get(p + stem + ".weight"),
+                        "b": get(p + stem + ".bias")}
+            return get(p + stem + ".weight")
+
+        layer = {
+            "norm1": nrm("norm1"),
+            "norm2": nrm("norm2"),
             "qkv": lin("attn.qkv"),
             "out": lin("attn.proj"),
-            "gate": lin("mlp.gate_proj"),
-            "up": lin("mlp.up_proj"),
-            "down": lin("mlp.down_proj"),
-        })
+        }
+        if cfg.gated_mlp:
+            layer.update(gate=lin("mlp.gate_proj"), up=lin("mlp.up_proj"),
+                         down=lin("mlp.down_proj"))
+        else:
+            layer.update(fc1=lin("mlp.fc1"), fc2=lin("mlp.fc2"))
+        vision["layers"].append(layer)
     return vision
