@@ -712,3 +712,21 @@ def test_zamba2_parity(tmp_path_factory):
     save_file(tensors, f"{path}/model.safetensors")
     cfg.save_pretrained(path)
     _parity(path, hf, "zamba2", atol=2e-3, rtol=1e-2, t=24)
+
+
+def test_apertus_parity(tmp_path_factory):
+    """Apertus (Swiss AI): per-head qk-norm before rope + NON-gated MLP
+    with the learnable xIELU activation (HF ApertusDecoderLayer; norm
+    names attention_layernorm/feedforward_layernorm)."""
+    from transformers import ApertusConfig, ApertusForCausalLM
+
+    cfg = ApertusConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        pad_token_id=0)
+    torch.manual_seed(0)
+    path = _save(ApertusForCausalLM(cfg), tmp_path_factory, "apertus")
+    hf = ApertusForCausalLM.from_pretrained(path,
+                                            torch_dtype=torch.float32)
+    _parity(path, hf, "apertus", atol=2e-3, rtol=1e-2, t=24)

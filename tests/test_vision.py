@@ -227,3 +227,107 @@ def test_llava_lora_training_step(llava_ckpt):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_pixtral_llava_multimodal_parity(tmp_path_factory):
+    """Pixtral-in-llava (mistral-community/pixtral-12b layout): pixtral
+    ViT (biasless patch conv, RMSNorms, 2-D rope, gated-gelu MLP) +
+    llava MLP projector, vision_feature_select_strategy="full"."""
+    from transformers import (LlavaConfig, LlavaForConditionalGeneration,
+                              MistralConfig, PixtralVisionConfig)
+    from unsloth_tpu.models.vision import FastVisionModel
+    from unsloth_tpu.models.decoder import forward as text_forward
+    from unsloth_tpu.ops.lora import base_matmul
+
+    cfg = LlavaConfig(
+        text_config=MistralConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, num_key_value_heads=1, vocab_size=256,
+            max_position_embeddings=128),
+        vision_config=PixtralVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=32, patch_size=16),
+        image_token_index=250, vision_feature_layer=-1,
+        vision_feature_select_strategy="full")
+    torch.manual_seed(0)
+    hf = LlavaForConditionalGeneration(cfg)
+    hf.eval()
+    path = str(tmp_path_factory.mktemp("pixtral"))
+    hf.save_pretrained(path, safe_serialization=True)
+
+    model, _ = FastVisionModel.from_pretrained(path, load_in_4bit=False,
+                                               dtype="float32")
+    assert model.vision_cfg_extra["tower"] == "pixtral"
+    assert model.mm_tokens_per_image == 4
+
+    rng = np.random.RandomState(0)
+    pixels = rng.randn(1, 3, 32, 32).astype(np.float32)
+    ids = np.array([[5, 6, 250, 250, 250, 250, 7]], np.int64)
+    with torch.no_grad():
+        hf_out = hf(input_ids=torch.tensor(ids),
+                    pixel_values=torch.tensor(pixels),
+                    image_sizes=torch.tensor([[32, 32]])).logits.numpy()
+
+    embeds, spans = model.embed_multimodal(
+        jnp.asarray(ids, jnp.int32), jnp.asarray(pixels))
+    assert spans is None
+    h = text_forward(model.params, None, jnp.asarray(ids, jnp.int32),
+                     model.cfg, inputs_embeds=embeds, remat=False)
+    w = model.params.get("lm_head")
+    if w is None:
+        w = model.params["embed"]
+    np.testing.assert_allclose(np.asarray(base_matmul(h, w)), hf_out,
+                               atol=5e-4, rtol=5e-3)
+
+
+def test_mistral3_multimodal_parity(tmp_path_factory):
+    """Mistral-Small-3.1-style mistral3: pixtral tower + RMSNorm /
+    2x2-unfold patch merger / MLP projector (HF
+    Mistral3MultiModalProjector); reference catalogs mistral-small-3.1
+    repos."""
+    from transformers import (Mistral3Config,
+                              Mistral3ForConditionalGeneration,
+                              MistralConfig, PixtralVisionConfig)
+    from unsloth_tpu.models.vision import FastVisionModel
+    from unsloth_tpu.models.decoder import forward as text_forward
+    from unsloth_tpu.ops.lora import base_matmul
+
+    cfg = Mistral3Config(
+        text_config=MistralConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, num_key_value_heads=1, vocab_size=256,
+            max_position_embeddings=128, rms_norm_eps=1e-5),
+        vision_config=PixtralVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=64, patch_size=16),
+        image_token_index=250, spatial_merge_size=2,
+        multimodal_projector_bias=False, vision_feature_layer=-1)
+    torch.manual_seed(0)
+    hf = Mistral3ForConditionalGeneration(cfg)
+    hf.eval()
+    path = str(tmp_path_factory.mktemp("mistral3"))
+    hf.save_pretrained(path, safe_serialization=True)
+
+    model, _ = FastVisionModel.from_pretrained(path, load_in_4bit=False,
+                                               dtype="float32")
+    assert model.family == "mistral3"
+    assert model.mm_tokens_per_image == 4  # (64/16/2)^2
+
+    rng = np.random.RandomState(0)
+    pixels = rng.randn(1, 3, 64, 64).astype(np.float32)
+    ids = np.array([[5, 6, 250, 250, 250, 250, 7]], np.int64)
+    with torch.no_grad():
+        hf_out = hf(input_ids=torch.tensor(ids),
+                    pixel_values=torch.tensor(pixels),
+                    image_sizes=torch.tensor([[64, 64]])).logits.numpy()
+
+    embeds, spans = model.embed_multimodal(
+        jnp.asarray(ids, jnp.int32), jnp.asarray(pixels))
+    assert spans is None
+    h = text_forward(model.params, None, jnp.asarray(ids, jnp.int32),
+                     model.cfg, inputs_embeds=embeds, remat=False)
+    w = model.params.get("lm_head")
+    if w is None:
+        w = model.params["embed"]
+    np.testing.assert_allclose(np.asarray(base_matmul(h, w)), hf_out,
+                               atol=5e-4, rtol=5e-3)

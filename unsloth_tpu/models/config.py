@@ -616,6 +616,13 @@ def _build_llama_like(cls, hf, model_type, name):
                 for t in types)
             kw["rope_layers"] = tuple(
                 t == "sliding_attention" for t in types)
+    if model_type == "apertus":
+        # Apertus (Swiss AI): per-head qk-norm before rope, NON-gated MLP
+        # with the learnable xIELU activation (HF ApertusDecoderLayer;
+        # norm names attention_layernorm / feedforward_layernorm)
+        kw["qk_norm"] = True
+        kw["mlp_gated"] = False
+        kw["hidden_act"] = "xielu"
     if model_type in ("granitemoe", "granitemoeshared"):
         kw["embed_scale"] = float(hf.get("embedding_multiplier", 1.0))
         kw["attn_logit_scale"] = float(hf.get("attention_multiplier",

@@ -316,6 +316,20 @@ def mlp_block(x, layer_p, lora_p, cfg: ModelConfig, layer_idx: int):
 
     def dense_mlp(xc):
         if not cfg.mlp_gated:
+            if cfg.hidden_act == "xielu":
+                # apertus (HF XIELUActivation._xielu_python): learnable
+                # alpha_p/alpha_n scalars per MLP; beta=0.5, eps=-1e-6
+                u = _proj(xc, layer_p, lora_p, "up").astype(jnp.float32)
+                ap = jax.nn.softplus(
+                    layer_p["act_alpha_p"].astype(jnp.float32))
+                an = 0.5 + jax.nn.softplus(
+                    layer_p["act_alpha_n"].astype(jnp.float32))
+                act = jnp.where(
+                    u > 0,
+                    ap * u * u + 0.5 * u,
+                    (jnp.expm1(jnp.minimum(u, -1e-6)) - u) * an + 0.5 * u)
+                return _proj(act.astype(xc.dtype), layer_p, lora_p,
+                             "down")
             # starcoder2/nemotron: act(up) -> down, no gate projection
             from ..ops.activations import act_for
 

@@ -170,6 +170,13 @@ def layer_name_map(cfg: ModelConfig, layer_idx: int) -> Dict[str, str]:
     if cfg.model_type == "hunyuan_v1_dense":
         m["q_norm"] = "self_attn.query_layernorm.weight"
         m["k_norm"] = "self_attn.key_layernorm.weight"
+    if cfg.model_type == "apertus":
+        m["input_norm"] = "attention_layernorm.weight"
+        m["post_attn_norm"] = "feedforward_layernorm.weight"
+        m.pop("gate", None)
+        # learnable xIELU scalars (HF XIELUActivation parameters)
+        m["act_alpha_p"] = "mlp.act_fn.alpha_p"
+        m["act_alpha_n"] = "mlp.act_fn.alpha_n"
     if cfg.model_type == "lfm2":
         m.update({
             "o": "self_attn.out_proj.weight",

@@ -58,13 +58,28 @@ class VisionLanguageModel(LanguageModel):
             x = x * jnp.asarray(self.cfg.embed_scale, dtype=x.dtype)
 
         if self.family == "llava":
-            from .vision_tower import clip_forward, llava_project
+            from .vision_tower import (clip_forward, llava_project,
+                                       pixtral_forward)
 
-            feats = clip_forward(self.vision, pixel_values,
-                                 self.vision_cfg,
-                                 feature_layer=self.vision_cfg_extra.get(
-                                     "feature_layer", -2))
+            if self.vision_cfg_extra.get("tower") == "pixtral":
+                feats = pixtral_forward(self.vision, pixel_values,
+                                        self.vision_cfg)
+            else:
+                feats = clip_forward(
+                    self.vision, pixel_values, self.vision_cfg,
+                    feature_layer=self.vision_cfg_extra.get(
+                        "feature_layer", -2))
             feats = llava_project(self.projector, feats)
+        elif self.family == "mistral3":
+            from .vision_tower import mistral3_project, pixtral_forward
+
+            feats = pixtral_forward(self.vision, pixel_values,
+                                    self.vision_cfg)
+            n_side = pixel_values.shape[-1] // self.vision_cfg.patch_size
+            feats = mistral3_project(
+                self.projector, feats, n_side,
+                self.vision_cfg_extra.get("merge", 2),
+                self.cfg.rms_norm_eps)
         else:
             feats = siglip_forward(self.vision, pixel_values,
                                    self.vision_cfg)
@@ -83,8 +98,8 @@ class VisionLanguageModel(LanguageModel):
         gathered = jnp.take(flat_feats, order, axis=0).reshape(x.shape)
         x = jnp.where(is_image.reshape(*is_image.shape, 1), gathered, x)
 
-        if self.family == "llava":
-            # llava attention is fully causal — no bidirectional spans
+        if self.family in ("llava", "mistral3"):
+            # these families stay fully causal — no bidirectional spans
             return x, None
         # image spans: id = image ordinal + 1 (0 = text)
         span = jnp.where(
@@ -213,14 +228,38 @@ class FastVisionModel:
 
         text_params = _load_text_params(reader, text_cfg, dtype,
                                         load_in_4bit)
-        family = "llava" if hf.get("model_type") == "llava" else "gemma3"
-        extra = {}
-        if family == "llava":
+        model_type = hf.get("model_type")
+        family = {"llava": "llava", "mistral3": "mistral3"}.get(
+            model_type, "gemma3")
+        tower = (hf.get("vision_config") or {}).get("model_type",
+                                                    "clip_vision_model")
+        extra = {"tower": tower}
+        if family == "llava" and tower == "pixtral":
+            from .vision_tower import PixtralVisionConfig
+
+            vision_cfg = PixtralVisionConfig.from_hf(hf["vision_config"])
+            vision = _load_pixtral_vision_params(reader, vision_cfg,
+                                                 dtype)
+            projector = _load_llava_projector(reader, dtype)
+            mm_tokens = (vision_cfg.image_size
+                         // vision_cfg.patch_size) ** 2
+        elif family == "llava":
             vision, projector = _load_clip_vision_params(
                 reader, vision_cfg, dtype)
             extra["feature_layer"] = int(hf.get("vision_feature_layer",
                                                 -2))
             mm_tokens = vision_cfg.num_patches
+        elif family == "mistral3":
+            from .vision_tower import PixtralVisionConfig
+
+            vision_cfg = PixtralVisionConfig.from_hf(hf["vision_config"])
+            vision = _load_pixtral_vision_params(reader, vision_cfg,
+                                                 dtype)
+            projector = _load_mistral3_projector(reader, dtype)
+            merge = int(hf.get("spatial_merge_size", 2))
+            extra["merge"] = merge
+            mm_tokens = (vision_cfg.image_size
+                         // (vision_cfg.patch_size * merge)) ** 2
         else:
             vision, projector = _load_vision_params(reader, vision_cfg,
                                                     dtype)
@@ -409,6 +448,81 @@ def _load_vision_params(reader, vcfg: VisionConfig, dtype):
                            dtype),
     }
     return vision, projector
+
+
+def _load_pixtral_vision_params(reader, vcfg, dtype):
+    """Pixtral ViT (HF PixtralVisionModel under `vision_tower.`):
+    biasless patch conv, ln_pre, transformer.layers.N with
+    attention_norm/ffn_norm + biasless q/k/v/o and gated MLP."""
+    prefixes = ("model.vision_tower.", "vision_tower.")
+    prefix = None
+    for p in prefixes:
+        if p + "patch_conv.weight" in reader:
+            prefix = p
+            break
+    assert prefix, "no pixtral vision tower found in checkpoint"
+
+    def get(name):
+        return _to_jnp(reader.get(prefix + name), dtype)
+
+    conv = get("patch_conv.weight")                  # [H, C, P, P]
+    vision = {
+        "patch_embed": {"kernel": conv.reshape(conv.shape[0], -1).T},
+        "ln_pre": get("ln_pre.weight"),
+        "layers": [],
+    }
+    for i in range(vcfg.num_layers):
+        p = f"transformer.layers.{i}."
+
+        def lin(sub):
+            return {"kernel": get(p + sub + ".weight").T}
+
+        vision["layers"].append({
+            "attention_norm": get(p + "attention_norm.weight"),
+            "ffn_norm": get(p + "ffn_norm.weight"),
+            "q": lin("attention.q_proj"),
+            "k": lin("attention.k_proj"),
+            "v": lin("attention.v_proj"),
+            "out": lin("attention.o_proj"),
+            "gate": lin("feed_forward.gate_proj"),
+            "up": lin("feed_forward.up_proj"),
+            "down": lin("feed_forward.down_proj"),
+        })
+    return vision
+
+
+def _load_llava_projector(reader, dtype):
+    pp = None
+    for p in ("model.multi_modal_projector.", "multi_modal_projector."):
+        if p + "linear_1.weight" in reader:
+            pp = p
+            break
+    assert pp, "no llava projector in checkpoint"
+
+    def lin(name):
+        out = {"kernel": _to_jnp(reader.get(pp + name + ".weight"),
+                                 dtype).T}
+        if pp + name + ".bias" in reader:
+            out["bias"] = _to_jnp(reader.get(pp + name + ".bias"), dtype)
+        else:
+            out["bias"] = None
+        return out
+
+    return {"linear_1": lin("linear_1"), "linear_2": lin("linear_2")}
+
+
+def _load_mistral3_projector(reader, dtype):
+    pp = None
+    for p in ("model.multi_modal_projector.", "multi_modal_projector."):
+        if p + "patch_merger.merging_layer.weight" in reader:
+            pp = p
+            break
+    assert pp, "no mistral3 projector in checkpoint"
+    proj = _load_llava_projector(reader, dtype)
+    proj["norm"] = _to_jnp(reader.get(pp + "norm.weight"), dtype)
+    proj["merger"] = {"kernel": _to_jnp(
+        reader.get(pp + "patch_merger.merging_layer.weight"), dtype).T}
+    return proj
 
 
 def _load_clip_vision_params(reader, vcfg: VisionConfig, dtype):

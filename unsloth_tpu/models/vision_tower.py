@@ -112,6 +112,119 @@ def siglip_forward(vision: Dict[str, Any], pixel_values: jnp.ndarray,
                           eps)
 
 
+@dataclasses.dataclass(frozen=True)
+class PixtralVisionConfig:
+    hidden_size: int = 1024
+    intermediate_size: int = 4096
+    num_layers: int = 24
+    num_heads: int = 16
+    image_size: int = 1024
+    patch_size: int = 16
+    rope_theta: float = 10000.0
+    hidden_act: str = "gelu"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @classmethod
+    def from_hf(cls, hf: Dict[str, Any]) -> "PixtralVisionConfig":
+        return cls(
+            hidden_size=int(hf.get("hidden_size", 1024)),
+            intermediate_size=int(hf.get("intermediate_size", 4096)),
+            num_layers=int(hf.get("num_hidden_layers", 24)),
+            num_heads=int(hf.get("num_attention_heads", 16)),
+            image_size=int(hf.get("image_size", 1024)),
+            patch_size=int(hf.get("patch_size", 16)),
+            rope_theta=float(hf.get("rope_theta", 10000.0)),
+            hidden_act=hf.get("hidden_act", "gelu"),
+        )
+
+
+def _pixtral_rope(cfg: PixtralVisionConfig, n_side: int):
+    """cos/sin [nP, head_dim] for a full n_side x n_side grid (HF
+    PixtralRotaryEmbedding: h positions drive the even freq channels, w
+    the odd ones; table duplicated for the rotate-half convention)."""
+    import numpy as np
+
+    dim = cfg.head_dim
+    freqs = 1.0 / (cfg.rope_theta ** (np.arange(0, dim, 2) / dim))
+    h = np.arange(n_side)
+    fh = np.outer(h, freqs[::2])                       # [side, dim/4]
+    fw = np.outer(h, freqs[1::2])
+    inv = np.concatenate([
+        np.repeat(fh[:, None, :], n_side, 1),
+        np.repeat(fw[None, :, :], n_side, 0)], -1).reshape(-1, dim // 2)
+    # apply_rope takes HALF-dim tables (rotate-half convention)
+    return (jnp.asarray(np.cos(inv), jnp.float32),
+            jnp.asarray(np.sin(inv), jnp.float32))
+
+
+def pixtral_forward(vision: Dict[str, Any], pixel_values: jnp.ndarray,
+                    cfg: PixtralVisionConfig) -> jnp.ndarray:
+    """Pixtral ViT (HF PixtralVisionModel) over same-size square images
+    [B, C, H, W]: biasless patch conv, RMSNorm pre-norm, 2-D rope,
+    block-diagonal (per-image) non-causal attention, gated-GLU MLP.
+    Returns [B, nP, hidden] per image (HF packs images into one sequence
+    with a block mask — identical math for equal-size images)."""
+    from ..ops.rope import apply_rope_qk
+
+    b, c, hh, ww = pixel_values.shape
+    n_side = hh // cfg.patch_size
+    patches = extract_patches(pixel_values, cfg.patch_size)
+    x = jnp.dot(patches, vision["patch_embed"]["kernel"])
+    x = rms_norm(x, vision["ln_pre"], 1e-5)            # eps hardcoded
+    cos, sin = _pixtral_rope(cfg, n_side)
+    nh, dh = cfg.num_heads, cfg.head_dim
+
+    def attn(h, layer):
+        t = h.shape[1]
+        q = jnp.dot(h, layer["q"]["kernel"]).reshape(b, t, nh, dh)
+        k = jnp.dot(h, layer["k"]["kernel"]).reshape(b, t, nh, dh)
+        v = jnp.dot(h, layer["v"]["kernel"]).reshape(b, t, nh, dh)
+        q, k = apply_rope_qk(q, k, cos[None], sin[None])
+        scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32),
+                            k.astype(jnp.float32)) * (dh ** -0.5)
+        probs = jax.nn.softmax(scores, -1).astype(h.dtype)
+        out = jnp.einsum("bhts,bshd->bthd", probs, v).reshape(b, t, -1)
+        return jnp.dot(out, layer["out"]["kernel"])
+
+    from ..ops.activations import act_for
+
+    act = act_for(cfg.hidden_act)
+    for layer in vision["layers"]:
+        h = rms_norm(x, layer["attention_norm"], 1e-5)
+        x = x + attn(h, layer)
+        h = rms_norm(x, layer["ffn_norm"], 1e-5)
+        gate = jnp.dot(h, layer["gate"]["kernel"])
+        up = jnp.dot(h, layer["up"]["kernel"])
+        x = x + jnp.dot(act(gate) * up, layer["down"]["kernel"])
+    return x
+
+
+def mistral3_project(projector: Dict[str, Any], vision_out: jnp.ndarray,
+                     n_side: int, merge: int, rms_eps: float
+                     ) -> jnp.ndarray:
+    """[B, nP, H_vit] -> [B, nP/merge^2, D_text] (HF
+    Mistral3MultiModalProjector: RMSNorm, 2x2 unfold concat + linear
+    merger, then linear/gelu/linear)."""
+    b, n_p, d = vision_out.shape
+    x = rms_norm(vision_out, projector["norm"], rms_eps)
+    x = x.reshape(b, n_side // merge, merge, n_side // merge, merge, d)
+    # torch unfold channel-major order: [d, kh, kw] fastest-last
+    x = x.transpose(0, 1, 3, 5, 2, 4).reshape(
+        b, (n_side // merge) ** 2, d * merge * merge)
+    x = jnp.dot(x, projector["merger"]["kernel"])
+    x = jnp.dot(x, projector["linear_1"]["kernel"])
+    if projector["linear_1"].get("bias") is not None:
+        x = x + projector["linear_1"]["bias"]
+    x = jax.nn.gelu(x, approximate=False)
+    x = jnp.dot(x, projector["linear_2"]["kernel"])
+    if projector["linear_2"].get("bias") is not None:
+        x = x + projector["linear_2"]["bias"]
+    return x
+
+
 def clip_forward(vision: Dict[str, Any], pixel_values: jnp.ndarray,
                  cfg: VisionConfig, feature_layer: int = -2,
                  drop_cls: bool = True) -> jnp.ndarray:
@@ -150,11 +263,14 @@ def llava_project(projector: Dict[str, Any], vision_out: jnp.ndarray
                   ) -> jnp.ndarray:
     """[B, nP, H_vit] -> [B, nP, H_text]: linear, gelu, linear (HF
     LlavaMultiModalProjector, projector_hidden_act="gelu")."""
-    x = jnp.dot(vision_out, projector["linear_1"]["kernel"]) \
-        + projector["linear_1"]["bias"]
+    x = jnp.dot(vision_out, projector["linear_1"]["kernel"])
+    if projector["linear_1"].get("bias") is not None:
+        x = x + projector["linear_1"]["bias"]
     x = jax.nn.gelu(x, approximate=False)
-    return jnp.dot(x, projector["linear_2"]["kernel"]) \
-        + projector["linear_2"]["bias"]
+    x = jnp.dot(x, projector["linear_2"]["kernel"])
+    if projector["linear_2"].get("bias") is not None:
+        x = x + projector["linear_2"]["bias"]
+    return x
 
 
 def gemma3_project(projector: Dict[str, Any], vision_out: jnp.ndarray,
