@@ -331,3 +331,118 @@ def test_mistral3_multimodal_parity(tmp_path_factory):
         w = model.params["embed"]
     np.testing.assert_allclose(np.asarray(base_matmul(h, w)), hf_out,
                                atol=5e-4, rtol=5e-3)
+
+
+def test_aya_vision_multimodal_parity(tmp_path_factory):
+    """aya-vision (CohereLabs): SigLIP tower at hidden_states[-1] (no
+    post-layernorm), pixel-shuffle downsample + LayerNorm + SwiGLU
+    projector, cohere2 text (HF AyaVisionForConditionalGeneration)."""
+    from transformers import (AyaVisionConfig,
+                              AyaVisionForConditionalGeneration)
+    from unsloth_tpu.models.vision import FastVisionModel
+    from unsloth_tpu.models.decoder import forward as text_forward
+    from unsloth_tpu.ops.lora import base_matmul
+
+    cfg = AyaVisionConfig(
+        text_config=dict(
+            model_type="cohere2", hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=2,
+            num_key_value_heads=1, vocab_size=256,
+            max_position_embeddings=128, sliding_window=8,
+            sliding_window_pattern=2, tie_word_embeddings=False),
+        vision_config=dict(
+            model_type="siglip_vision_model", hidden_size=32,
+            intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=56, patch_size=14,
+            num_channels=3),
+        image_token_index=250, downsample_factor=2,
+        vision_feature_layer=-1, vision_feature_select_strategy="full")
+    torch.manual_seed(0)
+    hf = AyaVisionForConditionalGeneration(cfg)
+    hf.eval()
+    path = str(tmp_path_factory.mktemp("aya"))
+    hf.save_pretrained(path, safe_serialization=True)
+
+    model, _ = FastVisionModel.from_pretrained(path, load_in_4bit=False,
+                                               dtype="float32")
+    assert model.family == "aya_vision"
+    assert model.mm_tokens_per_image == 4  # 16 patches / ds^2
+
+    rng = np.random.RandomState(0)
+    pixels = rng.randn(1, 3, 56, 56).astype(np.float32)
+    ids = np.array([[5, 6, 250, 250, 250, 250, 7]], np.int64)
+    with torch.no_grad():
+        hf_out = hf(input_ids=torch.tensor(ids),
+                    pixel_values=torch.tensor(pixels)).logits.numpy()
+
+    embeds, spans = model.embed_multimodal(
+        jnp.asarray(ids, jnp.int32), jnp.asarray(pixels))
+    assert spans is None
+    h = text_forward(model.params, None, jnp.asarray(ids, jnp.int32),
+                     model.cfg, inputs_embeds=embeds, remat=False)
+    w = model.params.get("lm_head")
+    if w is None:
+        w = model.params["embed"]
+    logits = base_matmul(h, w)
+    assert model.cfg.logit_scale is None  # aya's lm_head skips it
+    np.testing.assert_allclose(np.asarray(logits), hf_out,
+                               atol=2e-3, rtol=1e-2)
+
+
+def test_llava_next_multimodal_parity(tmp_path_factory):
+    """llava-1.6 (llava-next) anyres: base crop + grid tiles reassembled
+    spatially, unpadded to the original aspect ratio, image_newline per
+    row, base features prepended (HF LlavaNextModel.pack_image_features;
+    reference catalogs llava-v1.6-mistral)."""
+    from transformers import (CLIPVisionConfig, LlamaConfig,
+                              LlavaNextConfig,
+                              LlavaNextForConditionalGeneration)
+    from unsloth_tpu.models.vision import FastVisionModel
+    from unsloth_tpu.models.decoder import forward as text_forward
+    from unsloth_tpu.ops.lora import base_matmul
+
+    cfg = LlavaNextConfig(
+        text_config=LlamaConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, num_key_value_heads=1, vocab_size=256,
+            max_position_embeddings=128),
+        vision_config=CLIPVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+            num_attention_heads=2, image_size=28, patch_size=14,
+            num_channels=3),
+        image_token_index=250, vision_feature_layer=-2,
+        vision_feature_select_strategy="default",
+        image_grid_pinpoints=[[56, 56]])
+    torch.manual_seed(0)
+    hf = LlavaNextForConditionalGeneration(cfg)
+    hf.eval()
+    path = str(tmp_path_factory.mktemp("llavanext"))
+    hf.save_pretrained(path, safe_serialization=True)
+
+    model, _ = FastVisionModel.from_pretrained(path, load_in_4bit=False,
+                                               dtype="float32")
+    assert type(model).__name__ == "LlavaNextModel"
+    assert model.image_newline is not None
+
+    rng = np.random.RandomState(0)
+    # one image: base crop + 2x2 tiles = 5 crops of 28x28
+    pixels = rng.randn(1, 5, 3, 28, 28).astype(np.float32)
+    image_sizes = [[56, 56]]
+    # packed features: base 4 + 4x(4+newline) = 24 image tokens
+    n_img = 24
+    ids = np.asarray([[5, 6] + [250] * n_img + [7]], np.int64)
+    with torch.no_grad():
+        hf_out = hf(input_ids=torch.tensor(ids),
+                    pixel_values=torch.tensor(pixels),
+                    image_sizes=torch.tensor(image_sizes)).logits.numpy()
+
+    embeds, spans = model.embed_multimodal(
+        jnp.asarray(ids, jnp.int32), jnp.asarray(pixels), image_sizes)
+    assert spans is None
+    h = text_forward(model.params, None, jnp.asarray(ids, jnp.int32),
+                     model.cfg, inputs_embeds=embeds, remat=False)
+    w = model.params.get("lm_head")
+    if w is None:
+        w = model.params["embed"]
+    np.testing.assert_allclose(np.asarray(base_matmul(h, w)), hf_out,
+                               atol=5e-4, rtol=5e-3)

@@ -260,6 +260,10 @@ class ModelConfig:
             merged = dict(hf)
             merged.update(text)
             hf = merged
+            # dispatch on the TEXT architecture when the wrapper type has
+            # no builder of its own (e.g. aya_vision -> cohere2)
+            if model_type not in _HF_BUILDERS:
+                model_type = hf.get("model_type", model_type)
 
         builder = _HF_BUILDERS.get(model_type, _build_llama_like)
         return builder(cls, hf, model_type, name)

@@ -80,6 +80,15 @@ class VisionLanguageModel(LanguageModel):
                 self.projector, feats, n_side,
                 self.vision_cfg_extra.get("merge", 2),
                 self.cfg.rms_norm_eps)
+        elif self.family == "aya_vision":
+            from .vision_tower import aya_project
+
+            feats = siglip_forward(self.vision, pixel_values,
+                                   self.vision_cfg, apply_post_ln=False)
+            feats = aya_project(
+                self.projector, feats,
+                self.vision_cfg_extra.get("downsample", 2),
+                self.vision_cfg_extra.get("ln_eps", 1e-6))
         else:
             feats = siglip_forward(self.vision, pixel_values,
                                    self.vision_cfg)
@@ -98,7 +107,7 @@ class VisionLanguageModel(LanguageModel):
         gathered = jnp.take(flat_feats, order, axis=0).reshape(x.shape)
         x = jnp.where(is_image.reshape(*is_image.shape, 1), gathered, x)
 
-        if self.family in ("llava", "mistral3"):
+        if self.family in ("llava", "mistral3", "aya_vision"):
             # these families stay fully causal — no bidirectional spans
             return x, None
         # image spans: id = image ordinal + 1 (0 = text)
@@ -198,6 +207,118 @@ class QwenVLModel(VisionLanguageModel):
         return fused_ce_loss_mean(h.reshape(-1, d), wd, labels)
 
 
+def _select_best_resolution(orig, pinpoints):
+    """HF select_best_resolution: maximize effective, minimize waste."""
+    oh, ow = orig
+    best, best_eff, best_waste = None, 0, float("inf")
+    for h, w in pinpoints:
+        scale = min(w / ow, h / oh)
+        eff = min(int(ow * scale) * int(oh * scale), ow * oh)
+        waste = h * w - eff
+        if eff > best_eff or (eff == best_eff and waste < best_waste):
+            best, best_eff, best_waste = (h, w), eff, waste
+    return best
+
+
+@dataclasses.dataclass
+class LlavaNextModel(VisionLanguageModel):
+    """llava-1.6 (llava-next) handle: anyres tiling — each image is a
+    base crop + grid tiles; features are reassembled into the spatial
+    grid, unpadded to the original aspect ratio, an image_newline column
+    appended per row, and the base features prepended (HF
+    LlavaNextModel.pack_image_features)."""
+
+    image_grid_pinpoints: Tuple[Tuple[int, int], ...] = ()
+    image_newline: Any = None
+
+    def embed_multimodal(self, input_ids, pixel_values, image_sizes):
+        """pixel_values [B_img, n_crops, C, H, W]; image_sizes
+        [B_img, 2] original (h, w) — static (drives the pack layout)."""
+        from .vision_tower import clip_forward, llava_project
+
+        embed_w = (self.lora or {}).get("embed")
+        if embed_w is None:
+            embed_w = self.params["embed"]
+        x = jnp.take(embed_w, input_ids, axis=0)
+
+        vis = self.vision_cfg
+        side = vis.image_size // vis.patch_size
+        n_img, n_crops = pixel_values.shape[:2]
+        flat_px = pixel_values.reshape((-1,) + tuple(pixel_values.shape[2:]))
+        feats = clip_forward(self.vision, flat_px, vis,
+                             feature_layer=self.vision_cfg_extra.get(
+                                 "feature_layer", -2))
+        feats = llava_project(self.projector, feats)
+        feats = feats.reshape(n_img, n_crops, side * side, -1)
+
+        packed = []
+        for i in range(n_img):
+            oh, ow = int(image_sizes[i][0]), int(image_sizes[i][1])
+            base = feats[i, 0]                                # [hw, D]
+            tiles = feats[i, 1:]
+            bh, bw = _select_best_resolution(
+                (oh, ow), self.image_grid_pinpoints)
+            nph, npw = bh // vis.image_size, bw // vis.image_size
+            f = tiles.reshape(nph, npw, side, side, -1)
+            f = f.transpose(4, 0, 2, 1, 3).reshape(
+                -1, nph * side, npw * side)                   # [D, H, W]
+            # unpad to the original aspect ratio (HF unpad_image)
+            ch, cw = f.shape[1], f.shape[2]
+            if ow / oh > cw / ch:
+                nh = int(round(oh * (cw / ow), 7))
+                pad = (ch - nh) // 2
+                f = f[:, pad:ch - pad, :]
+            else:
+                nw = int(round(ow * (ch / oh), 7))
+                pad = (cw - nw) // 2
+                f = f[:, :, pad:cw - pad]
+            nl = jnp.broadcast_to(
+                self.image_newline[:, None, None].astype(f.dtype),
+                (f.shape[0], f.shape[1], 1))
+            f = jnp.concatenate([f, nl], axis=2)
+            f = f.reshape(f.shape[0], -1).T                   # [HW', D]
+            packed.append(jnp.concatenate([base, f], axis=0))
+        flat_feats = jnp.concatenate(packed, axis=0).astype(x.dtype)
+
+        is_image = input_ids == self.image_token_id
+        order = jnp.cumsum(is_image.reshape(-1).astype(jnp.int32)) - 1
+        order = jnp.clip(order, 0, flat_feats.shape[0] - 1)
+        gathered = jnp.take(flat_feats, order, axis=0).reshape(
+            *input_ids.shape, -1)
+        x = jnp.where(is_image[..., None], gathered, x)
+        return x, None  # fully causal
+
+    def vision_loss_fn(self, lora, batch, **kw):
+        lora_prev = self.lora
+        self.lora = lora
+        try:
+            embeds, _ = self.embed_multimodal(
+                batch["input_ids"], batch["pixel_values"],
+                batch["image_sizes"])
+        finally:
+            self.lora = lora_prev
+        h = text_forward(self.params, lora, batch["input_ids"], self.cfg,
+                         inputs_embeds=embeds,
+                         positions=batch.get("positions"),
+                         segment_ids=batch.get("segment_ids"), **kw)
+        h = h[:, :-1, :]
+        labels = batch["labels"][:, 1:].reshape(-1)
+        d = h.shape[-1]
+        w = self.params.get("lm_head")
+        if w is None:
+            w = self.params["embed"]
+        from ..ops.nf4 import NF4Tensor, dequantize_nf4
+
+        if isinstance(w, NF4Tensor):
+            wd = dequantize_nf4(w, h.dtype).T
+        else:
+            wd = w.T.astype(h.dtype)
+        return fused_ce_loss_mean(
+            h.reshape(-1, d), wd, labels,
+            softcap=self.cfg.final_softcap,
+            logit_scale=self.cfg.logit_scale)
+
+
 class FastVisionModel:
     """Reference-compatible entry (reference: models/__init__.py exports
     FastVisionModel; models/vision.py implements it)."""
@@ -229,8 +350,9 @@ class FastVisionModel:
         text_params = _load_text_params(reader, text_cfg, dtype,
                                         load_in_4bit)
         model_type = hf.get("model_type")
-        family = {"llava": "llava", "mistral3": "mistral3"}.get(
-            model_type, "gemma3")
+        family = {"llava": "llava", "mistral3": "mistral3",
+                  "aya_vision": "aya_vision",
+                  "llava_next": "llava_next"}.get(model_type, "gemma3")
         tower = (hf.get("vision_config") or {}).get("model_type",
                                                     "clip_vision_model")
         extra = {"tower": tower}
@@ -243,12 +365,18 @@ class FastVisionModel:
             projector = _load_llava_projector(reader, dtype)
             mm_tokens = (vision_cfg.image_size
                          // vision_cfg.patch_size) ** 2
-        elif family == "llava":
+        elif family in ("llava", "llava_next"):
             vision, projector = _load_clip_vision_params(
                 reader, vision_cfg, dtype)
             extra["feature_layer"] = int(hf.get("vision_feature_layer",
                                                 -2))
             mm_tokens = vision_cfg.num_patches
+            if family == "llava_next":
+                for cand in ("model.image_newline", "image_newline"):
+                    if cand in reader:
+                        extra["image_newline"] = _to_jnp(
+                            reader.get(cand), dtype)
+                        break
         elif family == "mistral3":
             from .vision_tower import PixtralVisionConfig
 
@@ -260,6 +388,17 @@ class FastVisionModel:
             extra["merge"] = merge
             mm_tokens = (vision_cfg.image_size
                          // (vision_cfg.patch_size * merge)) ** 2
+        elif family == "aya_vision":
+            # quirk: AyaVisionForConditionalGeneration's own lm_head does
+            # NOT apply cohere's logit_scale (verified vs HF)
+            text_cfg = dataclasses.replace(text_cfg, logit_scale=None)
+            vision = _load_siglip_tower(reader, vision_cfg, dtype)
+            projector = _load_aya_projector(reader, dtype)
+            ds = int(hf.get("downsample_factor", 2))
+            extra["downsample"] = ds
+            extra["ln_eps"] = float(hf.get("adapter_layer_norm_eps",
+                                           1e-6))
+            mm_tokens = vision_cfg.num_patches // (ds * ds)
         else:
             vision, projector = _load_vision_params(reader, vision_cfg,
                                                     dtype)
@@ -267,7 +406,7 @@ class FastVisionModel:
         reader.close()
 
         tokenizer = load_tokenizer(path)
-        model = VisionLanguageModel(
+        common = dict(
             cfg=text_cfg, params=text_params, tokenizer=tokenizer,
             max_seq_length=max_seq_length, model_path=path, hf_config=hf,
             vision_cfg=vision_cfg, vision=vision, projector=projector,
@@ -275,6 +414,13 @@ class FastVisionModel:
                                       hf.get("image_token_id", 0))),
             mm_tokens_per_image=mm_tokens, family=family,
             vision_cfg_extra=extra)
+        if family == "llava_next":
+            model = LlavaNextModel(
+                image_grid_pinpoints=tuple(
+                    tuple(p) for p in hf.get("image_grid_pinpoints", ())),
+                image_newline=extra.pop("image_newline", None), **common)
+        else:
+            model = VisionLanguageModel(**common)
         return model, tokenizer
 
     @staticmethod
@@ -389,7 +535,7 @@ def _load_text_params(reader, cfg, dtype, load_in_4bit):
     return params
 
 
-def _load_vision_params(reader, vcfg: VisionConfig, dtype):
+def _load_siglip_tower(reader, vcfg: VisionConfig, dtype):
     prefixes = ("model.vision_tower.vision_model.",
                 "vision_tower.vision_model.")
     prefix = None
@@ -432,7 +578,11 @@ def _load_vision_params(reader, vcfg: VisionConfig, dtype):
             "fc1": lin("mlp.fc1"),
             "fc2": lin("mlp.fc2"),
         })
+    return vision
 
+
+def _load_vision_params(reader, vcfg: VisionConfig, dtype):
+    vision = _load_siglip_tower(reader, vcfg, dtype)
     proj_prefixes = ("model.multi_modal_projector.",
                      "multi_modal_projector.")
     pp = None
@@ -448,6 +598,29 @@ def _load_vision_params(reader, vcfg: VisionConfig, dtype):
                            dtype),
     }
     return vision, projector
+
+
+def _load_aya_projector(reader, dtype):
+    """AyaVisionMultiModalProjector: layernorm + linear_1 (SwiGLU halves)
+    + linear_2, all biased."""
+    pp = None
+    for p in ("model.multi_modal_projector.", "multi_modal_projector."):
+        if p + "layernorm.weight" in reader:
+            pp = p
+            break
+    assert pp, "no aya projector in checkpoint"
+
+    def lin(name):
+        return {"kernel": _to_jnp(reader.get(pp + name + ".weight"),
+                                  dtype).T,
+                "bias": _to_jnp(reader.get(pp + name + ".bias"), dtype)}
+
+    return {
+        "ln": {"w": _to_jnp(reader.get(pp + "layernorm.weight"), dtype),
+               "b": _to_jnp(reader.get(pp + "layernorm.bias"), dtype)},
+        "linear_1": lin("linear_1"),
+        "linear_2": lin("linear_2"),
+    }
 
 
 def _load_pixtral_vision_params(reader, vcfg, dtype):

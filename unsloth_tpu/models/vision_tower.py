@@ -93,8 +93,11 @@ def _attn(x, layer, num_heads, eps):
 
 
 def siglip_forward(vision: Dict[str, Any], pixel_values: jnp.ndarray,
-                   cfg: VisionConfig) -> jnp.ndarray:
-    """pixel_values [B, C, H, W] (normalized) -> [B, nP, hidden]."""
+                   cfg: VisionConfig, apply_post_ln: bool = True
+                   ) -> jnp.ndarray:
+    """pixel_values [B, C, H, W] (normalized) -> [B, nP, hidden].
+    apply_post_ln=False returns hidden_states[-1] (aya-vision's
+    vision_feature_layer=-1 skips post_layernorm)."""
     patches = extract_patches(pixel_values, cfg.patch_size)
     x = jnp.dot(patches, vision["patch_embed"]["kernel"]) \
         + vision["patch_embed"]["bias"]
@@ -108,8 +111,34 @@ def siglip_forward(vision: Dict[str, Any], pixel_values: jnp.ndarray,
         h = jax.nn.gelu(h, approximate=True)
         h = jnp.dot(h, layer["fc2"]["kernel"]) + layer["fc2"]["bias"]
         x = x + h
+    if not apply_post_ln:
+        return x
     return layer_norm_ref(x, vision["post_ln"]["w"], vision["post_ln"]["b"],
                           eps)
+
+
+def aya_project(projector: Dict[str, Any], vision_out: jnp.ndarray,
+                downsample: int, eps: float) -> jnp.ndarray:
+    """[B, nP, H_vit] -> [B, nP/ds^2, D_text] (HF
+    AyaVisionMultiModalProjector): pixel-shuffle downsample, LayerNorm,
+    linear_1 -> SwiGLU (x, gate halves; silu(gate)*x) -> linear_2."""
+    b, s, d = vision_out.shape
+    side = int(round(s ** 0.5))
+    # exact HF pixel_shuffle permute/reshape sequence
+    x = vision_out.reshape(b, side, side, d)
+    x = x.reshape(b, side, side // downsample, d * downsample)
+    x = x.transpose(0, 2, 1, 3)
+    x = x.reshape(b, side // downsample, side // downsample,
+                  d * downsample * downsample)
+    x = x.transpose(0, 2, 1, 3)
+    x = layer_norm_ref(x, projector["ln"]["w"], projector["ln"]["b"], eps)
+    h = jnp.dot(x, projector["linear_1"]["kernel"]) \
+        + projector["linear_1"]["bias"]
+    u, gate = jnp.split(h, 2, axis=-1)
+    h = jax.nn.silu(gate.astype(jnp.float32)).astype(u.dtype) * u
+    h = jnp.dot(h, projector["linear_2"]["kernel"]) \
+        + projector["linear_2"]["bias"]
+    return h.reshape(b, -1, h.shape[-1])
 
 
 @dataclasses.dataclass(frozen=True)
