@@ -43,12 +43,15 @@ def qwen_vl_ckpt(tmp_path_factory):
 
 def _inputs(n_text_pre=3, n_text_post=2):
     rng = np.random.RandomState(0)
-    # one 112x112 image: grid (1, 8, 8) -> 64 patches -> 16 LLM tokens
+    # one 112x112 image: grid (1, 8, 8) -> 64 patches -> 16 LLM tokens,
+    # wrapped in vision_start(148)/vision_end(149) markers — HF's
+    # get_rope_index only treats image tokens as a vision block when a
+    # vision_start marker precedes them
     grid = [(1, 8, 8)]
     n_patches = 64
     pixel = rng.randn(n_patches, 3 * 2 * 14 * 14).astype(np.float32)
     n_img_tokens = 16
-    ids = ([5] * n_text_pre + [IMG_TOKEN] * n_img_tokens
+    ids = ([5] * n_text_pre + [148] + [IMG_TOKEN] * n_img_tokens + [149]
            + [7] * n_text_post)
     return np.asarray([ids], np.int64), pixel, grid
 
@@ -91,14 +94,14 @@ def test_mrope_positions(qwen_vl_ckpt):
 
     ids, _, grid = _inputs(n_text_pre=2, n_text_post=1)
     pos = mrope_positions_for(ids[0], IMG_TOKEN, grid, merge=2)
-    # text positions: 0,1 on all streams
-    assert (pos[:, 0] == 0).all() and (pos[:, 1] == 1).all()
-    # image block starts at 2: t stream constant, h rows, w cols
-    assert (pos[0, 2:18] == 2).all()
-    assert pos[1, 2] == 2 and pos[1, 17] == 5   # 4 rows: 2..5
-    assert pos[2, 2] == 2 and pos[2, 17] == 5
-    # text after image resumes at max+1 = 6
-    assert (pos[:, 18] == 6).all()
+    # text + vision_start marker: 0,1,2 on all streams
+    assert (pos[:, 0] == 0).all() and (pos[:, 2] == 2).all()
+    # image block starts at 3: t stream constant, h rows, w cols
+    assert (pos[0, 3:19] == 3).all()
+    assert pos[1, 3] == 3 and pos[1, 18] == 6   # 4 rows: 3..6
+    assert pos[2, 3] == 3 and pos[2, 18] == 6
+    # vision_end after image resumes at max+1 = 7
+    assert (pos[:, 19] == 7).all()
 
 
 def test_qwen_vl_lora_training_step(qwen_vl_ckpt):
@@ -188,6 +191,69 @@ def test_qwen2_vl_multimodal_logit_parity(qwen2_vl_ckpt):
     h = text_forward(model.params, None, jnp.asarray(ids, jnp.int32),
                      model.cfg, inputs_embeds=embeds,
                      mrope_positions=mpos, remat=False)
+    w = model.params.get("lm_head")
+    if w is None:
+        w = model.params["embed"]
+    logits = base_matmul(h, w)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits,
+                               atol=2e-3, rtol=2e-2)
+
+
+def test_qwen3_vl_multimodal_logit_parity(tmp_path_factory):
+    """Qwen3-VL: interpolated-position-embedding ViT (biased LayerNorms,
+    fused qkv, per-frame attention), patch mergers incl. DeepStack
+    (intermediate-layer features added after early text layers), and
+    channel-interleaved M-RoPE qwen3 text (HF
+    Qwen3VLForConditionalGeneration; reference catalogs qwen3-vl)."""
+    from transformers import Qwen3VLConfig
+    from transformers.models.qwen3_vl import (
+        Qwen3VLForConditionalGeneration)
+    from unsloth_tpu.models.vision import FastVisionModel
+    from unsloth_tpu.models.decoder import forward as text_forward
+    from unsloth_tpu.ops.lora import base_matmul
+
+    cfg = Qwen3VLConfig(
+        text_config=dict(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+            num_attention_heads=2, num_key_value_heads=1, head_dim=16,
+            vocab_size=256, max_position_embeddings=256,
+            rope_theta=1000000.0,
+            rope_scaling={"rope_type": "default",
+                          "mrope_section": [2, 3, 3],
+                          "mrope_interleaved": True}),
+        vision_config=dict(
+            depth=3, hidden_size=32, intermediate_size=64, num_heads=2,
+            patch_size=14, temporal_patch_size=2, spatial_merge_size=2,
+            out_hidden_size=32, num_position_embeddings=16,
+            deepstack_visual_indexes=[0, 1], in_channels=3),
+        image_token_id=IMG_TOKEN, video_token_id=151,
+        vision_start_token_id=148, vision_end_token_id=149)
+    torch.manual_seed(0)
+    model_hf = Qwen3VLForConditionalGeneration(cfg)
+    model_hf.eval()
+    path = str(tmp_path_factory.mktemp("qwen3vl"))
+    model_hf.save_pretrained(path, safe_serialization=True)
+
+    model, _ = FastVisionModel.from_pretrained(path, load_in_4bit=False,
+                                               dtype="float32")
+    assert type(model).__name__ == "Qwen3VLModel"
+    assert model.cfg.mrope_interleaved
+
+    ids, pixel, grid = _inputs()
+    with torch.no_grad():
+        hf_logits = model_hf(
+            input_ids=torch.tensor(ids),
+            pixel_values=torch.tensor(pixel),
+            image_grid_thw=torch.tensor(grid),
+        ).logits.numpy()
+
+    embeds, mpos, ds = model.embed_multimodal(
+        jnp.asarray(ids, jnp.int32), jnp.asarray(pixel), grid)
+    assert ds is not None and ds.shape[0] == 2
+    h = text_forward(model.params, None, jnp.asarray(ids, jnp.int32),
+                     model.cfg, inputs_embeds=embeds,
+                     mrope_positions=mpos, deepstack_embeds=ds,
+                     remat=False)
     w = model.params.get("lm_head")
     if w is None:
         w = model.params["embed"]

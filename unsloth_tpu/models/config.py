@@ -137,6 +137,7 @@ class ModelConfig:
     # qwen2.5-vl M-RoPE: rope channels (half-dim) split across the
     # temporal/height/width position streams
     mrope_section: Optional[Tuple[int, ...]] = None
+    mrope_interleaved: bool = False  # qwen3-vl channel-interleaved mrope
 
     # MoE (qwen3-moe / mixtral / gpt-oss)
     num_experts: int = 0
@@ -538,15 +539,23 @@ def _build_llama_like(cls, hf, model_type, name):
     if model_type == "qwen2" and hf.get("use_sliding_window") and hf.get("sliding_window"):
         kw["sliding_window"] = int(hf["sliding_window"])
         kw["layer_pattern"] = ("sliding",)
-    if model_type in ("qwen3", "qwen3_moe"):
+    if model_type in ("qwen3", "qwen3_moe", "qwen3_vl_text",
+                      "qwen3_vl_moe_text"):
         kw["qk_norm"] = True
-    if model_type == "qwen3_moe":
+    if model_type in ("qwen3_moe", "qwen3_vl_moe_text"):
         kw.update(
             num_experts=int(hf.get("num_experts", 128)),
             num_experts_per_tok=int(hf.get("num_experts_per_tok", 8)),
             moe_intermediate_size=int(hf.get("moe_intermediate_size", 768)),
             norm_topk_prob=bool(hf.get("norm_topk_prob", True)),
         )
+    if model_type in ("qwen3_vl_text", "qwen3_vl_moe_text"):
+        # qwen3-vl text: channel-INTERLEAVED M-RoPE (T default, H/W claim
+        # offset-1/-2 channels — HF Qwen3VLTextRotaryEmbedding)
+        rs = hf.get("rope_scaling") or {}
+        kw["mrope_section"] = tuple(rs.get("mrope_section", (24, 20, 20)))
+        kw["mrope_interleaved"] = True
+        kw["rope_scaling"] = RopeScaling()
     if model_type == "mixtral":
         kw.update(
             num_experts=int(hf.get("num_local_experts", 8)),

@@ -597,14 +597,31 @@ def _rope_tables(cfg: ModelConfig, positions, mrope_positions=None):
         # M-RoPE (qwen2.5-vl): three position streams [B, 3, T]; rope
         # half-dim channels are split across streams by mrope_section.
         cos3, sin3 = rope_table(mrope_positions, inv)   # [B, 3, T, hd/2]
-        parts_c, parts_s = [], []
-        off = 0
-        for j, sz in enumerate(cfg.mrope_section):
-            parts_c.append(cos3[:, j % 3, :, off:off + sz])
-            parts_s.append(sin3[:, j % 3, :, off:off + sz])
-            off += sz
-        cos = jnp.concatenate(parts_c, axis=-1)          # [B, T, hd/2]
-        sin = jnp.concatenate(parts_s, axis=-1)
+        if cfg.mrope_interleaved:
+            # qwen3-vl: channels default to the T stream; H claims
+            # offset-1 channels (step 3) up to 3*sec[1], W offset-2 up to
+            # 3*sec[2] (HF Qwen3VLTextRotaryEmbedding
+            # .apply_interleaved_mrope)
+            import numpy as _np
+
+            hd2 = cos3.shape[-1]
+            stream = _np.zeros(hd2, _np.int32)
+            sec = cfg.mrope_section
+            stream[1:3 * sec[1]:3] = 1
+            stream[2:3 * sec[2]:3] = 2
+            sel = jax.nn.one_hot(jnp.asarray(stream), 3,
+                                 dtype=cos3.dtype)       # [hd/2, 3]
+            cos = jnp.einsum("bjtc,cj->btc", cos3, sel)
+            sin = jnp.einsum("bjtc,cj->btc", sin3, sel)
+        else:
+            parts_c, parts_s = [], []
+            off = 0
+            for j, sz in enumerate(cfg.mrope_section):
+                parts_c.append(cos3[:, j % 3, :, off:off + sz])
+                parts_s.append(sin3[:, j % 3, :, off:off + sz])
+                off += sz
+            cos = jnp.concatenate(parts_c, axis=-1)      # [B, T, hd/2]
+            sin = jnp.concatenate(parts_s, axis=-1)
     else:
         cos, sin = rope_table(positions, inv, attn_factor)
     cos_local = sin_local = None
@@ -626,6 +643,7 @@ def forward(
     inputs_embeds: Optional[jnp.ndarray] = None,  # [B, T, D] (pre-scaled)
     image_spans: Optional[jnp.ndarray] = None,   # [B, T] int32, 0 = text
     mrope_positions: Optional[jnp.ndarray] = None,  # [B, 3, T] (qwen-vl)
+    deepstack_embeds: Optional[jnp.ndarray] = None,  # [n, B, T, D]
     remat: Any = True,
     remat_policy: Optional[Any] = None,
 ) -> jnp.ndarray:
@@ -683,6 +701,8 @@ def forward(
                                                   mrope_positions)
 
     if "layers_stacked" in params:
+        if deepstack_embeds is not None:
+            raise ValueError("deepstack embeds require the list layout")
         x = _scan_layers(params, lora, x, cfg, cos, sin, segment_ids,
                          positions, image_spans, remat)
         return _normp(x, params, "final_norm", cfg)
@@ -695,6 +715,12 @@ def forward(
             x = layer_fn(x, layer_p, lora_p, cfg, i,
                          cos, sin, cos_local, sin_local, segment_ids,
                          positions, image_spans)
+            if deepstack_embeds is not None \
+                    and i < deepstack_embeds.shape[0]:
+                # qwen3-vl DeepStack: merged visual features of early ViT
+                # layers added at the visual positions after early text
+                # layers (HF Qwen3VLTextModel._deepstack_process)
+                x = x + deepstack_embeds[i].astype(x.dtype)
         return x
 
     if remat == "offload":

@@ -342,6 +342,9 @@ class FastVisionModel:
         if hf.get("model_type") in ("qwen2_5_vl", "qwen2_vl"):
             return _load_qwen_vl(model_name, path, hf, dtype, load_in_4bit,
                                  max_seq_length)
+        if hf.get("model_type") in ("qwen3_vl", "qwen3_vl_moe"):
+            return _load_qwen3_vl(model_name, path, hf, dtype,
+                                  load_in_4bit, max_seq_length)
 
         text_cfg = ModelConfig.from_hf_config(hf, name=model_name)
         vision_cfg = VisionConfig.from_hf(hf["vision_config"])
@@ -458,6 +461,101 @@ class FastVisionModel:
 
     for_inference = staticmethod(lambda m: m.for_inference())
     for_training = staticmethod(lambda m: m.for_training())
+
+
+@dataclasses.dataclass
+class Qwen3VLModel(VisionLanguageModel):
+    """Qwen3-VL handle: interpolated-pos-embed ViT + DeepStack features
+    injected after the first N text layers; interleaved M-RoPE text."""
+
+    spatial_merge_size: int = 2
+
+    def embed_multimodal(self, input_ids, pixel_values, grid_thw):
+        """pixel_values [S, C*Tp*P*P] packed patches; grid_thw static.
+        Returns (embeds, mrope_positions, deepstack_embeds [n,B,T,D])."""
+        from .qwen3_vl import qwen3_vision_forward
+        from .qwen_vl import mrope_positions_for
+
+        embed_w = (self.lora or {}).get("embed")
+        if embed_w is None:
+            embed_w = self.params["embed"]
+        x = jnp.take(embed_w, input_ids, axis=0)
+
+        feats, deepstack = qwen3_vision_forward(
+            self.vision, pixel_values, grid_thw, self.vision_cfg)
+        feats = feats.astype(x.dtype)
+
+        is_image = input_ids == self.image_token_id
+        order = jnp.cumsum(is_image.reshape(-1).astype(jnp.int32)) - 1
+        order = jnp.clip(order, 0, feats.shape[0] - 1)
+        gathered = jnp.take(feats, order, axis=0).reshape(
+            *input_ids.shape, -1)
+        x = jnp.where(is_image[..., None], gathered, x)
+
+        ds_dense = None
+        if deepstack is not None:
+            # dense [n, B, T, D] injection tensors (zero at text tokens)
+            g = jnp.take(deepstack, order, axis=1).reshape(
+                deepstack.shape[0], *input_ids.shape, -1)
+            ds_dense = jnp.where(is_image[None, ..., None], g, 0.0)
+
+        ids_np = np.asarray(input_ids)
+        mpos = np.stack([
+            mrope_positions_for(ids_np[b], self.image_token_id, grid_thw,
+                                self.spatial_merge_size)
+            for b in range(ids_np.shape[0])])            # [B, 3, T]
+        return x, jnp.asarray(mpos), ds_dense
+
+    def vision_loss_fn(self, lora, batch, **kw):
+        lora_prev = self.lora
+        self.lora = lora
+        try:
+            embeds, mpos, ds = self.embed_multimodal(
+                batch["input_ids"], batch["pixel_values"],
+                batch["grid_thw"])
+        finally:
+            self.lora = lora_prev
+        h = text_forward(self.params, lora, batch["input_ids"], self.cfg,
+                         inputs_embeds=embeds, mrope_positions=mpos,
+                         deepstack_embeds=ds,
+                         segment_ids=batch.get("segment_ids"), **kw)
+        h = h[:, :-1, :]
+        labels = batch["labels"][:, 1:].reshape(-1)
+        d = h.shape[-1]
+        w = self.params.get("lm_head")
+        if w is None:
+            w = self.params["embed"]
+        from ..ops.nf4 import NF4Tensor, dequantize_nf4
+
+        if isinstance(w, NF4Tensor):
+            wd = dequantize_nf4(w, h.dtype).T
+        else:
+            wd = w.T.astype(h.dtype)
+        return fused_ce_loss_mean(
+            h.reshape(-1, d), wd, labels,
+            softcap=self.cfg.final_softcap,
+            logit_scale=self.cfg.logit_scale)
+
+
+def _load_qwen3_vl(model_name, path, hf, dtype, load_in_4bit,
+                   max_seq_length):
+    from .qwen3_vl import Qwen3VisionConfig, load_qwen3_vision_params
+
+    text_cfg = ModelConfig.from_hf_config(hf, name=model_name)
+    vision_cfg = Qwen3VisionConfig.from_hf(hf["vision_config"])
+    reader = CheckpointReader(path)
+    text_params = _load_text_params(reader, text_cfg, dtype, load_in_4bit)
+    vision = load_qwen3_vision_params(reader, vision_cfg, dtype)
+    reader.close()
+    tokenizer = load_tokenizer(path)
+    model = Qwen3VLModel(
+        cfg=text_cfg, params=text_params, tokenizer=tokenizer,
+        max_seq_length=max_seq_length, model_path=path, hf_config=hf,
+        vision_cfg=vision_cfg, vision=vision, projector=None,
+        image_token_id=int(hf.get("image_token_id",
+                                  hf.get("image_token_index", 151655))),
+        spatial_merge_size=vision_cfg.spatial_merge_size)
+    return model, tokenizer
 
 
 def _load_qwen_vl(model_name, path, hf, dtype, load_in_4bit,
