@@ -446,3 +446,58 @@ def test_llava_next_multimodal_parity(tmp_path_factory):
         w = model.params["embed"]
     np.testing.assert_allclose(np.asarray(base_matmul(h, w)), hf_out,
                                atol=5e-4, rtol=5e-3)
+
+
+def test_granite_vision_multimodal_parity(tmp_path_factory):
+    """granite-vision-3.2 layout: llava-next anyres + GRANITE text.
+    Regression-checks two wrapper quirks: granite's embedding_multiplier
+    applies to the MERGED embeds, and the wrapper's plain lm_head skips
+    granite's logits_scaling."""
+    from transformers import (CLIPVisionConfig, GraniteConfig,
+                              LlavaNextConfig,
+                              LlavaNextForConditionalGeneration)
+    from unsloth_tpu.models.vision import FastVisionModel
+    from unsloth_tpu.models.decoder import forward as text_forward
+    from unsloth_tpu.ops.lora import base_matmul
+
+    cfg = LlavaNextConfig(
+        text_config=GraniteConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, num_key_value_heads=1, vocab_size=256,
+            max_position_embeddings=128, embedding_multiplier=6.0,
+            attention_multiplier=0.08, residual_multiplier=0.22,
+            logits_scaling=4.0),
+        vision_config=CLIPVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+            num_attention_heads=2, image_size=28, patch_size=14,
+            num_channels=3),
+        image_token_index=250, vision_feature_layer=-2,
+        vision_feature_select_strategy="default",
+        image_grid_pinpoints=[[56, 56]])
+    torch.manual_seed(0)
+    hf = LlavaNextForConditionalGeneration(cfg)
+    hf.eval()
+    path = str(tmp_path_factory.mktemp("gvision"))
+    hf.save_pretrained(path, safe_serialization=True)
+
+    model, _ = FastVisionModel.from_pretrained(path, load_in_4bit=False,
+                                               dtype="float32")
+    assert model.cfg.logit_scale is None  # wrapper lm_head skips it
+
+    rng = np.random.RandomState(0)
+    pixels = rng.randn(1, 5, 3, 28, 28).astype(np.float32)
+    ids = np.asarray([[5, 6] + [250] * 24 + [7]], np.int64)
+    with torch.no_grad():
+        hf_out = hf(input_ids=torch.tensor(ids),
+                    pixel_values=torch.tensor(pixels),
+                    image_sizes=torch.tensor([[56, 56]])).logits.numpy()
+
+    embeds, _ = model.embed_multimodal(
+        jnp.asarray(ids, jnp.int32), jnp.asarray(pixels), [[56, 56]])
+    h = text_forward(model.params, None, jnp.asarray(ids, jnp.int32),
+                     model.cfg, inputs_embeds=embeds, remat=False)
+    w = model.params.get("lm_head")
+    if w is None:
+        w = model.params["embed"]
+    np.testing.assert_allclose(np.asarray(base_matmul(h, w)), hf_out,
+                               atol=5e-4, rtol=5e-3)

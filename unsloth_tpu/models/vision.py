@@ -54,7 +54,11 @@ class VisionLanguageModel(LanguageModel):
         if embed_w is None:
             embed_w = self.params["embed"]
         x = jnp.take(embed_w, input_ids, axis=0)
-        if self.cfg.embed_scale is not None:
+        # gemma's sqrt(D) scale lives INSIDE the embedding (image features
+        # splice in unscaled); granite's embedding_multiplier applies to
+        # the MERGED inputs_embeds (HF GraniteModel.forward) — scale after
+        scale_after = self.cfg.model_type.startswith("granite")
+        if self.cfg.embed_scale is not None and not scale_after:
             x = x * jnp.asarray(self.cfg.embed_scale, dtype=x.dtype)
 
         if self.family == "llava":
@@ -107,6 +111,8 @@ class VisionLanguageModel(LanguageModel):
         gathered = jnp.take(flat_feats, order, axis=0).reshape(x.shape)
         x = jnp.where(is_image.reshape(*is_image.shape, 1), gathered, x)
 
+        if self.cfg.embed_scale is not None and scale_after:
+            x = x * jnp.asarray(self.cfg.embed_scale, dtype=x.dtype)
         if self.family in ("llava", "mistral3", "aya_vision"):
             # these families stay fully causal — no bidirectional spans
             return x, None
@@ -286,6 +292,10 @@ class LlavaNextModel(VisionLanguageModel):
         gathered = jnp.take(flat_feats, order, axis=0).reshape(
             *input_ids.shape, -1)
         x = jnp.where(is_image[..., None], gathered, x)
+        if self.cfg.embed_scale is not None:
+            # granite-vision: embedding_multiplier applies to the MERGED
+            # embeds (HF GraniteModel.forward scales passed inputs_embeds)
+            x = x * jnp.asarray(self.cfg.embed_scale, dtype=x.dtype)
         return x, None  # fully causal
 
     def vision_loss_fn(self, lora, batch, **kw):
@@ -359,6 +369,12 @@ class FastVisionModel:
         tower = (hf.get("vision_config") or {}).get("model_type",
                                                     "clip_vision_model")
         extra = {"tower": tower}
+        if family != "gemma3" and text_cfg.logit_scale is not None:
+            # quirk: the HF ...ForConditionalGeneration wrappers
+            # (llava/llava_next/mistral3/aya_vision) use their OWN plain
+            # lm_head — cohere's logit_scale / granite's logits_scaling
+            # never applies (verified vs HF)
+            text_cfg = dataclasses.replace(text_cfg, logit_scale=None)
         if family == "llava" and tower == "pixtral":
             from .vision_tower import PixtralVisionConfig
 
@@ -392,9 +408,6 @@ class FastVisionModel:
             mm_tokens = (vision_cfg.image_size
                          // (vision_cfg.patch_size * merge)) ** 2
         elif family == "aya_vision":
-            # quirk: AyaVisionForConditionalGeneration's own lm_head does
-            # NOT apply cohere's logit_scale (verified vs HF)
-            text_cfg = dataclasses.replace(text_cfg, logit_scale=None)
             vision = _load_siglip_tower(reader, vision_cfg, dtype)
             projector = _load_aya_projector(reader, dtype)
             ds = int(hf.get("downsample_factor", 2))
