@@ -155,3 +155,19 @@ def test_csm_lora_free_finetune_step(csm_ckpt):
         losses.append(float(l))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0] - 0.3, losses
+
+
+def test_csm_greedy_generate_matches_hf(csm_ckpt):
+    """Greedy frame generation (backbone codebook-0 + depth rollout of
+    the rest, frame embeds fed back) == HF CsmForConditionalGeneration
+    .generate codes."""
+    from unsloth_tpu.models.csm import csm_generate, load_csm
+
+    path, hf = csm_ckpt
+    model = load_csm(path, dtype=jnp.float32)
+    ids = np.asarray([[5, 6, 7, 8]], np.int64)
+    with torch.no_grad():
+        want = hf.generate(input_ids=torch.tensor(ids), do_sample=False,
+                           max_new_tokens=5, output_audio=False).numpy()
+    got = csm_generate(model, jnp.asarray(ids, jnp.int32), max_frames=5)
+    np.testing.assert_array_equal(got, want[0])

@@ -146,6 +146,73 @@ class CsmModel:
         return bb_loss + depth_loss
 
 
+def csm_generate(model: CsmModel, input_ids, max_frames: int = 64,
+                 temperature: float = 0.0, key=None,
+                 codebook_eos: Optional[int] = None) -> np.ndarray:
+    """Greedy/temperature TTS decode: per frame, the backbone samples
+    codebook 0, the depth decoder rolls out codebooks 1..K-1, and the
+    frame's summed embedding feeds back (HF CsmForConditionalGeneration
+    .generate semantics). Static shapes: the backbone runs over the full
+    padded window each frame (one compile); correctness-first — the
+    KV-cache decode integration is the optimization path.
+    Returns [n_frames, num_codebooks] codes (stops at codebook-0 EOS)."""
+    k_total = model.num_codebooks
+    b, t0 = input_ids.shape
+    assert b == 1, "csm_generate is single-sequence"
+    tmax = t0 + max_frames
+    d = model.params["text_embed"].shape[1]
+    embeds = jnp.zeros((1, tmax, d), model.params["text_embed"].dtype)
+    embeds = embeds.at[:, :t0].set(
+        jnp.take(model.params["text_embed"], input_ids, axis=0))
+
+    @jax.jit
+    def bb_hidden(embeds):
+        return model.backbone_hidden(embeds, remat=False)
+
+    @jax.jit
+    def bb_logits(h, pos):
+        return h[0, pos] @ model.params["lm_head"].T.astype(h.dtype)
+
+    @jax.jit
+    def depth_step(first_hidden, codes_so_far):
+        # codes_so_far [1, K-1] (zero-padded); logits for every position
+        return model.depth_logits(first_hidden, codes_so_far)
+
+    def sample(logits, key):
+        if temperature and key is not None:
+            return int(jax.random.categorical(key, logits / temperature))
+        return int(jnp.argmax(logits))
+
+    frames = []
+    for f in range(max_frames):
+        h = bb_hidden(embeds)
+        logits0 = bb_logits(h, t0 + f - 1)
+        if key is not None:
+            key, k0 = jax.random.split(key)
+        else:
+            k0 = None
+        c0 = sample(logits0, k0)
+        if codebook_eos is not None and c0 == codebook_eos:
+            break
+        codes = [c0]
+        first_hidden = h[:, t0 + f - 1]
+        buf = np.zeros((1, k_total - 1), np.int32)
+        for j in range(1, k_total):
+            buf[0, j - 1] = codes[-1]
+            dl = depth_step(first_hidden, jnp.asarray(buf))
+            if key is not None:
+                key, kj = jax.random.split(key)
+            else:
+                kj = None
+            codes.append(sample(dl[0, j - 1], kj))
+        frame = np.asarray(codes, np.int32)
+        frames.append(frame)
+        fe = model.embed_frames(jnp.asarray(frame)[None])[0]
+        embeds = embeds.at[0, t0 + f].set(fe.astype(embeds.dtype))
+    return np.stack(frames) if frames else np.zeros((0, k_total),
+                                                    np.int32)
+
+
 def load_csm(path: str, dtype=jnp.float32) -> CsmModel:
     """Load an HF CsmForConditionalGeneration checkpoint."""
     from .config import load_hf_config
