@@ -136,6 +136,28 @@ class FastLanguageModel:
                                                       load_in_4bit)
         path = _resolve_model_path(model_name)
         hf_config = load_hf_config(path)
+        mt = hf_config.get("model_type", "")
+        if "vision_config" in hf_config and mt not in ("gemma3n",):
+            # FastModel auto-routing (reference: FastModel loads any
+            # architecture — models/loader.py:820-897 dispatch): VLM
+            # checkpoints go through the vision path
+            from .vision import FastVisionModel
+
+            return FastVisionModel.from_pretrained(
+                model_name, load_in_4bit=load_in_4bit, dtype=dtype,
+                max_seq_length=max_seq_length, **kwargs)
+        if mt == "whisper":
+            from .whisper import load_whisper
+
+            model = load_whisper(path, dtype=canonical_dtype(dtype)
+                                 or jnp.float32)
+            return model, getattr(model, "tokenizer", None)
+        if mt == "csm":
+            from .csm import load_csm
+
+            model = load_csm(path, dtype=canonical_dtype(dtype)
+                             or jnp.float32)
+            return model, None
         cfg = ModelConfig.from_hf_config(hf_config, name=model_name)
 
         dtype = canonical_dtype(dtype) or jnp.bfloat16
