@@ -593,3 +593,37 @@ def test_granitemoehybrid_decode_matches_training_forward(
         got.append(np.asarray(logits_from_hidden(model.params, h, cfg)))
     got = np.concatenate(got, axis=1)
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_minimax_high_level_generate_greedy(tmp_path_factory):
+    """model.generate (on-device while_loop) carries the lightning state
+    through KVCache.ssm; greedy output == step-by-step argmax oracle."""
+    import numpy as np
+    import torch
+    from transformers import MiniMaxConfig, MiniMaxForCausalLM
+
+    from unsloth_tpu.models.loader import FastLanguageModel
+
+    cfg_hf = MiniMaxConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        head_dim=16, num_local_experts=4, num_experts_per_tok=2,
+        layer_types=["linear_attention", "full_attention"], block_size=8,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        pad_token_id=0)
+    torch.manual_seed(0)
+    path = str(tmp_path_factory.mktemp("minimaxg"))
+    MiniMaxForCausalLM(cfg_hf).save_pretrained(path,
+                                               safe_serialization=True)
+    model, _ = FastLanguageModel.from_pretrained(path, load_in_4bit=False,
+                                                 dtype="float32")
+    ids = [list(range(1, 9))]
+    out = np.asarray(model.generate(ids, max_new_tokens=6,
+                                    temperature=0.0,
+                                    return_token_ids=True))
+    cur = np.asarray(ids)
+    for _ in range(6):
+        lg = np.asarray(model.logits(jnp.asarray(cur, jnp.int32),
+                                     remat=False))
+        cur = np.concatenate([cur, [[int(lg[0, -1].argmax())]]], 1)
+    np.testing.assert_array_equal(out[0][:6], cur[0, 8:14])
