@@ -260,3 +260,63 @@ def test_qwen3_vl_multimodal_logit_parity(tmp_path_factory):
     logits = base_matmul(h, w)
     np.testing.assert_allclose(np.asarray(logits), hf_logits,
                                atol=2e-3, rtol=2e-2)
+
+
+def test_qwen3_vl_moe_multimodal_logit_parity(tmp_path_factory):
+    """Qwen3-VL-MoE: same DeepStack ViT + interleaved M-RoPE, MoE text
+    with FUSED chunked expert tensors ([E, D, 2F] gate_up, biasless) and
+    softmax-then-topk renormalized routing."""
+    from transformers import Qwen3VLMoeConfig
+    from transformers.models.qwen3_vl_moe import (
+        Qwen3VLMoeForConditionalGeneration)
+    from unsloth_tpu.models.vision import FastVisionModel
+    from unsloth_tpu.models.decoder import forward as text_forward
+    from unsloth_tpu.ops.lora import base_matmul
+
+    cfg = Qwen3VLMoeConfig(
+        text_config=dict(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+            num_attention_heads=2, num_key_value_heads=1, head_dim=16,
+            vocab_size=256, num_experts=4, num_experts_per_tok=2,
+            moe_intermediate_size=32, max_position_embeddings=256,
+            rope_theta=1000000.0,
+            rope_scaling={"rope_type": "default",
+                          "mrope_section": [2, 3, 3],
+                          "mrope_interleaved": True}),
+        vision_config=dict(
+            depth=2, hidden_size=32, intermediate_size=64, num_heads=2,
+            patch_size=14, temporal_patch_size=2, spatial_merge_size=2,
+            out_hidden_size=32, num_position_embeddings=16,
+            deepstack_visual_indexes=[0], in_channels=3),
+        image_token_id=IMG_TOKEN, video_token_id=151,
+        vision_start_token_id=148, vision_end_token_id=149)
+    torch.manual_seed(0)
+    model_hf = Qwen3VLMoeForConditionalGeneration(cfg)
+    model_hf.eval()
+    path = str(tmp_path_factory.mktemp("qwen3vlmoe"))
+    model_hf.save_pretrained(path, safe_serialization=True)
+
+    model, _ = FastVisionModel.from_pretrained(path, load_in_4bit=False,
+                                               dtype="float32")
+    assert model.cfg.is_moe and model.cfg.mrope_interleaved
+
+    ids, pixel, grid = _inputs()
+    with torch.no_grad():
+        hf_logits = model_hf(
+            input_ids=torch.tensor(ids),
+            pixel_values=torch.tensor(pixel),
+            image_grid_thw=torch.tensor(grid),
+        ).logits.numpy()
+
+    embeds, mpos, ds = model.embed_multimodal(
+        jnp.asarray(ids, jnp.int32), jnp.asarray(pixel), grid)
+    h = text_forward(model.params, None, jnp.asarray(ids, jnp.int32),
+                     model.cfg, inputs_embeds=embeds,
+                     mrope_positions=mpos, deepstack_embeds=ds,
+                     remat=False)
+    w = model.params.get("lm_head")
+    if w is None:
+        w = model.params["embed"]
+    logits = base_matmul(h, w)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits,
+                               atol=2e-3, rtol=2e-2)

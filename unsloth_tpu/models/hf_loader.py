@@ -266,6 +266,24 @@ def _load_zamba2_layers(reader, cfg, params, dtype, put):
 def _load_experts(reader, cfg, layer_idx, dtype, put):
     """Stack per-expert projections into [E, ...] tensors."""
     gup = f"model.layers.{layer_idx}.mlp.experts.gate_up_proj"
+    if gup in reader and gup + "_bias" not in reader \
+            and cfg.model_type != "gpt_oss":
+        # qwen3-vl-moe: fused [E, D, 2F] input-major, gate/up CHUNKED
+        # (first F columns gate — HF Qwen3VLMoeTextExperts.chunk(2)),
+        # biasless; down [E, F, D] input-major
+        import numpy as _np
+
+        w = _np.asarray(reader.get(gup), _np.float32)
+        f = w.shape[-1] // 2
+        down = _np.asarray(reader.get(
+            f"model.layers.{layer_idx}.mlp.experts.down_proj"),
+            _np.float32)
+        out = {"gate": w[..., :f].transpose(0, 2, 1),
+               "up": w[..., f:].transpose(0, 2, 1),
+               "down": down.transpose(0, 2, 1)}
+        return {k: put(f"layers.{layer_idx}.experts.{k}",
+                       jnp.asarray(_np.ascontiguousarray(v)).astype(dtype))
+                for k, v in out.items()}
     if gup in reader or gup + "_blocks" in reader:
         return _load_gpt_oss_experts(reader, cfg, layer_idx, dtype, put)
     l4 = f"model.layers.{layer_idx}.feed_forward.experts.gate_up_proj"

@@ -642,6 +642,14 @@ def _load_text_params(reader, cfg, dtype, load_in_4bit):
                                          "down") and arr.ndim == 2:
                 arr = quantize_nf4(arr, dtype=dtype)
             layer[ours] = arr
+        if cfg.layer_is_moe(i):
+            # MoE VLM text (qwen3-vl-moe): the reader aliases
+            # model.language_model.* back to model.*, so the standard
+            # expert loader applies
+            from .hf_loader import _load_experts
+
+            layer["experts"] = _load_experts(reader, cfg, i, dtype,
+                                             lambda _, x: x)
         params["layers"].append(layer)
     return params
 
