@@ -627,3 +627,52 @@ def test_minimax_high_level_generate_greedy(tmp_path_factory):
                                      remat=False))
         cur = np.concatenate([cur, [[int(lg[0, -1].argmax())]]], 1)
     np.testing.assert_array_equal(out[0][:6], cur[0, 8:14])
+
+
+def test_qwen3_next_decode_matches_training_forward(tmp_path_factory):
+    """qwen3-next decode: GDN layers carry the pre-conv window + delta
+    state in the cache (prefill: chunked delta rule; decode: O(1)
+    recurrence); full layers run output-GATED attention over the KV
+    cache. Oracle: our training forward, itself HF-parity-tested."""
+    import numpy as np
+    import torch
+    from transformers import Qwen3NextConfig, Qwen3NextForCausalLM
+
+    from unsloth_tpu.inference.decode import (forward_with_cache,
+                                              init_cache,
+                                              logits_from_hidden)
+    from unsloth_tpu.models.loader import FastLanguageModel
+
+    cfg_hf = Qwen3NextConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, linear_num_key_heads=2, linear_num_value_heads=4,
+        linear_key_head_dim=16, linear_value_head_dim=16,
+        linear_conv_kernel_dim=4, num_experts=4, num_experts_per_tok=2,
+        decoder_sparse_step=1, moe_intermediate_size=32,
+        shared_expert_intermediate_size=32, max_position_embeddings=64,
+        tie_word_embeddings=False, pad_token_id=0)
+    torch.manual_seed(0)
+    path = str(tmp_path_factory.mktemp("q3nextd"))
+    Qwen3NextForCausalLM(cfg_hf).save_pretrained(path,
+                                                 safe_serialization=True)
+    model, _ = FastLanguageModel.from_pretrained(path, load_in_4bit=False,
+                                                 dtype="float32")
+    cfg = model.cfg
+    b, t = 2, 13
+    ids = jax.random.randint(jax.random.PRNGKey(0), (b, t), 0, 96)
+    want = np.asarray(model.logits(ids, remat=False))
+
+    cache = init_cache(cfg, b, 32, dtype=jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(9, dtype=jnp.int32)[None], (b, 9))
+    h, cache = forward_with_cache(model.params, None, ids[:, :9], cfg,
+                                  cache, positions=pos)
+    got = [np.asarray(logits_from_hidden(model.params, h, cfg))]
+    for step in range(9, t):
+        p1 = jnp.full((b, 1), step, jnp.int32)
+        h, cache = forward_with_cache(model.params, None,
+                                      ids[:, step:step + 1], cfg, cache,
+                                      positions=p1)
+        got.append(np.asarray(logits_from_hidden(model.params, h, cfg)))
+    got = np.concatenate(got, axis=1)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)

@@ -86,6 +86,15 @@ def init_cache(cfg: ModelConfig, batch: int, max_length: int,
         ssm = [jnp.zeros((batch, cfg.num_heads, cfg.head_dim,
                           cfg.head_dim), jnp.float32)
                for _ in range(cfg.num_layers)]
+    elif cfg.gdn is not None:
+        # qwen3-next: pre-conv window + delta-rule state for GDN layers
+        g = cfg.gdn
+        conv_c = 2 * g.key_dim + g.num_v_heads * g.v_head_dim
+        conv = [jnp.zeros((batch, g.conv_kernel - 1, conv_c), jnp.float32)
+                for _ in range(cfg.num_layers)]
+        ssm = [jnp.zeros((batch, g.num_v_heads, g.k_head_dim,
+                          g.v_head_dim), jnp.float32)
+               for _ in range(cfg.num_layers)]
     return KVCache(
         k=[jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)],
         v=[jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)],
@@ -162,6 +171,11 @@ def forward_with_cache(
         return _minimax_forward_with_cache(params, lora, input_ids, cfg,
                                            cache, positions=positions,
                                            kv_valid_extra=kv_valid_extra)
+    if cfg.gdn is not None:
+        return _qwen3next_forward_with_cache(params, lora, input_ids,
+                                             cfg, cache,
+                                             positions=positions,
+                                             kv_valid_extra=kv_valid_extra)
     if "layers_stacked" in params:
         # decode walks layers individually; slice the stacked leaves
         # (views under jit — no copies)
@@ -446,6 +460,90 @@ def _hybrid_forward_with_cache(params, lora, input_ids, cfg: ModelConfig,
         e = _proj(h2, layer_p, lora_p, "gate")
         g = _proj(h2, layer_p, lora_p, "up")
         x = x + _proj(glu(e * gm, g), layer_p, lora_p, "down") * dm
+
+    x = _norm(x, params["final_norm"], cfg)
+    return x, KVCache(k=new_k, v=new_v, length=cache.length + t,
+                      conv=new_conv, ssm=new_ssm)
+
+
+def _qwen3next_forward_with_cache(params, lora, input_ids,
+                                  cfg: ModelConfig, cache: KVCache, *,
+                                  positions, kv_valid_extra=None):
+    """Qwen3-Next decode: GDN (gated DeltaNet) layers carry a pre-conv
+    window + [B, Hv, Dk, Dv] delta state in the cache (prefill: chunked
+    rule; decode: O(1) recurrence); full layers use output-GATED
+    attention over the KV cache (HF Qwen3NextAttention/GatedDeltaNet
+    cached paths)."""
+    from ..models.decoder import _gdn_block, mlp_block
+
+    b, t = input_ids.shape
+    lora_layers = (lora or {}).get("layers")
+    embed_w = (lora or {}).get("embed")
+    if embed_w is None:
+        embed_w = params["embed"]
+    x = jnp.take(embed_w, input_ids, axis=0)
+
+    cos, sin, _, _ = _rope_tables(cfg, positions)
+    s_max = cache.k[0].shape[1]
+    kv_slots = jnp.arange(s_max, dtype=jnp.int32)[None]
+    kv_valid = jnp.broadcast_to(kv_slots < (cache.length + t), (b, s_max))
+    if kv_valid_extra is not None:
+        kv_valid = kv_valid & kv_valid_extra
+    q_slots = cache.length + jnp.arange(t, dtype=jnp.int32)[None]
+    q_slots = jnp.broadcast_to(q_slots, (b, t))
+    if kv_valid_extra is not None and t > 1:
+        pad_mask = jax.lax.dynamic_slice(
+            kv_valid_extra.astype(jnp.float32), (0, cache.length), (b, t))
+    else:
+        pad_mask = None
+
+    hq, hkv, dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    new_k, new_v, new_conv, new_ssm = [], [], [], []
+    for i, layer_p in enumerate(params["layers"]):
+        lora_p = lora_layers[i] if lora_layers else None
+        h = _norm(x, layer_p["input_norm"], cfg)
+        if cfg.layer_kind(i) == "linear":
+            y, (cs, ss) = _gdn_block(
+                h, layer_p, cfg, state=(cache.conv[i], cache.ssm[i]),
+                pad_mask=pad_mask, return_state=True)
+            new_conv.append(cs)
+            new_ssm.append(ss)
+            new_k.append(cache.k[i])
+            new_v.append(cache.v[i])
+            x = x + y
+        else:
+            qg = _proj(h, layer_p, lora_p, "q").reshape(b, t, hq, 2 * dh)
+            q, out_gate = qg[..., :dh], qg[..., dh:].reshape(b, t,
+                                                            hq * dh)
+            k = _proj(h, layer_p, lora_p, "k").reshape(b, t, hkv, dh)
+            v = _proj(h, layer_p, lora_p, "v").reshape(b, t, hkv, dh)
+            q = rms_norm(q, layer_p["q_norm"], cfg.rms_norm_eps,
+                         cfg.gemma_norm)
+            k = rms_norm(k, layer_p["k_norm"], cfg.rms_norm_eps,
+                         cfg.gemma_norm)
+            q, k = apply_rope_qk(q, k, cos, sin)
+            k_cache = jax.lax.dynamic_update_slice(
+                cache.k[i], k.astype(cache.k[i].dtype),
+                (0, cache.length, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                cache.v[i], v.astype(cache.v[i].dtype),
+                (0, cache.length, 0, 0))
+            new_k.append(k_cache)
+            new_v.append(v_cache)
+            new_conv.append(cache.conv[i])
+            new_ssm.append(cache.ssm[i])
+            attn = _attend_cached(
+                q, k_cache, v_cache, q_slots=q_slots,
+                kv_len_mask=kv_valid, window=None,
+                softcap=cfg.attn_softcap, scale=cfg.attn_logit_scale)
+            attn = attn.reshape(b, t, hq * dh)
+            attn = (attn.astype(jnp.float32)
+                    * jax.nn.sigmoid(out_gate.astype(jnp.float32))
+                    ).astype(attn.dtype)
+            x = x + _proj(attn, layer_p, lora_p, "o")
+
+        h2 = _norm(x, layer_p["post_attn_norm"], cfg)
+        x = x + mlp_block(h2, layer_p, lora_p, cfg, i)
 
     x = _norm(x, params["final_norm"], cfg)
     return x, KVCache(k=new_k, v=new_v, length=cache.length + t,

@@ -241,12 +241,19 @@ def attention_block(
     return _proj(out, layer_p, lora_p, "o")
 
 
-def _gdn_block(x, layer_p, cfg: ModelConfig):
+def _gdn_block(x, layer_p, cfg: ModelConfig, state=None, pad_mask=None,
+               return_state: bool = False):
     """Qwen3-Next gated DeltaNet mixer (HF Qwen3NextGatedDeltaNet
     semantics): fused qkvz/ba projections with megatron-style head-group
     ordering, causal conv over [q|k|v], chunked gated delta rule, gated
-    rms-norm with z, out projection."""
-    from ..ops.delta_net import chunk_gated_delta_rule
+    rms-norm with z, out projection.
+
+    state = (conv_window [B, K-1, 2*key_dim + nv*dv] of PRE-conv inputs,
+    delta_state [B, nv, dk, dv]); with return_state the updated pair is
+    also returned (prefill: chunked rule with initial_state; decode
+    t == 1: the O(1) recurrence — HF torch_recurrent_gated_delta_rule)."""
+    from ..ops.delta_net import (chunk_gated_delta_rule,
+                                 recurrent_gated_delta_rule)
     from ..ops.ssm import causal_conv1d
 
     g = cfg.gdn
@@ -269,23 +276,47 @@ def _gdn_block(x, layer_p, cfg: ModelConfig):
     mixed = jnp.concatenate(
         [q.reshape(b, t, -1), k.reshape(b, t, -1), v.reshape(b, t, -1)],
         axis=-1)
-    mixed = jax.nn.silu(causal_conv1d(
-        mixed.astype(jnp.float32),
-        layer_p["gdn_conv_w"].astype(jnp.float32),
-        layer_p.get("gdn_conv_b"))).astype(x.dtype)
+    if pad_mask is not None:
+        mixed = mixed * pad_mask[..., None].astype(mixed.dtype)
+    new_conv = None
+    delta_state = None
+    if state is not None:
+        conv_win, delta_state = state
+        conv_in = jnp.concatenate(
+            [conv_win.astype(jnp.float32), mixed.astype(jnp.float32)], 1)
+        conv_out = causal_conv1d(
+            conv_in, layer_p["gdn_conv_w"].astype(jnp.float32),
+            layer_p.get("gdn_conv_b"))[:, -t:]
+        new_conv = conv_in[:, -(conv_win.shape[1]):]
+        mixed = jax.nn.silu(conv_out).astype(x.dtype)
+    else:
+        mixed = jax.nn.silu(causal_conv1d(
+            mixed.astype(jnp.float32),
+            layer_p["gdn_conv_w"].astype(jnp.float32),
+            layer_p.get("gdn_conv_b"))).astype(x.dtype)
     kd = g.key_dim
     q = mixed[..., :kd].reshape(b, t, nk, dk)
     k = mixed[..., kd:2 * kd].reshape(b, t, nk, dk)
     v = mixed[..., 2 * kd:].reshape(b, t, nv, dv)
 
     beta = jax.nn.sigmoid(b_.astype(jnp.float32))
-    gdecay = -jnp.exp(layer_p["gdn_A_log"].astype(jnp.float32))         * jax.nn.softplus(a.astype(jnp.float32)
+    gdecay = -jnp.exp(layer_p["gdn_A_log"].astype(jnp.float32)) \
+        * jax.nn.softplus(a.astype(jnp.float32)
                           + layer_p["gdn_dt_bias"].astype(jnp.float32))
+    if pad_mask is not None:
+        pm = pad_mask.astype(jnp.float32)
+        beta = beta * pm[..., None]        # pads write nothing
+        gdecay = gdecay * pm[..., None]    # and decay nothing
     if r > 1:
         q = jnp.repeat(q, r, axis=2)
         k = jnp.repeat(k, r, axis=2)
-    out, _ = chunk_gated_delta_rule(q, k, v, gdecay, beta,
-                                    chunk_size=g.chunk_size)
+    if state is not None and t == 1:
+        out, final_state = recurrent_gated_delta_rule(
+            q, k, v, gdecay, beta, delta_state)
+    else:
+        out, final_state = chunk_gated_delta_rule(
+            q, k, v, gdecay, beta, chunk_size=g.chunk_size,
+            initial_state=delta_state)
     # gated rms-norm (norm BEFORE gate), per v-head
     of = out.astype(jnp.float32)
     of = of * jax.lax.rsqrt(jnp.mean(of * of, -1, keepdims=True)
@@ -293,7 +324,10 @@ def _gdn_block(x, layer_p, cfg: ModelConfig):
     of = of * layer_p["gdn_norm"].astype(jnp.float32)
     of = of * jax.nn.silu(z.astype(jnp.float32))
     out = of.reshape(b, t, nv * dv).astype(x.dtype)
-    return jnp.dot(out, layer_p["gdn_out"].T.astype(x.dtype))
+    y = jnp.dot(out, layer_p["gdn_out"].T.astype(x.dtype))
+    if return_state:
+        return y, (new_conv, final_state)
+    return y
 
 
 def mlp_block(x, layer_p, lora_p, cfg: ModelConfig, layer_idx: int):

@@ -28,6 +28,35 @@ def _l2norm(x, eps: float = 1e-6):
         jnp.sum(x * x, axis=-1, keepdims=True) + eps)
 
 
+def recurrent_gated_delta_rule(
+    query: jnp.ndarray,     # [B, 1, H, Dk]
+    key: jnp.ndarray,
+    value: jnp.ndarray,     # [B, 1, H, Dv]
+    g: jnp.ndarray,         # [B, 1, H]
+    beta: jnp.ndarray,      # [B, 1, H]
+    state: jnp.ndarray,     # [B, H, Dk, Dv]
+    use_qk_l2norm: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-token decode step (HF torch_recurrent_gated_delta_rule):
+    S = S * e^g; delta = beta * (v - k S); S += k^T delta; y = q S."""
+    dk = query.shape[-1]
+    q = query[:, 0].astype(jnp.float32)
+    k = key[:, 0].astype(jnp.float32)
+    if use_qk_l2norm:
+        q = _l2norm(q)
+        k = _l2norm(k)
+    q = q * (dk ** -0.5)
+    v = value[:, 0].astype(jnp.float32)
+    gt = jnp.exp(g[:, 0].astype(jnp.float32))[..., None, None]
+    bt = beta[:, 0].astype(jnp.float32)[..., None]
+    state = state.astype(jnp.float32) * gt
+    kv_mem = jnp.einsum("bhk,bhkv->bhv", k, state)
+    delta = (v - kv_mem) * bt
+    state = state + jnp.einsum("bhk,bhv->bhkv", k, delta)
+    out = jnp.einsum("bhk,bhkv->bhv", q, state)
+    return out[:, None].astype(value.dtype), state
+
+
 def chunk_gated_delta_rule(
     query: jnp.ndarray,     # [B, T, H, Dk]
     key: jnp.ndarray,       # [B, T, H, Dk]
