@@ -193,3 +193,41 @@ def test_hf_dataset_parallel_tokenize(rng):
         [e["input_ids"] for e in ex_list]
     out = tr_hf.train()
     assert out.global_step == 2
+
+
+def test_sft_trainer_hybrid_family_end_to_end(tmp_path_factory):
+    """SFTTrainer on a granitemoehybrid checkpoint: packing="auto" must
+    disable packing (recurrent mamba state crosses documents) and a few
+    LoRA steps must reduce the loss."""
+    import torch
+    from transformers import (GraniteMoeHybridConfig,
+                              GraniteMoeHybridForCausalLM)
+
+    cfg = GraniteMoeHybridConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=48,
+        shared_intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, num_key_value_heads=1,
+        num_local_experts=4, num_experts_per_tok=2,
+        layers_block_type=["mamba", "attention"], mamba_n_heads=4,
+        mamba_d_state=8, mamba_d_conv=4, mamba_expand=2, mamba_n_groups=1,
+        mamba_chunk_size=8, max_position_embeddings=64,
+        tie_word_embeddings=False, pad_token_id=0)
+    torch.manual_seed(0)
+    path = str(tmp_path_factory.mktemp("gmh_sft"))
+    GraniteMoeHybridForCausalLM(cfg).save_pretrained(
+        path, safe_serialization=True)
+
+    model, _ = FastLanguageModel.from_pretrained(path, load_in_4bit=False,
+                                                 dtype="float32")
+    model = FastLanguageModel.get_peft_model(model, r=4)
+    ds = _tokenized_dataset(n=8, lo=20, hi=40, seed=2)
+    args = SFTConfig(per_device_train_batch_size=4, max_steps=25,
+                     learning_rate=1e-2, max_seq_length=64,
+                     packing="auto", logging_steps=1, warmup_steps=0,
+                     lr_scheduler_type="constant")
+    trainer = SFTTrainer(model=model, train_dataset=ds, args=args)
+    out = trainer.train()
+    first = trainer.state_log[0]["loss"]
+    last = trainer.state_log[-1]["loss"]
+    assert out.global_step == 25
+    assert last < first - 0.15, (first, last)
