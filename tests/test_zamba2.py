@@ -83,3 +83,33 @@ def test_zamba2_packing_auto_off(zamba2_path):
         zamba2_path, load_in_4bit=False, dtype="float32")
     cfg = model.cfg
     assert cfg.mamba is not None  # the auto-off gate keys on this
+
+
+def test_zamba2_decode_matches_training_forward(zamba2_path):
+    """Zamba2 decode: mamba conv+SSM state in cache.conv/ssm, hybrid
+    layers' shared-attention K/V (concat width) in cache.k/v; prefill +
+    per-token decode logits == training forward."""
+    from unsloth_tpu.inference.decode import (forward_with_cache,
+                                              init_cache,
+                                              logits_from_hidden)
+
+    model, _ = FastLanguageModel.from_pretrained(
+        zamba2_path, load_in_4bit=False, dtype="float32")
+    cfg = model.cfg
+    b, t = 2, 13
+    ids = jax.random.randint(jax.random.PRNGKey(0), (b, t), 0, 96)
+    want = np.asarray(model.logits(ids, remat=False))
+
+    cache = init_cache(cfg, b, 32, dtype=jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(9, dtype=jnp.int32)[None], (b, 9))
+    h, cache = forward_with_cache(model.params, None, ids[:, :9], cfg,
+                                  cache, positions=pos)
+    got = [np.asarray(logits_from_hidden(model.params, h, cfg))]
+    for step in range(9, t):
+        p1 = jnp.full((b, 1), step, jnp.int32)
+        h, cache = forward_with_cache(model.params, None,
+                                      ids[:, step:step + 1], cfg, cache,
+                                      positions=p1)
+        got.append(np.asarray(logits_from_hidden(model.params, h, cfg)))
+    got = np.concatenate(got, axis=1)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)

@@ -176,6 +176,12 @@ def forward_with_cache(
                                              cfg, cache,
                                              positions=positions,
                                              kv_valid_extra=kv_valid_extra)
+    if cfg.zamba is not None:
+        from ..models.zamba2 import zamba2_forward_with_cache
+
+        return zamba2_forward_with_cache(params, lora, input_ids, cfg,
+                                         cache, positions=positions,
+                                         kv_valid_extra=kv_valid_extra)
     if "layers_stacked" in params:
         # decode walks layers individually; slice the stacked leaves
         # (views under jit — no copies)

@@ -83,6 +83,112 @@ def _shared_block(x, orig, blk, lora_blk, lp, cfg, cos, sin, segment_ids,
     return out @ lp["linear"].T.astype(out.dtype)
 
 
+def zamba2_forward_with_cache(params, lora, input_ids, cfg, cache, *,
+                              positions, kv_valid_extra=None):
+    """Zamba2 decode: mamba conv+SSM state rides cache.conv/ssm (the
+    standard mamba2 allocation); hybrid layers also write the shared
+    transformer's K/V (over the concat width) into cache.k/v. The
+    original-embedding stream `orig` is just the CURRENT tokens' embeds —
+    it needs no cache (each position only concatenates its own)."""
+    from ..inference.decode import KVCache, _attend_cached
+    from .decoder import _rope_tables, mamba_call_kwargs
+    from ..ops.ssm import mamba2_mixer, mamba2_mixer_step
+
+    z = cfg.zamba
+    mc = cfg.mamba
+    b, t = input_ids.shape
+    embed_w = (lora or {}).get("embed")
+    if embed_w is None:
+        embed_w = params["embed"]
+    x = jnp.take(embed_w, input_ids, axis=0)
+    orig = x
+
+    cos = sin = None
+    if z.use_rope:
+        cos, sin, _, _ = _rope_tables(cfg, positions)
+    s_max = cache.k[0].shape[1]
+    kv_slots = jnp.arange(s_max, dtype=jnp.int32)[None]
+    kv_valid = jnp.broadcast_to(kv_slots < (cache.length + t), (b, s_max))
+    if kv_valid_extra is not None:
+        kv_valid = kv_valid & kv_valid_extra
+    q_slots = cache.length + jnp.arange(t, dtype=jnp.int32)[None]
+    q_slots = jnp.broadcast_to(q_slots, (b, t))
+    if kv_valid_extra is not None and t > 1:
+        pad_mask = jax.lax.dynamic_slice(
+            kv_valid_extra.astype(jnp.float32), (0, cache.length), (b, t))
+    else:
+        pad_mask = None
+
+    hybrid_of = {li: g for g, li in enumerate(z.hybrid_ids)}
+    lora_blocks = (lora or {}).get("blocks")
+    hq, dh = cfg.num_heads, cfg.head_dim
+    new_k, new_v, new_conv, new_ssm = [], [], [], []
+    for i, lp in enumerate(params["layers"]):
+        g = hybrid_of.get(i)
+        residual = x
+        if g is not None:
+            blk = params["blocks"][g % z.num_mem_blocks]
+            lb = (lora_blocks[g % z.num_mem_blocks]
+                  if lora_blocks else None) or {}
+            cat = jnp.concatenate([x, orig], axis=-1)
+            h = _rms(cat, blk["input_norm"], cfg.rms_norm_eps)
+
+            def proj(name):
+                y = lora_matmul(h, blk[name], lb.get(name))
+                if z.use_attn_adapter:
+                    a_ = h @ lp[f"adapter_{name}_a"].T.astype(h.dtype)
+                    y = y + a_ @ lp[f"adapter_{name}_b"].T.astype(h.dtype)
+                return y
+
+            q = proj("q").reshape(b, t, hq, dh)
+            k = proj("k").reshape(b, t, hq, dh)
+            v = proj("v").reshape(b, t, hq, dh)
+            if z.use_rope:
+                q, k = apply_rope_qk(q, k, cos, sin)
+            k_cache = jax.lax.dynamic_update_slice(
+                cache.k[i], k.astype(cache.k[i].dtype),
+                (0, cache.length, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                cache.v[i], v.astype(cache.v[i].dtype),
+                (0, cache.length, 0, 0))
+            new_k.append(k_cache)
+            new_v.append(v_cache)
+            a = _attend_cached(q, k_cache, v_cache, q_slots=q_slots,
+                               kv_len_mask=kv_valid, window=None,
+                               softcap=None, scale=cfg.attn_logit_scale)
+            a = lora_matmul(a.reshape(b, t, hq * dh), blk["o"],
+                            lb.get("o"))
+            h2 = _rms(a, blk["pre_ff_norm"], cfg.rms_norm_eps)
+            gu = lora_matmul(h2, blk["gate_up"], lb.get("gate_up"))
+            ga = h2 @ lp["adapter_gu_a"].T.astype(h2.dtype)
+            gu = gu + ga @ lp["adapter_gu_b"].T.astype(h2.dtype)
+            gate, up = jnp.split(gu, 2, axis=-1)
+            act = act_for(cfg.hidden_act)
+            mlp = act(gate) * up
+            out = lora_matmul(mlp, blk["down"], lb.get("down"))
+            tr = out @ lp["linear"].T.astype(out.dtype)
+            x = x + tr
+        else:
+            new_k.append(cache.k[i])
+            new_v.append(cache.v[i])
+        h = _rms(x, lp["input_norm"], cfg.rms_norm_eps)
+        p, kw = mamba_call_kwargs(lp, cfg)
+        if t == 1:
+            y, (cs, ss) = mamba2_mixer_step(
+                h, p, (cache.conv[i], cache.ssm[i]), **kw)
+        else:
+            y, (cs, ss) = mamba2_mixer(
+                h, p, chunk_size=mc.chunk_size, padding_mask=pad_mask,
+                return_state=True, **kw)
+        new_conv.append(cs)
+        new_ssm.append(ss)
+        x = residual + y
+
+    x = _rms(x, params["final_norm"], cfg.rms_norm_eps)
+    return x, KVCache(k=new_k, v=new_v, length=cache.length + t,
+                      conv=new_conv, ssm=new_ssm)
+
+
 def zamba2_forward(
     params: Dict[str, Any],
     lora: Optional[Dict[str, Any]],
