@@ -730,3 +730,23 @@ def test_apertus_parity(tmp_path_factory):
     hf = ApertusForCausalLM.from_pretrained(path,
                                             torch_dtype=torch.float32)
     _parity(path, hf, "apertus", atol=2e-3, rtol=1e-2, t=24)
+
+
+def test_qwen2_moe_parity(tmp_path_factory):
+    """Qwen1.5/2-MoE: qwen2 attention (qkv bias), softmax-then-topk
+    routing WITHOUT renormalization (norm_topk_prob False), always-on
+    shared expert behind a sigmoid gate (HF Qwen2MoeSparseMoeBlock)."""
+    from transformers import Qwen2MoeConfig, Qwen2MoeForCausalLM
+
+    cfg = Qwen2MoeConfig(
+        vocab_size=96, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
+        shared_expert_intermediate_size=48, decoder_sparse_step=1,
+        max_position_embeddings=64, tie_word_embeddings=False,
+        pad_token_id=0)
+    torch.manual_seed(0)
+    path = _save(Qwen2MoeForCausalLM(cfg), tmp_path_factory, "qwen2moe")
+    hf = Qwen2MoeForCausalLM.from_pretrained(path,
+                                             torch_dtype=torch.float32)
+    _parity(path, hf, "qwen2_moe", atol=2e-3, rtol=1e-2, t=24)

@@ -542,6 +542,27 @@ def _build_llama_like(cls, hf, model_type, name):
     if model_type in ("qwen3", "qwen3_moe", "qwen3_vl_text",
                       "qwen3_vl_moe_text"):
         kw["qk_norm"] = True
+    if model_type == "qwen2_moe":
+        # Qwen1.5/2-MoE: qwen2 attention (qkv bias) + softmax-then-topk
+        # routing (norm_topk_prob False by default) + always-on shared
+        # expert with a sigmoid gate (HF Qwen2MoeSparseMoeBlock)
+        n_layers = kw["num_layers"]
+        sparse_step = int(hf.get("decoder_sparse_step", 1) or 0)
+        mlp_only = set(hf.get("mlp_only_layers") or ())
+        kw.update(
+            num_experts=int(hf.get("num_experts", 60)),
+            num_experts_per_tok=int(hf.get("num_experts_per_tok", 4)),
+            moe_intermediate_size=int(
+                hf.get("moe_intermediate_size", 1408)),
+            norm_topk_prob=bool(hf.get("norm_topk_prob", False)),
+            moe_layer_pattern=tuple(
+                bool(sparse_step) and ((i + 1) % sparse_step == 0)
+                and i not in mlp_only for i in range(n_layers)),
+            moe_shared_expert=True,
+            moe_shared_gate=True,
+            shared_expert_intermediate_size=int(
+                hf.get("shared_expert_intermediate_size", 5632)),
+        )
     if model_type in ("qwen3_moe", "qwen3_vl_moe_text"):
         kw.update(
             num_experts=int(hf.get("num_experts", 128)),
