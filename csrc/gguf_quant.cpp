@@ -3,9 +3,19 @@
 // Replaces the llama.cpp subprocess the reference shells out to for
 // quantization (reference: unsloth/save.py:1445-1814 builds llama.cpp and
 // runs llama-quantize). The algorithms below implement the public GGML
-// quantization formats (Q8_0, Q4_0, Q4_1, Q6_K-lite path later) with the
+// quantization formats (Q8_0, Q4_0/1, Q5_0/1, Q2_K..Q6_K, IQ4) with the
 // same arithmetic (roundf = round-half-away-from-zero, fp16 scale storage)
 // so outputs are bit-compatible with llama.cpp's quantizer.
+//
+// Attribution: the block layouts and quantization searches (make_qkx2_quants,
+// make_qx_quants, make_q3_quants, the IQ4 codebook search) are transcribed
+// from ggml's ggml-quants.c — ggml / llama.cpp, MIT License,
+// Copyright (c) 2023-2024 The ggml authors. Identical arithmetic is required
+// for artifacts that llama.cpp readers decode bit-exactly.
+//
+// Imatrix: the *_K row-API entry points accept optional per-column
+// importance weights (quant_weights), mirroring llama.cpp's imatrix-aware
+// k-quant path (weights = qw * sqrt(sigma2 + x^2)).
 //
 // Build: g++ -O3 -march=native -shared -fPIC -o libgguf_quant.so gguf_quant.cpp
 // ABI: plain C, ctypes-friendly.
@@ -161,6 +171,169 @@ void dequantize_q4_0(const uint8_t* src, float* dst, int64_t n) {
     }
 }
 
+// ---- Q4_1: blocks of 32; layout: fp16 d, fp16 m, 16 bytes nibbles --------
+// d = (max - min) / 15; q = clamp((x - min)/d + 0.5 trunc, 0, 15); value =
+// d*q + m (m = min). Matches ggml quantize_row_q4_1_ref.
+
+void quantize_q4_1(const float* src, uint8_t* dst, int64_t n) {
+    const int QK = 32;
+    const int64_t nb = n / QK;
+    for (int64_t b = 0; b < nb; b++) {
+        const float* x = src + b * QK;
+        float vmin = x[0], vmax = x[0];
+        for (int i = 1; i < QK; i++) {
+            if (x[i] < vmin) vmin = x[i];
+            if (x[i] > vmax) vmax = x[i];
+        }
+        const float d = (vmax - vmin) / 15.0f;
+        const float id = d != 0.0f ? 1.0f / d : 0.0f;
+        uint8_t* out = dst + b * 20;
+        const uint16_t dh = fp32_to_fp16(d);
+        const uint16_t mh = fp32_to_fp16(vmin);
+        std::memcpy(out, &dh, 2);
+        std::memcpy(out + 2, &mh, 2);
+        uint8_t* q = out + 4;
+        for (int i = 0; i < QK / 2; i++) {
+            float v0 = (x[i] - vmin) * id + 0.5f;
+            float v1 = (x[i + QK / 2] - vmin) * id + 0.5f;
+            uint8_t q0 = (uint8_t)(v0 < 0 ? 0 : (v0 > 15.0f ? 15 : (uint8_t)v0));
+            uint8_t q1 = (uint8_t)(v1 < 0 ? 0 : (v1 > 15.0f ? 15 : (uint8_t)v1));
+            q[i] = q0 | (q1 << 4);
+        }
+    }
+}
+
+void dequantize_q4_1(const uint8_t* src, float* dst, int64_t n) {
+    const int QK = 32;
+    const int64_t nb = n / QK;
+    for (int64_t b = 0; b < nb; b++) {
+        const uint8_t* in = src + b * 20;
+        uint16_t dh, mh;
+        std::memcpy(&dh, in, 2);
+        std::memcpy(&mh, in + 2, 2);
+        const float d = fp16_to_fp32(dh), m = fp16_to_fp32(mh);
+        const uint8_t* q = in + 4;
+        float* x = dst + b * QK;
+        for (int i = 0; i < QK / 2; i++) {
+            x[i] = (q[i] & 0x0F) * d + m;
+            x[i + QK / 2] = (q[i] >> 4) * d + m;
+        }
+    }
+}
+
+// ---- Q5_0: blocks of 32; layout: fp16 d, 4 bytes qh, 16 bytes nibbles ----
+// d = max_by_abs / -16; q = clamp((x/d + 16.5) trunc, 0, 31); bit 4 of each
+// element goes into the qh bitfield. Matches ggml quantize_row_q5_0_ref.
+
+void quantize_q5_0(const float* src, uint8_t* dst, int64_t n) {
+    const int QK = 32;
+    const int64_t nb = n / QK;
+    for (int64_t b = 0; b < nb; b++) {
+        const float* x = src + b * QK;
+        float amax = 0.0f, maxv = 0.0f;
+        for (int i = 0; i < QK; i++) {
+            float ax = std::fabs(x[i]);
+            if (ax > amax) { amax = ax; maxv = x[i]; }
+        }
+        const float d = maxv / -16.0f;
+        const float id = d != 0.0f ? 1.0f / d : 0.0f;
+        uint8_t* out = dst + b * 22;
+        const uint16_t dh = fp32_to_fp16(d);
+        std::memcpy(out, &dh, 2);
+        uint32_t qh = 0;
+        uint8_t* q = out + 6;
+        for (int i = 0; i < QK / 2; i++) {
+            float v0 = x[i] * id + 16.5f;
+            float v1 = x[i + QK / 2] * id + 16.5f;
+            uint8_t q0 = (uint8_t)(v0 < 0 ? 0 : (v0 > 31.0f ? 31 : (uint8_t)v0));
+            uint8_t q1 = (uint8_t)(v1 < 0 ? 0 : (v1 > 31.0f ? 31 : (uint8_t)v1));
+            q[i] = (q0 & 0x0F) | ((q1 & 0x0F) << 4);
+            qh |= ((uint32_t)(q0 >> 4)) << i;
+            qh |= ((uint32_t)(q1 >> 4)) << (i + QK / 2);
+        }
+        std::memcpy(out + 2, &qh, 4);
+    }
+}
+
+void dequantize_q5_0(const uint8_t* src, float* dst, int64_t n) {
+    const int QK = 32;
+    const int64_t nb = n / QK;
+    for (int64_t b = 0; b < nb; b++) {
+        const uint8_t* in = src + b * 22;
+        uint16_t dh;
+        uint32_t qh;
+        std::memcpy(&dh, in, 2);
+        std::memcpy(&qh, in + 2, 4);
+        const float d = fp16_to_fp32(dh);
+        const uint8_t* q = in + 6;
+        float* x = dst + b * QK;
+        for (int i = 0; i < QK / 2; i++) {
+            int h0 = (int)((qh >> i) & 1) << 4;
+            int h1 = (int)((qh >> (i + QK / 2)) & 1) << 4;
+            x[i] = (((q[i] & 0x0F) | h0) - 16) * d;
+            x[i + QK / 2] = (((q[i] >> 4) | h1) - 16) * d;
+        }
+    }
+}
+
+// ---- Q5_1: blocks of 32; layout: fp16 d, fp16 m, 4B qh, 16B nibbles ------
+// d = (max - min) / 31; q = clamp((x - min)/d + 0.5 trunc, 0, 31);
+// value = d*q + m. Matches ggml quantize_row_q5_1_ref.
+
+void quantize_q5_1(const float* src, uint8_t* dst, int64_t n) {
+    const int QK = 32;
+    const int64_t nb = n / QK;
+    for (int64_t b = 0; b < nb; b++) {
+        const float* x = src + b * QK;
+        float vmin = x[0], vmax = x[0];
+        for (int i = 1; i < QK; i++) {
+            if (x[i] < vmin) vmin = x[i];
+            if (x[i] > vmax) vmax = x[i];
+        }
+        const float d = (vmax - vmin) / 31.0f;
+        const float id = d != 0.0f ? 1.0f / d : 0.0f;
+        uint8_t* out = dst + b * 24;
+        const uint16_t dh = fp32_to_fp16(d);
+        const uint16_t mh = fp32_to_fp16(vmin);
+        std::memcpy(out, &dh, 2);
+        std::memcpy(out + 2, &mh, 2);
+        uint32_t qh = 0;
+        uint8_t* q = out + 8;
+        for (int i = 0; i < QK / 2; i++) {
+            float v0 = (x[i] - vmin) * id + 0.5f;
+            float v1 = (x[i + QK / 2] - vmin) * id + 0.5f;
+            uint8_t q0 = (uint8_t)(v0 < 0 ? 0 : (v0 > 31.0f ? 31 : (uint8_t)v0));
+            uint8_t q1 = (uint8_t)(v1 < 0 ? 0 : (v1 > 31.0f ? 31 : (uint8_t)v1));
+            q[i] = (q0 & 0x0F) | ((q1 & 0x0F) << 4);
+            qh |= ((uint32_t)(q0 >> 4)) << i;
+            qh |= ((uint32_t)(q1 >> 4)) << (i + QK / 2);
+        }
+        std::memcpy(out + 4, &qh, 4);
+    }
+}
+
+void dequantize_q5_1(const uint8_t* src, float* dst, int64_t n) {
+    const int QK = 32;
+    const int64_t nb = n / QK;
+    for (int64_t b = 0; b < nb; b++) {
+        const uint8_t* in = src + b * 24;
+        uint16_t dh, mh;
+        uint32_t qh;
+        std::memcpy(&dh, in, 2);
+        std::memcpy(&mh, in + 2, 2);
+        std::memcpy(&qh, in + 4, 4);
+        const float d = fp16_to_fp32(dh), m = fp16_to_fp32(mh);
+        const uint8_t* q = in + 8;
+        float* x = dst + b * QK;
+        for (int i = 0; i < QK / 2; i++) {
+            int h0 = (int)((qh >> i) & 1) << 4;
+            int h1 = (int)((qh >> (i + QK / 2)) & 1) << 4;
+            x[i] = ((q[i] & 0x0F) | h0) * d + m;
+            x[i + QK / 2] = ((q[i] >> 4) | h1) * d + m;
+        }
+    }
+}
+
 // ---- fp32 -> fp16 buffer conversion ---------------------------------------
 
 void fp32_to_fp16_buffer(const float* src, uint16_t* dst, int64_t n) {
@@ -253,7 +426,7 @@ float make_qkx2_quants(int n, int nmax, const float* x, const float* weights,
 }
 
 float make_qx_quants(int n, int nmax, const float* x, int8_t* L,
-                     int rmse_type) {
+                     int rmse_type, const float* qw = nullptr) {
     float max = 0, amax = 0;
     for (int i = 0; i < n; ++i) {
         float ax = std::fabs(x[i]);
@@ -276,7 +449,7 @@ float make_qx_quants(int n, int nmax, const float* x, int8_t* L,
         int l = (int)std::nearbyint(iscale * x[i]);
         l = l < -nmax ? -nmax : (l > nmax - 1 ? nmax - 1 : l);
         L[i] = (int8_t)(l + nmax);
-        float w = x[i] * x[i];
+        float w = qw ? qw[i] : x[i] * x[i];
         sumlx += w * x[i] * l;
         suml2 += w * l * l;
     }
@@ -289,7 +462,7 @@ float make_qx_quants(int n, int nmax, const float* x, int8_t* L,
         for (int i = 0; i < n; ++i) {
             int l = (int)std::nearbyint(iscale * x[i]);
             l = l < -nmax ? -nmax : (l > nmax - 1 ? nmax - 1 : l);
-            float w = x[i] * x[i];
+            float w = qw ? qw[i] : x[i] * x[i];
             sumlx += w * x[i] * l;
             suml2 += w * l * l;
         }
@@ -305,6 +478,65 @@ float make_qx_quants(int n, int nmax, const float* x, int8_t* L,
     return scale;
 }
 
+// ggml's make_q3_quants: signed [-nmax, nmax-1] search with x^2 weighting
+// and a 5-round coordinate-descent refinement. L out is offset by +nmax.
+float make_q3_quants(int n, int nmax, const float* x, int8_t* L,
+                     bool do_rmse) {
+    float max = 0, amax = 0;
+    for (int i = 0; i < n; ++i) {
+        float ax = std::fabs(x[i]);
+        if (ax > amax) { amax = ax; max = x[i]; }
+    }
+    if (amax < 1e-30f) {
+        for (int i = 0; i < n; ++i) L[i] = 0;
+        return 0.f;
+    }
+    float iscale = -nmax / max;
+    if (do_rmse) {
+        float sumlx = 0, suml2 = 0;
+        for (int i = 0; i < n; ++i) {
+            int l = (int)std::nearbyint(iscale * x[i]);
+            l = l < -nmax ? -nmax : (l > nmax - 1 ? nmax - 1 : l);
+            L[i] = (int8_t)l;
+            float w = x[i] * x[i];
+            sumlx += w * x[i] * l;
+            suml2 += w * l * l;
+        }
+        for (int itry = 0; itry < 5; ++itry) {
+            int n_changed = 0;
+            for (int i = 0; i < n; ++i) {
+                float w = x[i] * x[i];
+                float slx = sumlx - w * x[i] * L[i];
+                if (slx > 0) {
+                    float sl2 = suml2 - w * L[i] * L[i];
+                    int new_l = (int)std::nearbyint(x[i] * sl2 / slx);
+                    new_l = new_l < -nmax ? -nmax
+                        : (new_l > nmax - 1 ? nmax - 1 : new_l);
+                    if (new_l != L[i]) {
+                        slx += w * x[i] * new_l;
+                        sl2 += w * new_l * new_l;
+                        if (sl2 > 0 && slx * slx * suml2 > sumlx * sumlx * sl2) {
+                            L[i] = (int8_t)new_l;
+                            sumlx = slx;
+                            suml2 = sl2;
+                            ++n_changed;
+                        }
+                    }
+                }
+            }
+            if (!n_changed) break;
+        }
+        for (int i = 0; i < n; ++i) L[i] = (int8_t)(L[i] + nmax);
+        return suml2 > 0 ? sumlx / suml2 : 0.0f;
+    }
+    for (int i = 0; i < n; ++i) {
+        int l = (int)std::nearbyint(iscale * x[i]);
+        l = l < -nmax ? -nmax : (l > nmax - 1 ? nmax - 1 : l);
+        L[i] = (int8_t)(l + nmax);
+    }
+    return 1 / iscale;
+}
+
 inline void get_scale_min_k4(int j, const uint8_t* q, uint8_t* d,
                              uint8_t* m) {
     if (j < 4) {
@@ -316,26 +548,39 @@ inline void get_scale_min_k4(int j, const uint8_t* q, uint8_t* d,
     }
 }
 
-}  // namespace
+// Per-sub-block weight builder: llama.cpp's imatrix-aware k-quant weighting
+// (weights = qw * sqrt(sigma2 + x^2)) vs the reference per-block heuristic.
+inline void kquant_weights(const float* x, const float* qw, float sigma2,
+                           int n, float* weights) {
+    if (qw) {
+        for (int l = 0; l < n; ++l)
+            weights[l] = qw[l] * std::sqrt(sigma2 + x[l] * x[l]);
+    } else {
+        float sum_x2 = 0;
+        for (int l = 0; l < n; ++l) sum_x2 += x[l] * x[l];
+        float av_x = std::sqrt(sum_x2 / n);
+        for (int l = 0; l < n; ++l)
+            weights[l] = av_x + std::fabs(x[l]);
+    }
+}
 
-extern "C" {
+inline float superblock_sigma2(const float* x) {
+    float sumx2 = 0;
+    for (int l = 0; l < QK_K; ++l) sumx2 += x[l] * x[l];
+    return sumx2 / QK_K;
+}
 
 // block_q4_K: { fp16 d; fp16 dmin; uint8 scales[12]; uint8 qs[128]; } = 144B
 
-void quantize_q4_K(const float* src, uint8_t* dst, int64_t n) {
-    const int64_t nb = n / QK_K;
+void quantize_q4_K_block(const float* x, uint8_t* y, const float* qw) {
     uint8_t L[QK_K], Laux[32];
     float weights[32], mins[QK_K / 32], scales[QK_K / 32];
-    for (int64_t ib = 0; ib < nb; ++ib) {
-        const float* x = src + ib * QK_K;
-        uint8_t* y = dst + ib * 144;
+    {
+        const float sigma2 = qw ? superblock_sigma2(x) : 0.f;
         float max_scale = 0, max_min = 0;
         for (int j = 0; j < QK_K / 32; ++j) {
-            float sum_x2 = 0;
-            for (int l = 0; l < 32; ++l) sum_x2 += x[32 * j + l] * x[32 * j + l];
-            float av_x = std::sqrt(sum_x2 / 32);
-            for (int l = 0; l < 32; ++l)
-                weights[l] = av_x + std::fabs(x[32 * j + l]);
+            kquant_weights(x + 32 * j, qw ? qw + 32 * j : nullptr, sigma2,
+                           32, weights);
             scales[j] = make_qkx2_quants(32, 15, x + 32 * j, weights,
                                          L + 32 * j, &mins[j], Laux,
                                          -1.f, 0.1f, 20, false);
@@ -385,6 +630,359 @@ void quantize_q4_K(const float* src, uint8_t* dst, int64_t n) {
     }
 }
 
+// block_q5_K: { fp16 d; fp16 dmin; uint8 scales[12]; uint8 qh[32];
+//               uint8 qs[128]; } = 176B. Same 6-bit scale machinery as
+// q4_K with nmax=31 (ggml quantize_row_q5_K: rmin=-0.5, nstep=15).
+
+void quantize_q5_K_block(const float* x, uint8_t* y, const float* qw) {
+    uint8_t L[QK_K], Laux[32];
+    float weights[32], mins[QK_K / 32], scales[QK_K / 32];
+    const float sigma2 = qw ? superblock_sigma2(x) : 0.f;
+    float max_scale = 0, max_min = 0;
+    for (int j = 0; j < QK_K / 32; ++j) {
+        kquant_weights(x + 32 * j, qw ? qw + 32 * j : nullptr, sigma2,
+                       32, weights);
+        scales[j] = make_qkx2_quants(32, 31, x + 32 * j, weights,
+                                     L + 32 * j, &mins[j], Laux,
+                                     -0.5f, 0.1f, 15, false);
+        if (scales[j] > max_scale) max_scale = scales[j];
+        if (mins[j] > max_min) max_min = mins[j];
+    }
+    float inv_scale = max_scale > 0 ? 63.f / max_scale : 0.f;
+    float inv_min = max_min > 0 ? 63.f / max_min : 0.f;
+    uint8_t* sc = y + 4;
+    std::memset(sc, 0, 12);
+    for (int j = 0; j < QK_K / 32; ++j) {
+        uint8_t ls = (uint8_t)std::nearbyint(inv_scale * scales[j]);
+        uint8_t lm = (uint8_t)std::nearbyint(inv_min * mins[j]);
+        ls = ls < 63 ? ls : 63;
+        lm = lm < 63 ? lm : 63;
+        if (j < 4) {
+            sc[j] = ls;
+            sc[j + 4] = lm;
+        } else {
+            sc[j + 4] = (ls & 0xF) | ((lm & 0xF) << 4);
+            sc[j - 4] |= ((ls >> 4) << 6);
+            sc[j] |= ((lm >> 4) << 6);
+        }
+    }
+    const float d = max_scale / 63.f;
+    const float dmin = max_min / 63.f;
+    uint16_t dh = fp32_to_fp16(d), dminh = fp32_to_fp16(dmin);
+    std::memcpy(y, &dh, 2);
+    std::memcpy(y + 2, &dminh, 2);
+    for (int j = 0; j < QK_K / 32; ++j) {
+        uint8_t sd, sm;
+        get_scale_min_k4(j, sc, &sd, &sm);
+        const float dj = d * sd;
+        if (!dj) continue;
+        const float mj = dmin * sm;
+        for (int l = 0; l < 32; ++l) {
+            int q = (int)std::nearbyint((x[32 * j + l] + mj) / dj);
+            q = q < 0 ? 0 : (q > 31 ? 31 : q);
+            L[32 * j + l] = (uint8_t)q;
+        }
+    }
+    uint8_t* qh = y + 16;
+    uint8_t* ql = y + 48;
+    std::memset(qh, 0, 32);
+    uint8_t m1 = 1, m2 = 2;
+    for (int j = 0; j < QK_K; j += 64) {
+        for (int l = 0; l < 32; ++l) {
+            int l1 = L[j + l];
+            int l2 = L[j + l + 32];
+            if (l1 > 15) { l1 -= 16; qh[l] |= m1; }
+            if (l2 > 15) { l2 -= 16; qh[l] |= m2; }
+            ql[j / 2 + l] = (uint8_t)(l1 | (l2 << 4));
+        }
+        m1 = (uint8_t)(m1 << 2);
+        m2 = (uint8_t)(m2 << 2);
+    }
+}
+
+// block_q3_K: { uint8 hmask[32]; uint8 qs[64]; uint8 scales[12];
+//               fp16 d; } = 110B. 16 sub-blocks of 16 with 6-bit signed
+// scales; values in [-4, 3] (low 2 bits in qs, the +4 bit in hmask).
+
+void quantize_q3_K_block(const float* x, uint8_t* y, const float* qw) {
+    int8_t L[QK_K];
+    float scales[QK_K / 16];
+    float weights[16];
+    const float sigma2 = qw ? superblock_sigma2(x) : 0.f;
+    for (int j = 0; j < QK_K / 16; ++j) {
+        if (qw) {
+            kquant_weights(x + 16 * j, qw + 16 * j, sigma2, 16, weights);
+            scales[j] = make_qx_quants(16, 4, x + 16 * j, L + 16 * j, 1,
+                                       weights);
+        } else {
+            scales[j] = make_q3_quants(16, 4, x + 16 * j, L + 16 * j, true);
+        }
+    }
+    uint8_t* hmask = y;
+    uint8_t* qs = y + 32;
+    uint8_t* scp = y + 96;
+    std::memset(scp, 0, 12);
+    float max_scale = 0, amax = 0;
+    for (int j = 0; j < QK_K / 16; ++j) {
+        float a = std::fabs(scales[j]);
+        if (a > amax) { amax = a; max_scale = scales[j]; }
+    }
+    float d_val = 0.f;
+    if (max_scale != 0.f) {
+        float iscale = -32.f / max_scale;
+        for (int j = 0; j < QK_K / 16; ++j) {
+            int l = (int)std::nearbyint(iscale * scales[j]);
+            l = (l < -32 ? -32 : (l > 31 ? 31 : l)) + 32;
+            if (j < 8) scp[j] = (uint8_t)(l & 0xF);
+            else scp[j - 8] |= (uint8_t)((l & 0xF) << 4);
+            l >>= 4;
+            scp[8 + j % 4] |= (uint8_t)(l << (2 * (j / 4)));
+        }
+        d_val = 1 / iscale;
+    }
+    uint16_t dh = fp32_to_fp16(d_val);
+    std::memcpy(y + 108, &dh, 2);
+    const float df = fp16_to_fp32(dh);
+    // requantize with the decoded 6-bit scales
+    for (int j = 0; j < QK_K / 16; ++j) {
+        int sc8 = j < 8 ? (scp[j] & 0xF) : (scp[j - 8] >> 4);
+        sc8 = (sc8 | (((scp[8 + j % 4] >> (2 * (j / 4))) & 3) << 4)) - 32;
+        const float dj = df * sc8;
+        if (!dj) {
+            for (int ii = 0; ii < 16; ++ii) L[16 * j + ii] = 4;
+            continue;
+        }
+        for (int ii = 0; ii < 16; ++ii) {
+            int l = (int)std::nearbyint(x[16 * j + ii] / dj);
+            l = l < -4 ? -4 : (l > 3 ? 3 : l);
+            L[16 * j + ii] = (int8_t)(l + 4);
+        }
+    }
+    std::memset(hmask, 0, 32);
+    int hm = 0;
+    uint8_t m = 1;
+    for (int j = 0; j < QK_K; ++j) {
+        if (L[j] > 3) { hmask[hm] |= m; L[j] = (int8_t)(L[j] - 4); }
+        if (++hm == 32) { hm = 0; m = (uint8_t)(m << 1); }
+    }
+    for (int j = 0; j < QK_K; j += 128) {
+        for (int l = 0; l < 32; ++l) {
+            qs[j / 4 + l] = (uint8_t)(L[j + l] | (L[j + l + 32] << 2)
+                                      | (L[j + l + 64] << 4)
+                                      | (L[j + l + 96] << 6));
+        }
+    }
+}
+
+// block_q2_K: { uint8 scales[16]; uint8 qs[64]; fp16 d; fp16 dmin; } = 84B.
+// 16 sub-blocks of 16 with 4-bit scale + 4-bit min; 2-bit values.
+
+void quantize_q2_K_block(const float* x, uint8_t* y, const float* qw) {
+    uint8_t L[QK_K], Laux[16];
+    float weights[16], mins[QK_K / 16], scales[QK_K / 16];
+    const float q4scale = 15.f;
+    const float sigma2 = qw ? superblock_sigma2(x) : 0.f;
+    uint8_t* scp = y;
+    uint8_t* qs = y + 16;
+    float max_scale = 0, max_min = 0;
+    for (int j = 0; j < QK_K / 16; ++j) {
+        if (qw) {
+            kquant_weights(x + 16 * j, qw + 16 * j, sigma2, 16, weights);
+        } else {
+            for (int l = 0; l < 16; ++l)
+                weights[l] = std::fabs(x[16 * j + l]);
+        }
+        scales[j] = make_qkx2_quants(16, 3, x + 16 * j, weights,
+                                     L + 16 * j, &mins[j], Laux,
+                                     -0.5f, 0.1f, 15, true);
+        if (scales[j] > max_scale) max_scale = scales[j];
+        if (mins[j] > max_min) max_min = mins[j];
+    }
+    float d_val = 0.f, dmin_val = 0.f;
+    if (max_scale > 0) {
+        float iscale = q4scale / max_scale;
+        for (int j = 0; j < QK_K / 16; ++j)
+            scp[j] = (uint8_t)std::nearbyint(iscale * scales[j]);
+        d_val = max_scale / q4scale;
+    } else {
+        std::memset(scp, 0, 16);
+    }
+    if (max_min > 0) {
+        float iscale = q4scale / max_min;
+        for (int j = 0; j < QK_K / 16; ++j) {
+            uint8_t l = (uint8_t)std::nearbyint(iscale * mins[j]);
+            scp[j] |= (uint8_t)(l << 4);
+        }
+        dmin_val = max_min / q4scale;
+    }
+    uint16_t dh = fp32_to_fp16(d_val), dminh = fp32_to_fp16(dmin_val);
+    std::memcpy(y + 80, &dh, 2);
+    std::memcpy(y + 82, &dminh, 2);
+    const float df = fp16_to_fp32(dh), dminf = fp16_to_fp32(dminh);
+    for (int j = 0; j < QK_K / 16; ++j) {
+        const float dj = df * (scp[j] & 0xF);
+        if (!dj) {
+            for (int ii = 0; ii < 16; ++ii) L[16 * j + ii] = 0;
+            continue;
+        }
+        const float mj = dminf * (scp[j] >> 4);
+        for (int ii = 0; ii < 16; ++ii) {
+            int l = (int)std::nearbyint((x[16 * j + ii] + mj) / dj);
+            l = l < 0 ? 0 : (l > 3 ? 3 : l);
+            L[16 * j + ii] = (uint8_t)l;
+        }
+    }
+    for (int j = 0; j < QK_K; j += 128) {
+        for (int l = 0; l < 32; ++l) {
+            qs[j / 4 + l] = (uint8_t)(L[j + l] | (L[j + l + 32] << 2)
+                                      | (L[j + l + 64] << 4)
+                                      | (L[j + l + 96] << 6));
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+void quantize_q4_K(const float* src, uint8_t* dst, int64_t nrow,
+                   int64_t n_per_row, const float* quant_weights) {
+    const int64_t nbr = n_per_row / QK_K;
+    for (int64_t r = 0; r < nrow; ++r) {
+        for (int64_t ib = 0; ib < nbr; ++ib) {
+            quantize_q4_K_block(
+                src + r * n_per_row + ib * QK_K,
+                dst + (r * nbr + ib) * 144,
+                quant_weights ? quant_weights + ib * QK_K : nullptr);
+        }
+    }
+}
+
+void quantize_q5_K(const float* src, uint8_t* dst, int64_t nrow,
+                   int64_t n_per_row, const float* quant_weights) {
+    const int64_t nbr = n_per_row / QK_K;
+    for (int64_t r = 0; r < nrow; ++r) {
+        for (int64_t ib = 0; ib < nbr; ++ib) {
+            quantize_q5_K_block(
+                src + r * n_per_row + ib * QK_K,
+                dst + (r * nbr + ib) * 176,
+                quant_weights ? quant_weights + ib * QK_K : nullptr);
+        }
+    }
+}
+
+void quantize_q3_K(const float* src, uint8_t* dst, int64_t nrow,
+                   int64_t n_per_row, const float* quant_weights) {
+    const int64_t nbr = n_per_row / QK_K;
+    for (int64_t r = 0; r < nrow; ++r) {
+        for (int64_t ib = 0; ib < nbr; ++ib) {
+            quantize_q3_K_block(
+                src + r * n_per_row + ib * QK_K,
+                dst + (r * nbr + ib) * 110,
+                quant_weights ? quant_weights + ib * QK_K : nullptr);
+        }
+    }
+}
+
+void quantize_q2_K(const float* src, uint8_t* dst, int64_t nrow,
+                   int64_t n_per_row, const float* quant_weights) {
+    const int64_t nbr = n_per_row / QK_K;
+    for (int64_t r = 0; r < nrow; ++r) {
+        for (int64_t ib = 0; ib < nbr; ++ib) {
+            quantize_q2_K_block(
+                src + r * n_per_row + ib * QK_K,
+                dst + (r * nbr + ib) * 84,
+                quant_weights ? quant_weights + ib * QK_K : nullptr);
+        }
+    }
+}
+
+void dequantize_q5_K(const uint8_t* src, float* dst, int64_t n) {
+    const int64_t nb = n / QK_K;
+    for (int64_t ib = 0; ib < nb; ++ib) {
+        const uint8_t* y = src + ib * 176;
+        float* x = dst + ib * QK_K;
+        uint16_t dh, dminh;
+        std::memcpy(&dh, y, 2);
+        std::memcpy(&dminh, y + 2, 2);
+        const float d = fp16_to_fp32(dh);
+        const float dmin = fp16_to_fp32(dminh);
+        const uint8_t* sc = y + 4;
+        const uint8_t* qh = y + 16;
+        const uint8_t* ql = y + 48;
+        int is = 0;
+        uint8_t u1 = 1, u2 = 2;
+        for (int j = 0; j < QK_K; j += 64) {
+            uint8_t sd1, sm1, sd2, sm2;
+            get_scale_min_k4(is + 0, sc, &sd1, &sm1);
+            get_scale_min_k4(is + 1, sc, &sd2, &sm2);
+            const float d1 = d * sd1, m1 = dmin * sm1;
+            const float d2 = d * sd2, m2 = dmin * sm2;
+            for (int l = 0; l < 32; ++l)
+                x[j + l] = d1 * ((ql[j / 2 + l] & 0xF)
+                                 + ((qh[l] & u1) ? 16 : 0)) - m1;
+            for (int l = 0; l < 32; ++l)
+                x[j + 32 + l] = d2 * ((ql[j / 2 + l] >> 4)
+                                      + ((qh[l] & u2) ? 16 : 0)) - m2;
+            is += 2;
+            u1 = (uint8_t)(u1 << 2);
+            u2 = (uint8_t)(u2 << 2);
+        }
+    }
+}
+
+void dequantize_q3_K(const uint8_t* src, float* dst, int64_t n) {
+    const int64_t nb = n / QK_K;
+    for (int64_t ib = 0; ib < nb; ++ib) {
+        const uint8_t* y = src + ib * 110;
+        const uint8_t* hmask = y;
+        const uint8_t* qs = y + 32;
+        const uint8_t* scp = y + 96;
+        uint16_t dh;
+        std::memcpy(&dh, y + 108, 2);
+        const float d_all = fp16_to_fp32(dh);
+        float* x = dst + ib * QK_K;
+        for (int j = 0; j < QK_K / 16; ++j) {
+            int sc8 = j < 8 ? (scp[j] & 0xF) : (scp[j - 8] >> 4);
+            sc8 = (sc8 | (((scp[8 + j % 4] >> (2 * (j / 4))) & 3) << 4))
+                - 32;
+            const float dl = d_all * sc8;
+            for (int ii = 0; ii < 16; ++ii) {
+                int idx = 16 * j + ii;
+                int shift = 2 * ((idx % 128) / 32);
+                int q = (qs[(idx / 128) * 32 + (idx % 32)] >> shift) & 3;
+                int hbit = (hmask[idx % 32] >> (idx / 32)) & 1;
+                x[idx] = dl * (q - (hbit ? 0 : 4));
+            }
+        }
+    }
+}
+
+void dequantize_q2_K(const uint8_t* src, float* dst, int64_t n) {
+    const int64_t nb = n / QK_K;
+    for (int64_t ib = 0; ib < nb; ++ib) {
+        const uint8_t* y = src + ib * 84;
+        const uint8_t* scp = y;
+        const uint8_t* qs = y + 16;
+        uint16_t dh, dminh;
+        std::memcpy(&dh, y + 80, 2);
+        std::memcpy(&dminh, y + 82, 2);
+        const float d = fp16_to_fp32(dh);
+        const float dmin = fp16_to_fp32(dminh);
+        float* x = dst + ib * QK_K;
+        for (int j = 0; j < QK_K / 16; ++j) {
+            const float dl = d * (scp[j] & 0xF);
+            const float ml = dmin * (scp[j] >> 4);
+            for (int ii = 0; ii < 16; ++ii) {
+                int idx = 16 * j + ii;
+                int shift = 2 * ((idx % 128) / 32);
+                int q = (qs[(idx / 128) * 32 + (idx % 32)] >> shift) & 3;
+                x[idx] = dl * q - ml;
+            }
+        }
+    }
+}
+
 void dequantize_q4_K(const uint8_t* src, float* dst, int64_t n) {
     const int64_t nb = n / QK_K;
     for (int64_t ib = 0; ib < nb; ++ib) {
@@ -415,19 +1013,32 @@ void dequantize_q4_K(const uint8_t* src, float* dst, int64_t n) {
 
 // block_q6_K: { uint8 ql[128]; uint8 qh[64]; int8 scales[16]; fp16 d; } = 210B
 
-void quantize_q6_K(const float* src, uint8_t* dst, int64_t n) {
-    const int64_t nb = n / QK_K;
+void quantize_q6_K(const float* src, uint8_t* dst, int64_t nrow,
+                   int64_t n_per_row, const float* quant_weights) {
+    const int64_t nb = nrow * (n_per_row / QK_K);
+    const int64_t nbr = n_per_row / QK_K;
     int8_t L[QK_K];
-    float scales[QK_K / 16];
+    float scales[QK_K / 16], weights[16];
     for (int64_t ib = 0; ib < nb; ++ib) {
         const float* x = src + ib * QK_K;
+        const float* qw = quant_weights
+            ? quant_weights + (ib % nbr) * QK_K : nullptr;
+        const float sigma2 = qw ? superblock_sigma2(x) : 0.f;
         uint8_t* y = dst + ib * 210;
         uint8_t* ql = y;
         uint8_t* qh = y + 128;
         int8_t* scq = (int8_t*)(y + 192);
         float max_scale = 0, max_abs_scale = 0;
         for (int j = 0; j < QK_K / 16; ++j) {
-            float scale = make_qx_quants(16, 32, x + 16 * j, L + 16 * j, 1);
+            float scale;
+            if (qw) {
+                kquant_weights(x + 16 * j, qw + 16 * j, sigma2, 16,
+                               weights);
+                scale = make_qx_quants(16, 32, x + 16 * j, L + 16 * j, 1,
+                                       weights);
+            } else {
+                scale = make_qx_quants(16, 32, x + 16 * j, L + 16 * j, 1);
+            }
             scales[j] = scale;
             float abs_scale = std::fabs(scale);
             if (abs_scale > max_abs_scale) {

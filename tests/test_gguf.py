@@ -402,3 +402,167 @@ def test_model_export_iq4_xs(tmp_path):
     orig = np.asarray(model.params["layers"][0]["q"], np.float32)
     got = data["blk.0.attn_q.weight"].reshape(orig.shape)
     assert _rmse(got, orig) < 0.1
+
+
+# ---------------------------------------------------------------------------
+# r3: full quant menu — q4_1/q5_0/q5_1, q2_k/q3_k/q5_k, imatrix k-quants
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("ggml_type,max_rmse", [
+    # bits-per-weight rmse floors on gaussian data
+    (GGMLType.Q4_1, 0.10), (GGMLType.Q5_0, 0.055), (GGMLType.Q5_1, 0.05),
+    (GGMLType.Q5_K, 0.045), (GGMLType.Q3_K, 0.17), (GGMLType.Q2_K, 0.30)])
+def test_new_quant_roundtrip(ggml_type, max_rmse):
+    if _native_lib() is None:
+        pytest.skip("native quantizer unavailable")
+    rng = np.random.RandomState(11)
+    x = (rng.randn(16, 1024) * 0.1).astype(np.float32)
+    raw = quantize_tensor(x, ggml_type, n_per_row=1024)
+    from unsloth_tpu.export.gguf_writer import _TYPE_TRAITS
+    bpb, epb = _TYPE_TRAITS[ggml_type]
+    assert raw.size == x.size // epb * bpb
+    back = dequantize_tensor(raw, ggml_type, x.size)
+    assert _rmse(back, x.reshape(-1)) < max_rmse, _rmse(back, x.reshape(-1))
+
+
+def test_quant_quality_ordering():
+    """More bits -> lower RMSE, across the whole menu."""
+    if _native_lib() is None:
+        pytest.skip("native quantizer unavailable")
+    rng = np.random.RandomState(12)
+    x = (rng.randn(64, 1024) * 0.1).astype(np.float32)
+    flat = x.reshape(-1)
+
+    def rt(t):
+        return _rmse(dequantize_tensor(
+            quantize_tensor(x, t, n_per_row=1024), t, x.size), flat)
+
+    order = [GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q5_K,
+             GGMLType.Q6_K, GGMLType.Q8_0]
+    errs = [rt(t) for t in order]
+    for a, b in zip(errs[:-1], errs[1:]):
+        assert b < a, (order, errs)
+    # q5_0 between q4_* and q6_k; q5_1/q4_1 beat their _0 siblings
+    assert rt(GGMLType.Q5_0) < rt(GGMLType.Q4_0)
+    assert rt(GGMLType.Q5_1) < rt(GGMLType.Q5_0)
+    assert rt(GGMLType.Q4_1) < rt(GGMLType.Q4_0)
+
+
+def test_q5_0_bit_packing_layout():
+    """The fifth bit must land in the qh bitfield exactly as ggml lays it
+    out (element i -> bit i; elements 16..31 -> bits 16..31)."""
+    if _native_lib() is None:
+        pytest.skip("native quantizer unavailable")
+    # values chosen so q = x/d + 16.5 spans both halves of the 5-bit range
+    x = np.arange(-16, 16, dtype=np.float32)
+    raw = quantize_tensor(x, GGMLType.Q5_0)
+    assert raw.size == 22
+    d = raw[0:2].copy().view(np.float16).astype(np.float32)[0]
+    qh = int(raw[2:6].copy().view(np.uint32)[0])
+    qs = raw[6:]
+    vals = np.empty(32, np.float32)
+    for i in range(16):
+        q0 = (qs[i] & 0xF) | (((qh >> i) & 1) << 4)
+        q1 = (qs[i] >> 4) | (((qh >> (i + 16)) & 1) << 4)
+        vals[i] = (int(q0) - 16) * d
+        vals[i + 16] = (int(q1) - 16) * d
+    back = dequantize_tensor(raw, GGMLType.Q5_0, 32)
+    np.testing.assert_array_equal(vals, back)
+    assert np.abs(back - x).max() <= abs(d)
+
+
+@pytest.mark.parametrize("ggml_type", [
+    GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q5_K,
+    GGMLType.Q6_K])
+def test_kquant_imatrix_lowers_weighted_error(ggml_type):
+    """The imatrix path must lower importance-weighted error vs the
+    unweighted quantization (llama.cpp's imatrix-aware k-quants;
+    reference: save.py:3806)."""
+    if _native_lib() is None:
+        pytest.skip("native quantizer unavailable")
+    rng = np.random.RandomState(13)
+    x = (rng.randn(64, 512) * 0.1).astype(np.float32)
+    qw = np.ones(512, np.float32)
+    qw[:64] = 100.0
+    plain = dequantize_tensor(
+        quantize_tensor(x, ggml_type, n_per_row=512),
+        ggml_type, x.size).reshape(64, 512)
+    weighted = dequantize_tensor(
+        quantize_tensor(x, ggml_type, n_per_row=512, quant_weights=qw),
+        ggml_type, x.size).reshape(64, 512)
+
+    def werr(y):
+        return float((qw[None, :] * (y - x) ** 2).sum())
+
+    assert werr(weighted) <= werr(plain) * 1.001, (
+        ggml_type, werr(weighted), werr(plain))
+
+
+@pytest.mark.parametrize("t", [
+    GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q2_K,
+    GGMLType.Q3_K, GGMLType.Q5_K])
+def test_new_quant_zero_block(t):
+    if _native_lib() is None:
+        pytest.skip("native quantizer unavailable")
+    x = np.zeros(1024, np.float32)
+    back = dequantize_tensor(quantize_tensor(x, t, n_per_row=1024),
+                             t, x.size)
+    np.testing.assert_array_equal(back, 0)
+
+
+def test_q5_k_m_mix_policy(tmp_path):
+    """The reference's 'Recommended' tier: q5_k_m upgrades attn_v/ffn_down
+    to Q6_K on use_more_bits layers; q3_k_l uses Q5_K for v/o/down on all
+    layers; q2_k uses Q4_K for v/down (reference: save.py:140-150)."""
+    from unsloth_tpu.export.gguf import _type_for, _use_more_bits
+
+    n_layer = 8
+    shape = (256, 1024)
+    for i in range(n_layer):
+        t = _type_for(f"blk.{i}.attn_v.weight", shape, GGMLType.Q5_K,
+                      method="q5_k_m", n_layer=n_layer)
+        expect = GGMLType.Q6_K if _use_more_bits(i, n_layer) \
+            else GGMLType.Q5_K
+        assert t == expect, (i, t)
+        assert _type_for(f"blk.{i}.attn_q.weight", shape, GGMLType.Q5_K,
+                         method="q5_k_m", n_layer=n_layer) == GGMLType.Q5_K
+    assert _type_for("blk.0.attn_output.weight", shape, GGMLType.Q3_K,
+                     method="q3_k_l", n_layer=n_layer) == GGMLType.Q5_K
+    assert _type_for("blk.5.ffn_down.weight", shape, GGMLType.Q3_K,
+                     method="q3_k_m", n_layer=n_layer) == GGMLType.Q4_K
+    assert _type_for("blk.5.ffn_up.weight", shape, GGMLType.Q3_K,
+                     method="q3_k_s", n_layer=n_layer) == GGMLType.Q3_K
+    assert _type_for("blk.3.ffn_down.weight", shape, GGMLType.Q2_K,
+                     method="q2_k", n_layer=n_layer) == GGMLType.Q4_K
+    assert _type_for("output.weight", shape, GGMLType.Q2_K,
+                     method="q2_k_l", n_layer=n_layer) == GGMLType.Q8_0
+    assert _type_for("token_embd.weight", shape, GGMLType.Q2_K,
+                     method="q2_k_l", n_layer=n_layer) == GGMLType.Q8_0
+
+
+def test_model_export_q5_k_m(tmp_path):
+    """A user asking for the reference's recommended tier gets a valid
+    file (the r2 gap: q5_k_m raised an error)."""
+    from unsloth_tpu.export.gguf import save_to_gguf
+    from unsloth_tpu.export.gguf_writer import read_gguf
+    from unsloth_tpu.models.config import ModelConfig
+    from unsloth_tpu.models.loader import LanguageModel
+    from unsloth_tpu.models.params import init_params
+
+    import jax
+
+    cfg = ModelConfig(vocab_size=512, hidden_size=256,
+                      intermediate_size=512, num_layers=2, num_heads=4,
+                      num_kv_heads=2, max_position_embeddings=128)
+    model = LanguageModel(cfg=cfg,
+                          params=init_params(cfg, jax.random.PRNGKey(0)))
+    out = str(tmp_path / "m.gguf")
+    save_to_gguf(model, out, quantization_method="q5_k_m")
+    md, tensors, data = read_gguf(out, load_tensors=True)
+    assert md["general.file_type"] == 17
+    types = {t["name"]: t["type"] for t in tensors}
+    assert types["blk.0.attn_q.weight"] == GGMLType.Q5_K
+    assert types["blk.1.attn_v.weight"] == GGMLType.Q6_K  # more-bits layer
+    orig = np.asarray(model.params["layers"][0]["q"], np.float32)
+    got = data["blk.0.attn_q.weight"].reshape(orig.shape)
+    assert _rmse(got, orig) < 0.06

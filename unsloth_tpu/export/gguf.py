@@ -22,17 +22,23 @@ from ..models.config import ModelConfig
 from .gguf_writer import GGMLType, GGUFWriter
 from .save import merged_params
 
-# reference: save.py quant alias map (fast_quantized -> q8_0 etc.)
+# reference: save.py:132-157 ALLOWED_QUANTS — full llama-quantize menu.
 QUANT_ALIASES = {
+    "not_quantized": "f16",
     "fast_quantized": "q8_0",
-    "quantized": "q8_0",
+    "quantized": "q4_k_m",
     "f32": "f32", "fp32": "f32",
     "f16": "f16", "fp16": "f16",
     "bf16": "bf16",
     "q8_0": "q8_0",
-    "q4_0": "q4_0",
+    "q4_0": "q4_0", "q4_1": "q4_1",
+    "q5_0": "q5_0", "q5_1": "q5_1",
     "q4_k": "q4_k_m", "q4_k_m": "q4_k_m", "q4_k_s": "q4_k_s",
+    "q5_k": "q5_k_m", "q5_k_m": "q5_k_m", "q5_k_s": "q5_k_s",
     "q6_k": "q6_k",
+    "q3_k": "q3_k_m", "q3_k_l": "q3_k_l", "q3_k_m": "q3_k_m",
+    "q3_k_s": "q3_k_s", "q3_k_xs": "q3_k_s",
+    "q2_k": "q2_k", "q2_k_l": "q2_k_l",
     "iq4_nl": "iq4_nl", "iq4_xs": "iq4_xs",
 }
 
@@ -42,11 +48,38 @@ _QUANT_TO_TYPE = {
     "bf16": GGMLType.BF16,
     "q8_0": GGMLType.Q8_0,
     "q4_0": GGMLType.Q4_0,
+    "q4_1": GGMLType.Q4_1,
+    "q5_0": GGMLType.Q5_0,
+    "q5_1": GGMLType.Q5_1,
+    "q2_k": GGMLType.Q2_K,
+    "q2_k_l": GGMLType.Q2_K,
+    "q3_k_l": GGMLType.Q3_K,
+    "q3_k_m": GGMLType.Q3_K,
+    "q3_k_s": GGMLType.Q3_K,
     "q4_k_m": GGMLType.Q4_K,
     "q4_k_s": GGMLType.Q4_K,
+    "q5_k_m": GGMLType.Q5_K,
+    "q5_k_s": GGMLType.Q5_K,
     "q6_k": GGMLType.Q6_K,
     "iq4_nl": GGMLType.IQ4_NL,
     "iq4_xs": GGMLType.IQ4_XS,
+}
+
+# Per-method tensor upgrades (reference: save.py:140-150 descriptions of
+# llama.cpp's mixes). "more" applies on use_more_bits layers only; "all"
+# on every layer.
+_MIX_RULES = {
+    "q4_k_m": ("more", ("attn_v.weight", "ffn_down.weight"),
+               GGMLType.Q6_K),
+    "q5_k_m": ("more", ("attn_v.weight", "ffn_down.weight"),
+               GGMLType.Q6_K),
+    "q3_k_l": ("all", ("attn_v.weight", "attn_output.weight",
+                       "ffn_down.weight"), GGMLType.Q5_K),
+    "q3_k_m": ("all", ("attn_v.weight", "attn_output.weight",
+                       "ffn_down.weight"), GGMLType.Q4_K),
+    "q2_k": ("all", ("attn_v.weight", "ffn_down.weight"), GGMLType.Q4_K),
+    "q2_k_l": ("all", ("attn_v.weight", "ffn_down.weight"),
+               GGMLType.Q4_K),
 }
 
 
@@ -212,34 +245,43 @@ def _tensor_entries(params: Dict[str, Any], cfg: ModelConfig
     return entries
 
 
+_LOW_BIT = (GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q4_0,
+            GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q5_K,
+            GGMLType.IQ4_XS, GGMLType.IQ4_NL)
+
+
 def _type_for(name: str, arr_shape, base_type: GGMLType,
               method: str = "", n_layer: int = 0) -> GGMLType:
     """Per-tensor type policy, mirroring llama.cpp quantize rules:
     1-D tensors (norms, biases) stay F32; token_embd/output get a
-    higher-precision type; Q4_K_M upgrades attn_v/ffn_down to Q6_K on
-    the use_more_bits layers."""
+    higher-precision type; the *_m/*_l mixes upgrade attn_v /
+    attn_output / ffn_down per _MIX_RULES."""
     if len(arr_shape) == 1:
         return GGMLType.F32
     if base_type in (GGMLType.F32, GGMLType.F16, GGMLType.BF16):
         return base_type
-    block = 256 if base_type in (GGMLType.Q4_K, GGMLType.Q6_K,
-                                 GGMLType.IQ4_XS) else 32
-    if arr_shape[-1] % block != 0:
+    from .gguf_writer import _TYPE_TRAITS
+
+    if arr_shape[-1] % _TYPE_TRAITS[base_type][1] != 0:
         return GGMLType.F16
     if name == "output.weight":
-        # llama.cpp upgrades the output head: Q6_K for 4-bit base types
-        return (GGMLType.Q6_K if base_type in (GGMLType.Q4_K,
-                                               GGMLType.IQ4_XS,
-                                               GGMLType.IQ4_NL)
+        if method == "q2_k_l":
+            return GGMLType.Q8_0
+        # llama.cpp upgrades the output head: Q6_K for low-bit base types
+        return (GGMLType.Q6_K if base_type in _LOW_BIT
                 and arr_shape[-1] % 256 == 0 else GGMLType.Q8_0)
     if name == "token_embd.weight":
-        return GGMLType.Q8_0 if base_type == GGMLType.Q8_0 else base_type
-    if method == "q4_k_m" and n_layer and name.startswith("blk."):
-        i_layer = int(name.split(".")[1])
-        if (name.endswith("attn_v.weight")
-                or name.endswith("ffn_down.weight")) \
-                and _use_more_bits(i_layer, n_layer):
-            return GGMLType.Q6_K
+        if method == "q2_k_l":
+            return GGMLType.Q8_0
+        return base_type
+    rule = _MIX_RULES.get(method)
+    if rule and n_layer and name.startswith("blk."):
+        when, suffixes, up_type = rule
+        if any(name.endswith(s) for s in suffixes) \
+                and arr_shape[-1] % 256 == 0:
+            i_layer = int(name.split(".")[1])
+            if when == "all" or _use_more_bits(i_layer, n_layer):
+                return up_type
     return base_type
 
 
@@ -262,7 +304,8 @@ def save_to_gguf(model, path: str, quantization_method: str = "q8_0",
     params = merged_params(model)
     w = GGUFWriter(path)
     add_model_metadata(w, cfg, name or cfg.name)
-    w.add_metadata("general.file_type", int(_file_type_code(base_type)))
+    w.add_metadata("general.file_type",
+                   int(_file_type_code(base_type, method)))
     add_tokenizer_metadata(w, model.model_path, model.tokenizer, cfg)
 
     for gguf_name, arr in _tensor_entries(params, cfg):
@@ -273,17 +316,29 @@ def save_to_gguf(model, path: str, quantization_method: str = "q8_0",
         t = _type_for(gguf_name, arr.shape, base_type,
                       method=method, n_layer=cfg.num_layers)
         qw = None
-        if imatrix is not None and t in (GGMLType.IQ4_NL, GGMLType.IQ4_XS):
+        if imatrix is not None and t in (
+                GGMLType.IQ4_NL, GGMLType.IQ4_XS, GGMLType.Q2_K,
+                GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q5_K,
+                GGMLType.Q6_K):
+            # llama.cpp feeds the imatrix to the K-quant searches too
+            # (weights = qw * sqrt(sigma2 + x^2)); see csrc/gguf_quant.cpp
             qw = imatrix.get(gguf_name)
         w.add_tensor(gguf_name, arr, t, quant_weights=qw)
     w.write()
     return path
 
 
-def _file_type_code(t: GGMLType) -> int:
+def _file_type_code(t: GGMLType, method: str = "") -> int:
+    """llama.cpp ftype codes (llama.h llama_ftype)."""
+    by_method = {"q2_k": 10, "q2_k_l": 10, "q3_k_s": 11, "q3_k_m": 12,
+                 "q3_k_l": 13, "q4_k_s": 14, "q4_k_m": 15, "q5_k_s": 16,
+                 "q5_k_m": 17}
+    if method in by_method:
+        return by_method[method]
     return {GGMLType.F32: 0, GGMLType.F16: 1, GGMLType.Q4_0: 2,
-            GGMLType.Q8_0: 7, GGMLType.Q4_K: 15, GGMLType.Q6_K: 18,
-            GGMLType.IQ4_NL: 25, GGMLType.IQ4_XS: 30,
+            GGMLType.Q4_1: 3, GGMLType.Q5_0: 8, GGMLType.Q5_1: 9,
+            GGMLType.Q8_0: 7, GGMLType.Q4_K: 15, GGMLType.Q5_K: 17,
+            GGMLType.Q6_K: 18, GGMLType.IQ4_NL: 25, GGMLType.IQ4_XS: 30,
             GGMLType.BF16: 32}.get(t, 1)
 
 

@@ -46,8 +46,14 @@ class GGMLType(enum.IntEnum):
     F32 = 0
     F16 = 1
     Q4_0 = 2
+    Q4_1 = 3
+    Q5_0 = 6
+    Q5_1 = 7
     Q8_0 = 8
+    Q2_K = 10
+    Q3_K = 11
     Q4_K = 12
+    Q5_K = 13
     Q6_K = 14
     IQ4_NL = 20
     IQ4_XS = 23
@@ -61,18 +67,34 @@ _TYPE_TRAITS = {
     GGMLType.BF16: (2, 1),
     GGMLType.Q8_0: (34, 32),
     GGMLType.Q4_0: (18, 32),
+    GGMLType.Q4_1: (20, 32),
+    GGMLType.Q5_0: (22, 32),
+    GGMLType.Q5_1: (24, 32),
+    GGMLType.Q2_K: (84, 256),
+    GGMLType.Q3_K: (110, 256),
     GGMLType.Q4_K: (144, 256),
+    GGMLType.Q5_K: (176, 256),
     GGMLType.Q6_K: (210, 256),
     GGMLType.IQ4_NL: (18, 32),
     GGMLType.IQ4_XS: (136, 256),
 }
 
-_NATIVE_ONLY = {GGMLType.Q4_K: ("quantize_q4_K", "dequantize_q4_K"),
-                GGMLType.Q6_K: ("quantize_q6_K", "dequantize_q6_K")}
+# Simple 32-element blocks with a native (src, dst, n) API.
+_NATIVE_SIMPLE = {GGMLType.Q8_0: ("quantize_q8_0", "dequantize_q8_0"),
+                  GGMLType.Q4_0: ("quantize_q4_0", "dequantize_q4_0"),
+                  GGMLType.Q4_1: ("quantize_q4_1", "dequantize_q4_1"),
+                  GGMLType.Q5_0: ("quantize_q5_0", "dequantize_q5_0"),
+                  GGMLType.Q5_1: ("quantize_q5_1", "dequantize_q5_1")}
 
-# IQ types take (src, dst, nrow, n_per_row, quant_weights-or-NULL)
-_NATIVE_IQ = {GGMLType.IQ4_NL: ("quantize_iq4_nl", "dequantize_iq4_nl"),
-              GGMLType.IQ4_XS: ("quantize_iq4_xs", "dequantize_iq4_xs")}
+# K-quants and IQ types take (src, dst, nrow, n_per_row, qw-or-NULL) —
+# the llama.cpp row API; qw = per-column imatrix importance weights.
+_NATIVE_ROWS = {GGMLType.Q2_K: ("quantize_q2_K", "dequantize_q2_K"),
+                GGMLType.Q3_K: ("quantize_q3_K", "dequantize_q3_K"),
+                GGMLType.Q4_K: ("quantize_q4_K", "dequantize_q4_K"),
+                GGMLType.Q5_K: ("quantize_q5_K", "dequantize_q5_K"),
+                GGMLType.Q6_K: ("quantize_q6_K", "dequantize_q6_K"),
+                GGMLType.IQ4_NL: ("quantize_iq4_nl", "dequantize_iq4_nl"),
+                GGMLType.IQ4_XS: ("quantize_iq4_xs", "dequantize_iq4_xs")}
 
 
 # ---------------------------------------------------------------------------
@@ -99,12 +121,11 @@ def _native_lib():
                 ["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
                 check=True, capture_output=True)
         lib = ctypes.CDLL(so)
-        for name in ("quantize_q8_0", "dequantize_q8_0", "quantize_q4_0",
-                     "dequantize_q4_0", "fp32_to_fp16_buffer",
-                     "quantize_q4_K", "dequantize_q4_K",
-                     "quantize_q6_K", "dequantize_q6_K",
-                     "quantize_iq4_nl", "dequantize_iq4_nl",
-                     "quantize_iq4_xs", "dequantize_iq4_xs"):
+        names = ["fp32_to_fp16_buffer"]
+        for q, d in list(_NATIVE_SIMPLE.values()) + list(
+                _NATIVE_ROWS.values()):
+            names += [q, d]
+        for name in names:
             getattr(lib, name).restype = None
         _LIB = lib
     except Exception:
@@ -147,10 +168,8 @@ def quantize_tensor(x: np.ndarray, ggml_type: GGMLType,
     """fp32 array -> raw GGUF tensor bytes.
 
     n_per_row + quant_weights: per-row imatrix importance weights for the
-    IQ4 search (llama.cpp's imatrix-weighted quantization; reference:
-    save.py:3806 runs llama-imatrix + llama-quantize for IQ types)."""
-    if ggml_type in _NATIVE_IQ:
-        return _quantize_iq(x, ggml_type, n_per_row, quant_weights)
+    K-quant / IQ4 searches (llama.cpp's imatrix-weighted quantization;
+    reference: save.py:3806 runs llama-imatrix + llama-quantize)."""
     x = np.ascontiguousarray(x, dtype=np.float32)
     n = x.size
     if ggml_type == GGMLType.F32:
@@ -170,39 +189,32 @@ def quantize_tensor(x: np.ndarray, ggml_type: GGMLType,
         rounded = ((as_u32 + 0x7FFF + ((as_u32 >> 16) & 1)) >> 16).astype(
             np.uint16)
         return rounded.view(np.uint8)
-    if ggml_type in (GGMLType.Q8_0, GGMLType.Q4_0):
+    if ggml_type in _NATIVE_SIMPLE:
         assert n % 32 == 0, "quantized tensors need row size % 32 == 0"
         lib = _native_lib()
         if lib is not None:
             bpb, epb = _TYPE_TRAITS[ggml_type]
             out = np.empty(n // epb * bpb, np.uint8)
-            fn = (lib.quantize_q8_0 if ggml_type == GGMLType.Q8_0
-                  else lib.quantize_q4_0)
+            fn = getattr(lib, _NATIVE_SIMPLE[ggml_type][0])
             fn(x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                ctypes.c_int64(n))
             return out
-        return (_q8_0_numpy(x) if ggml_type == GGMLType.Q8_0
-                else _q4_0_numpy(x))
-    if ggml_type in _NATIVE_ONLY:
-        assert n % 256 == 0, "K-quants need row size % 256 == 0"
-        lib = _native_lib()
-        if lib is None:
-            raise RuntimeError(
-                f"{ggml_type.name} requires the native quantizer "
-                f"(csrc/libgguf_quant.so failed to build)")
-        bpb, epb = _TYPE_TRAITS[ggml_type]
-        out = np.empty(n // epb * bpb, np.uint8)
-        fn = getattr(lib, _NATIVE_ONLY[ggml_type][0])
-        fn(x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-           out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-           ctypes.c_int64(n))
-        return out
+        if ggml_type == GGMLType.Q8_0:
+            return _q8_0_numpy(x)
+        if ggml_type == GGMLType.Q4_0:
+            return _q4_0_numpy(x)
+        raise RuntimeError(
+            f"{ggml_type.name} requires the native quantizer "
+            f"(csrc/libgguf_quant.so failed to build)")
+    if ggml_type in _NATIVE_ROWS:
+        return _quantize_rows(x, ggml_type, n_per_row, quant_weights)
     raise ValueError(f"unsupported ggml type {ggml_type}")
 
 
-def _quantize_iq(x: np.ndarray, ggml_type: GGMLType, n_per_row: int,
-                 quant_weights) -> np.ndarray:
+def _quantize_rows(x: np.ndarray, ggml_type: GGMLType, n_per_row: int,
+                   quant_weights) -> np.ndarray:
+    """K-quant / IQ row API: (src, dst, nrow, n_per_row, qw-or-NULL)."""
     lib = _native_lib()
     if lib is None:
         raise RuntimeError(
@@ -223,7 +235,7 @@ def _quantize_iq(x: np.ndarray, ggml_type: GGMLType, n_per_row: int,
         qw_ptr = qw.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
     else:
         qw_ptr = None
-    fn = getattr(lib, _NATIVE_IQ[ggml_type][0])
+    fn = getattr(lib, _NATIVE_ROWS[ggml_type][0])
     fn(x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
        ctypes.c_int64(nrow), ctypes.c_int64(n_per_row), qw_ptr)
@@ -232,17 +244,6 @@ def _quantize_iq(x: np.ndarray, ggml_type: GGMLType, n_per_row: int,
 
 def dequantize_tensor(raw: np.ndarray, ggml_type: GGMLType, n: int
                       ) -> np.ndarray:
-    if ggml_type in _NATIVE_IQ:
-        lib = _native_lib()
-        if lib is None:
-            raise RuntimeError(f"{ggml_type.name} needs the native lib")
-        out = np.empty(n, np.float32)
-        fn = getattr(lib, _NATIVE_IQ[ggml_type][1])
-        fn(np.ascontiguousarray(raw).ctypes.data_as(
-            ctypes.POINTER(ctypes.c_uint8)),
-           out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-           ctypes.c_int64(n))
-        return out
     if ggml_type == GGMLType.F32:
         return raw.view(np.float32)[:n].copy()
     if ggml_type == GGMLType.F16:
@@ -251,21 +252,20 @@ def dequantize_tensor(raw: np.ndarray, ggml_type: GGMLType, n: int
         u = raw.view(np.uint16)[:n].astype(np.uint32) << 16
         return u.view(np.float32).copy()
     lib = _native_lib()
-    if ggml_type in _NATIVE_ONLY:
+    if ggml_type in _NATIVE_ROWS:
         if lib is None:
             raise RuntimeError(f"{ggml_type.name} needs the native lib")
         out = np.empty(n, np.float32)
-        fn = getattr(lib, _NATIVE_ONLY[ggml_type][1])
+        fn = getattr(lib, _NATIVE_ROWS[ggml_type][1])
         fn(np.ascontiguousarray(raw).ctypes.data_as(
             ctypes.POINTER(ctypes.c_uint8)),
            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
            ctypes.c_int64(n))
         return out
-    if ggml_type in (GGMLType.Q8_0, GGMLType.Q4_0):
+    if ggml_type in _NATIVE_SIMPLE:
         if lib is not None:
             out = np.empty(n, np.float32)
-            fn = (lib.dequantize_q8_0 if ggml_type == GGMLType.Q8_0
-                  else lib.dequantize_q4_0)
+            fn = getattr(lib, _NATIVE_SIMPLE[ggml_type][1])
             fn(raw.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                ctypes.c_int64(n))
@@ -276,11 +276,13 @@ def dequantize_tensor(raw: np.ndarray, ggml_type: GGMLType, n: int
         if ggml_type == GGMLType.Q8_0:
             q = blocks[:, 2:].view(np.int8).astype(np.float32)
             return (q * d).reshape(-1)[:n]
-        packed = blocks[:, 2:]
-        lo = (packed & 0xF).astype(np.int32) - 8
-        hi = (packed >> 4).astype(np.int32) - 8
-        vals = np.concatenate([lo, hi], axis=1).astype(np.float32)
-        return (vals * d).reshape(-1)[:n]
+        if ggml_type == GGMLType.Q4_0:
+            packed = blocks[:, 2:]
+            lo = (packed & 0xF).astype(np.int32) - 8
+            hi = (packed >> 4).astype(np.int32) - 8
+            vals = np.concatenate([lo, hi], axis=1).astype(np.float32)
+            return (vals * d).reshape(-1)[:n]
+        raise RuntimeError(f"{ggml_type.name} needs the native lib")
     raise ValueError(f"unsupported ggml type {ggml_type}")
 
 
