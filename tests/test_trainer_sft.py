@@ -231,3 +231,33 @@ def test_sft_trainer_hybrid_family_end_to_end(tmp_path_factory):
     last = trainer.state_log[-1]["loss"]
     assert out.global_step == 25
     assert last < first - 0.15, (first, last)
+
+
+def test_train_on_responses_only_trainer_path(rng):
+    """Trainer-style usage installs a post-tokenize transform (runs inside
+    _tokenize_dataset's parallel map, not an eager Python list)."""
+    model = _tiny_model(rng)
+
+    class FakeTok:
+        pad_token_id = 0
+        eos_token_id = 0
+
+        def __call__(self, text, add_special_tokens=False):
+            return {"input_ids": [ord(c) % 97 for c in text]}
+
+    ds = [{"text": "<U>hi<A>yo"}, {"text": "<U>ab<A>cd"}]
+    args = SFTConfig(per_device_train_batch_size=1, max_steps=1,
+                     max_seq_length=16, packing=False, warmup_steps=0,
+                     dataset_text_field="text")
+    tr = SFTTrainer(model=model, train_dataset=ds, args=args,
+                    tokenizer=FakeTok())
+    tr = train_on_responses_only(tr, instruction_part="<U>",
+                                 response_part="<A>")
+    assert tr._post_tokenize_fn is not None
+    examples = tr._tokenize_dataset()
+    # response chars carry labels; instruction chars are masked
+    for ex in examples:
+        labels = ex["labels"]
+        n_kept = sum(1 for l in labels if l != -100)
+        assert n_kept == 2, labels        # exactly the two response chars
+        assert labels[:8] == [-100] * 8   # "<U>xx<A>" prefix masked
