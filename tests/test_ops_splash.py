@@ -63,3 +63,42 @@ def test_splash_grads(rng):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-3, rtol=5e-3)
+
+
+def test_splash_prefix_layout_matches_ref(rng):
+    """Shared-prefix GRPO mask (training-side PrefixGrouper): the splash
+    kernel with the static prefix mask must match the masked-SDPA
+    reference with the same layout."""
+    P, G, L = 128, 2, 128
+    t = P + G * L
+    q, k, v = _qkv(rng, t=t)
+    scale = q.shape[-1] ** -0.5
+    seg = np.ones((1, t), np.int32)
+    seg[0, :40] = 0          # left-pad of a short prompt
+    seg[0, P + 90:P + L] = 0  # first completion shorter than its region
+    seg = jnp.asarray(seg)
+    out = _tpu_splash(q, k, v, causal=True, segment_ids=seg,
+                      window=None, softcap=None, scale=scale,
+                      interpret=True, prefix_layout=(P, G, L))
+    ref = attention_ref(q, k, v, causal=True, segment_ids=seg,
+                        scale=scale, prefix_layout=(P, G, L))
+    mask = np.asarray(seg[0]).astype(bool)
+    np.testing.assert_allclose(np.asarray(out)[0][mask],
+                               np.asarray(ref)[0][mask],
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_prefix_mask_structure():
+    """Completions see the shared prefix and themselves only."""
+    from unsloth_tpu.ops.attention import prefix_mask_array
+
+    m = prefix_mask_array(4, 2, 3)      # T = 10
+    # prompt causal
+    assert m[2, 1] and not m[1, 2]
+    # completion 0 (slots 4-6): sees prompt + itself causally
+    assert m[5, 0] and m[5, 4] and m[5, 5] and not m[5, 6]
+    # completion 1 (slots 7-9): sees prompt + itself, NOT completion 0
+    assert m[8, 2] and m[8, 7] and not m[8, 5] and not m[8, 4] is False
+    assert not m[8, 6]
+    # prompt never sees completions
+    assert not m[3, 4] and not m[3, 7]

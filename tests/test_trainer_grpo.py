@@ -239,3 +239,66 @@ def test_grpo_train_with_packing(model):
     out = tr.train()
     assert out.global_step == 2
     assert np.isfinite(out.training_loss)
+
+
+def test_grpo_grouped_loss_matches_unpacked(model):
+    """Training-side PrefixGrouper (reference: utils/prefix_grouper.py:218
+    + prefix_grouper_kernel.py:384): the shared-prefix grouped layout must
+    reproduce the unpacked loss exactly — the prompt is attended once but
+    every completion token's logp and weight is identical."""
+    from unsloth_tpu.trainer.grpo import (grpo_grouped_logps,
+                                          grpo_loss_grouped)
+
+    rng = np.random.RandomState(1)
+    G = 2
+    p1 = rng.randint(3, 120, 7).tolist()
+    p2 = rng.randint(3, 120, 5).tolist()
+    prompt_ids = [p1, p1, p2, p2]          # expanded per generation
+    completion_ids = [rng.randint(3, 120, n).tolist()
+                      for n in (6, 3, 8, 12)]
+    adv = np.array([0.5, -0.5, 1.2, -1.2], np.float32)
+
+    for loss_type in ("grpo", "bnpo", "dr_grpo"):
+        args = GRPOConfig(max_prompt_length=16, max_completion_length=12,
+                          num_generations=G, beta=0.04,
+                          loss_type=loss_type, prefix_grouping=True)
+        tr = GRPOTrainer(model, reward_funcs=[lambda **kw: [0.0]],
+                         args=args, train_dataset=[])
+        ub = tr._build_batch(prompt_ids, completion_ids, adv)
+        gb = tr._build_grouped_batch(prompt_ids, completion_ids, adv)
+        assert gb.input_ids.shape[0] == 2          # one row per group
+
+        lp_u = grpo_per_token_logps(model.params, model.lora, ub.input_ids,
+                                    ub.logp_targets, model.cfg)
+        ref_u = grpo_per_token_logps(model.params, None, ub.input_ids,
+                                     ub.logp_targets, model.cfg)
+        loss_u = grpo_loss(lp_u, jax.lax.stop_gradient(lp_u), ref_u,
+                           ub.advantages, ub.completion_mask,
+                           beta=args.beta, epsilon=args.epsilon,
+                           loss_type=loss_type,
+                           max_completion_length=12)
+
+        pol = grpo_grouped_logps(model.params, model.lora, gb, model.cfg)
+        ref_g = grpo_grouped_logps(model.params, None, gb, model.cfg)
+        loss_g = grpo_loss_grouped(pol, jax.lax.stop_gradient(pol), ref_g,
+                                   gb, beta=args.beta,
+                                   epsilon=args.epsilon)
+        np.testing.assert_allclose(float(loss_g), float(loss_u),
+                                   rtol=2e-4, atol=1e-6,
+                                   err_msg=loss_type)
+
+
+def test_grpo_train_with_prefix_grouping(model):
+    """End-to-end smoke: GRPOTrainer with prefix_grouping=True runs and
+    reward-guided training still logs sane losses."""
+    args = GRPOConfig(per_device_train_batch_size=2, num_generations=2,
+                      max_prompt_length=16, max_completion_length=8,
+                      max_steps=2, beta=0.0, prefix_grouping=True,
+                      report_to="none")
+    tr = GRPOTrainer(model, reward_funcs=[
+        lambda prompts=None, completions=None, **kw:
+        [float(len(c)) for c in completions]],
+        args=args, train_dataset=[{"prompt": "ab"}, {"prompt": "cd"}])
+    out = tr.train()
+    assert out.global_step == 2
+    assert np.isfinite(out.training_loss)

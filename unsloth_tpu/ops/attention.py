@@ -35,6 +35,37 @@ import jax.numpy as jnp
 from ..utils import env
 
 
+_PREFIX_LAYOUT = None
+
+
+class prefix_attention:
+    """Context manager activating the shared-prefix GRPO attention layout
+    (P, G, L) for every `attention()` call traced inside it.
+
+    The layout is a TRACE-TIME constant: a jitted function traced under
+    this context bakes the layout in. Trainers use one fixed layout per
+    run (GRPOTrainer derives it from max_prompt/completion lengths), so
+    jit caches stay coherent; do not reuse one jitted fn across layouts."""
+
+    def __init__(self, layout):
+        self.layout = tuple(int(x) for x in layout)
+
+    def __enter__(self):
+        global _PREFIX_LAYOUT
+        self._prev = _PREFIX_LAYOUT
+        _PREFIX_LAYOUT = self.layout
+        return self
+
+    def __exit__(self, *exc):
+        global _PREFIX_LAYOUT
+        _PREFIX_LAYOUT = self._prev
+        return False
+
+
+def current_prefix_layout():
+    return _PREFIX_LAYOUT
+
+
 def _gqa_expand(k, hq):
     hkv = k.shape[2]
     if hq == hkv:
@@ -56,8 +87,13 @@ def attention_ref(
     kv_positions: Optional[jnp.ndarray] = None,
     image_spans: Optional[jnp.ndarray] = None,
     sinks: Optional[jnp.ndarray] = None,
+    prefix_layout: Optional[tuple] = None,
 ):
     """Masked SDPA reference. fp32 softmax. Returns [B, T, Hq, Dh].
+
+    prefix_layout (P, G, L): shared-prefix GRPO layout — replaces the
+    causal/window/positions mask with the static slot mask from
+    prefix_mask_array (segment_ids still apply, for padding).
 
     image_spans [B, T] int32 (0 = text): tokens in the same nonzero span
     attend bidirectionally (gemma-3 VLM semantics — image tokens see each
@@ -92,6 +128,11 @@ def attention_ref(
     qpos = positions[:, :, None]     # [B, T, 1]
     kpos = kv_positions[:, None, :]  # [B, 1, S]
     mask = jnp.ones((b, t, s), dtype=bool)
+    if prefix_layout is not None:
+        pm = jnp.asarray(prefix_mask_array(*prefix_layout))
+        mask &= pm[None]
+        causal = False
+        window = None
     if causal:
         causal_ok = qpos >= kpos
         if image_spans is not None:
@@ -122,8 +163,40 @@ def attention_ref(
     return out.astype(q.dtype)
 
 
+def prefix_mask_array(P: int, G: int, L: int):
+    """Static [T, T] bool mask for the shared-prefix GRPO layout
+    [P prompt slots | G completion regions of L slots], T = P + G*L.
+
+    q attends kv iff slot-causal AND (kv in prefix OR same completion
+    region) — each completion sees the shared prompt once plus itself;
+    the prompt is causal within itself; completions never see each other.
+    (Reference: unsloth/utils/prefix_grouper_kernel.py:384 builds this as
+    a FlexAttention block mask; here it is a trace-time constant, so the
+    splash kernel compiles ONCE for a fixed (P, G, L).)"""
+    import numpy as np
+
+    T = P + G * L
+    q = np.arange(T)[:, None]
+    k = np.arange(T)[None, :]
+    in_prefix_k = k < P
+    reg_q = np.where(q >= P, (q - P) // L, -1)
+    reg_k = np.where(k >= P, (k - P) // L, -2)
+    same_region = reg_q == reg_k
+    return (q >= k) & (in_prefix_k | same_region)
+
+
+def _prefix_positions(P: int, G: int, L: int):
+    """Rope positions for the layout: prompt 0..P-1; each completion
+    restarts at P (its tokens logically follow the prompt)."""
+    import numpy as np
+
+    return np.concatenate(
+        [np.arange(P), np.tile(P + np.arange(L), G)]).astype(np.int32)
+
+
 def _splash_kernel(t: int, s: int, heads_per_kv: int, causal: bool,
-                   window, softcap, interpret: bool):
+                   window, softcap, interpret: bool,
+                   prefix_layout=None):
     """Build a splash-attention MQA kernel for one mask config. Built fresh
     per trace — caching the kernel object across jit traces leaks tracers
     (its mask-info arrays belong to the trace that created them).
@@ -136,7 +209,9 @@ def _splash_kernel(t: int, s: int, heads_per_kv: int, causal: bool,
     from jax.experimental.pallas.ops.tpu.splash_attention import (
         splash_attention_kernel as sk, splash_attention_mask as sm)
 
-    if window is not None:
+    if prefix_layout is not None:
+        base = sm.NumpyMask(prefix_mask_array(*prefix_layout))
+    elif window is not None:
         base = sm.LocalMask((t, s), window_size=(window - 1, 0), offset=0)
     elif causal:
         base = sm.CausalMask((t, s))
@@ -149,7 +224,7 @@ def _splash_kernel(t: int, s: int, heads_per_kv: int, causal: bool,
 
 
 def _tpu_splash(q, k, v, *, causal, segment_ids, window, softcap, scale,
-                interpret=False):
+                interpret=False, prefix_layout=None):
     """q [B,T,Hq,Dh]; k,v [B,S,Hkv,Dh] -> [B,T,Hq,Dh]."""
     from jax.experimental.pallas.ops.tpu.splash_attention import (
         splash_attention_kernel as sk)
@@ -157,7 +232,8 @@ def _tpu_splash(q, k, v, *, causal, segment_ids, window, softcap, scale,
     b, t, hq, dh = q.shape
     s, hkv = k.shape[1], k.shape[2]
     g = hq // hkv
-    kernel = _splash_kernel(t, s, g, causal, window, softcap, interpret)
+    kernel = _splash_kernel(t, s, g, causal, window, softcap, interpret,
+                            prefix_layout=prefix_layout)
 
     qs = (q * scale).transpose(0, 2, 1, 3).reshape(b, hkv, g, t, dh)
     ks = k.transpose(0, 2, 1, 3)   # [B, Hkv, S, Dh]
@@ -265,10 +341,27 @@ def _apply_sinks(out, lse, sinks):
             * c.transpose(0, 2, 1)[..., None]).astype(out.dtype)
 
 
+def _flash_block_sizes(t):
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
+
+    # Block 1024 is ~7% faster fwd+bwd at 8K, but its backward buffers
+    # add ~1 GB of HLO temp — enough to OOM the 8B/8K headline config on
+    # a 16 GB chip. Default 512; opt into bigger blocks when memory
+    # allows via UNSLOTH_FLASH_BLOCK.
+    pref = int(os.environ.get("UNSLOTH_FLASH_BLOCK", "512"))
+    block = next(b for b in (pref, 512, 256, 128) if b <= t and t % b == 0)
+    return BlockSizes(
+        block_q=block, block_k_major=block, block_k=block, block_b=1,
+        block_q_major_dkv=block, block_k_major_dkv=block,
+        block_k_dkv=block, block_q_dkv=block,
+        block_k_major_dq=block, block_k_dq=block, block_q_dq=block,
+    )
+
+
 def _tpu_flash(q, k, v, *, causal, segment_ids, scale):
     """Pallas flash attention (public JAX op) — causal / packed, no softcap."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
-        BlockSizes, SegmentIds, flash_attention)
+        SegmentIds, flash_attention)
 
     b, t, hq, dh = q.shape
     k = _gqa_expand(k, hq)
@@ -280,21 +373,161 @@ def _tpu_flash(q, k, v, *, causal, segment_ids, scale):
     seg = None
     if segment_ids is not None:
         seg = SegmentIds(q=segment_ids, kv=segment_ids)
-    # Block 1024 is ~7% faster fwd+bwd at 8K, but its backward buffers
-    # add ~1 GB of HLO temp — enough to OOM the 8B/8K headline config on
-    # a 16 GB chip. Default 512; opt into bigger blocks when memory
-    # allows via UNSLOTH_FLASH_BLOCK.
-    pref = int(os.environ.get("UNSLOTH_FLASH_BLOCK", "512"))
-    block = next(b for b in (pref, 512, 256, 128) if b <= t and t % b == 0)
-    sizes = BlockSizes(
-        block_q=block, block_k_major=block, block_k=block, block_b=1,
-        block_q_major_dkv=block, block_k_major_dkv=block,
-        block_k_dkv=block, block_q_dkv=block,
-        block_k_major_dq=block, block_k_dq=block, block_q_dq=block,
-    )
     out = flash_attention(qt, kt, vt, segment_ids=seg, causal=causal,
-                          sm_scale=scale, block_sizes=sizes)
+                          sm_scale=scale, block_sizes=_flash_block_sizes(t))
     return out.transpose(0, 2, 1, 3)
+
+
+def _tpu_flash_sinks(q, k, v, sinks, *, causal, segment_ids, scale):
+    """Flash attention with gpt-oss attention sinks in ONE score pass.
+
+    The sink is an extra per-head softmax logit with zero value (HF
+    GptOssAttention semantics). Instead of a second QK^T pass for the lse
+    (the r2 `_chunked_lse` approach), fold the sink into the softmax
+    normalizer of the stock Pallas flash kernel:
+
+      fwd:  (o, l, m) from the kernel with save_residuals; the sink joins
+            as m' = max(m, s), l' = l*exp(m-m') + exp(s-m'); the exact
+            rescale is out = o * (l*exp(m-m'))/l' = o * sigmoid(lse - s).
+      bwd:  the stock bwd kernels recompute p = exp(score - m)/l from
+            (l, m); handing them (l', m') makes that exactly the
+            sink-softmax probability p' = exp(score - lse'). With
+            di = rowsum(G * out) (= the sink-softmax D term, since the
+            sink contributes no value) the kernels' ds = p'(dp - di) is
+            the exact gradient. dsink_h = -sum_t p'_sink * di.
+
+    One attention-score pass forward, standard-cost backward — ~2x fewer
+    score FLOPs than the chunked-lse construction it replaces
+    (reference for sink semantics: gpt_oss modeling eager_attention_forward)."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as _fa
+
+    b, t, hq, dh = q.shape
+    k = _gqa_expand(k, hq)
+    v = _gqa_expand(v, hq)
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    sizes = _flash_block_sizes(t)
+
+    def _seg(sq, skv):
+        return (None if sq is None
+                else _fa.SegmentIds(q=sq, kv=skv))
+
+    def _fwd_impl(qt, kt, vt, sk, sq, skv):
+        o, l, m = _fa._flash_attention_impl(
+            qt, kt, vt, None, _seg(sq, skv), True, causal, scale,
+            sizes.block_b, sizes.block_q, sizes.block_k_major,
+            sizes.block_k, False)
+        s = sk.astype(jnp.float32)[None, :, None]          # [1, H, 1]
+        m2 = jnp.maximum(m, s)
+        scaled_l = l * jnp.exp(m - m2)
+        l2 = scaled_l + jnp.exp(s - m2)
+        c = scaled_l / l2
+        out = (o.astype(jnp.float32) * c[..., None]).astype(o.dtype)
+        return out, (qt, kt, vt, sk, sq, skv, out, l2, m2)
+
+    @jax.custom_vjp
+    def f(qt, kt, vt, sk, sq, skv):
+        return _fwd_impl(qt, kt, vt, sk, sq, skv)[0]
+
+    def f_fwd(qt, kt, vt, sk, sq, skv):
+        return _fwd_impl(qt, kt, vt, sk, sq, skv)
+
+    def f_bwd(res, g):
+        qt, kt, vt, sk, sq, skv, out, l2, m2 = res
+        seg = _seg(sq, skv)
+        di = jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32),
+                     axis=-1)                              # [B, H, T]
+        dk, dv = _fa._flash_attention_bwd_dkv(
+            qt, kt, vt, None, seg, l2, m2, g, di,
+            block_q_major=sizes.block_q_major_dkv,
+            block_k_major=sizes.block_k_major_dkv,
+            block_k=sizes.block_k_dkv, block_q=sizes.block_q_dkv,
+            sm_scale=scale, causal=causal,
+            mask_value=_fa.DEFAULT_MASK_VALUE, debug=False)
+        dq, _ = _fa._flash_attention_bwd_dq(
+            qt, kt, vt, None, seg, l2, m2, g, di,
+            block_q_major=sizes.block_q_dq,
+            block_k_major=sizes.block_k_major_dq,
+            block_k=sizes.block_k_dq,
+            sm_scale=scale, causal=causal,
+            mask_value=_fa.DEFAULT_MASK_VALUE, debug=False)
+        lse2 = m2 + jnp.log(l2)
+        p_sink = jnp.exp(sk.astype(jnp.float32)[None, :, None] - lse2)
+        dsk = -jnp.sum(p_sink * di, axis=(0, 2)).astype(sk.dtype)
+        return (dq.astype(qt.dtype), dk.astype(kt.dtype),
+                dv.astype(vt.dtype), dsk, None, None)
+
+    f.defvjp(f_fwd, f_bwd)
+    out = f(qt, kt, vt, sinks, segment_ids, segment_ids)
+    return out.transpose(0, 2, 1, 3)
+
+
+def banded_window_attention(q, k, v, *, window, segment_ids=None,
+                            scale=None, sinks=None, softcap=None):
+    """Exact sliding-window attention via block-banding — O(T * 2W).
+
+    For window W << T (gpt-oss sliding layers: W=128), each query block of
+    size B = roundup(W, 128) attends only kv blocks [i-1, i]; everything
+    else is causally+window masked anyway. Scores are [nb, B, 2B] instead
+    of [T, T]. Pure jnp (differentiable, fuses under XLA, runs on any
+    backend); sinks and softcap handled inline and exactly. Wrapped in
+    jax.checkpoint so the banded probs are recomputed, not saved.
+
+    Requires: causal, T % B == 0, self-attention (S == T)."""
+    b, t, hq, dh = q.shape
+    s_len, hkv = k.shape[1], k.shape[2]
+    assert s_len == t
+    if scale is None:
+        scale = dh ** -0.5
+    B = -(-window // 128) * 128
+    assert t % B == 0
+    nb = t // B
+    k = _gqa_expand(k, hq)
+    v = _gqa_expand(v, hq)
+
+    @functools.partial(jax.checkpoint, static_argnums=())
+    def run(q, k, v, seg, sinks):
+        qb = q.reshape(b, nb, B, hq, dh).astype(jnp.float32) * scale
+        kb = k.reshape(b, nb, B, hq, dh).astype(jnp.float32)
+        vb = v.reshape(b, nb, B, hq, dh).astype(jnp.float32)
+
+        def band(x):
+            prev = jnp.concatenate(
+                [jnp.zeros_like(x[:, :1]), x[:, :-1]], axis=1)
+            return jnp.concatenate([prev, x], axis=2)     # [b, nb, 2B, ...]
+
+        kband, vband = band(kb), band(vb)
+        scores = jnp.einsum("bnrhd,bnchd->bnhrc", qb, kband)
+        if softcap is not None:
+            scores = softcap * jnp.tanh(scores / softcap)
+        qpos = (jax.lax.broadcasted_iota(jnp.int32, (nb, B), 0) * B
+                + jax.lax.broadcasted_iota(jnp.int32, (nb, B), 1))
+        kpos = qpos[:, :1] - B + jax.lax.broadcasted_iota(
+            jnp.int32, (nb, 2 * B), 1)                    # [nb, 2B]
+        delta = qpos[:, :, None] - kpos[:, None, :]       # [nb, B, 2B]
+        mask = (delta >= 0) & (delta < window) & (kpos[:, None, :] >= 0)
+        mask = jnp.broadcast_to(mask[None], (b, nb, B, 2 * B))
+        if seg is not None:
+            sq = seg.reshape(b, nb, B)
+            skv = band(seg.reshape(b, nb, B, 1, 1))[..., 0, 0]
+            mask = mask & (sq[:, :, :, None] == skv[:, :, None, :])
+        scores = jnp.where(mask[:, :, None], scores, -jnp.inf)
+        if sinks is not None:
+            sink_col = jnp.broadcast_to(
+                sinks.astype(jnp.float32)[None, None, :, None, None],
+                (b, nb, hq, B, 1))
+            aug = jnp.concatenate([scores, sink_col], axis=-1)
+            probs = jax.nn.softmax(aug, axis=-1)[..., :-1]
+        else:
+            probs = jax.nn.softmax(scores, axis=-1)
+            probs = jnp.where(
+                jnp.any(mask[:, :, None], axis=-1, keepdims=True),
+                probs, 0.0)
+        out = jnp.einsum("bnhrc,bnchd->bnrhd", probs, vband)
+        return out.reshape(b, t, hq, dh)
+
+    return run(q, k, v, segment_ids, sinks).astype(q.dtype)
 
 
 def attention(
@@ -308,6 +541,7 @@ def attention(
     positions: Optional[jnp.ndarray] = None,
     image_spans: Optional[jnp.ndarray] = None,
     sinks: Optional[jnp.ndarray] = None,
+    prefix_layout: Optional[tuple] = None,
 ):
     """Dispatching attention op (training path, self-attention).
 
@@ -323,6 +557,25 @@ def attention(
     hkv = k.shape[2]
     if scale is None:
         scale = dh ** -0.5
+
+    if prefix_layout is None and t == k.shape[1]:
+        lay = current_prefix_layout()
+        if lay is not None and lay[0] + lay[1] * lay[2] == t:
+            prefix_layout = lay
+    if prefix_layout is not None:
+        # shared-prefix GRPO layout: static splash mask on TPU (compiled
+        # once per (P, G, L)), masked-SDPA reference elsewhere.
+        on_tpu_ = jax.default_backend() == "tpu" and not env.disable_pallas()
+        if (on_tpu_ and dh % 64 == 0 and t % 128 == 0 and hq % hkv == 0
+                and softcap is None and sinks is None):
+            return _tpu_splash(q, k, v, causal=True,
+                               segment_ids=segment_ids, window=None,
+                               softcap=None, scale=scale,
+                               prefix_layout=prefix_layout)
+        return attention_ref(q, k, v, causal=True,
+                             segment_ids=segment_ids, scale=scale,
+                             softcap=softcap, sinks=sinks,
+                             prefix_layout=prefix_layout)
 
     # Context parallelism: when a trainer activated an "sp" mesh axis
     # (parallel/context.py), route through ring attention — the sequence
@@ -340,15 +593,27 @@ def attention(
                                   softcap=softcap)
 
     on_tpu = jax.default_backend() == "tpu" and not env.disable_pallas()
-    aligned = (dh % 128 == 0 and t % 128 == 0 and t == k.shape[1]
+    # dh=64 (gpt-oss) works in the Pallas kernels — blocks pad the lane
+    # dim; the seq-block tiling is what must stay 128-aligned.
+    aligned = (dh % 64 == 0 and t % 128 == 0 and t == k.shape[1]
                and hq % hkv == 0)
     # positions are advisory: packing correctness comes from segment_ids
     # (slot order == position order within a segment), so kernels that
     # don't take positions are still exact.
     no_img = image_spans is None
     plain = softcap is None and window is None
+    # A window narrow relative to T: banding beats any full-grid kernel.
+    narrow = (window is not None and t % (-(-window // 128) * 128) == 0
+              and (-(-window // 128) * 128) * 4 <= t)
 
     if sinks is not None:
+        if plain and causal and on_tpu and aligned and no_img:
+            return _tpu_flash_sinks(q, k, v, sinks, causal=causal,
+                                    segment_ids=segment_ids, scale=scale)
+        if narrow and causal and no_img and dh % 64 == 0:
+            return banded_window_attention(
+                q, k, v, window=window, segment_ids=segment_ids,
+                scale=scale, sinks=sinks, softcap=softcap)
         if on_tpu and aligned and no_img:
             out = attention(q, k, v, causal=causal,
                             segment_ids=segment_ids, window=window,

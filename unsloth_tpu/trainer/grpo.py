@@ -60,6 +60,12 @@ class GRPOConfig(SFTConfig):
     # behind UNSLOTH_ENABLE_GRPO_PACKING; here it's a config flag):
     # pack prompt+completion sequences into full rows via segment ids.
     packing: Any = False
+    # Training-side PrefixGrouper (reference: utils/prefix_grouper.py:218 +
+    # prefix_grouper_kernel.py:384): attend each group's shared prompt
+    # ONCE in the loss pass — rows are [P prompt slots | G completion
+    # regions]; the prompt's forward/backward (linear ops AND attention)
+    # runs once instead of num_generations times.
+    prefix_grouping: bool = False
 
 
 @jax.tree_util.register_pytree_node_class
@@ -81,6 +87,23 @@ class GRPOBatch:
         return cls(*children)
 
 
+def _lm_head_and_scale(params, cfg, dtype, temperature):
+    w = params.get("lm_head")
+    if w is None:
+        w = params["embed"]
+    from ..ops.nf4 import NF4Tensor, dequantize_nf4
+
+    if isinstance(w, NF4Tensor):
+        wd = dequantize_nf4(w, dtype).T
+    else:
+        wd = w.T.astype(dtype)
+    scale = (1.0 / temperature) if temperature != 1.0 else None
+    # combine with cfg logit scaling if present
+    if cfg.logit_scale is not None:
+        scale = (scale or 1.0) * cfg.logit_scale
+    return wd, scale
+
+
 def grpo_per_token_logps(params, lora, input_ids, targets, cfg,
                          chunk_size=2048, temperature=1.0,
                          positions=None, segment_ids=None):
@@ -91,24 +114,41 @@ def grpo_per_token_logps(params, lora, input_ids, targets, cfg,
     h = forward(params, lora, input_ids, cfg, remat=True,
                 positions=positions, segment_ids=segment_ids)
     b, t, d = h.shape
-    w = params.get("lm_head")
-    if w is None:
-        w = params["embed"]
-    from ..ops.nf4 import NF4Tensor, dequantize_nf4
-
-    if isinstance(w, NF4Tensor):
-        wd = dequantize_nf4(w, h.dtype).T
-    else:
-        wd = w.T.astype(h.dtype)
-    scale = (1.0 / temperature) if temperature != 1.0 else None
-    # combine with cfg logit scaling if present
-    if cfg.logit_scale is not None:
-        scale = (scale or 1.0) * cfg.logit_scale
+    wd, scale = _lm_head_and_scale(params, cfg, h.dtype, temperature)
     logps = selective_log_softmax(
         h.reshape(-1, d), wd, targets.reshape(-1),
         softcap=cfg.final_softcap, logit_scale=scale,
         chunk_size=chunk_size)
     return logps.reshape(b, t)
+
+
+def grpo_grouped_logps(params, lora, batch, cfg, chunk_size=2048,
+                       temperature=1.0):
+    """Per-token logps for the shared-prefix grouped layout.
+
+    Returns (logps [n_g, T], first_logps [n_g, G]) — within a completion,
+    slot s predicts slot s+1; each completion's FIRST token is predicted
+    from the shared prompt's last hidden state h[:, P-1] (one hidden, G
+    targets), so those G logps come from a separate selective softmax."""
+    from ..ops.attention import prefix_attention
+
+    P, G, L = batch.layout
+    with prefix_attention((P, G, L)):
+        h = forward(params, lora, batch.input_ids, cfg, remat=True,
+                    positions=batch.positions,
+                    segment_ids=batch.segment_ids)
+    b, t, d = h.shape
+    wd, scale = _lm_head_and_scale(params, cfg, h.dtype, temperature)
+    logps = selective_log_softmax(
+        h.reshape(-1, d), wd, batch.logp_targets.reshape(-1),
+        softcap=cfg.final_softcap, logit_scale=scale,
+        chunk_size=chunk_size).reshape(b, t)
+    h_first = jnp.repeat(h[:, P - 1, :], G, axis=0)        # [b*G, d]
+    first_logps = selective_log_softmax(
+        h_first, wd, batch.first_targets.reshape(-1),
+        softcap=cfg.final_softcap, logit_scale=scale,
+        chunk_size=chunk_size).reshape(b, G)
+    return logps, first_logps
 
 
 @jax.tree_util.register_pytree_node_class
@@ -132,6 +172,65 @@ class PackedGRPOBatch:
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class GroupedGRPOBatch:
+    """Shared-prefix GRPO round: one row per prompt group, laid out as
+    [P prompt slots (right-aligned) | G completion regions of L slots].
+    The (P, G, L) layout is STATIC pytree aux — a layout change retraces
+    the jitted step, which also rebuilds the static splash prefix mask."""
+
+    input_ids: jnp.ndarray      # [n_g, T]
+    segment_ids: jnp.ndarray    # [n_g, T] (1 real, 0 padding)
+    positions: jnp.ndarray      # [n_g, T] rope positions
+    logp_targets: jnp.ndarray   # [n_g, T] next-token ids (-100 outside)
+    first_targets: jnp.ndarray  # [n_g, G] first completion tokens
+    adv_tok: jnp.ndarray        # [n_g, T]
+    w_tok: jnp.ndarray          # [n_g, T]
+    first_adv: jnp.ndarray      # [n_g, G]
+    first_w: jnp.ndarray        # [n_g, G]
+    layout: tuple = (0, 0, 0)   # (P, G, L) — static
+
+    def tree_flatten(self):
+        return ((self.input_ids, self.segment_ids, self.positions,
+                 self.logp_targets, self.first_targets, self.adv_tok,
+                 self.w_tok, self.first_adv, self.first_w), self.layout)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, layout=aux)
+
+
+def _grpo_token_term(lp, old, ref, adv, w, *, beta, eps_low, eps_high):
+    """Weighted clipped-surrogate (+ k3 KL) sum — shared by the packed
+    and grouped losses."""
+    ratio = jnp.exp(lp - old)
+    unclipped = ratio * adv
+    clipped = jnp.clip(ratio, 1.0 - eps_low, 1.0 + eps_high) * adv
+    per_token = -jnp.minimum(unclipped, clipped)
+    if beta > 0.0 and ref is not None:
+        delta = ref - lp
+        per_token = per_token + beta * (jnp.exp(delta) - delta - 1.0)
+    return jnp.sum(per_token * w)
+
+
+def grpo_loss_grouped(policy, old, ref, batch,
+                      *, beta: float, epsilon: float,
+                      epsilon_high: Optional[float] = None):
+    """Grouped-layout GRPO loss: the packed weighted-sum form applied to
+    both the in-row logps and the first-token logps."""
+    eps_high = epsilon_high if epsilon_high is not None else epsilon
+    lp, flp = policy
+    olp, oflp = old
+    rlp, rflp = ref if ref is not None else (None, None)
+    return (_grpo_token_term(lp, olp, rlp, batch.adv_tok, batch.w_tok,
+                             beta=beta, eps_low=epsilon,
+                             eps_high=eps_high)
+            + _grpo_token_term(flp, oflp, rflp, batch.first_adv,
+                               batch.first_w, beta=beta, eps_low=epsilon,
+                               eps_high=eps_high))
 
 
 def grpo_loss_packed(policy_logps, old_logps, ref_logps, batch,
@@ -398,6 +497,90 @@ class GRPOTrainer:
             w_tok=jnp.asarray(w_tok),
         )
 
+    def _build_grouped_batch(self, prompt_ids, completion_ids, advantages):
+        """Shared-prefix layout: one row per prompt group —
+        [P prompt slots, right-aligned | G regions of L slots, one per
+        completion]. The prompt's tokens exist ONCE per group, so its
+        forward/backward (linear ops and attention) is not repeated per
+        generation (reference PrefixGrouper, utils/prefix_grouper.py:218).
+        """
+        args = self.args
+        G = args.num_generations
+        P = -(-args.max_prompt_length // 128) * 128
+        L = -(-(args.max_completion_length + 1) // 128) * 128
+        T = P + G * L
+        eos = self.tokenizer.eos_token_id if self.tokenizer else None
+        n_groups = len(prompt_ids) // G
+        n_seq = len(prompt_ids)
+
+        input_ids = np.zeros((n_groups, T), np.int32)
+        segment_ids = np.zeros((n_groups, T), np.int32)
+        positions = np.zeros((n_groups, T), np.int32)
+        targets = np.full((n_groups, T), -100, np.int32)
+        first_targets = np.zeros((n_groups, G), np.int32)
+        adv_tok = np.zeros((n_groups, T), np.float32)
+        w_tok = np.zeros((n_groups, T), np.float32)
+        first_adv = np.zeros((n_groups, G), np.float32)
+        first_w = np.zeros((n_groups, G), np.float32)
+
+        # total completion tokens for bnpo normalization
+        comp_rows = []
+        total_comp = 0
+        for i, c in enumerate(completion_ids):
+            c = list(c)
+            truncated = len(c) >= args.max_completion_length and (
+                eos is None or (len(c) > 0 and c[-1] != eos))
+            if eos is not None and len(c) < args.max_completion_length:
+                c = c + [eos]
+            c = c[:L]
+            comp_rows.append((c, truncated))
+            if c and not (args.mask_truncated_completions and truncated):
+                total_comp += len(c)
+        total_comp = max(total_comp, 1)
+
+        for g in range(n_groups):
+            p = list(prompt_ids[g * G])[-P:]
+            lp = len(p)
+            input_ids[g, P - lp:P] = p
+            segment_ids[g, P - lp:P] = 1
+            positions[g, P - lp:P] = np.arange(lp)
+            for j in range(G):
+                idx = g * G + j
+                c, truncated = comp_rows[idx]
+                lc = len(c)
+                if lc == 0:
+                    continue
+                lo = P + j * L
+                input_ids[g, lo:lo + lc] = c
+                segment_ids[g, lo:lo + lc] = 1
+                positions[g, lo:lo + lc] = lp + np.arange(lc)
+                # slot s (holding c[i]) predicts c[i+1]
+                targets[g, lo:lo + lc - 1] = c[1:]
+                first_targets[g, j] = c[0]
+                if args.mask_truncated_completions and truncated:
+                    continue
+                if args.loss_type == "grpo":
+                    w = 1.0 / (lc * n_seq)
+                elif args.loss_type == "bnpo":
+                    w = 1.0 / total_comp
+                else:  # dr_grpo
+                    w = 1.0 / (n_seq * max(args.max_completion_length, 1))
+                adv_tok[g, lo:lo + lc - 1] = advantages[idx]
+                w_tok[g, lo:lo + lc - 1] = w
+                first_adv[g, j] = advantages[idx]
+                first_w[g, j] = w
+        return GroupedGRPOBatch(
+            input_ids=jnp.asarray(input_ids),
+            segment_ids=jnp.asarray(segment_ids),
+            positions=jnp.asarray(positions),
+            logp_targets=jnp.asarray(targets),
+            first_targets=jnp.asarray(first_targets),
+            adv_tok=jnp.asarray(adv_tok),
+            w_tok=jnp.asarray(w_tok),
+            first_adv=jnp.asarray(first_adv),
+            first_w=jnp.asarray(first_w),
+            layout=(P, G, L))
+
     def _compute_rewards(self, prompts, completions_text, examples):
         args = self.args
         g = args.num_generations
@@ -425,6 +608,15 @@ class GRPOTrainer:
         args = self.args
 
         def loss_fn(lora, params, batch, old_logps, ref_logps):
+            if isinstance(batch, GroupedGRPOBatch):
+                policy = grpo_grouped_logps(
+                    params, lora, batch, cfg,
+                    temperature=args.temperature)
+                old = old_logps if old_logps is not None else \
+                    jax.lax.stop_gradient(policy)
+                return grpo_loss_grouped(
+                    policy, old, ref_logps, batch, beta=args.beta,
+                    epsilon=args.epsilon, epsilon_high=args.epsilon_high)
             packed = isinstance(batch, PackedGRPOBatch)
             logps = grpo_per_token_logps(
                 params, lora, batch.input_ids, batch.logp_targets, cfg,
@@ -476,6 +668,10 @@ class GRPOTrainer:
                 temperature=args.temperature, positions=pos,
                 segment_ids=seg),
             static_argnames=())
+        grouped_logp_fn = jax.jit(
+            lambda params, lora, batch: grpo_grouped_logps(
+                params, lora, batch, model.cfg,
+                temperature=args.temperature))
 
         bsz = args.per_device_train_batch_size
         ds = list(self.train_dataset)
@@ -494,25 +690,34 @@ class GRPOTrainer:
                 prompts, completions_text, examples)
             adv = group_advantages(rewards, args.num_generations,
                                    args.scale_rewards)
-            if args.packing and args.packing != "auto":
+            grouped = bool(args.prefix_grouping)
+            if grouped:
+                batch = self._build_grouped_batch(prompt_ids,
+                                                  completion_ids, adv)
+            elif args.packing and args.packing != "auto":
                 batch = self._build_packed_batch(prompt_ids,
                                                  completion_ids, adv)
-                pos, seg = batch.positions, batch.segment_ids
             else:
                 batch = self._build_batch(prompt_ids, completion_ids, adv)
-                pos = seg = None
+
+            def _logps(lora_or_none):
+                if grouped:
+                    return grouped_logp_fn(model.params, lora_or_none,
+                                           batch)
+                packed = isinstance(batch, PackedGRPOBatch)
+                pos = batch.positions if packed else None
+                seg = batch.segment_ids if packed else None
+                return logp_fn(model.params, lora_or_none,
+                               batch.input_ids, batch.logp_targets,
+                               pos, seg)
 
             ref_logps = None
             if args.beta > 0.0:
                 # reference policy = frozen base (LoRA disabled)
-                ref_logps = jax.lax.stop_gradient(logp_fn(
-                    model.params, None, batch.input_ids,
-                    batch.logp_targets, pos, seg))
+                ref_logps = jax.lax.stop_gradient(_logps(None))
             old_logps = None
             if args.num_iterations > 1:
-                old_logps = jax.lax.stop_gradient(logp_fn(
-                    model.params, model.lora, batch.input_ids,
-                    batch.logp_targets, pos, seg))
+                old_logps = jax.lax.stop_gradient(_logps(model.lora))
 
             import contextlib
 
