@@ -92,3 +92,109 @@ def test_contrastive_training_separates_pairs(st_model):
     after = paired_vs_random_margin()
     assert log[-1]["loss"] < log[0]["loss"]
     assert after > before, (before, after)
+
+
+def test_hard_negative_mnrl_and_triplet():
+    from unsloth_tpu.models.sentence_transformer import triplet_loss
+
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.randn(4, 8).astype(np.float32))
+    p = a + 0.01 * jnp.asarray(rng.randn(4, 8).astype(np.float32))
+    far = jnp.asarray(rng.randn(4, 8).astype(np.float32))
+    # hard negatives = near-duplicates of the anchors raise the loss
+    near = a + 0.02 * jnp.asarray(rng.randn(4, 8).astype(np.float32))
+    l_far = multiple_negatives_ranking_loss(a, p, negatives=far)
+    l_near = multiple_negatives_ranking_loss(a, p, negatives=near)
+    l_none = multiple_negatives_ranking_loss(a, p)
+    assert float(l_near) > float(l_far) >= float(l_none) * 0.99
+    # triplet: zero when negative is far beyond the margin
+    t_far = triplet_loss(a, a, a + 100.0, margin=5.0)
+    t_near = triplet_loss(a, a + 1.0, a, margin=5.0)
+    assert float(t_far) == 0.0 and float(t_near) > 0.0
+
+
+def test_st_module_graph_roundtrip(st_model, tmp_path):
+    from unsloth_tpu.models.sentence_transformer import (
+        read_st_module_graph, write_st_module_graph)
+
+    st_model.pooling = "cls"
+    st_model.normalize = True
+    st_model.max_seq_length = 128
+    d = str(tmp_path)
+    write_st_module_graph(st_model, d)
+    graph = read_st_module_graph(d)
+    assert graph == {"normalize": True, "pooling": "cls",
+                     "max_seq_length": 128}
+
+
+def test_st_save_pretrained_gguf(st_model, tmp_path):
+    """Embedder GGUF export: tower exports as a causal LM, module graph
+    rides alongside (reference: sentence_transformer.py:62-285)."""
+    import os
+
+    from unsloth_tpu.export.gguf_writer import read_gguf
+
+    out = st_model.save_pretrained_gguf(str(tmp_path), "q8_0")
+    assert os.path.exists(out)
+    md, tensors, _ = read_gguf(out)
+    assert md["general.architecture"] == "llama"
+    assert os.path.exists(str(tmp_path / "modules.json"))
+
+
+def test_trainer_with_hard_negatives(st_model):
+    args = EmbeddingTrainerConfig(max_steps=3,
+                                  per_device_train_batch_size=2,
+                                  learning_rate=1e-3, logging_steps=1)
+    ds = [{"anchor": "hello there", "positive": "hi there",
+           "negative": "completely different"},
+          {"anchor": "good day", "positive": "nice day",
+           "negative": "bad night"}]
+    tr = SentenceTransformerTrainer(st_model, ds, args)
+    log = tr.train()
+    assert len(log) == 3 and np.isfinite(log[-1]["loss"])
+
+
+def test_bert_backed_st_from_pretrained(tmp_path):
+    """A sentence-transformers BERT checkpoint (modules.json + pooling
+    config) loads through FastSentenceTransformer and encodes."""
+    torch = pytest.importorskip("torch")
+    from transformers import AutoTokenizer, BertConfig, BertModel
+
+    from unsloth_tpu.models.sentence_transformer import (
+        FastSentenceTransformer)
+
+    cfg = BertConfig(vocab_size=100, hidden_size=32, num_hidden_layers=2,
+                     num_attention_heads=2, intermediate_size=64,
+                     max_position_embeddings=64)
+    torch.manual_seed(0)
+    model = BertModel(cfg)
+    path = str(tmp_path / "st")
+    model.save_pretrained(path, safe_serialization=True)
+    import json
+    import os
+
+    with open(os.path.join(path, "modules.json"), "w") as f:
+        json.dump([
+            {"idx": 0, "name": "0", "path": "",
+             "type": "sentence_transformers.models.Transformer"},
+            {"idx": 1, "name": "1", "path": "1_Pooling",
+             "type": "sentence_transformers.models.Pooling"},
+            {"idx": 2, "name": "2", "path": "2_Normalize",
+             "type": "sentence_transformers.models.Normalize"}], f)
+    os.makedirs(os.path.join(path, "1_Pooling"), exist_ok=True)
+    with open(os.path.join(path, "1_Pooling", "config.json"), "w") as f:
+        json.dump({"pooling_mode_cls_token": True,
+                   "pooling_mode_mean_tokens": False}, f)
+
+    st, tok = FastSentenceTransformer.from_pretrained(path)
+    assert st.pooling == "cls" and st.normalize
+
+    class SmallTok:
+        def __call__(self, text, **kw):
+            return {"input_ids": [ord(c) % 100 for c in text]}
+
+    st.encoder.tokenizer = SmallTok()
+    emb = st.encode(["ab", "cdef"])
+    assert emb.shape == (2, 32)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0,
+                               rtol=1e-5)
