@@ -121,6 +121,7 @@ class FastLanguageModel:
         trust_remote_code: bool = False,
         fast_inference: bool = False,
         stack_layers: bool = False,
+        qat_scheme: Optional[str] = None,
         **kwargs,
     ) -> Tuple[LanguageModel, Any]:
         """Load a model + tokenizer from a local HF checkpoint directory.
@@ -129,6 +130,15 @@ class FastLanguageModel:
         present; this environment is offline-first (the reference's
         `@_offline_aware_load` retry, loader_utils.py:1183, is the default
         behavior here)."""
+        if qat_scheme is not None and not full_finetuning:
+            # reference error parity (loader.py:1304-1309): QAT+LoRA goes
+            # through get_peft_model(qat_scheme=...)
+            raise ValueError(
+                "Specifying `qat_scheme` in `from_pretrained(...)` is "
+                "only compatible with `full_finetuning=True`. For QAT "
+                "with LoRA, pass `qat_scheme` to `get_peft_model(...)`.")
+        if qat_scheme is not None:
+            kwargs["_qat_scheme_full_ft"] = qat_scheme
         from .mapper import get_model_name
 
         if not os.path.isdir(model_name):
@@ -188,6 +198,12 @@ class FastLanguageModel:
             rules=rules or ShardingRules(),
             max_seq_length=max_seq_length, tokenizer=tokenizer,
             model_path=path, hf_config=hf_config)
+        qat_full = kwargs.get("_qat_scheme_full_ft")
+        if qat_full is not None:
+            from .qat import apply_qat
+
+            model.params = apply_qat(model.params, qat_full)
+            model.qat_scheme = qat_full
         return model, tokenizer
 
     @staticmethod
@@ -202,6 +218,7 @@ class FastLanguageModel:
         random_state: int = 3407,
         use_rslora: bool = False,
         modules_to_save: Optional[Sequence[str]] = None,
+        qat_scheme: Optional[str] = None,
         **kwargs,
     ) -> LanguageModel:
         """Attach a LoRA tree (reference: models/llama.py:3044).
@@ -209,7 +226,19 @@ class FastLanguageModel:
         lora_dropout != 0 and bias != "none" are accepted but, like the
         reference's fast path, the optimized kernels assume dropout=0 and
         bias=none (reference: models/llama.py:3582-3700 binds fast LoRA
-        only under those settings)."""
+        only under those settings).
+
+        qat_scheme ("int4" | "int8-int4" | "fp8-int4" | "fp8-fp8" |
+        "phone-deployment"): QAT+LoRA — fake-quantize the frozen dense
+        base so LoRA learns to compensate the quantization error
+        (reference: models/llama.py:3476 _prepare_for_qat +
+        _utils.py:3828; because the base is frozen, a one-time
+        dequant(quant(W)) is exactly equivalent to per-step fake quant)."""
+        if qat_scheme is not None:
+            from .qat import apply_qat
+
+            model.params = apply_qat(model.params, qat_scheme)
+            model.qat_scheme = qat_scheme
         if lora_dropout != 0.0:
             import warnings
 
