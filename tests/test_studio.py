@@ -179,3 +179,72 @@ def test_estimate_with_model_name(studio):
     code, out = _req(url, "/api/estimate", {
         "model_name": "org/definitely-not-local", "seq_length": 512})
     assert code == 404 and "dims" in out["error"]
+
+
+def test_datasets_routes(studio):
+    """Upload -> list -> preview (reference:
+    studio/backend/routes/datasets.py)."""
+    url, srv, _ = studio
+    rows = [{"text": f"example {i}"} for i in range(5)]
+    code, out = _req(url, "/api/datasets",
+                     {"name": "my-set", "rows": rows})
+    assert code == 200 and out["rows"] == 5
+    code, out = _req(url, "/api/datasets")
+    assert code == 200
+    assert any(d["name"] == "my-set" and d["rows"] == 5
+               for d in out["datasets"])
+    code, out = _req(url, "/api/datasets/my-set/preview")
+    assert code == 200 and out["rows"][0] == {"text": "example 0"}
+    # raw jsonl text upload
+    code, out = _req(url, "/api/datasets",
+                     {"name": "raw", "text": '{"a": 1}\n{"a": 2}\n'})
+    assert code == 200 and out["rows"] == 2
+    # bad name rejected
+    code, out = _req(url, "/api/datasets",
+                     {"name": "../evil", "rows": rows})
+    assert code == 400
+    # missing dataset 404
+    code, _ = _req(url, "/api/datasets/nope/preview")
+    assert code == 404
+    # auth still gates
+    code, _ = _req(url, "/api/datasets", token=None)
+    assert code == 401
+
+
+def test_hub_download_route(studio, tmp_path_factory):
+    """Hub resolution worker (reference: hub/workers/hf_download.py):
+    a local checkpoint resolves with its file list; a missing model
+    reports a structured error."""
+    from tests.helpers import TINY_LLAMA, make_hf_checkpoint
+
+    url, srv, _ = studio
+    ckpt = str(tmp_path_factory.mktemp("hub") / "m")
+    make_hf_checkpoint(ckpt, TINY_LLAMA)
+    code, out = _req(url, "/api/hub/download", {"model_name": ckpt})
+    assert code == 200
+    jid = out["job_id"]
+    code, st = _req(url, f"/api/hub/downloads/{jid}")
+    assert code == 200 and st["status"] == "done"
+    assert any(f["name"].endswith(".safetensors") for f in st["files"])
+
+    code, out = _req(url, "/api/hub/download",
+                     {"model_name": "no/such-model-xyz"})
+    jid = out["job_id"]
+    code, st = _req(url, f"/api/hub/downloads/{jid}")
+    assert st["status"] == "error" and st["error"]
+
+
+def test_chat_history_route(studio):
+    url, srv, _ = studio
+    code, out = _req(url, "/api/chat/history")
+    assert code == 200 and out["entries"] == []
+    # log an entry through the server-side hook
+    import os
+
+    with open(os.path.join(srv.jobs.workdir, "chat_history.jsonl"),
+              "a") as f:
+        f.write(json.dumps({"ts": 0, "messages": [],
+                            "response": {"role": "assistant",
+                                         "content": "hi"}}) + "\n")
+    code, out = _req(url, "/api/chat/history")
+    assert len(out["entries"]) == 1

@@ -225,6 +225,145 @@ class StudioServer(InferenceServer):
         self._token_sha = (hashlib.sha256(token.encode()).hexdigest()
                            if token else None)
 
+    # -- datasets (reference: studio/backend/routes/datasets.py) --------
+
+    def _datasets_dir(self) -> str:
+        d = os.path.join(self.jobs.workdir, "datasets")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def dataset_save(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        """Upload a dataset as JSON rows (or raw jsonl text); stored as
+        one jsonl file usable by /api/train/start via {"dataset": name}."""
+        name = str(body.get("name", "")).strip()
+        if not name or not all(c.isalnum() or c in "-_." for c in name):
+            raise TypeError("dataset name must be [-_.a-zA-Z0-9]")
+        rows = body.get("rows")
+        text = body.get("text")
+        path = os.path.join(self._datasets_dir(), name + ".jsonl")
+        n = 0
+        with open(path, "w", encoding="utf-8") as f:
+            if rows is not None:
+                for r in rows:
+                    f.write(json.dumps(r, ensure_ascii=False) + "\n")
+                    n += 1
+            elif text is not None:
+                for line in str(text).splitlines():
+                    line = line.strip()
+                    if not line:
+                        continue
+                    json.loads(line)  # validate
+                    f.write(line + "\n")
+                    n += 1
+            else:
+                raise KeyError("rows")
+        return {"name": name, "rows": n, "path": path}
+
+    def dataset_list(self) -> Dict[str, Any]:
+        out = []
+        d = self._datasets_dir()
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".jsonl"):
+                p = os.path.join(d, fn)
+                with open(p, encoding="utf-8") as f:
+                    n = sum(1 for line in f if line.strip())
+                out.append({"name": fn[:-6], "rows": n,
+                            "bytes": os.path.getsize(p)})
+        return {"datasets": out}
+
+    def dataset_preview(self, name: str, n: int = 10) -> Dict[str, Any]:
+        path = os.path.join(self._datasets_dir(), name + ".jsonl")
+        if not os.path.exists(path):
+            raise FileNotFoundError(name)
+        rows = []
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    rows.append(json.loads(line))
+                if len(rows) >= n:
+                    break
+        return {"name": name, "rows": rows}
+
+    # -- hub model resolution (reference: hub/workers/hf_download.py) ---
+
+    def hub_download(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        """Resolve a model into the local store as a background job with
+        progress events. Offline-first: the worker resolves through the
+        local HF cache (the reference's download worker streams from the
+        Hub; this environment has no egress, so 'download' = locate +
+        validate the snapshot and report its files)."""
+        name = body["model_name"]
+        jid = "hub-" + uuid.uuid4().hex[:8]
+        jd = os.path.join(self.jobs.workdir, jid)
+        os.makedirs(jd, exist_ok=True)
+        state = {"job_id": jid, "model_name": name, "status": "running",
+                 "files": [], "error": None}
+
+        def write_state():
+            with open(os.path.join(jd, "hub.json"), "w") as f:
+                json.dump(state, f)
+
+        def worker():
+            try:
+                from ..models.loader import _resolve_model_path
+
+                path = _resolve_model_path(name)
+                for fn in sorted(os.listdir(path)):
+                    full = os.path.join(path, fn)
+                    if os.path.isfile(full):
+                        state["files"].append(
+                            {"name": fn, "bytes": os.path.getsize(full)})
+                        write_state()
+                state["path"] = path
+                state["status"] = "done"
+            except Exception as e:  # noqa: BLE001
+                state["status"] = "error"
+                state["error"] = f"{type(e).__name__}: {e}"
+            write_state()
+
+        write_state()
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        t.join(timeout=10)  # local resolution is fast; stay synchronous-ish
+        return {"job_id": jid, "status": state["status"]}
+
+    def hub_status(self, jid: str) -> Dict[str, Any]:
+        p = os.path.join(self.jobs.workdir, jid, "hub.json")
+        if not os.path.exists(p):
+            raise FileNotFoundError(jid)
+        with open(p) as f:
+            return json.load(f)
+
+    # -- chat history (reference: studio chat-history routes) -----------
+
+    def chat_completion(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        resp = super().chat_completion(body)
+        try:
+            entry = {"ts": time.time(),
+                     "messages": body.get("messages", []),
+                     "response": resp["choices"][0]["message"]}
+            with open(os.path.join(self.jobs.workdir,
+                                   "chat_history.jsonl"), "a") as f:
+                f.write(json.dumps(entry, ensure_ascii=False) + "\n")
+        except Exception:  # noqa: BLE001 — history is best-effort
+            pass
+        return resp
+
+    def chat_history(self, limit: int = 100) -> Dict[str, Any]:
+        p = os.path.join(self.jobs.workdir, "chat_history.jsonl")
+        entries = []
+        if os.path.exists(p):
+            with open(p, encoding="utf-8") as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        try:
+                            entries.append(json.loads(line))
+                        except json.JSONDecodeError:
+                            pass
+        return {"entries": entries[-limit:]}
+
     def check_auth(self, headers) -> bool:
         if not self.require_auth:
             return True
@@ -306,6 +445,27 @@ class StudioServer(InferenceServer):
                                     except json.JSONDecodeError:
                                         pass
                     return self._send(200, {"entries": entries[-2000:]})
+                if self.path == "/api/datasets":
+                    return self._send(200, server.dataset_list())
+                if self.path.startswith("/api/datasets/") and \
+                        self.path.endswith("/preview"):
+                    name = self.path.split("/")[3]
+                    try:
+                        return self._send(200,
+                                          server.dataset_preview(name))
+                    except FileNotFoundError:
+                        return self._send(404, {"error": "no such "
+                                                         "dataset"})
+                if self.path.startswith("/api/hub/downloads/"):
+                    jid = self.path.rsplit("/", 1)[1]
+                    if not all(c.isalnum() or c == "-" for c in jid):
+                        return self._send(400, {"error": "bad job id"})
+                    try:
+                        return self._send(200, server.hub_status(jid))
+                    except FileNotFoundError:
+                        return self._send(404, {"error": "no such job"})
+                if self.path.startswith("/api/chat/history"):
+                    return self._send(200, server.chat_history())
                 if self.path == "/api/jobs":
                     jobs = []
                     wd = server.jobs.workdir
@@ -332,6 +492,14 @@ class StudioServer(InferenceServer):
                         return self._send(400, {"error": "invalid JSON"})
                     try:
                         if self.path == "/api/train/start":
+                            ds = body.get("dataset")
+                            if isinstance(ds, str):
+                                # uploaded-dataset names resolve to their
+                                # stored jsonl (wizard: upload -> train)
+                                p = os.path.join(server._datasets_dir(),
+                                                 ds + ".jsonl")
+                                if os.path.exists(p):
+                                    body["dataset"] = p
                             return self._send(200,
                                               server.jobs.start(body))
                         if self.path == "/api/train/stop":
@@ -364,6 +532,12 @@ class StudioServer(InferenceServer):
                         if self.path == "/api/export":
                             return self._send(200,
                                               server.start_export(body))
+                        if self.path == "/api/datasets":
+                            return self._send(200,
+                                              server.dataset_save(body))
+                        if self.path == "/api/hub/download":
+                            return self._send(200,
+                                              server.hub_download(body))
                         return self._send(404, {"error": "not found"})
                     except KeyError as e:
                         return self._send(400, {"error":
