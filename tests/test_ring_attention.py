@@ -140,3 +140,66 @@ def test_sft_trainer_context_parallel(rng):
     ref = run(None)
     got = run(create_mesh(dp=1, fsdp=2, sp=4, tp=1))
     np.testing.assert_allclose(got, ref, rtol=2e-4)
+
+
+@requires_8
+@pytest.mark.parametrize("window,softcap", [
+    (16, None), (16, 20.0), (None, 20.0)])
+def test_ring_window_softcap_matches_reference(rng, window, softcap):
+    """Sliding-window + softcap under sp-axis context parallelism
+    (mistral window / gemma-2 softcap+window class models; r2 VERDICT
+    weak #6 — the guard list shrinks)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    devices = np.asarray(jax.devices()[:8]).reshape(8)
+    mesh = Mesh(devices, ("sp",))
+    q, k, v = _qkv(rng)
+    fn = ring_attention_sharded(mesh, "sp", causal=True, window=window,
+                                softcap=softcap)
+    out = fn(q, k, v)
+    ref = attention_ref(q, k, v, causal=True, window=window,
+                        softcap=softcap)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+@requires_8
+def test_ring_windowed_packed_segments(rng):
+    import numpy as np
+    from jax.sharding import Mesh
+
+    devices = np.asarray(jax.devices()[:8]).reshape(8)
+    mesh = Mesh(devices, ("sp",))
+    q, k, v = _qkv(rng)
+    seg = np.ones((2, 64), np.int32)
+    seg[:, 40:] = 2
+    seg = jnp.asarray(seg)
+    fn = ring_attention_sharded(mesh, "sp", causal=True, window=24,
+                                with_segment_ids=True)
+    out = fn(q, k, v, seg)
+    ref = attention_ref(q, k, v, causal=True, window=24, segment_ids=seg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+@requires_8
+def test_attention_dispatch_routes_windowed_to_ring(rng):
+    """attention() inside an sp context no longer excludes windowed
+    models."""
+    import importlib
+
+    attn_mod = importlib.import_module("unsloth_tpu.ops.attention")
+    from unsloth_tpu.parallel.context import context_parallel
+
+    import numpy as np
+    from jax.sharding import Mesh
+
+    devices = np.asarray(jax.devices()[:8]).reshape(8)
+    mesh = Mesh(devices, ("sp",))
+    q, k, v = _qkv(rng)
+    with context_parallel(mesh, "sp"):
+        out = attn_mod.attention(q, k, v, causal=True, window=16)
+    ref = attention_ref(q, k, v, causal=True, window=16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)

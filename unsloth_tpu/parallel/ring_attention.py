@@ -54,11 +54,18 @@ def _block_attend(q, k, v, scale, mask, softcap=None):
 def ring_attention(q, k, v, *, axis_name: str, axis_size: int,
                    causal: bool = True, scale: Optional[float] = None,
                    segment_ids: Optional[jnp.ndarray] = None,
-                   softcap: Optional[float] = None):
+                   softcap: Optional[float] = None,
+                   window: Optional[int] = None):
     """Per-shard body (call inside shard_map). q/k/v: the local sequence
     shard [B, T_local, Hq, D] / [B, T_local, Hkv, D] (GQA expanded here);
     segment_ids: the local [B, T_local] shard. axis_size must be the
-    static mesh-axis size. Returns the local output shard."""
+    static mesh-axis size. Returns the local output shard.
+
+    window: sliding-window attention across the ring — masks with GLOBAL
+    slot positions (qpos - kpos < window), so mistral/gemma-class
+    windowed models can train under sp-axis context parallelism. A KV
+    block entirely outside the window contributes nothing (its masked
+    scores vanish in the -inf-safe online-softmax combine)."""
     b, t, hq, d = q.shape
     hkv = k.shape[2]
     if hq != hkv:
@@ -70,11 +77,8 @@ def ring_attention(q, k, v, *, axis_name: str, axis_size: int,
     n = axis_size
     my = jax.lax.axis_index(axis_name)
 
-    diag_mask = None
-    if causal:
-        rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
-        diag_mask = rows >= cols
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
 
     neg_inf = jnp.full((b, t, hq), -jnp.inf, jnp.float32)
     acc = jnp.zeros((b, t, hq, d), jnp.float32)
@@ -86,16 +90,17 @@ def ring_attention(q, k, v, *, axis_name: str, axis_size: int,
         src_block = (my - i) % n          # whose KV we hold this step
 
         mask = None
-        if causal:
-            # block-granular causality as a dynamically selected mask:
-            # past block -> full, diagonal -> lower-triangular, future ->
-            # empty (its contribution vanishes in the -inf-safe combine).
-            is_diag = src_block == my
-            is_past = src_block < my
-            full = jnp.ones((t, t), bool)
-            empty = jnp.zeros((t, t), bool)
-            mask = jnp.where(is_past, full,
-                             jnp.where(is_diag, diag_mask, empty))
+        if causal or window is not None:
+            # global slot positions of this q shard vs the visiting KV
+            # shard: causality and the sliding window are direct compares
+            # (a future or out-of-window block yields an all-False mask
+            # whose contribution vanishes in the combine).
+            delta = (my - src_block) * t + rows - cols   # qpos - kpos
+            mask = jnp.ones((t, t), bool)
+            if causal:
+                mask &= delta >= 0
+            if window is not None:
+                mask &= delta < window
             mask = jnp.broadcast_to(mask[None], (b, t, t))
         if seg_cur is not None and segment_ids is not None:
             seg_mask = segment_ids[:, :, None] == seg_cur[:, None, :]
@@ -134,6 +139,7 @@ def ring_attention_sharded(mesh: Mesh, axis_name: str = "sp",
                            causal: bool = True,
                            scale: Optional[float] = None,
                            softcap: Optional[float] = None,
+                           window: Optional[int] = None,
                            with_segment_ids: bool = False):
     """Build a jitted, shard_mapped ring attention: takes global
     q/k/v [B, T, H, D] (sequence sharded over `axis_name`), and, when
@@ -156,7 +162,8 @@ def ring_attention_sharded(mesh: Mesh, axis_name: str = "sp",
         def fn(q, k, v, seg):
             return ring_attention(q, k, v, axis_name=axis_name,
                                   axis_size=n, causal=causal, scale=scale,
-                                  segment_ids=seg, softcap=softcap)
+                                  segment_ids=seg, softcap=softcap,
+                                  window=window)
 
         return fn
 
@@ -166,6 +173,7 @@ def ring_attention_sharded(mesh: Mesh, axis_name: str = "sp",
         out_specs=spec)
     def fn(q, k, v):
         return ring_attention(q, k, v, axis_name=axis_name, axis_size=n,
-                              causal=causal, scale=scale, softcap=softcap)
+                              causal=causal, scale=scale, softcap=softcap,
+                              window=window)
 
     return fn
