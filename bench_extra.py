@@ -1,0 +1,453 @@
+"""Extra benchmark modes — the remaining driver configs (BASELINE.md:33-36):
+
+  BENCH_MODEL=grpo     GRPO on Llama-3.1-8B-class (rollout + step)
+  BENCH_MODEL=vision   Qwen2.5-VL-7B-class vision fine-tune
+  BENCH_MODEL=whisper  Whisper-large-v3 ASR fine-tune
+  BENCH_MODEL=tts      Orpheus-3B-class TTS (SNAC-token LM) fine-tune
+
+Each prints ONE JSON line with the same {value, vs_baseline, peak/mfu}
+tuple as the headline (bench.py). Invoked via bench.py's BENCH_MODEL
+dispatch. Sync discipline: float() on updated weights (axon gotcha)."""
+
+import json
+import os
+import sys
+import time
+
+V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def _env_int(name, default):
+    return int(os.environ.get(name, default))
+
+
+def _sync(tree):
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
+# ---------------------------------------------------------------------------
+# GRPO — Llama-3.1-8B class
+# ---------------------------------------------------------------------------
+
+def main_grpo(quick: bool):
+    """GRPO round throughput: on-device rollout (prefill-once KV fanout)
+    + ref logps + policy step. vs_baseline: the same round WITHOUT the
+    shared-prefix grouped loss (per-completion prompt replication — the
+    layout HF/TRL trains on)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from bench import build_model, llama31_8b_config, flops_per_token
+    from unsloth_tpu.models.loader import LanguageModel
+    from unsloth_tpu.models.params import init_lora_tree
+    from unsloth_tpu.trainer.grpo import GRPOConfig, GRPOTrainer
+
+    num_layers = _env_int("BENCH_LAYERS", 2 if quick else 32)
+    n_prompts = _env_int("BENCH_BATCH", 2)
+    G = _env_int("BENCH_GENERATIONS", 4)
+    p_len = _env_int("BENCH_PROMPT_LEN", 128 if quick else 512)
+    c_len = _env_int("BENCH_COMPLETION_LEN", 32 if quick else 128)
+    n_rounds = _env_int("BENCH_STEPS", 2)
+
+    cfg = llama31_8b_config(num_layers)
+    key = jax.random.PRNGKey(0)
+    params = build_model(cfg, key, quantize=True)
+    lora = init_lora_tree(cfg, key, r=16, alpha=16, dtype=jnp.float32)
+
+    class _Tok:
+        eos_token_id = 1
+        pad_token_id = 0
+
+    model = LanguageModel(cfg=cfg, params=params, tokenizer=_Tok(),
+                          max_seq_length=p_len + c_len)
+    model.lora = lora
+
+    rng = np.random.RandomState(0)
+    prompt_ids = [rng.randint(10, cfg.vocab_size - 10, p_len).tolist()
+                  for _ in range(n_prompts)]
+
+    def rollout():
+        from unsloth_tpu.inference.generate import SamplingParams, generate
+
+        sp = SamplingParams(max_tokens=c_len, temperature=0.9,
+                            stop_token_ids=())
+        comps = generate(model, prompt_ids, sp, return_token_ids=True,
+                         num_return_sequences=G)
+        expanded = [p for p in prompt_ids for _ in range(G)]
+        return expanded, comps
+
+    def one_round(tr, step_fn, grouped, opt_state):
+        t0 = time.perf_counter()
+        expanded, comps = rollout()
+        adv = rng.randn(len(expanded)).astype(np.float32)
+        if grouped:
+            batch = tr._build_grouped_batch(expanded, comps, adv)
+        else:
+            batch = tr._build_batch(expanded, comps, adv)
+        model.lora, opt_state, loss = step_fn(
+            model.lora, opt_state, model.params, batch, None, None)
+        _sync(model.lora)
+        return time.perf_counter() - t0, opt_state
+
+    results = {}
+    for grouped in (True, False):
+        args = GRPOConfig(num_generations=G, max_prompt_length=p_len,
+                          max_completion_length=c_len, beta=0.0,
+                          prefix_grouping=grouped, report_to="none")
+        tr = GRPOTrainer(model, reward_funcs=[lambda **kw: [0.0]],
+                         args=args, train_dataset=[])
+        tx = optax.adamw(1e-5)
+        opt_state = tx.init(model.lora)
+        step_fn = tr._make_step(tx)
+        one_round(tr, step_fn, grouped, opt_state)          # compile
+        times = []
+        for _ in range(n_rounds):
+            dt, opt_state = one_round(tr, step_fn, grouped, opt_state)
+            times.append(dt)
+        results[grouped] = sum(times) / len(times)
+
+    gen_tokens = n_prompts * G * c_len
+    dt = results[True]
+    print(json.dumps({
+        "metric": "grpo_llama8b_completion_tokens_per_sec_per_chip"
+                  + ("" if num_layers == 32 else f"_layers{num_layers}"),
+        "value": round(gen_tokens / dt, 2),
+        "unit": "completion tokens/s/chip (rollout + step)",
+        "vs_baseline": round(results[False] / dt, 3),
+        "detail": {
+            "layers": num_layers, "prompts": n_prompts, "generations": G,
+            "prompt_len": p_len, "completion_len": c_len,
+            "round_time_s": round(dt, 3),
+            "baseline": {
+                "definition": "identical round without the shared-prefix "
+                              "grouped loss pass (prompt replicated per "
+                              "completion, TRL layout)",
+                "round_time_s": round(results[False], 3)},
+            "backend": jax.default_backend(),
+        }}))
+
+
+# ---------------------------------------------------------------------------
+# Vision — Qwen2.5-VL-7B class
+# ---------------------------------------------------------------------------
+
+def qwen25_vl_7b_text_config(num_layers):
+    from unsloth_tpu.models.config import ModelConfig
+
+    return ModelConfig(
+        model_type="qwen2", name="qwen2.5-vl-7b-bench",
+        vocab_size=152064, hidden_size=3584, intermediate_size=18944,
+        num_layers=num_layers, num_heads=28, num_kv_heads=4,
+        rope_theta=1000000.0, rms_norm_eps=1e-6, attention_bias=True,
+        max_position_embeddings=128000, mrope_section=(16, 24, 24),
+    )
+
+
+def _init_qwen_vision(vcfg, key):
+    import jax
+    import jax.numpy as jnp
+
+    keys = iter(jax.random.split(key, 16 * vcfg.depth + 16))
+
+    def rand(shape, scale=0.02):
+        return jax.random.normal(next(keys), shape, jnp.bfloat16) * scale
+
+    def lin(o, i):
+        return {"kernel": rand((i, o)), "bias": jnp.zeros((o,),
+                                                          jnp.bfloat16)}
+
+    d, f = vcfg.hidden_size, vcfg.intermediate_size
+    pdim = vcfg.in_channels * vcfg.temporal_patch_size * vcfg.patch_size ** 2
+    vision = {
+        "patch_embed": {"kernel": rand((pdim, d)), "bias": None},
+        "merger": {
+            "ln_q": jnp.ones((d,), jnp.bfloat16),
+            "fc1": lin(d * vcfg.merge_unit, d * vcfg.merge_unit),
+            "fc2": lin(vcfg.out_hidden_size, d * vcfg.merge_unit),
+        },
+        "layers": [],
+    }
+    for _ in range(vcfg.depth):
+        vision["layers"].append({
+            "norm1": jnp.ones((d,), jnp.bfloat16),
+            "norm2": jnp.ones((d,), jnp.bfloat16),
+            "qkv": lin(3 * d, d),
+            "out": lin(d, d),
+            "gate": lin(f, d), "up": lin(f, d), "down": lin(d, f),
+        })
+    return vision
+
+
+def main_vision(quick: bool):
+    """Qwen2.5-VL-class step: windowed ViT forward + M-RoPE text decoder
+    with NF4 base + LoRA, image tokens spliced into the sequence."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from bench import build_model
+    from unsloth_tpu.models.params import init_lora_tree
+    from unsloth_tpu.models.qwen_vl import (QwenVisionConfig,
+                                            mrope_positions_for,
+                                            qwen_vision_forward)
+    from unsloth_tpu.models.decoder import forward as text_forward
+    from unsloth_tpu.ops.fused_ce_linear import fused_ce_loss_mean
+
+    num_layers = _env_int("BENCH_LAYERS", 2 if quick else 28)
+    seq = _env_int("BENCH_SEQ", 512 if quick else 2048)
+    n_steps = _env_int("BENCH_STEPS", 2 if quick else 4)
+    vdepth = _env_int("BENCH_VIT_LAYERS", 2 if quick else 32)
+
+    cfg = qwen25_vl_7b_text_config(num_layers)
+    vcfg = QwenVisionConfig(depth=vdepth, out_hidden_size=cfg.hidden_size)
+    key = jax.random.PRNGKey(0)
+    params = build_model(cfg, key, quantize=True)
+    vision = _init_qwen_vision(vcfg, key)
+    lora = init_lora_tree(cfg, key, r=16, alpha=16, dtype=jnp.float32)
+
+    # one image: grid (1, 32, 32) -> 1024 patches -> 256 merged tokens
+    g = 16 if quick else 32
+    grid = ((1, g, g),)
+    n_patches = g * g
+    n_img_tokens = n_patches // vcfg.merge_unit
+    pdim = vcfg.in_channels * vcfg.temporal_patch_size * vcfg.patch_size ** 2
+    pixels = jax.random.normal(key, (n_patches, pdim), jnp.bfloat16)
+
+    image_token = 5
+    rng = np.random.RandomState(0)
+    ids = rng.randint(10, cfg.vocab_size - 10, (1, seq)).astype(np.int32)
+    ids[0, 4:4 + n_img_tokens] = image_token
+    labels = ids.copy()
+    labels[0, :4 + n_img_tokens] = -100
+    mpos = np.stack([mrope_positions_for(ids[0], image_token, grid,
+                                         vcfg.spatial_merge_size)])
+    ids_j = jnp.asarray(ids)
+    labels_j = jnp.asarray(labels)
+    mpos_j = jnp.asarray(mpos)
+
+    def loss_fn(lora, params, vision, ids, labels, pixels, mpos):
+        x = jnp.take(params["embed"], ids, axis=0)
+        feats = qwen_vision_forward(vision, pixels, grid, vcfg)
+        feats = feats.astype(x.dtype)
+        is_img = ids == image_token
+        flat = feats.reshape(-1, feats.shape[-1])
+        order = jnp.clip(
+            jnp.cumsum(is_img.reshape(-1).astype(jnp.int32)) - 1, 0,
+            flat.shape[0] - 1)
+        gathered = jnp.take(flat, order, axis=0).reshape(*ids.shape, -1)
+        x = jnp.where(is_img[..., None], gathered, x)
+        h = text_forward(params, lora, ids, cfg, inputs_embeds=x,
+                         mrope_positions=mpos, remat=True)
+        wd = params["lm_head"].T.astype(h.dtype)
+        return fused_ce_loss_mean(h[:, :-1].reshape(-1, h.shape[-1]), wd,
+                                  labels[:, 1:].reshape(-1))
+
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(lora)
+
+    def step(lora, opt_state, params, vision, ids, labels, pixels, mpos):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            lora, params, vision, ids, labels, pixels, mpos)
+        updates, opt_state = tx.update(grads, opt_state, lora)
+        return optax.apply_updates(lora, updates), opt_state, loss
+
+    jstep = jax.jit(step, donate_argnums=(0, 1))
+    for _ in range(2):
+        lora, opt_state, loss = jstep(lora, opt_state, params, vision,
+                                      ids_j, labels_j, pixels, mpos_j)
+    _sync(lora)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        lora, opt_state, loss = jstep(lora, opt_state, params, vision,
+                                      ids_j, labels_j, pixels, mpos_j)
+    _sync(lora)
+    dt = (time.perf_counter() - t0) / n_steps
+    print(json.dumps({
+        "metric": "qwen25_vl_7b_vision_sft_tokens_per_sec_per_chip"
+                  + ("" if num_layers == 28 else f"_layers{num_layers}"),
+        "value": round(seq / dt, 2),
+        "unit": "tokens/s/chip",
+        "vs_baseline": None,
+        "detail": {"seq": seq, "layers": num_layers,
+                   "vit_layers": vdepth, "image_tokens": n_img_tokens,
+                   "step_time_s": round(dt, 4),
+                   "loss": round(float(loss), 3),
+                   "backend": jax.default_backend()}}))
+
+
+# ---------------------------------------------------------------------------
+# Whisper — large-v3 class
+# ---------------------------------------------------------------------------
+
+def _init_whisper(cfg, key):
+    import jax
+    import jax.numpy as jnp
+
+    n = 20 * (cfg.encoder_layers + cfg.decoder_layers) + 32
+    keys = iter(jax.random.split(key, n))
+
+    def rand(shape, scale=0.02):
+        return jax.random.normal(next(keys), shape, jnp.float32) * scale
+
+    def lin(o, i):
+        return {"kernel": rand((i, o)), "bias": jnp.zeros((o,),
+                                                          jnp.float32)}
+
+    def ln(d):
+        return {"w": jnp.ones((d,), jnp.float32),
+                "b": jnp.zeros((d,), jnp.float32)}
+
+    def attn(d):
+        return {"q": lin(d, d), "k": lin(d, d), "v": lin(d, d),
+                "out": lin(d, d)}
+
+    d, f = cfg.d_model, cfg.ffn_dim
+    encoder = {
+        "conv1": {"kernel": rand((d, cfg.num_mel_bins, 3)),
+                  "bias": jnp.zeros((d,), jnp.float32)},
+        "conv2": {"kernel": rand((d, d, 3)),
+                  "bias": jnp.zeros((d,), jnp.float32)},
+        "pos_embed": rand((cfg.max_source_positions, d)),
+        "ln_post": ln(d),
+        "layers": [{"ln1": ln(d), "ln2": ln(d), "self_attn": attn(d),
+                    "fc1": lin(f, d), "fc2": lin(d, f)}
+                   for _ in range(cfg.encoder_layers)],
+    }
+    decoder = {
+        "embed": rand((cfg.vocab_size, d)),
+        "pos_embed": rand((cfg.max_target_positions, d)),
+        "ln_post": ln(d),
+        "layers": [{"ln1": ln(d), "ln_x": ln(d), "ln2": ln(d),
+                    "self_attn": attn(d), "cross_attn": attn(d),
+                    "fc1": lin(f, d), "fc2": lin(d, f)}
+                   for _ in range(cfg.decoder_layers)],
+    }
+    return {"encoder": encoder, "decoder": decoder}
+
+
+def main_whisper(quick: bool):
+    """Whisper-large-v3-class ASR fine-tune step (full FT, fp32 — the
+    reference trains whisper full or LoRA through its patched trainer)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from unsloth_tpu.models.whisper import WhisperConfig, whisper_loss
+
+    enc_layers = _env_int("BENCH_LAYERS", 2 if quick else 32)
+    bsz = _env_int("BENCH_BATCH", 1 if quick else 2)
+    label_len = _env_int("BENCH_SEQ", 64 if quick else 224)
+    n_steps = _env_int("BENCH_STEPS", 2 if quick else 4)
+    frames = 300 if quick else 3000
+
+    cfg = WhisperConfig(encoder_layers=enc_layers,
+                        decoder_layers=enc_layers,
+                        max_source_positions=frames // 2)
+    key = jax.random.PRNGKey(0)
+    params = _init_whisper(cfg, key)
+    feats = jax.random.normal(key, (bsz, cfg.num_mel_bins, frames),
+                              jnp.float32)
+    dec_in = jax.random.randint(key, (bsz, label_len), 0, cfg.vocab_size)
+    labels = jnp.roll(dec_in, -1, axis=1)
+
+    tx = optax.adamw(1e-5)
+    opt_state = tx.init(params)
+
+    def step(params, opt_state, feats, dec_in, labels):
+        loss, grads = jax.value_and_grad(
+            lambda p: whisper_loss(p, feats, dec_in, labels, cfg))(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    jstep = jax.jit(step, donate_argnums=(0, 1))
+    for _ in range(2):
+        params, opt_state, loss = jstep(params, opt_state, feats, dec_in,
+                                        labels)
+    _sync(params)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        params, opt_state, loss = jstep(params, opt_state, feats, dec_in,
+                                        labels)
+    _sync(params)
+    dt = (time.perf_counter() - t0) / n_steps
+    print(json.dumps({
+        "metric": "whisper_large_v3_asr_ft_decoder_tokens_per_sec_per_chip"
+                  + ("" if enc_layers == 32 else f"_layers{enc_layers}"),
+        "value": round(bsz * label_len / dt, 2),
+        "unit": "decoder tokens/s/chip",
+        "vs_baseline": None,
+        "detail": {"batch": bsz, "label_len": label_len,
+                   "mel_frames": frames, "enc_dec_layers": enc_layers,
+                   "step_time_s": round(dt, 4),
+                   "loss": round(float(loss), 3),
+                   "backend": jax.default_backend()}}))
+
+
+# ---------------------------------------------------------------------------
+# TTS — Orpheus-3B class (SNAC-token LM)
+# ---------------------------------------------------------------------------
+
+def orpheus_3b_config(num_layers):
+    from unsloth_tpu.models.config import ModelConfig, RopeScaling
+
+    # llama-3.2-3B backbone with the SNAC-extended vocab (orpheus-3b)
+    return ModelConfig(
+        model_type="llama", name="orpheus-3b-bench",
+        vocab_size=156940, hidden_size=3072, intermediate_size=8192,
+        num_layers=num_layers, num_heads=24, num_kv_heads=8,
+        head_dim=128, rope_theta=500000.0, rms_norm_eps=1e-5,
+        max_position_embeddings=131072,
+        rope_scaling=RopeScaling(
+            rope_type="llama3", factor=32.0, low_freq_factor=1.0,
+            high_freq_factor=4.0, original_max_position_embeddings=8192),
+    )
+
+
+def main_tts(quick: bool):
+    """Orpheus-3B-class TTS fine-tune: a llama backbone generating SNAC
+    audio tokens — QLoRA SFT over interleaved text+audio-token rows
+    (reference: Orpheus notebook semantics; data/tts.py builds the
+    interleave)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from bench import (build_model, compile_step, make_packed_batch,
+                       measure, flops_per_token)
+    from unsloth_tpu.models.params import init_lora_tree
+
+    num_layers = _env_int("BENCH_LAYERS", 2 if quick else 28)
+    seq = _env_int("BENCH_SEQ", 512 if quick else 2048)
+    bsz = _env_int("BENCH_BATCH", 1)
+    n_steps = _env_int("BENCH_STEPS", 2 if quick else 4)
+
+    cfg = orpheus_3b_config(num_layers)
+    key = jax.random.PRNGKey(0)
+    params = build_model(cfg, key, quantize=True)
+    lora = init_lora_tree(cfg, key, r=16, alpha=16, dtype=jnp.float32)
+    batch = make_packed_batch(cfg, key, bsz, seq, packed=True)
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(lora)
+    step = compile_step(cfg, tx, "auto", list(batch))
+    dt, loss = measure(step, lora, opt_state, params, batch, n_steps)
+    tokens = batch["input_ids"].size
+    mfu = 3 * flops_per_token(cfg, seq) * tokens / dt / V5E_BF16_PEAK_FLOPS
+    print(json.dumps({
+        "metric": "orpheus_3b_tts_qlora_sft_tokens_per_sec_per_chip"
+                  + ("" if num_layers == 28 else f"_layers{num_layers}"),
+        "value": round(tokens / dt, 2),
+        "unit": "tokens/s/chip",
+        "vs_baseline": None,
+        "detail": {"seq": seq, "batch": bsz, "layers": num_layers,
+                   "step_time_s": round(dt, 4), "mfu": round(mfu, 4),
+                   "loss": round(loss, 3),
+                   "backend": jax.default_backend(),
+                   "note": "SNAC-token LM over the llama backbone; "
+                           "codec interleave in data/tts.py"}}))

@@ -94,6 +94,40 @@ class SyntheticDataKit:
                 pairs.append({"question": q, "answer": a})
         return pairs
 
+    def chunk_tokens(self, text: str, max_seq_length: int = 2048,
+                     max_generation_tokens: Optional[int] = None,
+                     overlap: int = 64) -> List[str]:
+        """Token-budget chunking with the reference's boundary math
+        (reference: dataprep/synthetic.py:388-450 chunk_data): the chunk
+        window is max_seq_length - 2*max_generation_tokens - 128 tokens;
+        n_chunks = ceil((len - overlap) / (window - overlap)); linspace
+        boundaries with the +overlap right edge."""
+        import numpy as np
+
+        gen = (max_generation_tokens
+               if max_generation_tokens is not None
+               else self.config.max_new_tokens)
+        max_tokens = max_seq_length - gen * 2 - 128
+        if max_tokens <= 5:
+            raise RuntimeError("Generation length is way too long!")
+        if max_tokens <= overlap:
+            raise RuntimeError(
+                f"chunk size ({max_tokens}) must exceed overlap "
+                f"({overlap}); reduce overlap or max_generation_tokens")
+        tok = self.tokenizer
+        input_ids = tok(text, add_special_tokens=False)["input_ids"]
+        length = len(input_ids)
+        if length <= max_tokens:
+            boundaries = [[0, length]] if length > 0 else []
+        else:
+            n_chunks = int(np.ceil((length - overlap)
+                                   / (max_tokens - overlap)))
+            pts = np.ceil(np.linspace(0, length - overlap,
+                                      n_chunks + 1)).astype(int)
+            boundaries = np.stack((pts[:-1], (pts + overlap)[1:])).T
+            boundaries = np.minimum(boundaries, length).tolist()
+        return [tok.decode(input_ids[lo:hi]) for lo, hi in boundaries]
+
     def generate_qa(self, documents: Sequence[str],
                     batch_size: int = 4) -> List[Dict[str, Any]]:
         """documents -> [{"messages": [...]}, ...] SFT-ready examples."""
@@ -115,3 +149,84 @@ class SyntheticDataKit:
                         {"role": "assistant", "content": pair["answer"]},
                     ]})
         return examples
+
+    # -- curation (reference: the kit's cleanup stage — rates each QA
+    # pair with the model and keeps those >= cleanup_threshold;
+    # prepare_qa_generation knobs cleanup_{threshold,batch_size,
+    # temperature}, synthetic.py:451-530) ------------------------------
+
+    @staticmethod
+    def dedup_pairs(pairs: List[Dict[str, str]]) -> List[Dict[str, str]]:
+        """Exact + normalized-question dedup."""
+        seen = set()
+        out = []
+        for p in pairs:
+            key = re.sub(r"\W+", " ", p["question"].lower()).strip()
+            if key and key not in seen:
+                seen.add(key)
+                out.append(p)
+        return out
+
+    RATE_PROMPT = (
+        "Rate the following question-answer pair for factual grounding "
+        "and usefulness on a scale of 1-10. Reply with ONLY the number."
+        "\n\nQ: {q}\nA: {a}\n\nRating:")
+
+    def cleanup_qa_pairs(self, pairs: List[Dict[str, str]],
+                         threshold: float = 7.0, batch_size: int = 4,
+                         temperature: float = 0.3
+                         ) -> List[Dict[str, str]]:
+        """LLM-judged curation: keep pairs rated >= threshold."""
+        sp = SamplingParams(max_tokens=8, temperature=temperature, seed=0)
+        kept = []
+        for i in range(0, len(pairs), batch_size):
+            batch = pairs[i:i + batch_size]
+            prompts = [self.RATE_PROMPT.format(q=p["question"],
+                                               a=p["answer"])
+                       for p in batch]
+            outputs = generate(self.model, prompts, sp,
+                               tokenizer=self.tokenizer)
+            for p, out in zip(batch, outputs):
+                m = re.search(r"\d+(?:\.\d+)?", out)
+                rating = float(m.group()) if m else 0.0
+                if rating >= threshold:
+                    kept.append(dict(p, rating=rating))
+        return kept
+
+    def run_pipeline(self, documents: Sequence[str],
+                     output_folder: str = "data",
+                     cleanup_threshold: float = 0.0,
+                     batch_size: int = 4) -> List[Dict[str, Any]]:
+        """Full generate -> dedup -> (optional) curate pipeline writing
+        the reference's directory layout (generated/cleaned/final jsonl;
+        reference: prepare_qa_generation's output folders)."""
+        import json
+        import os
+
+        for sub in ("generated", "cleaned", "final"):
+            os.makedirs(os.path.join(output_folder, sub), exist_ok=True)
+
+        def dump(sub, name, rows):
+            path = os.path.join(output_folder, sub, name)
+            with open(path, "w", encoding="utf-8") as f:
+                for r in rows:
+                    f.write(json.dumps(r, ensure_ascii=False) + "\n")
+            return path
+
+        examples = self.generate_qa(documents, batch_size=batch_size)
+        pairs = [{"question": ex["messages"][0]["content"],
+                  "answer": ex["messages"][1]["content"]}
+                 for ex in examples]
+        dump("generated", "qa_pairs.jsonl", pairs)
+        pairs = self.dedup_pairs(pairs)
+        if cleanup_threshold > 0:
+            pairs = self.cleanup_qa_pairs(pairs,
+                                          threshold=cleanup_threshold,
+                                          batch_size=batch_size)
+        dump("cleaned", "qa_pairs.jsonl", pairs)
+        final = [{"messages": [
+            {"role": "user", "content": p["question"]},
+            {"role": "assistant", "content": p["answer"]}]}
+            for p in pairs]
+        dump("final", "qa_pairs.jsonl", final)
+        return final

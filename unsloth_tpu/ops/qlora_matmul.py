@@ -11,8 +11,25 @@ so each use of a weight costs ~0.56 bytes/param of HBM traffic instead of
 
 Layout: split-half packing (see ops/nf4.py) — a logical column tile lives
 entirely in hi or lo nibbles, so each grid step reads one byte tile and one
-static nibble side. The NF4 code lookup is a 16-way select chain (VPU);
-Mosaic has no small-table gather.
+static nibble side.
+
+Performance design (the dequant must not stall the MXU — measured r2 at
+53% of bf16 peak, r3 target >=75%):
+  * Nibble decode is a shared-compare select tree (~24 VPU ops/elt): one
+    split on bit3 plus SEVEN m>=i compares SHARED between the hi/lo
+    half-codebook select chains (Mosaic has no small-table gather, so some
+    select chain is unavoidable; sharing the compares beats the naive
+    15-compare/15-select chain).
+  * Per-block absmax is upsampled to per-column scales with a tiny 0/1
+    expansion MATMUL ``am[bn, nb] @ E[nb, bk]`` on the MXU instead of a
+    per-element select chain — MXU overhead is 128/bm (<2% at bm>=8192)
+    and the VPU cost drops to the single final multiply.
+  * The dequantized tile is reused across a LARGE m-tile (``bm``): the
+    VPU decode cost per weight element is amortized over ``bm`` MXU MACs,
+    so VPU/MXU time ratio ~= decode_ops / 40 / bm * 104e3. bm defaults
+    high; ``bn`` is sized to bound re-streaming of x (x HBM traffic is
+    m*in*2*ceil(out/bn) bytes).
+Tiles are env-tunable (UNSLOTH_NF4_BM/BN/BK) for hardware sweeps.
 
 Two kernels, one per contraction side:
   * ``nf4_matmul(x, q)``      : y  = x @ W^T   (contract over  in) — forward
@@ -24,6 +41,7 @@ no dW, matching QLoRA).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,37 +52,90 @@ from ..utils import env
 from .nf4 import NF4_CODE, NF4Tensor, _decode_absmax, dequantize_nf4
 
 
+def _env_tile(name, default):
+    return int(os.environ.get(name, default))
+
+
 def _decode_nibbles(nib):
-    """16-way select chain: nibble index [*, *] int -> NF4 value fp32."""
-    val = jnp.full(nib.shape, NF4_CODE[0], jnp.float32)
-    for i in range(1, 16):
-        val = jnp.where(nib == i, NF4_CODE[i], val)
-    return val
+    """Nibble index [*, *] int32 -> NF4 value fp32.
+
+    Select tree with shared compares: split on bit3, then the two 8-entry
+    half-codebook chains share one set of seven ``m >= i`` compares
+    (1 + 1 + 7 compares + 15 selects ~= 24 VPU ops vs 30 for the naive
+    16-way chain)."""
+    is_hi = nib >= 8
+    m = nib & 7
+    hi_v = jnp.full(nib.shape, NF4_CODE[8], jnp.float32)
+    lo_v = jnp.full(nib.shape, NF4_CODE[0], jnp.float32)
+    for i in range(1, 8):
+        c = m >= i
+        hi_v = jnp.where(c, NF4_CODE[8 + i], hi_v)
+        lo_v = jnp.where(c, NF4_CODE[i], lo_v)
+    return jnp.where(is_hi, hi_v, lo_v)
 
 
-def _dequant_tile(pk, am, *, use_hi, block_size):
-    """pk: [rows, cols] uint8 byte tile; am: [rows, cols//block] fp32.
+def _scale_mode():
+    return os.environ.get("UNSLOTH_NF4_SCALE", "matmul")
+
+
+def _decode_mode():
+    return os.environ.get("UNSLOTH_NF4_DECODE", "tree")
+
+
+def _dequant_tile(pk, am, e_mat, *, use_hi):
+    """pk: [rows, cols] uint8 byte tile; am: [rows, cols//bs] fp32 scales;
+    e_mat: [cols//bs, cols] fp32 0/1 block-expansion matrix.
     use_hi: traced bool — whether this tile sits in the hi-nibble half.
-    Scale upsampling is a static select chain over the few scale columns:
-    Mosaic can't reshape across the lane dimension and pltpu.repeat has
-    tile (not np.repeat) semantics, so everything stays 2-D."""
+
+    The absmax upsample runs on the MXU (``am @ E``): exact (0/1 matrix in
+    fp32) and removes the per-element scale select chain from the VPU."""
     pk32 = pk.astype(jnp.int32)  # Mosaic has no 8-bit vector shifts
-    nib = jnp.where(use_hi, pk32 >> 4, pk32 & 0xF)
-    val = _decode_nibbles(nib)
-    nb = pk.shape[1] // block_size
-    col_block = jax.lax.broadcasted_iota(jnp.int32, pk.shape, 1) // block_size
-    am_up = am[:, 0:1]
-    for b in range(1, nb):
-        am_up = jnp.where(col_block == b, am[:, b:b + 1], am_up)
+    nib = jax.lax.cond(use_hi, lambda p: p >> 4, lambda p: p & 0xF, pk32)
+    dmode = _decode_mode()
+    if dmode == "none":          # diagnostic: skip decode (wrong results)
+        val = nib.astype(jnp.float32)
+    else:
+        val = _decode_nibbles(nib)
+    mode = _scale_mode()
+    if mode == "none":           # diagnostic: skip scaling (wrong results)
+        return val
+    if mode == "chain":          # r2 per-element select chain
+        bs = pk.shape[1] // am.shape[1]
+        nb = am.shape[1]
+        col_block = jax.lax.broadcasted_iota(
+            jnp.int32, pk.shape, 1) // bs
+        am_up = am[:, 0:1]
+        for b in range(1, nb):
+            am_up = jnp.where(col_block == b, am[:, b:b + 1], am_up)
+        return val * am_up
+    am_up = jax.lax.dot_general(
+        am, e_mat, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     return val * am_up
+
+
+def _expansion_matrix(nb, cols):
+    """[nb, cols] fp32 with E[b, c] = 1 iff c // (cols//nb) == b."""
+    bs = cols // nb
+    row = jax.lax.broadcasted_iota(jnp.int32, (nb, cols), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (nb, cols), 1)
+    return (col // bs == row).astype(jnp.float32)
+
+
+def _compiler_params(*buf_bytes):
+    total = sum(buf_bytes)
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+        vmem_limit_bytes=min(int(total * 2.2) + (4 << 20), 128 << 20),
+    )
 
 
 # ---------------------------------------------------------------------------
 # Kernel A: y[m, out] = x[m, in] @ W[out, in]^T
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(x_ref, pk_ref, am_ref, o_ref, acc_ref,
-                *, n_hi_tiles: int, block_size: int, out_dtype):
+def _fwd_kernel(x_ref, pk_ref, am_ref, e_ref, o_ref, acc_ref,
+                *, n_hi_tiles: int, out_dtype):
     k = pl.program_id(2)
     n_k = pl.num_programs(2)
 
@@ -75,10 +146,9 @@ def _fwd_kernel(x_ref, pk_ref, am_ref, o_ref, acc_ref,
     # am_ref block: [1, bn, bk//bs] from the per-tile absmax layout
     # (pre-gathered outside the kernel — Mosaic supports neither tiny
     # trailing block tiles nor dynamic lane-dim slices).
-    am = am_ref[0]
-    w = _dequant_tile(pk_ref[:], am, use_hi=k < n_hi_tiles,
-                      block_size=block_size)          # [bn, bk] fp32
-    x = x_ref[:]                                      # [bm, bk]
+    w = _dequant_tile(pk_ref[:], am_ref[0], e_ref[:],
+                      use_hi=k < n_hi_tiles)           # [bn, bk] fp32
+    x = x_ref[:]                                       # [bm, bk]
     acc_ref[:] += jax.lax.dot_general(
         x, w.astype(x.dtype),
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -89,17 +159,28 @@ def _fwd_kernel(x_ref, pk_ref, am_ref, o_ref, acc_ref,
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
-def _fwd_pallas(x2d, q: NF4Tensor, *, bm=2048, bn=512, bk=512,
+def _pick_tile(dim, pref, mult):
+    """Largest divisor of ``dim`` that is <= pref and a multiple of mult."""
+    t = min(pref, dim)
+    t -= t % mult
+    while t > mult and dim % t:
+        t -= mult
+    return max(t, mult)
+
+
+def _fwd_pallas(x2d, q: NF4Tensor, *, bm=None, bn=None, bk=None,
                 interpret=None):
     m, in_f = x2d.shape
     out_f = q.shape[0]
     bs = q.block_size
     half = in_f // 2
-    bk = min(bk, half)
-    assert half % bk == 0 and bk % bs == 0
+    bm = bm or _env_tile("UNSLOTH_NF4_BM", 8192)
+    bn = bn or _env_tile("UNSLOTH_NF4_BN", 1024)
+    bk = bk or _env_tile("UNSLOTH_NF4_BK", 512)
+    bk = _pick_tile(half, bk, max(bs, 128))
+    bn = _pick_tile(out_f, bn, 256)
+    assert half % bk == 0 and bk % bs == 0 and out_f % bn == 0
     bm = min(bm, _round_up(m, 8))
-    bn = min(bn, out_f)
-    assert out_f % bn == 0
 
     m_pad = _round_up(m, bm)
     x_p = jnp.pad(x2d, ((0, m_pad - m), (0, 0))) if m_pad != m else x2d
@@ -112,6 +193,7 @@ def _fwd_pallas(x2d, q: NF4Tensor, *, bm=2048, bn=512, bk=512,
     # contiguous in logical order), so this is a plain reshape+transpose.
     absmax = _decode_absmax(q).reshape(out_f, n_k, bk // bs)
     absmax = absmax.transpose(1, 0, 2)
+    e_mat = _expansion_matrix(bk // bs, bk)
 
     grid = (m_pad // bm, out_f // bn, n_k)
 
@@ -119,7 +201,10 @@ def _fwd_pallas(x2d, q: NF4Tensor, *, bm=2048, bn=512, bk=512,
         return (j, jnp.where(k < n_hi, k, k - n_hi))
 
     kernel = functools.partial(
-        _fwd_kernel, n_hi_tiles=n_hi, block_size=bs, out_dtype=x2d.dtype)
+        _fwd_kernel, n_hi_tiles=n_hi, out_dtype=x2d.dtype)
+    bufs = (2 * bm * bk * x2d.dtype.itemsize, 2 * bn * bk,
+            bm * bn * 4, 2 * bm * bn * x2d.dtype.itemsize,
+            2 * bn * bk * 4)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -129,20 +214,21 @@ def _fwd_pallas(x2d, q: NF4Tensor, *, bm=2048, bn=512, bk=512,
             pl.BlockSpec((bn, bk), pk_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn, bk // bs), lambda i, j, k: (k, j, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // bs, bk), lambda i, j, k: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, out_f), x2d.dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        compiler_params=_compiler_params(*bufs),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * out_f * in_f,
             bytes_accessed=m_pad * in_f * 2 + out_f * in_f // 2
             + m_pad * out_f * 2,
             transcendentals=0),
         interpret=_interpret() if interpret is None else interpret,
-    )(x_p, q.packed, absmax)
+    )(x_p, q.packed, absmax, e_mat)
     return out[:m]
 
 
@@ -150,8 +236,8 @@ def _fwd_pallas(x2d, q: NF4Tensor, *, bm=2048, bn=512, bk=512,
 # Kernel B: dx[m, in] = g[m, out] @ W[out, in]
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(g_ref, pk_ref, am_ref, o_ref, acc_ref,
-                *, n_hi_tiles: int, block_size: int, out_dtype):
+def _bwd_kernel(g_ref, pk_ref, am_ref, e_ref, o_ref, acc_ref,
+                *, n_hi_tiles: int, out_dtype):
     j = pl.program_id(1)   # in-dim tile (nibble side depends on this)
     k = pl.program_id(2)   # out-dim tile (contraction)
     n_k = pl.num_programs(2)
@@ -160,10 +246,9 @@ def _bwd_kernel(g_ref, pk_ref, am_ref, o_ref, acc_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    am = am_ref[0]                                    # [bk_out, bn//bs]
-    w = _dequant_tile(pk_ref[:], am, use_hi=j < n_hi_tiles,
-                      block_size=block_size)          # [bk_out, bn_in]
-    g = g_ref[:]                                      # [bm, bk_out]
+    w = _dequant_tile(pk_ref[:], am_ref[0], e_ref[:],
+                      use_hi=j < n_hi_tiles)           # [bk_out, bn_in]
+    g = g_ref[:]                                       # [bm, bk_out]
     acc_ref[:] += jax.lax.dot_general(
         g, w.astype(g.dtype),
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -174,17 +259,19 @@ def _bwd_kernel(g_ref, pk_ref, am_ref, o_ref, acc_ref,
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
-def _bwd_pallas(g2d, q: NF4Tensor, *, bm=2048, bn=512, bk=512,
+def _bwd_pallas(g2d, q: NF4Tensor, *, bm=None, bn=None, bk=None,
                 interpret=None):
     m, out_f = g2d.shape
     in_f = q.shape[1]
     bs = q.block_size
     half = in_f // 2
-    bn = min(bn, half)
-    assert half % bn == 0 and bn % bs == 0
+    bm = bm or _env_tile("UNSLOTH_NF4_BM", 8192)
+    bn = bn or _env_tile("UNSLOTH_NF4_BN", 1024)
+    bk = bk or _env_tile("UNSLOTH_NF4_BK", 512)
+    bn = _pick_tile(half, bn, max(bs, 128))
+    bk = _pick_tile(out_f, bk, 256)
+    assert half % bn == 0 and bn % bs == 0 and out_f % bk == 0
     bm = min(bm, _round_up(m, 8))
-    bk = min(bk, out_f)
-    assert out_f % bk == 0
 
     m_pad = _round_up(m, bm)
     g_p = jnp.pad(g2d, ((0, m_pad - m), (0, 0))) if m_pad != m else g2d
@@ -194,6 +281,7 @@ def _bwd_pallas(g2d, q: NF4Tensor, *, bm=2048, bn=512, bk=512,
     # Per-tile absmax layout [n_j, out, bn//bs] (see _fwd_pallas).
     absmax = _decode_absmax(q).reshape(out_f, n_j, bn // bs)
     absmax = absmax.transpose(1, 0, 2)
+    e_mat = _expansion_matrix(bn // bs, bn)
 
     grid = (m_pad // bm, n_j, out_f // bk)
 
@@ -201,7 +289,10 @@ def _bwd_pallas(g2d, q: NF4Tensor, *, bm=2048, bn=512, bk=512,
         return (k, jnp.where(j < n_hi, j, j - n_hi))
 
     kernel = functools.partial(
-        _bwd_kernel, n_hi_tiles=n_hi, block_size=bs, out_dtype=g2d.dtype)
+        _bwd_kernel, n_hi_tiles=n_hi, out_dtype=g2d.dtype)
+    bufs = (2 * bm * bk * g2d.dtype.itemsize, 2 * bk * bn,
+            bm * bn * 4, 2 * bm * bn * g2d.dtype.itemsize,
+            2 * bk * bn * 4)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -211,20 +302,21 @@ def _bwd_pallas(g2d, q: NF4Tensor, *, bm=2048, bn=512, bk=512,
             pl.BlockSpec((bk, bn), pk_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bk, bn // bs), lambda i, j, k: (j, k, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn // bs, bn), lambda i, j, k: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, in_f), g2d.dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        compiler_params=_compiler_params(*bufs),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * out_f * in_f,
             bytes_accessed=m_pad * out_f * 2 + out_f * in_f // 2
             + m_pad * in_f * 2,
             transcendentals=0),
         interpret=_interpret() if interpret is None else interpret,
-    )(g_p, q.packed, absmax)
+    )(g_p, q.packed, absmax, e_mat)
     return out[:m]
 
 
