@@ -219,11 +219,14 @@ def weight_gb(cfg, bytes_per_param):
     return n * bytes_per_param / 1e9
 
 
-def make_packed_batch(cfg, key, bsz, seq, packed=True):
+def make_packed_batch(cfg, key, bsz, seq, packed=True, pad_frac=0.0):
     """An all-real-token [B, T] batch. packed=True carves each row into
     ~4 documents (segment ids + per-segment positions + -100 labels at doc
     starts) — the 8K-packed-context shape from BASELINE.md:34. packed=False
-    is the HF-equivalent single-document row."""
+    is the HF-equivalent single-document row; pad_frac > 0 marks that
+    fraction of each row as PADDING (labels -100) — the HF-practice
+    batch shape the reference's own speedups are measured against (no
+    packing: real SFT rows fill well under half the context window)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -231,6 +234,9 @@ def make_packed_batch(cfg, key, bsz, seq, packed=True):
     ids = jax.random.randint(key, (bsz, seq), 0, cfg.vocab_size)
     labels = np.asarray(ids).copy()
     if not packed:
+        if pad_frac > 0:
+            n_pad = int(seq * pad_frac)
+            labels[:, seq - n_pad:] = -100
         return {
             "input_ids": ids,
             "labels": jnp.asarray(labels),
@@ -419,6 +425,17 @@ def main():
         base_gb = fast_b_gb = None
         vs_dense_lora = float("nan")
 
+    # HF-practice factor: without packing, real SFT rows fill well under
+    # the context window; the padding computes identically (same [B, T]
+    # step time), so the baseline's REAL-token throughput scales by
+    # (1 - pad_frac). This is the factor the all-real-token vs_baseline
+    # above deliberately removes — reported separately so the artifact
+    # carries the decomposition (see BASELINE_notes.md).
+    pad_frac = float(os.environ.get("BENCH_PAD_FRAC", "0.44"))
+    hf_practice_tps = qlora_tps * (1.0 - pad_frac)
+    vs_hf_practice = (fast_tps / hf_practice_tps
+                      if hf_practice_tps else float("nan"))
+
     result = {
         "metric": "llama31_8b_qlora_sft_8k_packed_tokens_per_sec_per_chip"
                   + ("" if num_layers == 32 else f"_layers{num_layers}"),
@@ -433,6 +450,21 @@ def main():
             "mfu": round(mfu, 4),
             "loss": round(fast_loss, 3),
             "backend": jax.default_backend(),
+            "hf_practice_baseline": {
+                "definition": "the same HF-QLoRA-equivalent on UNPACKED "
+                              "padded rows (the batch shape the "
+                              "reference's published speedups compare "
+                              "against): padding computes identically, "
+                              "so real-token throughput = baseline * "
+                              "(1 - pad_frac); pad_frac from "
+                              "BENCH_PAD_FRAC (default 0.44, a "
+                              "length-sorted-batching estimate for "
+                              "instruction data)",
+                "pad_frac": pad_frac,
+                "baseline_real_tokens_per_sec": round(hf_practice_tps, 2),
+                "vs_baseline_hf_practice": round(vs_hf_practice, 3)
+                if vs_hf_practice == vs_hf_practice else None,
+            },
             "baseline": {
                 "definition": "HF+PEFT QLoRA equivalent at FULL depth: "
                               "NF4 dequantize-per-use (unfused), flash "
