@@ -216,6 +216,27 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_studio(args) -> int:
+    """Launch the Studio backend (reference: `unsloth studio` — cli.py +
+    unsloth_cli studio launch). Serves the dashboard SPA + REST API;
+    optionally loads a model for the chat endpoints."""
+    from .studio.server import StudioServer
+
+    model = tokenizer = None
+    if args.model_name:
+        from .models.loader import FastLanguageModel
+
+        model, tokenizer = FastLanguageModel.from_pretrained(
+            args.model_name, load_in_4bit=args.load_in_4bit)
+        model.for_inference()
+    srv = StudioServer(model=model, tokenizer=tokenizer,
+                       workdir=args.workdir,
+                       require_auth=not args.no_auth)
+    print(f"studio on http://{args.host}:{args.port}")
+    srv.serve(host=args.host, port=args.port)
+    return 0
+
+
 def cmd_models(args) -> int:
     from .models.mapper import search_models
 
@@ -267,6 +288,16 @@ def main(argv=None) -> int:
     p_serve.add_argument("--host", default="127.0.0.1")
     p_serve.add_argument("--port", type=int, default=8000)
 
+    p_studio = sub.add_parser(
+        "studio", help="Studio web app (training jobs, datasets, chat)")
+    p_studio.add_argument("--model_name", default=None)
+    p_studio.add_argument("--load_in_4bit", action="store_true",
+                          default=True)
+    p_studio.add_argument("--host", default="127.0.0.1")
+    p_studio.add_argument("--port", type=int, default=8800)
+    p_studio.add_argument("--workdir", default="studio_jobs")
+    p_studio.add_argument("--no_auth", action="store_true")
+
     from .cli_start import add_start_parser, cmd_start
 
     add_start_parser(sub)
@@ -284,6 +315,7 @@ def main(argv=None) -> int:
         "export": cmd_export,
         "models": cmd_models,
         "serve": cmd_serve,
+        "studio": cmd_studio,
         "start": cmd_start,
         "mcp": cmd_mcp,
     }[args.command](args)
