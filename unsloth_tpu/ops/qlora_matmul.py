@@ -82,26 +82,32 @@ def _decode_mode():
     return os.environ.get("UNSLOTH_NF4_DECODE", "tree")
 
 
-def _dequant_tile(pk, am, e_mat, *, use_hi):
+def _dequant_tile(pk, am, e_mat=None, *, use_hi, block_size=None):
     """pk: [rows, cols] uint8 byte tile; am: [rows, cols//bs] fp32 scales;
-    e_mat: [cols//bs, cols] fp32 0/1 block-expansion matrix.
-    use_hi: traced bool — whether this tile sits in the hi-nibble half.
+    e_mat: [cols//bs, cols] fp32 0/1 block-expansion matrix (None -> the
+    per-element select-chain upsample; callers like nf4_gmm that don't
+    pre-build E use that path, passing block_size instead).
+    use_hi: static or traced bool — which nibble half this tile is.
 
     The absmax upsample runs on the MXU (``am @ E``): exact (0/1 matrix in
     fp32) and removes the per-element scale select chain from the VPU."""
     pk32 = pk.astype(jnp.int32)  # Mosaic has no 8-bit vector shifts
-    nib = jax.lax.cond(use_hi, lambda p: p >> 4, lambda p: p & 0xF, pk32)
+    if isinstance(use_hi, bool):
+        nib = (pk32 >> 4) if use_hi else (pk32 & 0xF)
+    else:
+        nib = jax.lax.cond(use_hi, lambda p: p >> 4, lambda p: p & 0xF,
+                           pk32)
     dmode = _decode_mode()
     if dmode == "none":          # diagnostic: skip decode (wrong results)
         val = nib.astype(jnp.float32)
     else:
         val = _decode_nibbles(nib)
-    mode = _scale_mode()
+    mode = _scale_mode() if e_mat is not None else "chain"
     if mode == "none":           # diagnostic: skip scaling (wrong results)
         return val
-    if mode == "chain":          # r2 per-element select chain
-        bs = pk.shape[1] // am.shape[1]
-        nb = am.shape[1]
+    if mode == "chain":          # per-element select chain
+        bs = block_size or (pk.shape[1] // am.shape[1])
+        nb = pk.shape[1] // bs
         col_block = jax.lax.broadcasted_iota(
             jnp.int32, pk.shape, 1) // bs
         am_up = am[:, 0:1]
