@@ -246,12 +246,14 @@ class ImageDiffusionTrainer:
         key = jax.random.PRNGKey(args.seed)
         n = len(self.images)
         bsz = min(args.per_device_train_batch_size, n)
+        images_dev = jnp.asarray(self.images)
+        labels_dev = (jnp.asarray(self.labels)
+                      if self.labels is not None else None)
         for s in range(args.max_steps):
             key, k1, k2 = jax.random.split(key, 3)
             idx = jax.random.randint(k1, (bsz,), 0, n)
-            batch = jnp.asarray(self.images)[idx]
-            lab = (jnp.asarray(self.labels)[idx]
-                   if self.labels is not None else None)
+            batch = images_dev[idx]
+            lab = labels_dev[idx] if labels_dev is not None else None
             self.params, opt, loss = step(self.params, opt, batch, k2, lab)
             if (s + 1) % args.logging_steps == 0 or s == 0:
                 self.state_log.append({"loss": float(loss), "step": s + 1})
