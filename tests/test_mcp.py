@@ -84,3 +84,49 @@ def test_chat_tool_and_stdio_loop(server):
 def test_bad_tool_name(server):
     r = server.handle(_rpc("tools/call", name="nope", arguments={}))
     assert r["error"]["code"] == -32602
+
+
+def test_mcp_tool_policy(server):
+    """Tool-policy layer (reference: the unsloth_cli tool-policy around
+    its subagent MCP servers): allowlist, token cap, call budget."""
+    from unsloth_tpu.mcp_server import MCPPolicy, MCPServer
+
+    srv = MCPServer(server.model, server.tokenizer, policy=MCPPolicy(
+        allowed_tools=["unsloth_generate"], max_tokens_cap=4,
+        max_calls=1, max_prompt_chars=50))
+    # tools/list filters
+    out = srv.handle({"jsonrpc": "2.0", "id": 1, "method": "tools/list"})
+    names = [t["name"] for t in out["result"]["tools"]]
+    assert names == ["unsloth_generate"]
+    # denied tool
+    out = srv.handle({"jsonrpc": "2.0", "id": 2, "method": "tools/call",
+                      "params": {"name": "unsloth_chat",
+                                 "arguments": {"messages": []}}})
+    assert "denied" in out["error"]["message"]
+    # prompt-length limit
+    out = srv.handle({"jsonrpc": "2.0", "id": 3, "method": "tools/call",
+                      "params": {"name": "unsloth_generate",
+                                 "arguments": {"prompt": "x" * 100}}})
+    assert "exceeds" in out["error"]["message"]
+    # allowed call runs (token cap applied), then the budget is spent
+    out = srv.handle({"jsonrpc": "2.0", "id": 4, "method": "tools/call",
+                      "params": {"name": "unsloth_generate",
+                                 "arguments": {"prompt": "ab",
+                                               "max_tokens": 999}}})
+    assert out["result"]["isError"] is False
+    out = srv.handle({"jsonrpc": "2.0", "id": 5, "method": "tools/call",
+                      "params": {"name": "unsloth_generate",
+                                 "arguments": {"prompt": "ab"}}})
+    assert "budget" in out["error"]["message"]
+
+
+def test_mcp_policy_from_env(monkeypatch):
+    from unsloth_tpu.mcp_server import MCPPolicy
+
+    monkeypatch.setenv("UNSLOTH_MCP_TOOLS", "unsloth_chat")
+    monkeypatch.setenv("UNSLOTH_MCP_MAX_TOKENS", "64")
+    monkeypatch.setenv("UNSLOTH_MCP_MAX_CALLS", "3")
+    p = MCPPolicy.from_env()
+    assert p.allowed_tools == ["unsloth_chat"]
+    assert p.max_tokens_cap == 64 and p.max_calls == 3
+    assert p.allows("unsloth_chat") and not p.allows("unsloth_generate")

@@ -15,11 +15,44 @@ Unknown methods answer with JSON-RPC -32601; notifications get no reply.
 
 from __future__ import annotations
 
+import dataclasses
 import json
+import os
 import sys
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Sequence
 
 PROTOCOL_VERSION = "2024-11-05"
+
+
+@dataclasses.dataclass
+class MCPPolicy:
+    """Tool policy (the reference's unsloth_cli ships a tool-policy layer
+    around its subagent MCP servers): which tools are exposed and the
+    resource ceilings a client call may request. Env-configurable:
+    UNSLOTH_MCP_TOOLS (comma list), UNSLOTH_MCP_MAX_TOKENS,
+    UNSLOTH_MCP_MAX_CALLS, UNSLOTH_MCP_MAX_PROMPT_CHARS."""
+
+    allowed_tools: Optional[Sequence[str]] = None   # None = all
+    max_tokens_cap: int = 1024
+    max_calls: Optional[int] = None                 # None = unlimited
+    max_prompt_chars: int = 200_000
+
+    @classmethod
+    def from_env(cls) -> "MCPPolicy":
+        tools = os.environ.get("UNSLOTH_MCP_TOOLS")
+        calls = os.environ.get("UNSLOTH_MCP_MAX_CALLS")
+        return cls(
+            allowed_tools=[t.strip() for t in tools.split(",") if t.strip()]
+            if tools else None,
+            max_tokens_cap=int(os.environ.get("UNSLOTH_MCP_MAX_TOKENS",
+                                              1024)),
+            max_calls=int(calls) if calls else None,
+            max_prompt_chars=int(os.environ.get(
+                "UNSLOTH_MCP_MAX_PROMPT_CHARS", 200_000)),
+        )
+
+    def allows(self, tool: str) -> bool:
+        return self.allowed_tools is None or tool in self.allowed_tools
 
 _TOOLS = [
     {
@@ -58,10 +91,13 @@ _TOOLS = [
 
 
 class MCPServer:
-    def __init__(self, model, tokenizer, server_name: str = "unsloth_tpu"):
+    def __init__(self, model, tokenizer, server_name: str = "unsloth_tpu",
+                 policy: Optional[MCPPolicy] = None):
         self.model = model
         self.tokenizer = tokenizer
         self.server_name = server_name
+        self.policy = policy or MCPPolicy.from_env()
+        self._calls = 0
 
     # -- model calls -----------------------------------------------------
     def _generate_text(self, prompt: str, max_tokens: int,
@@ -108,18 +144,36 @@ class MCPServer:
             if method == "ping":
                 return ok({})
             if method == "tools/list":
-                return ok({"tools": _TOOLS})
+                return ok({"tools": [t for t in _TOOLS
+                                     if self.policy.allows(t["name"])]})
             if method == "tools/call":
                 params = msg.get("params") or {}
                 name = params.get("name")
                 args = params.get("arguments") or {}
+                pol = self.policy
+                if not pol.allows(name):
+                    return err(-32602,
+                               f"tool {name!r} denied by policy")
+                if pol.max_calls is not None \
+                        and self._calls >= pol.max_calls:
+                    return err(-32000, "tool-call budget exhausted "
+                                       f"(max_calls={pol.max_calls})")
+                prompt_len = len(args.get("prompt", "") or "") + sum(
+                    len(str(m.get("content", "")))
+                    for m in args.get("messages", []) or [])
+                if prompt_len > pol.max_prompt_chars:
+                    return err(-32602, "prompt exceeds policy limit "
+                                       f"({pol.max_prompt_chars} chars)")
+                max_tokens = min(int(args.get("max_tokens", 256)),
+                                 pol.max_tokens_cap)
+                self._calls += 1
                 if name == "unsloth_generate":
                     text = self._generate_text(
-                        args["prompt"], args.get("max_tokens", 256),
+                        args["prompt"], max_tokens,
                         args.get("temperature", 0.7))
                 elif name == "unsloth_chat":
                     text = self._chat(
-                        args["messages"], args.get("max_tokens", 256),
+                        args["messages"], max_tokens,
                         args.get("temperature", 0.7))
                 else:
                     return err(-32602, f"unknown tool {name!r}")
