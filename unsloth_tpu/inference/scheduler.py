@@ -1,0 +1,201 @@
+"""Continuous batching over the paged KV pool.
+
+Parity target: the reference serves GGUF models through llama.cpp's
+`llama-server` (reference: studio/backend/core/inference/llama_cpp.py,
+llama_admission.py — admission control + continuous batching in the C++
+server). TPU-native form: a scheduler over our paged KV cache
+(inference/paged.py) — requests are admitted into slots of a fixed
+[B, 1] decode batch as others finish, prefill runs per slot into its
+pages, and every active sequence advances one token per jitted decode
+step. Static shapes throughout: the decode step compiles once per
+(batch, table-width) and is reused for the server's lifetime.
+
+Page 0 is a reserved trash page: inactive slots' decode writes land
+there, so a partially-filled batch needs no masking inside the kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .paged import (PageAllocator, PagedKVCache, forward_paged,
+                    init_paged_cache)
+
+
+@dataclasses.dataclass
+class Request:
+    req_id: int
+    prompt_ids: List[int]
+    max_new_tokens: int
+    output_ids: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+    slot: Optional[int] = None
+
+
+class ContinuousBatcher:
+    """Greedy continuous-batching decode loop.
+
+    submit() queues requests; step() admits into free slots (prefill)
+    and advances every active slot one token; run() drains the queue.
+    """
+
+    def __init__(self, model, *, max_batch: int = 4, max_len: int = 512,
+                 page_size: int = 64, n_pages: Optional[int] = None):
+        self.model = model
+        cfg = model.cfg
+        self.cfg = cfg
+        self.max_batch = max_batch
+        self.max_len = max_len
+        self.page_size = page_size
+        max_pages_per_seq = -(-max_len // page_size)
+        n_pages = n_pages or (1 + max_batch * max_pages_per_seq)
+        self.cache = init_paged_cache(cfg, n_pages, page_size,
+                                      batch=max_batch,
+                                      max_pages_per_seq=max_pages_per_seq)
+        self.alloc = PageAllocator(n_pages)
+        self.alloc.alloc("__trash__", 1)        # reserve page 0
+        self.page_table = np.zeros((max_batch, max_pages_per_seq),
+                                   np.int32)
+        self.seq_lens = np.zeros((max_batch,), np.int32)
+        self.slots: List[Optional[Request]] = [None] * max_batch
+        self.queue: List[Request] = []
+        self._next_id = 0
+        self._decode = jax.jit(self._decode_impl)
+        self._prefill = jax.jit(self._prefill_impl,
+                                static_argnames=("t",))
+
+    # -- jitted bodies ---------------------------------------------------
+
+    def _prefill_impl(self, params, lora, ids, cache, positions, *, t):
+        h, cache = forward_paged(params, lora, ids, self.cfg, cache,
+                                 positions=positions)
+        from .decode import logits_from_hidden
+
+        logits = logits_from_hidden(params, h[:, -1:], self.cfg,
+                                    lora=lora)
+        return jnp.argmax(logits[:, -1], axis=-1), cache
+
+    def _decode_impl(self, params, lora, ids, cache, positions):
+        h, cache = forward_paged(params, lora, ids, self.cfg, cache,
+                                 positions=positions)
+        from .decode import logits_from_hidden
+
+        logits = logits_from_hidden(params, h, self.cfg, lora=lora)
+        return jnp.argmax(logits[:, -1], axis=-1), cache
+
+    # -- host-side scheduling --------------------------------------------
+
+    def submit(self, prompt_ids, max_new_tokens: int = 64) -> int:
+        rid = self._next_id
+        self._next_id += 1
+        self.queue.append(Request(rid, list(prompt_ids), max_new_tokens))
+        return rid
+
+    def _sync_tables(self):
+        self.cache = dataclasses.replace(
+            self.cache,
+            page_table=jnp.asarray(self.page_table),
+            seq_lens=jnp.asarray(self.seq_lens))
+
+    def _admit(self, req: Request, slot: int):
+        t = len(req.prompt_ids)
+        # bucket prompt length to limit prefill recompiles
+        t_pad = max(64, 1 << (t - 1).bit_length())
+        n_pages = -(-(t + req.max_new_tokens) // self.page_size)
+        pages = self.alloc.alloc(req.req_id, n_pages)
+        self.page_table[slot] = 0
+        self.page_table[slot, :len(pages)] = pages
+        self.seq_lens[slot] = 0
+        self._sync_tables()
+
+        ids = np.zeros((1, t_pad), np.int32)
+        ids[0, :t] = req.prompt_ids
+        positions = np.zeros((1, t_pad), np.int32)
+        positions[0] = np.arange(t_pad)     # pad slots write within pages
+        sub = dataclasses.replace(
+            self.cache,
+            page_table=self.cache.page_table[slot:slot + 1],
+            seq_lens=self.cache.seq_lens[slot:slot + 1])
+        next_tok, sub = self._prefill(
+            self.model.params, self.model.lora, jnp.asarray(ids), sub,
+            jnp.asarray(positions), t=t_pad)
+        # merge updated pools back (pools are global; tables stay host-side)
+        self.cache = dataclasses.replace(
+            self.cache, k_pool=sub.k_pool, v_pool=sub.v_pool)
+        # the prefill's argmax used the padded last column; recompute from
+        # the true last prompt token happens on the first decode step, so
+        # instead we store the prompt length and let decode produce token 1
+        req.slot = slot
+        self.slots[slot] = req
+        self.seq_lens[slot] = t
+        self._sync_tables()
+
+    def step(self) -> int:
+        """Admit + advance one token; returns number of active slots."""
+        for i in range(self.max_batch):
+            if self.slots[i] is None and self.queue:
+                self._admit(self.queue.pop(0), i)
+
+        active = [i for i in range(self.max_batch)
+                  if self.slots[i] is not None]
+        if not active:
+            return 0
+
+        # batched single-token decode over ALL slots; inactive slots point
+        # at the trash page
+        ids = np.zeros((self.max_batch, 1), np.int32)
+        positions = np.zeros((self.max_batch, 1), np.int32)
+        table = self.page_table.copy()
+        for i in range(self.max_batch):
+            req = self.slots[i]
+            if req is None:
+                table[i] = 0                   # trash page
+                continue
+            last = (req.output_ids[-1] if req.output_ids
+                    else req.prompt_ids[-1])
+            ids[i, 0] = last
+            positions[i, 0] = self.seq_lens[i] - 1 + 1  # next slot
+        # decode consumes the LAST token and predicts the next: feed the
+        # last token at its own position
+        for i in active:
+            positions[i, 0] = self.seq_lens[i] - 1
+
+        self.cache = dataclasses.replace(
+            self.cache, page_table=jnp.asarray(table),
+            seq_lens=jnp.asarray(self.seq_lens))
+        next_tok, cache = self._decode(
+            self.model.params, self.model.lora, jnp.asarray(ids),
+            self.cache, jnp.asarray(positions))
+        self.cache = dataclasses.replace(
+            self.cache, k_pool=cache.k_pool, v_pool=cache.v_pool)
+        toks = np.asarray(jax.device_get(next_tok))
+
+        eos = self.cfg.eos_token_id
+        for i in active:
+            req = self.slots[i]
+            tok = int(toks[i])
+            req.output_ids.append(tok)
+            self.seq_lens[i] += 1
+            full = len(req.output_ids) >= req.max_new_tokens
+            if (eos is not None and tok == eos) or full \
+                    or self.seq_lens[i] >= self.max_len:
+                req.done = True
+                self.alloc.free_seq(req.req_id)
+                self.slots[i] = None
+        return len(active)
+
+    def run(self, max_steps: int = 10_000) -> Dict[int, List[int]]:
+        """Drain queue + slots; returns {req_id: output token ids}."""
+        finished: Dict[int, List[int]] = {}
+        all_reqs = list(self.queue) + [r for r in self.slots if r]
+        for _ in range(max_steps):
+            if not self.step() and not self.queue:
+                break
+        for r in all_reqs:
+            finished[r.req_id] = r.output_ids
+        return finished
