@@ -105,7 +105,8 @@ def main_grpo(quick: bool):
         tx = optax.adamw(1e-5)
         opt_state = tx.init(model.lora)
         step_fn = tr._make_step(tx)
-        one_round(tr, step_fn, grouped, opt_state)          # compile
+        # warm-up compiles; opt_state is donated so keep the new one
+        _, opt_state = one_round(tr, step_fn, grouped, opt_state)
         times = []
         for _ in range(n_rounds):
             dt, opt_state = one_round(tr, step_fn, grouped, opt_state)
