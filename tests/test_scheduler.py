@@ -63,3 +63,55 @@ def test_pages_are_reclaimed(model):
         cb.submit([5, 6, 7, 8], max_new_tokens=3)
     cb.run()
     assert cb.alloc.pages_in_use() == used0  # everything freed
+
+
+def test_server_continuous_batching(model):
+    """Concurrent HTTP chat requests share the batched decode loop and
+    each gets its own greedy completion."""
+    import json
+    import threading
+    import urllib.request
+
+    class Tok:
+        eos_token_id = None
+        pad_token_id = 0
+        chat_template = None
+
+        def __call__(self, text, **kw):
+            return {"input_ids": [ord(c) % 100 + 3 for c in text[:12]]}
+
+        def decode(self, ids, **kw):
+            return " ".join(str(i) for i in ids)
+
+    from unsloth_tpu.inference.server import InferenceServer
+
+    model.tokenizer = Tok()
+    srv = InferenceServer(model, Tok(), continuous_batching=True,
+                          max_batch=2, max_len=128)
+    httpd = srv.serve(port=18975, background=True)
+    try:
+        results = {}
+
+        def hit(name, content):
+            body = json.dumps({
+                "messages": [{"role": "user", "content": content}],
+                "max_tokens": 5}).encode()
+            req = urllib.request.Request(
+                "http://127.0.0.1:18975/v1/chat/completions", data=body,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                results[name] = json.loads(r.read())
+
+        threads = [threading.Thread(target=hit, args=(i, f"hello {i}"))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert len(results) == 3
+        for r in results.values():
+            msg = r["choices"][0]["message"]["content"]
+            assert msg and msg.split()
+    finally:
+        srv._batcher.stop()
+        httpd.shutdown()

@@ -64,6 +64,7 @@ class ContinuousBatcher:
         self.seq_lens = np.zeros((max_batch,), np.int32)
         self.slots: List[Optional[Request]] = [None] * max_batch
         self.queue: List[Request] = []
+        self.requests: Dict[int, Request] = {}
         self._next_id = 0
         self._decode = jax.jit(self._decode_impl)
         self._prefill = jax.jit(self._prefill_impl,
@@ -93,7 +94,9 @@ class ContinuousBatcher:
     def submit(self, prompt_ids, max_new_tokens: int = 64) -> int:
         rid = self._next_id
         self._next_id += 1
-        self.queue.append(Request(rid, list(prompt_ids), max_new_tokens))
+        req = Request(rid, list(prompt_ids), max_new_tokens)
+        self.queue.append(req)
+        self.requests[rid] = req
         return rid
 
     def _sync_tables(self):
@@ -199,3 +202,51 @@ class ContinuousBatcher:
         for r in all_reqs:
             finished[r.req_id] = r.output_ids
         return finished
+
+
+class BatcherThread:
+    """Background driver for a ContinuousBatcher: HTTP handler threads
+    submit and block on their request while one loop advances all active
+    sequences together (the llama-server serving shape)."""
+
+    def __init__(self, batcher: ContinuousBatcher):
+        import threading
+
+        self.batcher = batcher
+        self._cv = threading.Condition()
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._stop and not self.batcher.queue and \
+                        not any(self.batcher.slots):
+                    self._cv.wait(timeout=0.5)
+                if self._stop:
+                    return
+            self.batcher.step()
+            with self._cv:
+                self._cv.notify_all()
+
+    def generate(self, prompt_ids, max_new_tokens: int = 64,
+                 timeout: float = 600.0) -> List[int]:
+        import time as _time
+
+        with self._cv:
+            rid = self.batcher.submit(prompt_ids, max_new_tokens)
+            self._cv.notify_all()
+        deadline = _time.monotonic() + timeout
+        with self._cv:
+            while not self.batcher.requests[rid].done:
+                if _time.monotonic() > deadline:
+                    raise TimeoutError(f"request {rid} timed out")
+                self._cv.wait(timeout=0.5)
+            return self.batcher.requests.pop(rid).output_ids
+
+    def stop(self):
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._thread.join(timeout=5)

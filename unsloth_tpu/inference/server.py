@@ -24,11 +24,35 @@ from .generate import SamplingParams, generate
 
 
 class InferenceServer:
-    def __init__(self, model, tokenizer=None, model_name: str = "local"):
+    def __init__(self, model, tokenizer=None, model_name: str = "local",
+                 continuous_batching: bool = False, max_batch: int = 4,
+                 max_len: int = 2048):
         self.model = model
         self.tokenizer = tokenizer or model.tokenizer
         self.model_name = model_name
         self._lock = threading.Lock()  # single-flight generation
+        self._batcher = None
+        if continuous_batching:
+            # llama-server-shape serving: concurrent requests share one
+            # paged decode loop (inference/scheduler.py). Greedy decoding
+            # (per-request temperature is a single-flight feature).
+            from .scheduler import BatcherThread, ContinuousBatcher
+
+            self._batcher = BatcherThread(ContinuousBatcher(
+                model, max_batch=max_batch, max_len=max_len))
+
+    def _gen_text(self, prompt: str, params: SamplingParams) -> str:
+        if self._batcher is not None:
+            ids = self.tokenizer(prompt)["input_ids"]
+            out = self._batcher.generate(ids,
+                                         max_new_tokens=params.max_tokens)
+            eos = getattr(self.tokenizer, "eos_token_id", None)
+            if eos is not None and out and out[-1] == eos:
+                out = out[:-1]
+            return self.tokenizer.decode(out, skip_special_tokens=True)
+        with self._lock:
+            return generate(self.model, [prompt], params,
+                            tokenizer=self.tokenizer)[0]
 
     # -- request handling ------------------------------------------------
 
@@ -42,9 +66,7 @@ class InferenceServer:
             top_p=float(body.get("top_p", 1.0)),
             seed=int(body.get("seed", 0)),
         )
-        with self._lock:
-            text = generate(self.model, [prompt], params,
-                            tokenizer=self.tokenizer)[0]
+        text = self._gen_text(prompt, params)
         n_prompt = len(self.tokenizer(prompt)["input_ids"])
         n_out = len(self.tokenizer(text)["input_ids"])
         return {
@@ -81,9 +103,7 @@ class InferenceServer:
             max_tokens=int(body.get("max_tokens", 256)),
             temperature=float(body.get("temperature", 0.7)),
         )
-        with self._lock:
-            text = generate(self.model, [prompt], params,
-                            tokenizer=self.tokenizer)[0]
+        text = self._gen_text(prompt, params)
         return {
             "id": f"msg_{uuid.uuid4().hex[:16]}",
             "type": "message",
@@ -102,9 +122,7 @@ class InferenceServer:
         params = SamplingParams(
             max_tokens=int(body.get("max_tokens", 256)),
             temperature=float(body.get("temperature", 0.7)))
-        with self._lock:
-            text = generate(self.model, [prompt], params,
-                            tokenizer=self.tokenizer)[0]
+        text = self._gen_text(prompt, params)
         return {
             "id": f"cmpl-{uuid.uuid4().hex[:16]}",
             "object": "text_completion",
