@@ -155,3 +155,30 @@ def test_4bit_load(llama_ckpt):
 def test_missing_model_errors_clearly():
     with pytest.raises(FileNotFoundError, match="no network"):
         FastLanguageModel.from_pretrained("org/does-not-exist")
+
+
+def test_checkpoint_validation_catches_truncation(tmp_path):
+    """Killable-child checkpoint validation (reference: killable snapshot
+    prefetch _utils.py:1368 + studio resume validation resume.py:32-62):
+    a truncated shard fails BEFORE the training process touches it."""
+    import os
+
+    from tests.helpers import TINY_LLAMA, make_hf_checkpoint
+    from unsloth_tpu.models.hf_loader import (load_params,
+                                              validate_checkpoint)
+
+    ckpt = str(tmp_path / "m")
+    make_hf_checkpoint(ckpt, TINY_LLAMA)
+    v = validate_checkpoint(ckpt)
+    assert v["ok"] and v["tensors"] > 0
+
+    # truncate the shard: validation must fail, and load_params must
+    # refuse with a clear error instead of crashing mid-read
+    st = os.path.join(ckpt, "model.safetensors")
+    size = os.path.getsize(st)
+    with open(st, "r+b") as f:
+        f.truncate(size // 2)
+    v = validate_checkpoint(ckpt)
+    assert not v["ok"] and v["error"]
+    with pytest.raises(ValueError, match="validation failed"):
+        load_params(ckpt)

@@ -33,6 +33,68 @@ from . import hf_names
 _QUANTIZABLE = ("q", "k", "v", "o", "gate", "up", "down")
 
 
+def validate_checkpoint(path: str, timeout: float = 120.0) -> dict:
+    """Validate a checkpoint's safetensors headers in a KILLABLE child
+    process before the trainer touches it.
+
+    Reference behavior: the reference prefetches HF snapshots in a
+    killable child so a hung/corrupt file can't wedge the trainer
+    (reference: models/_utils.py:1368 maybe_prefetch_hf_snapshot), and
+    the Studio validates resume checkpoints before spawning a worker
+    (core/training/resume.py:32-62). Offline analog: parse every shard's
+    safetensors header (length-prefixed JSON) + check declared tensor
+    byte-ranges fit the file, inside a subprocess with a hard timeout —
+    a truncated shard or a pathological header dies in the child, not in
+    the training process.
+
+    Returns {"ok": bool, "shards": int, "tensors": int, "error": ...}.
+    """
+    import subprocess
+    import sys
+
+    code = r"""
+import json, os, struct, sys
+path = sys.argv[1]
+index = os.path.join(path, "model.safetensors.index.json")
+if os.path.exists(index):
+    with open(index) as f:
+        files = sorted(set(json.load(f)["weight_map"].values()))
+else:
+    files = ["model.safetensors"]
+n_tensors = 0
+for fn in files:
+    full = os.path.join(path, fn)
+    size = os.path.getsize(full)
+    with open(full, "rb") as f:
+        (hlen,) = struct.unpack("<Q", f.read(8))
+        if hlen > size - 8 or hlen > 500_000_000:
+            raise ValueError(f"{fn}: header length {hlen} exceeds file")
+        header = json.loads(f.read(hlen))
+    data_size = size - 8 - hlen
+    for name, meta in header.items():
+        if name == "__metadata__":
+            continue
+        lo, hi = meta["data_offsets"]
+        if not (0 <= lo <= hi <= data_size):
+            raise ValueError(f"{fn}: {name} offsets [{lo},{hi}) "
+                             f"outside data region {data_size}")
+        n_tensors += 1
+print(json.dumps({"shards": len(files), "tensors": n_tensors}))
+"""
+    try:
+        r = subprocess.run([sys.executable, "-c", code, path],
+                           capture_output=True, text=True,
+                           timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return {"ok": False, "error": f"validation timed out "
+                                      f"({timeout}s) — hung IO?"}
+    if r.returncode != 0:
+        return {"ok": False,
+                "error": (r.stderr or r.stdout).strip()[-500:]}
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    return {"ok": True, **out}
+
+
 class CheckpointReader:
     """Random access to tensors across safetensors shards."""
 
@@ -113,6 +175,12 @@ def load_params(
     """
     if cfg is None:
         cfg = ModelConfig.from_hf_config(load_hf_config(path))
+    if os.environ.get("UNSLOTH_VALIDATE_CHECKPOINT", "1") != "0":
+        v = validate_checkpoint(path)
+        if not v.get("ok"):
+            raise ValueError(
+                f"checkpoint validation failed for {path!r}: "
+                f"{v.get('error')}")
     reader = CheckpointReader(path)
     put = put or (lambda _, x: x)
 
