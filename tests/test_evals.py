@@ -1,0 +1,56 @@
+"""Eval helpers (reference: tests/utils/perplexity_eval.py sliding-window
+PPL; tests/qlora/README.md merge-fidelity methodology)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from unsloth_tpu.models.config import ModelConfig
+from unsloth_tpu.models.loader import LanguageModel
+from unsloth_tpu.models.params import init_params
+from unsloth_tpu.utils.evals import fact_retained, sliding_window_perplexity
+
+from tests.test_trainer_grpo import CharTokenizer
+
+
+@pytest.fixture()
+def model():
+    cfg = ModelConfig(vocab_size=128, hidden_size=32, intermediate_size=64,
+                      num_layers=2, num_heads=2, num_kv_heads=2,
+                      max_position_embeddings=512, eos_token_id=0)
+    return LanguageModel(cfg=cfg,
+                        params=init_params(cfg, jax.random.PRNGKey(0)),
+                        tokenizer=CharTokenizer())
+
+
+def test_sliding_window_ppl_matches_single_window(model):
+    """For a text shorter than max_length the windowed PPL equals the
+    plain full-context PPL."""
+    text = "hello world, this is a perplexity probe"
+    ppl_win = sliding_window_perplexity(model, [text], max_length=256,
+                                        stride=64)
+    # direct: one forward, mean NLL over all next-token positions
+    ids = np.asarray(model.tokenizer(text)["input_ids"], np.int32)
+    logits = model.logits(jnp.asarray([ids]))
+    logp = jax.nn.log_softmax(logits[0, :-1].astype(jnp.float32), -1)
+    nll = -jnp.take_along_axis(logp, jnp.asarray(ids[1:])[:, None],
+                               1).mean()
+    assert abs(ppl_win - float(jnp.exp(nll))) / float(jnp.exp(nll)) < 0.02
+
+
+def test_sliding_window_scores_each_token_once(model):
+    """A long text split across windows must produce finite PPL and use
+    strided windows (> 1 window)."""
+    text = "abcdefgh " * 40          # 360 chars -> several windows
+    ppl = sliding_window_perplexity(model, [text], max_length=128,
+                                    stride=64)
+    assert np.isfinite(ppl) and ppl > 1.0
+
+
+def test_fact_retained_probe(model):
+    # random model: probe returns a bool without error
+    out = fact_retained(model, "capital of x is", "zzz",
+                        max_new_tokens=4)
+    assert out in (True, False)
