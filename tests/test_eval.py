@@ -52,3 +52,46 @@ def test_eval_loss_drops_after_training(rng, tmp_path):
     tr.train()
     after = tr.evaluate()["eval_loss"]
     assert after < before - 0.1, (before, after)
+
+
+def test_train_and_merge_fact_retention(rng, tmp_path):
+    """The reference's flagship QLoRA semantic test (reference:
+    tests/qlora/test_unsloth_qlora_train_and_merge.py + README.md:24-35):
+    train an unanswerable fact into LoRA over an NF4 base, assert the
+    fact is retained after training AND after merged_16bit save+reload
+    (the reference demonstrates peft's merge_and_unload loses it)."""
+    from tests.helpers import TINY_LLAMA, make_hf_checkpoint
+    from tests.test_trainer_grpo import CharTokenizer
+    from unsloth_tpu.models.loader import FastLanguageModel
+    from unsloth_tpu.utils.evals import fact_retained
+
+    ckpt = str(tmp_path / "base")
+    make_hf_checkpoint(ckpt, TINY_LLAMA)
+    model, _ = FastLanguageModel.from_pretrained(ckpt, load_in_4bit=True,
+                                                 dtype="float32")
+    model.tokenizer = CharTokenizer()
+    FastLanguageModel.get_peft_model(model, r=8, lora_alpha=16)
+
+    prompt = "zork color? "
+    answer = "red"
+    ds = [{"input_ids": CharTokenizer()(prompt + answer)["input_ids"]}
+          for _ in range(8)]
+    tr = SFTTrainer(model=model, train_dataset=ds,
+                    tokenizer=CharTokenizer(),
+                    args=SFTConfig(per_device_train_batch_size=4,
+                                   max_steps=120, learning_rate=5e-3,
+                                   max_seq_length=16, packing=False,
+                                   warmup_steps=0,
+                                   lr_scheduler_type="constant",
+                                   output_dir=str(tmp_path)))
+    tr.train()
+    assert fact_retained(model, prompt, answer, max_new_tokens=4), \
+        "fact not learned by LoRA training"
+
+    out = str(tmp_path / "merged")
+    model.save_pretrained_merged(out)
+    merged, _ = FastLanguageModel.from_pretrained(out, load_in_4bit=False,
+                                                  dtype="float32")
+    merged.tokenizer = CharTokenizer()
+    assert fact_retained(merged, prompt, answer, max_new_tokens=4), \
+        "fact lost by merged_16bit save (merge-fidelity regression)"
