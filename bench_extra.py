@@ -334,13 +334,17 @@ def _init_whisper(cfg, key):
 
 
 def main_whisper(quick: bool):
-    """Whisper-large-v3-class ASR fine-tune step (full FT, fp32 — the
-    reference trains whisper full or LoRA through its patched trainer)."""
+    """Whisper-large-v3-class ASR LoRA fine-tune step (bf16 frozen base,
+    fp32 q/v adapters — the reference's Whisper notebook trains LoRA via
+    get_peft_model on q_proj/v_proj; full-FT fp32 of the 1.5B model needs
+    ~25 GB of param+adam state and cannot fit one 16 GB chip)."""
     import jax
     import jax.numpy as jnp
     import optax
 
-    from unsloth_tpu.models.whisper import WhisperConfig, whisper_loss
+    from unsloth_tpu.models.whisper import (WhisperConfig,
+                                            init_whisper_lora,
+                                            whisper_loss)
 
     enc_layers = _env_int("BENCH_LAYERS", 2 if quick else 32)
     bsz = _env_int("BENCH_BATCH", 1 if quick else 2)
@@ -352,34 +356,37 @@ def main_whisper(quick: bool):
                         decoder_layers=enc_layers,
                         max_source_positions=frames // 2)
     key = jax.random.PRNGKey(0)
-    params = _init_whisper(cfg, key)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                          _init_whisper(cfg, key))
+    lora = init_whisper_lora(cfg, key, r=32, alpha=64)
     feats = jax.random.normal(key, (bsz, cfg.num_mel_bins, frames),
-                              jnp.float32)
+                              jnp.bfloat16)
     dec_in = jax.random.randint(key, (bsz, label_len), 0, cfg.vocab_size)
     labels = jnp.roll(dec_in, -1, axis=1)
 
-    tx = optax.adamw(1e-5)
-    opt_state = tx.init(params)
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(lora)
 
-    def step(params, opt_state, feats, dec_in, labels):
+    def step(lora, opt_state, params, feats, dec_in, labels):
         loss, grads = jax.value_and_grad(
-            lambda p: whisper_loss(p, feats, dec_in, labels, cfg))(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+            lambda l: whisper_loss(params, feats, dec_in, labels, cfg,
+                                   lora=l))(lora)
+        updates, opt_state = tx.update(grads, opt_state, lora)
+        return optax.apply_updates(lora, updates), opt_state, loss
 
     jstep = jax.jit(step, donate_argnums=(0, 1))
     for _ in range(2):
-        params, opt_state, loss = jstep(params, opt_state, feats, dec_in,
-                                        labels)
-    _sync(params)
+        lora, opt_state, loss = jstep(lora, opt_state, params, feats,
+                                      dec_in, labels)
+    _sync(lora)
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        params, opt_state, loss = jstep(params, opt_state, feats, dec_in,
-                                        labels)
-    _sync(params)
+        lora, opt_state, loss = jstep(lora, opt_state, params, feats,
+                                      dec_in, labels)
+    _sync(lora)
     dt = (time.perf_counter() - t0) / n_steps
     print(json.dumps({
-        "metric": "whisper_large_v3_asr_ft_decoder_tokens_per_sec_per_chip"
+        "metric": "whisper_large_v3_asr_lora_decoder_tokens_per_sec_per_chip"
                   + ("" if enc_layers == 32 else f"_layers{enc_layers}"),
         "value": round(bsz * label_len / dt, 2),
         "unit": "decoder tokens/s/chip",

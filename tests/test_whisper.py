@@ -86,6 +86,59 @@ def test_whisper_loss_and_grads(whisper_ckpt):
     assert float(jnp.max(jnp.abs(g))) > 0
 
 
+def test_whisper_lora(whisper_ckpt):
+    """LoRA path: zero-init B makes lora a no-op at init (logit parity
+    with the base model), grads flow only to adapters, and the trainer's
+    lora mode overfits with the base frozen (the reference's Whisper
+    notebook trains q/v adapters via get_peft_model)."""
+    from unsloth_tpu.models.whisper import (init_whisper_lora,
+                                            load_whisper, whisper_decode,
+                                            whisper_encode, whisper_loss)
+    from unsloth_tpu.trainer.sft import SFTConfig
+    from unsloth_tpu.trainer.whisper import WhisperTrainer
+
+    path, _ = whisper_ckpt
+    params, cfg = load_whisper(path)
+    lora = init_whisper_lora(cfg, jax.random.PRNGKey(0), r=4, alpha=8)
+
+    rng = np.random.RandomState(3)
+    feats = jnp.asarray(rng.randn(1, 80, 3000).astype(np.float32))
+    ids = jnp.asarray(np.arange(1, 9).reshape(1, 8), jnp.int32)
+
+    base = whisper_decode(params, ids, whisper_encode(params, feats, cfg),
+                          cfg)
+    with_lora = whisper_decode(
+        params, ids, whisper_encode(params, feats, cfg, lora=lora), cfg,
+        lora=lora)
+    np.testing.assert_allclose(np.asarray(with_lora), np.asarray(base),
+                               atol=1e-6)
+
+    labels = jnp.asarray(np.arange(2, 10).reshape(1, 8), jnp.int32)
+    grads = jax.grad(lambda l: whisper_loss(params, feats, ids, labels,
+                                            cfg, lora=l))(lora)
+    gb = grads["decoder"]["layers"][0]["cross_attn"]["q"].b
+    assert float(jnp.max(jnp.abs(gb))) > 0
+
+    mel = rng.randn(cfg.num_mel_bins, 20).astype(np.float32)
+    ds = [{"features": mel, "labels": [5, 9, 17, 3, 2]} for _ in range(4)]
+    args = SFTConfig(per_device_train_batch_size=4, max_steps=60,
+                     learning_rate=1e-2, lr_scheduler_type="constant",
+                     warmup_steps=0, max_seq_length=16)
+    tr = WhisperTrainer((params, cfg), train_dataset=ds, args=args,
+                        lora=init_whisper_lora(cfg, jax.random.PRNGKey(1),
+                                               r=4, alpha=8))
+    tr.train()
+    losses = [e["loss"] for e in tr.state_log]
+    # attention-only adapters over a frozen random base plateau ~10%
+    # below init (the tied lm head never trains, capping attainable CE);
+    # assert the decrease, not full overfit
+    assert losses[-1] < losses[0] * 0.93, losses
+    new_params, _ = tr.model
+    k0 = params["decoder"]["layers"][0]["self_attn"]["q"]["kernel"]
+    k1 = new_params["decoder"]["layers"][0]["self_attn"]["q"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(k0), np.asarray(k1))
+
+
 def test_whisper_trainer_overfits(whisper_ckpt):
     """ASR fine-tuning loop: a tiny whisper overfits one (features,
     transcript) pair (the driver's Whisper bench family, BASELINE.md:35)."""

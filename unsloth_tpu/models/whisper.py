@@ -138,20 +138,24 @@ class WhisperConfig:
         )
 
 
-def _lin(p, x):
+def _lin(p, x, lora=None):
     y = jnp.dot(x, p["kernel"])
     if p.get("bias") is not None:
         y = y + p["bias"]
+    if lora is not None:
+        y = y + jnp.dot(jnp.dot(x, lora.a.T.astype(x.dtype)),
+                        lora.b.T.astype(x.dtype)) * lora.scale
     return y
 
 
-def _mha(x, kv, layer, heads, causal):
+def _mha(x, kv, layer, heads, causal, lora=None):
+    lora = lora or {}
     b, t, d = x.shape
     s = kv.shape[1]
     dh = d // heads
-    q = _lin(layer["q"], x).reshape(b, t, heads, dh)
-    k = _lin(layer["k"], kv).reshape(b, s, heads, dh)
-    v = _lin(layer["v"], kv).reshape(b, s, heads, dh)
+    q = _lin(layer["q"], x, lora.get("q")).reshape(b, t, heads, dh)
+    k = _lin(layer["k"], kv, lora.get("k")).reshape(b, s, heads, dh)
+    v = _lin(layer["v"], kv, lora.get("v")).reshape(b, s, heads, dh)
     scores = jnp.einsum("bthd,bshd->bhts", q, k).astype(jnp.float32) \
         * (dh ** -0.5)
     if causal:
@@ -159,7 +163,7 @@ def _mha(x, kv, layer, heads, causal):
         scores = jnp.where(mask[None, None], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, -1).astype(x.dtype)
     out = jnp.einsum("bhts,bshd->bthd", probs, v).reshape(b, t, d)
-    return _lin(layer["out"], out)
+    return _lin(layer["out"], out, lora.get("out"))
 
 
 def _conv1d(x, kernel, bias, stride):
@@ -170,19 +174,22 @@ def _conv1d(x, kernel, bias, stride):
     return out + bias[None, :, None]
 
 
-def whisper_encode(params, features: jnp.ndarray, cfg: WhisperConfig
-                   ) -> jnp.ndarray:
+def whisper_encode(params, features: jnp.ndarray, cfg: WhisperConfig,
+                   lora=None) -> jnp.ndarray:
     """log-mel features [B, n_mels, frames] -> [B, frames//2, d]."""
     enc = params["encoder"]
+    enc_lora = (lora or {}).get("encoder", {})
     x = jax.nn.gelu(_conv1d(features, enc["conv1"]["kernel"],
                             enc["conv1"]["bias"], 1), approximate=False)
     x = jax.nn.gelu(_conv1d(x, enc["conv2"]["kernel"],
                             enc["conv2"]["bias"], 2), approximate=False)
     x = x.transpose(0, 2, 1)                     # [B, T, d]
     x = x + enc["pos_embed"][None, :x.shape[1]]
-    for layer in enc["layers"]:
+    layer_loras = enc_lora.get("layers", [{}] * len(enc["layers"]))
+    for layer, ll in zip(enc["layers"], layer_loras):
         h = layer_norm(x, layer["ln1"]["w"], layer["ln1"]["b"], cfg.eps)
-        x = x + _mha(h, h, layer["self_attn"], cfg.encoder_heads, False)
+        x = x + _mha(h, h, layer["self_attn"], cfg.encoder_heads, False,
+                     lora=ll.get("self_attn"))
         h = layer_norm(x, layer["ln2"]["w"], layer["ln2"]["b"], cfg.eps)
         h = jax.nn.gelu(_lin(layer["fc1"], h), approximate=False)
         x = x + _lin(layer["fc2"], h)
@@ -191,19 +198,22 @@ def whisper_encode(params, features: jnp.ndarray, cfg: WhisperConfig
 
 
 def whisper_decode(params, token_ids: jnp.ndarray, encoder_out: jnp.ndarray,
-                   cfg: WhisperConfig) -> jnp.ndarray:
+                   cfg: WhisperConfig, lora=None) -> jnp.ndarray:
     """token_ids [B, T] + encoder states -> logits [B, T, V]."""
     dec = params["decoder"]
+    dec_lora = (lora or {}).get("decoder", {})
     b, t = token_ids.shape
     x = jnp.take(dec["embed"], token_ids, axis=0)
     x = x + dec["pos_embed"][None, :t]
-    for layer in dec["layers"]:
+    layer_loras = dec_lora.get("layers", [{}] * len(dec["layers"]))
+    for layer, ll in zip(dec["layers"], layer_loras):
         h = layer_norm(x, layer["ln1"]["w"], layer["ln1"]["b"], cfg.eps)
-        x = x + _mha(h, h, layer["self_attn"], cfg.decoder_heads, True)
+        x = x + _mha(h, h, layer["self_attn"], cfg.decoder_heads, True,
+                     lora=ll.get("self_attn"))
         h = layer_norm(x, layer["ln_x"]["w"], layer["ln_x"]["b"],
                            cfg.eps)
         x = x + _mha(h, encoder_out, layer["cross_attn"],
-                     cfg.decoder_heads, False)
+                     cfg.decoder_heads, False, lora=ll.get("cross_attn"))
         h = layer_norm(x, layer["ln2"]["w"], layer["ln2"]["b"], cfg.eps)
         h = jax.nn.gelu(_lin(layer["fc1"], h), approximate=False)
         x = x + _lin(layer["fc2"], h)
@@ -211,13 +221,45 @@ def whisper_decode(params, token_ids: jnp.ndarray, encoder_out: jnp.ndarray,
     return jnp.dot(x, dec["embed"].T)
 
 
-def whisper_loss(params, features, token_ids, labels, cfg: WhisperConfig):
+def whisper_loss(params, features, token_ids, labels, cfg: WhisperConfig,
+                 lora=None):
     """Seq2seq CE (labels -100 = ignore; caller shifts as HF does)."""
     from ..ops.cross_entropy import fast_cross_entropy_loss
 
-    enc = whisper_encode(params, features, cfg)
-    logits = whisper_decode(params, token_ids, enc, cfg)
+    enc = whisper_encode(params, features, cfg, lora=lora)
+    logits = whisper_decode(params, token_ids, enc, cfg, lora=lora)
     return fast_cross_entropy_loss(logits, labels)
+
+
+def init_whisper_lora(cfg: WhisperConfig, key, r: int = 32,
+                      alpha: int = 64, targets=("q", "v"),
+                      dtype=jnp.float32):
+    """LoRA adapter pytree mirroring the whisper param tree (peft
+    convention: A ~ N(0, 1/r), B = 0; scale = alpha / r). Targets name
+    the attention projections to adapt (q/k/v/out), applied to encoder
+    self-attention and decoder self+cross attention — the reference's
+    Whisper notebook targets q_proj/v_proj via get_peft_model."""
+    from ..ops.lora import LoRAWeights
+
+    d = cfg.d_model
+    scale = alpha / r
+
+    def adapter(key):
+        a = jax.random.normal(key, (r, d), dtype) * (1.0 / r)
+        return LoRAWeights(a=a, b=jnp.zeros((d, r), dtype), scale=scale)
+
+    def attn_block(key):
+        keys = jax.random.split(key, len(targets))
+        return {t: adapter(k) for t, k in zip(targets, keys)}
+
+    n_enc, n_dec = cfg.encoder_layers, cfg.decoder_layers
+    keys = jax.random.split(key, n_enc + 2 * n_dec)
+    enc_layers = [{"self_attn": attn_block(keys[i])} for i in range(n_enc)]
+    dec_layers = [{"self_attn": attn_block(keys[n_enc + 2 * i]),
+                   "cross_attn": attn_block(keys[n_enc + 2 * i + 1])}
+                  for i in range(n_dec)]
+    return {"encoder": {"layers": enc_layers},
+            "decoder": {"layers": dec_layers}}
 
 
 # ---------------------------------------------------------------------------

@@ -225,6 +225,21 @@ class StudioServer(InferenceServer):
         self._token_sha = (hashlib.sha256(token.encode()).hexdigest()
                            if token else None)
 
+    # -- RAG (reference: studio/backend/routes/rag.py) ------------------
+
+    @property
+    def rag(self):
+        """Lazy RagStore under the job workdir (KB CRUD / ingest /
+        search). Embedder defaults to the model-free HashEmbedder; set
+        ``self.rag.embedder`` to a sentence-transformer encode fn to use
+        the loaded model."""
+        if getattr(self, "_rag", None) is None:
+            from .rag import RagStore
+
+            self._rag = RagStore(os.path.join(self.jobs.workdir,
+                                              "rag.sqlite"))
+        return self._rag
+
     # -- datasets (reference: studio/backend/routes/datasets.py) --------
 
     def _datasets_dir(self) -> str:
@@ -466,6 +481,18 @@ class StudioServer(InferenceServer):
                         return self._send(404, {"error": "no such job"})
                 if self.path.startswith("/api/chat/history"):
                     return self._send(200, server.chat_history())
+                if self.path == "/api/rag/kbs":
+                    return self._send(200, {"kbs": server.rag.list_kbs()})
+                if self.path.startswith("/api/rag/docs"):
+                    from urllib.parse import parse_qs, urlparse
+
+                    kb = (parse_qs(urlparse(self.path).query)
+                          .get("kb") or [""])[0]
+                    try:
+                        return self._send(
+                            200, {"docs": server.rag.list_docs(kb)})
+                    except FileNotFoundError:
+                        return self._send(404, {"error": "no such kb"})
                 if self.path == "/api/jobs":
                     jobs = []
                     wd = server.jobs.workdir
@@ -538,6 +565,43 @@ class StudioServer(InferenceServer):
                         if self.path == "/api/hub/download":
                             return self._send(200,
                                               server.hub_download(body))
+                        if self.path == "/api/rag/kbs":
+                            return self._send(
+                                200, server.rag.create_kb(body["name"]))
+                        if self.path == "/api/rag/kbs/delete":
+                            try:
+                                server.rag.delete_kb(body["id"])
+                                return self._send(200, {"ok": True})
+                            except FileNotFoundError:
+                                return self._send(404,
+                                                  {"error": "no such kb"})
+                        if self.path == "/api/rag/docs":
+                            try:
+                                return self._send(200, server.rag.
+                                                  add_document(
+                                                      body["kb_id"],
+                                                      body["name"],
+                                                      body["text"]))
+                            except FileNotFoundError:
+                                return self._send(404,
+                                                  {"error": "no such kb"})
+                        if self.path == "/api/rag/docs/delete":
+                            try:
+                                server.rag.delete_doc(body["kb_id"],
+                                                      body["doc_id"])
+                                return self._send(200, {"ok": True})
+                            except FileNotFoundError:
+                                return self._send(
+                                    404, {"error": "no such doc"})
+                        if self.path == "/api/rag/search":
+                            try:
+                                return self._send(200, {
+                                    "hits": server.rag.search(
+                                        body["kb_id"], body["query"],
+                                        int(body.get("k", 5)))})
+                            except FileNotFoundError:
+                                return self._send(404,
+                                                  {"error": "no such kb"})
                         return self._send(404, {"error": "not found"})
                     except KeyError as e:
                         return self._send(400, {"error":

@@ -59,14 +59,20 @@ def prepare_whisper_batch(examples, cfg, tokenizer=None, max_label_len=64):
 
 
 class WhisperTrainer:
-    """Full-FT seq2seq trainer over the functional whisper model."""
+    """Seq2seq trainer over the functional whisper model.
+
+    Full FT by default; pass ``lora`` (from
+    models.whisper.init_whisper_lora) to train adapters only — the base
+    stays frozen (and can be bf16), matching the reference's Whisper
+    LoRA notebook (get_peft_model on q_proj/v_proj)."""
 
     def __init__(self, model, tokenizer=None, train_dataset=None,
-                 args: Optional[SFTConfig] = None, **kwargs):
+                 args: Optional[SFTConfig] = None, lora=None, **kwargs):
         self.model = model       # (params, cfg) handle from load_whisper
         self.tokenizer = tokenizer
         self.train_dataset = train_dataset
         self.args = args or SFTConfig()
+        self.lora = lora
         self.state_log: List[Dict[str, Any]] = []
 
     def train(self) -> TrainOutput:
@@ -85,15 +91,25 @@ class WhisperTrainer:
         tx = optax.chain(optax.clip_by_global_norm(args.max_grad_norm),
                          optax.adamw(schedule,
                                      weight_decay=args.weight_decay))
-        opt = tx.init(params)
+        trainable = self.lora if self.lora is not None else params
+        opt = tx.init(trainable)
 
-        @jax.jit
-        def step(params, opt, feats, dec_in, labels):
-            loss, g = jax.value_and_grad(
-                lambda p: whisper_loss(p, feats, dec_in, labels, cfg))(
-                    params)
-            upd, opt = tx.update(g, opt, params)
-            return optax.apply_updates(params, upd), opt, loss
+        if self.lora is not None:
+            @jax.jit
+            def step(lora, opt, params, feats, dec_in, labels):
+                loss, g = jax.value_and_grad(
+                    lambda l: whisper_loss(params, feats, dec_in, labels,
+                                           cfg, lora=l))(lora)
+                upd, opt = tx.update(g, opt, lora)
+                return optax.apply_updates(lora, upd), opt, loss
+        else:
+            @jax.jit
+            def step(params, opt, _frozen, feats, dec_in, labels):
+                loss, g = jax.value_and_grad(
+                    lambda p: whisper_loss(p, feats, dec_in, labels,
+                                           cfg))(params)
+                upd, opt = tx.update(g, opt, params)
+                return optax.apply_updates(params, upd), opt, loss
 
         t0 = time.time()
         global_step = 0
@@ -102,13 +118,19 @@ class WhisperTrainer:
             for feats, dec_in, labels in batches:
                 if global_step >= total:
                     break
-                params, opt, loss = step(params, opt, feats, dec_in,
-                                         labels)
+                trainable, opt, loss = step(
+                    trainable, opt,
+                    params if self.lora is not None else None,
+                    feats, dec_in, labels)
                 global_step += 1
                 if global_step % args.logging_steps == 0:
                     entry = {"loss": float(loss), "step": global_step}
                     losses.append(float(loss))
                     self.state_log.append(entry)
+        if self.lora is not None:
+            self.lora = trainable
+        else:
+            params = trainable
         self.model = (params, cfg)
         return TrainOutput(global_step,
                            float(np.mean(losses)) if losses else
