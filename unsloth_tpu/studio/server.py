@@ -240,6 +240,43 @@ class StudioServer(InferenceServer):
                                               "rag.sqlite"))
         return self._rag
 
+    def _studio_generate(self):
+        """Completion callable for recipe llm ops / research synthesis,
+        or None when no model is loaded (engines then run model-free)."""
+        if self.model is None:
+            return None
+        from ..inference.generate import SamplingParams
+
+        def gen(prompt: str, max_tokens: int = 128) -> str:
+            return self._gen_text(
+                prompt, SamplingParams(max_tokens=max_tokens))
+
+        return gen
+
+    # -- data recipes (reference: studio/backend/routes/data_recipe/) ---
+
+    @property
+    def recipes(self):
+        if getattr(self, "_recipes", None) is None:
+            from .recipe import RecipeJobManager
+
+            self._recipes = RecipeJobManager(
+                self.jobs.workdir, datasets_dir=self._datasets_dir(),
+                generate_fn=self._studio_generate())
+        return self._recipes
+
+    # -- research runs (reference: studio/backend/routes/research_runs) -
+
+    @property
+    def research(self):
+        if getattr(self, "_research", None) is None:
+            from .research import ResearchManager
+
+            self._research = ResearchManager(
+                self.jobs.workdir, rag=self.rag,
+                generate_fn=self._studio_generate())
+        return self._research
+
     # -- datasets (reference: studio/backend/routes/datasets.py) --------
 
     def _datasets_dir(self) -> str:
@@ -493,6 +530,54 @@ class StudioServer(InferenceServer):
                             200, {"docs": server.rag.list_docs(kb)})
                     except FileNotFoundError:
                         return self._send(404, {"error": "no such kb"})
+                if self.path.startswith(("/api/recipe/jobs",
+                                         "/api/research")):
+                    from urllib.parse import parse_qs, urlparse
+
+                    u = urlparse(self.path)
+                    q = parse_qs(u.query)
+                    parts = u.path.strip("/").split("/")
+                    try:
+                        if u.path == "/api/recipe/jobs/current":
+                            return self._send(200,
+                                              server.recipes.current())
+                        if len(parts) == 5 and parts[1] == "recipe":
+                            jid, leaf = parts[3], parts[4]
+                            if leaf == "status":
+                                return self._send(
+                                    200, server.recipes.status(jid))
+                            if leaf == "analysis":
+                                return self._send(
+                                    200, server.recipes.analysis(jid))
+                            if leaf == "dataset":
+                                return self._send(
+                                    200, server.recipes.dataset(
+                                        jid,
+                                        int((q.get("offset") or [0])[0]),
+                                        int((q.get("limit") or [100])[0])))
+                            if leaf == "events":
+                                return self._send(
+                                    200, server.recipes.events(
+                                        jid,
+                                        int((q.get("after") or [0])[0])))
+                        if u.path == "/api/research/active":
+                            return self._send(
+                                200, {"runs": server.research.active()})
+                        if len(parts) == 3 and parts[1] == "research":
+                            return self._send(
+                                200, server.research.get(parts[2]))
+                        if (len(parts) == 4 and parts[1] == "research"
+                                and parts[3] == "events"):
+                            return self._send(
+                                200, server.research.events(
+                                    parts[2],
+                                    int((q.get("after") or [0])[0])))
+                    except FileNotFoundError as e:
+                        return self._send(404,
+                                          {"error": f"not found: {e}"})
+                    except RuntimeError as e:
+                        return self._send(409, {"error": str(e)})
+                    return self._send(404, {"error": "not found"})
                 if self.path == "/api/jobs":
                     jobs = []
                     wd = server.jobs.workdir
@@ -602,12 +687,50 @@ class StudioServer(InferenceServer):
                             except FileNotFoundError:
                                 return self._send(404,
                                                   {"error": "no such kb"})
+                        if self.path == "/api/recipe/jobs":
+                            return self._send(
+                                200, server.recipes.create(body))
+                        if self.path.startswith("/api/recipe/jobs/"):
+                            parts = self.path.strip("/").split("/")
+                            jid, leaf = parts[3], parts[4]
+                            if leaf == "cancel":
+                                return self._send(
+                                    200, server.recipes.cancel(jid))
+                            if leaf == "publish":
+                                return self._send(
+                                    200, server.recipes.publish(
+                                        jid, body["name"]))
+                        if self.path == "/api/research":
+                            return self._send(
+                                202, server.research.create(body))
+                        if self.path.startswith("/api/research/"):
+                            parts = self.path.strip("/").split("/")
+                            rid, leaf = parts[2], parts[3]
+                            if leaf == "plan":
+                                return self._send(
+                                    200, server.research.update_plan(
+                                        rid, body["plan"],
+                                        body["expected_revision"]))
+                            if leaf == "approve":
+                                return self._send(
+                                    200, server.research.approve(
+                                        rid, body["plan_revision"],
+                                        body["plan_hash"]))
+                            if leaf == "cancel":
+                                return self._send(
+                                    200, server.research.cancel(rid))
+                            if leaf == "retry":
+                                return self._send(
+                                    200, server.research.retry(rid))
                         return self._send(404, {"error": "not found"})
                     except KeyError as e:
                         return self._send(400, {"error":
                                                 f"missing field: {e}"})
-                    except TypeError as e:
+                    except (TypeError, IndexError) as e:
                         return self._send(400, {"error": str(e)})
+                    except FileNotFoundError as e:
+                        return self._send(404,
+                                          {"error": f"not found: {e}"})
                     except RuntimeError as e:
                         return self._send(409, {"error": str(e)})
                 if server.model is None and self.path.startswith("/v1/"):
