@@ -381,18 +381,29 @@ def main():
     # flash block 1024 is ~4% faster end-to-end but its bwd buffers add
     # ~1 GB of HLO temp; the full-depth config sits within ~600 MB of the
     # 15.75 GB usable HBM, so fall back to 512 if 1024 no longer fits.
-    try:
-        fast_tps, fast_dt, peak_gb, fast_loss = run_path(
-            cfg, key, packed, n_steps, quantize=True, fused_ce="auto",
-            want_memory=True, flash_block=1024 if seq >= 2048 else None)
-        headline_block = 1024 if seq >= 2048 else 512
-    except Exception as e:
-        print(f"flash block 1024 failed ({str(e)[:200]}); "
-              f"retrying with 512", file=sys.stderr)
-        fast_tps, fast_dt, peak_gb, fast_loss = run_path(
-            cfg, key, packed, n_steps, quantize=True, fused_ce="auto",
-            want_memory=True, flash_block=512)
-        headline_block = 512
+    attempts = ([1024, 512, 256] if seq >= 2048 else [None])
+    last_err = None
+    for blk in attempts:
+        try:
+            fast_tps, fast_dt, peak_gb, fast_loss = run_path(
+                cfg, key, packed, n_steps, quantize=True,
+                fused_ce="auto", want_memory=True, flash_block=blk)
+            headline_block = blk or 512
+            break
+        except Exception as e:  # noqa: BLE001 — try the next block size
+            last_err = e
+            print(f"flash block {blk} failed ({str(e)[:200]}); "
+                  f"trying next", file=sys.stderr)
+    else:
+        # the driver parses exactly one JSON line — emit one even when
+        # every attempt failed, carrying the error for the artifact
+        print(json.dumps({
+            "metric":
+                "llama31_8b_qlora_sft_8k_packed_tokens_per_sec_per_chip",
+            "value": None, "unit": "tokens/s/chip", "vs_baseline": None,
+            "detail": {"error": f"{type(last_err).__name__}: "
+                                f"{str(last_err)[:400]}"}}))
+        return
     mfu = 3 * flops_per_token(cfg, seq) * bsz * seq / fast_dt \
         / V5E_BF16_PEAK_FLOPS
 

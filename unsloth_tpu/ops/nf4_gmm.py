@@ -43,7 +43,8 @@ from jax.experimental.pallas.ops.tpu.megablox.gmm import make_group_metadata
 
 from ..utils import env
 from .nf4 import NF4Stacked
-from .qlora_matmul import _dequant_tile, _interpret, _round_up
+from .qlora_matmul import (_dequant_tile, _expansion_matrix, _interpret,
+                           _round_up)
 
 
 def _pick_tile(half: int, cap: int, bs: int) -> int:
@@ -57,8 +58,12 @@ def _pick_tile(half: int, cap: int, bs: int) -> int:
 
 
 def _absmax_tiles(q: NF4Stacked, n_pad: int, tk: int):
-    """Two per-tile absmax slabs [E, n_hi, N_pad, tk//bs] (fp32), one per
-    nibble half (quant blocks are row-major along the logical K dim)."""
+    """Two per-tile absmax slabs [E, n_hi, tk//bs, N_pad] (fp32), one per
+    nibble half (quant blocks are row-major along the logical K dim).
+    The tiny tk//bs axis sits in the SUBLANE dim: a trailing tk//bs
+    layout pads 8-16x under (8,128) tiling (~0.5 GB per gpt-oss expert
+    stack); this layout has zero padding (see qlora_matmul._fwd_pallas,
+    where the same trailing-dim-8 slab OOMed the 8K headline bench)."""
     e, n, k = q.shape
     bs = q.block_size
     half = k // 2
@@ -69,7 +74,7 @@ def _absmax_tiles(q: NF4Stacked, n_pad: int, tk: int):
     n_hi = half // tk
 
     def arrange(a):
-        return a.reshape(e, n_pad, n_hi, tk // bs).transpose(0, 2, 1, 3)
+        return a.reshape(e, n_pad, n_hi, tk // bs).transpose(0, 2, 3, 1)
 
     return arrange(am[..., :hb]), arrange(am[..., hb:])
 
@@ -79,8 +84,8 @@ def _absmax_tiles(q: NF4Stacked, n_pad: int, tk: int):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(group_metadata, group_offset, xh_ref, xl_ref, pk_ref,
-                amh_ref, aml_ref, out_ref, acc_ref, *, block_size: int,
-                tm: int, tn: int, out_dtype):
+                amh_ref, aml_ref, e_ref, out_ref, acc_ref, *,
+                block_size: int, tm: int, tn: int, out_dtype):
     group_offsets, group_ids, m_tile_ids = group_metadata
     del group_offset
     grid_id = pl.program_id(1)
@@ -92,10 +97,10 @@ def _fwd_kernel(group_metadata, group_offset, xh_ref, xl_ref, pk_ref,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     pk = pk_ref[...]
-    w_hi = _dequant_tile(pk, amh_ref[0], use_hi=True,
-                         block_size=block_size)        # [tn, tk] fp32
-    w_lo = _dequant_tile(pk, aml_ref[0], use_hi=False,
-                         block_size=block_size)
+    w_hi = _dequant_tile(pk, amh_ref[0], e_ref[...], use_hi=True,
+                         am_transposed=True)           # [tn, tk] fp32
+    w_lo = _dequant_tile(pk, aml_ref[0], e_ref[...], use_hi=False,
+                         am_transposed=True)
     xh = xh_ref[...]
     xl = xl_ref[...]
     acc_ref[...] += jax.lax.dot_general(
@@ -125,7 +130,7 @@ def _fwd_kernel(group_metadata, group_offset, xh_ref, xl_ref, pk_ref,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(group_metadata, group_offset, g_ref, pk_ref, amh_ref,
-                aml_ref, oh_ref, ol_ref, acch_ref, accl_ref, *,
+                aml_ref, e_ref, oh_ref, ol_ref, acch_ref, accl_ref, *,
                 block_size: int, tm: int, tj: int, out_dtype):
     group_offsets, group_ids, m_tile_ids = group_metadata
     del group_offset
@@ -139,10 +144,10 @@ def _bwd_kernel(group_metadata, group_offset, g_ref, pk_ref, amh_ref,
         accl_ref[...] = jnp.zeros_like(accl_ref)
 
     pk = pk_ref[...]
-    w_hi = _dequant_tile(pk, amh_ref[0], use_hi=True,
-                         block_size=block_size)        # [tkn, tj] fp32
-    w_lo = _dequant_tile(pk, aml_ref[0], use_hi=False,
-                         block_size=block_size)
+    w_hi = _dequant_tile(pk, amh_ref[0], e_ref[...], use_hi=True,
+                         am_transposed=True)           # [tkn, tj] fp32
+    w_lo = _dequant_tile(pk, aml_ref[0], e_ref[...], use_hi=False,
+                         am_transposed=True)
     g = g_ref[...]                                     # [tm, tkn]
     acch_ref[...] += jax.lax.dot_general(
         g, w_hi.astype(g.dtype),
@@ -213,7 +218,10 @@ def _nf4_gmm_fwd_impl(lhs, q: NF4Stacked, group_sizes, interpret=None):
         return group_metadata[1][grid_id], n_i, k_i
 
     def am_idx(n_i, grid_id, k_i, group_metadata, group_offset):
-        return group_metadata[1][grid_id], k_i, n_i, 0
+        return group_metadata[1][grid_id], k_i, 0, n_i
+
+    def e_idx(n_i, grid_id, k_i, group_metadata, group_offset):
+        return 0, 0
 
     def out_idx(n_i, grid_id, k_i, group_metadata, group_offset):
         return group_metadata[2][grid_id], n_i
@@ -229,8 +237,9 @@ def _nf4_gmm_fwd_impl(lhs, q: NF4Stacked, group_sizes, interpret=None):
                 pl.BlockSpec((tm, tk), x_idx),
                 pl.BlockSpec((tm, tk), x_idx),
                 pl.BlockSpec((None, tn, tk), pk_idx),
-                pl.BlockSpec((None, 1, tn, tk // bs), am_idx),
-                pl.BlockSpec((None, 1, tn, tk // bs), am_idx),
+                pl.BlockSpec((None, 1, tk // bs, tn), am_idx),
+                pl.BlockSpec((None, 1, tk // bs, tn), am_idx),
+                pl.BlockSpec((tk // bs, tk), e_idx),
             ],
             out_specs=pl.BlockSpec((tm, tn), out_idx),
             grid=(n_pad // tn, num_tiles, n_hi),
@@ -244,7 +253,8 @@ def _nf4_gmm_fwd_impl(lhs, q: NF4Stacked, group_sizes, interpret=None):
             + m_pad * n_pad * 2,
             transcendentals=0),
         interpret=_interpret() if interpret is None else interpret,
-    )(meta, jnp.zeros((1,), jnp.int32), x_hi, x_lo, packed, am_hi, am_lo)
+    )(meta, jnp.zeros((1,), jnp.int32), x_hi, x_lo, packed, am_hi, am_lo,
+      _expansion_matrix(tk // bs, tk))
     return out[:m, :n]
 
 
@@ -271,7 +281,10 @@ def _nf4_gmm_bwd_impl(g, q: NF4Stacked, group_sizes, interpret=None):
         return group_metadata[1][grid_id], k_i, j
 
     def am_idx(j, grid_id, k_i, group_metadata, group_offset):
-        return group_metadata[1][grid_id], j, k_i, 0
+        return group_metadata[1][grid_id], j, 0, k_i
+
+    def e_idx(j, grid_id, k_i, group_metadata, group_offset):
+        return 0, 0
 
     def out_idx(j, grid_id, k_i, group_metadata, group_offset):
         return group_metadata[2][grid_id], j
@@ -287,8 +300,9 @@ def _nf4_gmm_bwd_impl(g, q: NF4Stacked, group_sizes, interpret=None):
             in_specs=[
                 pl.BlockSpec((tm, tkn), g_idx),
                 pl.BlockSpec((None, tkn, tj), pk_idx),
-                pl.BlockSpec((None, 1, tkn, tj // bs), am_idx),
-                pl.BlockSpec((None, 1, tkn, tj // bs), am_idx),
+                pl.BlockSpec((None, 1, tj // bs, tkn), am_idx),
+                pl.BlockSpec((None, 1, tj // bs, tkn), am_idx),
+                pl.BlockSpec((tj // bs, tj), e_idx),
             ],
             out_specs=[pl.BlockSpec((tm, tj), out_idx),
                        pl.BlockSpec((tm, tj), out_idx)],
@@ -304,7 +318,8 @@ def _nf4_gmm_bwd_impl(g, q: NF4Stacked, group_sizes, interpret=None):
             + m_pad * k * 2,
             transcendentals=0),
         interpret=_interpret() if interpret is None else interpret,
-    )(meta, jnp.zeros((1,), jnp.int32), g2, packed, am_hi, am_lo)
+    )(meta, jnp.zeros((1,), jnp.int32), g2, packed, am_hi, am_lo,
+      _expansion_matrix(tj // bs, tj))
     return jnp.concatenate([out_hi, out_lo], axis=1)[:m]
 
 

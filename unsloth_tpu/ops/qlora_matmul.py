@@ -82,8 +82,11 @@ def _decode_mode():
     return os.environ.get("UNSLOTH_NF4_DECODE", "tree")
 
 
-def _dequant_tile(pk, am, e_mat=None, *, use_hi, block_size=None):
-    """pk: [rows, cols] uint8 byte tile; am: [rows, cols//bs] fp32 scales;
+def _dequant_tile(pk, am, e_mat=None, *, use_hi, block_size=None,
+                  am_transposed=False):
+    """pk: [rows, cols] uint8 byte tile; am: [rows, cols//bs] fp32 scales
+    (or [cols//bs, rows] when ``am_transposed`` — the HBM layout that
+    keeps the scale slab's trailing dim 128-aligned, see _fwd_pallas);
     e_mat: [cols//bs, cols] fp32 0/1 block-expansion matrix (None -> the
     per-element select-chain upsample; callers like nf4_gmm that don't
     pre-build E use that path, passing block_size instead).
@@ -105,7 +108,7 @@ def _dequant_tile(pk, am, e_mat=None, *, use_hi, block_size=None):
     mode = _scale_mode() if e_mat is not None else "chain"
     if mode == "none":           # diagnostic: skip scaling (wrong results)
         return val
-    if mode == "chain":          # per-element select chain
+    if mode == "chain" and not am_transposed:  # per-element select chain
         bs = block_size or (pk.shape[1] // am.shape[1])
         nb = pk.shape[1] // bs
         col_block = jax.lax.broadcasted_iota(
@@ -114,9 +117,17 @@ def _dequant_tile(pk, am, e_mat=None, *, use_hi, block_size=None):
         for b in range(1, nb):
             am_up = jnp.where(col_block == b, am[:, b:b + 1], am_up)
         return val * am_up
-    am_up = jax.lax.dot_general(
-        am, e_mat, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    if am_transposed:
+        # [nb, rows] x [nb, cols] contracted on dim 0 -> [rows, cols];
+        # (the chain diagnostic has no lane-safe transposed form, so
+        # transposed callers always upsample on the MXU)
+        am_up = jax.lax.dot_general(
+            am, e_mat, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        am_up = jax.lax.dot_general(
+            am, e_mat, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     return val * am_up
 
 
@@ -149,11 +160,14 @@ def _fwd_kernel(x_ref, pk_ref, am_ref, e_ref, o_ref, acc_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # am_ref block: [1, bn, bk//bs] from the per-tile absmax layout
-    # (pre-gathered outside the kernel — Mosaic supports neither tiny
-    # trailing block tiles nor dynamic lane-dim slices).
-    w = _dequant_tile(pk_ref[:], am_ref[0], e_ref[:],
-                      use_hi=k < n_hi_tiles)           # [bn, bk] fp32
+    # am_ref block: [bk//bs, bn] — row-block k of the folded absmax
+    # layout [n_k * bk//bs, out] (pre-gathered outside the kernel —
+    # Mosaic supports neither tiny trailing block tiles nor dynamic
+    # lane-dim slices; the scale axis sits in the SUBLANE dim so the
+    # HBM slab has zero tile padding).
+    w = _dequant_tile(pk_ref[:], am_ref[:], e_ref[:],
+                      use_hi=k < n_hi_tiles,
+                      am_transposed=True)              # [bn, bk] fp32
     x = x_ref[:]                                       # [bm, bk]
     acc_ref[:] += jax.lax.dot_general(
         x, w.astype(x.dtype),
@@ -193,12 +207,17 @@ def _fwd_pallas(x2d, q: NF4Tensor, *, bm=None, bn=None, bk=None,
 
     n_hi = half // bk
     n_k = 2 * n_hi
-    # Per-tile absmax layout [n_k, out, bk//bs]: tile k's scales are a
-    # full trailing slab (legal TPU block: trailing dim == array dim).
+    # Per-tile absmax layout [n_k * bk//bs, out] (row-block k = tile
+    # k's scales, transposed): the tiny bk//bs axis lives in the SUBLANE
+    # dim — the previous [n_k, out, bk//bs] trailing-dim-8 layout padded
+    # 16x under (8,128) tiling and cost ~52 MB of HLO temp PER WEIGHT at
+    # 8B scale (measured: the 8K full-depth bench OOMed on it). Folded
+    # 2-D (rather than [n_k, bk//bs, out] rank-3) so the block is a
+    # plain 2-D row-block.
     # Logical col0 of tile k is k*bk for hi AND lo tiles (halves are
     # contiguous in logical order), so this is a plain reshape+transpose.
     absmax = _decode_absmax(q).reshape(out_f, n_k, bk // bs)
-    absmax = absmax.transpose(1, 0, 2)
+    absmax = absmax.transpose(1, 2, 0).reshape(n_k * (bk // bs), out_f)
     e_mat = _expansion_matrix(bk // bs, bk)
 
     grid = (m_pad // bm, out_f // bn, n_k)
@@ -218,7 +237,7 @@ def _fwd_pallas(x2d, q: NF4Tensor, *, bm=None, bn=None, bk=None,
             pl.BlockSpec((bm, bk),
                          lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, bk), pk_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn, bk // bs), lambda i, j, k: (k, j, 0),
+            pl.BlockSpec((bk // bs, bn), lambda i, j, k: (k, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bk // bs, bk), lambda i, j, k: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -252,8 +271,9 @@ def _bwd_kernel(g_ref, pk_ref, am_ref, e_ref, o_ref, acc_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = _dequant_tile(pk_ref[:], am_ref[0], e_ref[:],
-                      use_hi=j < n_hi_tiles)           # [bk_out, bn_in]
+    w = _dequant_tile(pk_ref[:], am_ref[:], e_ref[:],
+                      use_hi=j < n_hi_tiles,
+                      am_transposed=True)              # [bk_out, bn_in]
     g = g_ref[:]                                       # [bm, bk_out]
     acc_ref[:] += jax.lax.dot_general(
         g, w.astype(g.dtype),
@@ -284,9 +304,10 @@ def _bwd_pallas(g2d, q: NF4Tensor, *, bm=None, bn=None, bk=None,
 
     n_hi = half // bn
     n_j = 2 * n_hi
-    # Per-tile absmax layout [n_j, out, bn//bs] (see _fwd_pallas).
+    # Per-tile absmax layout [n_j * bn//bs, out] (see _fwd_pallas: the
+    # scale axis sits in the sublane dim to avoid 16x tile padding).
     absmax = _decode_absmax(q).reshape(out_f, n_j, bn // bs)
-    absmax = absmax.transpose(1, 0, 2)
+    absmax = absmax.transpose(1, 2, 0).reshape(n_j * (bn // bs), out_f)
     e_mat = _expansion_matrix(bn // bs, bn)
 
     grid = (m_pad // bm, n_j, out_f // bk)
@@ -306,7 +327,7 @@ def _bwd_pallas(g2d, q: NF4Tensor, *, bm=None, bn=None, bk=None,
             pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bk, bn), pk_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, bn // bs), lambda i, j, k: (j, k, 0),
+            pl.BlockSpec((bn // bs, bk), lambda i, j, k: (j, k),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bn // bs, bn), lambda i, j, k: (0, 0),
                          memory_space=pltpu.VMEM),
