@@ -139,6 +139,125 @@ def test_whisper_lora(whisper_ckpt):
     np.testing.assert_array_equal(np.asarray(k0), np.asarray(k1))
 
 
+def test_whisper_greedy_matches_hf_generate(whisper_ckpt):
+    """Jitted lax.while_loop greedy decode == transformers generate
+    (greedy, no sampling) on the tiny fixture."""
+    from unsloth_tpu.models.whisper import (load_whisper,
+                                            whisper_greedy_decode)
+
+    path, hf_model = whisper_ckpt
+    params, cfg = load_whisper(path)
+    rng = np.random.RandomState(7)
+    feats = rng.randn(2, 80, 3000).astype(np.float32)
+
+    with torch.no_grad():
+        hf_ids = hf_model.generate(
+            input_features=torch.tensor(feats), max_new_tokens=12,
+            do_sample=False, num_beams=1).numpy()
+
+    ids = np.asarray(whisper_greedy_decode(
+        params, jnp.asarray(feats), cfg, max_tokens=13))
+    # exact prefix agreement before fp near-ties can accumulate
+    np.testing.assert_array_equal(ids[:, :4], hf_ids[:, :4])
+    # every generated token is greedy under the HF oracle's own logits
+    # (tolerates argmax ties the random tiny model produces)
+    with torch.no_grad():
+        oracle = hf_model(
+            input_features=torch.tensor(feats),
+            decoder_input_ids=torch.tensor(ids[:, :-1])).logits.numpy()
+    for b in range(ids.shape[0]):
+        for t in range(ids.shape[1] - 1):
+            tok = ids[b, t + 1]
+            if tok == cfg.pad_token_id and cfg.eos_token_id in ids[b, 1:t + 1]:
+                break
+            assert oracle[b, t, tok] >= oracle[b, t].max() - 1e-2, \
+                (b, t, tok, oracle[b, t].max() - oracle[b, t, tok])
+
+
+def test_audio_wav_roundtrip_and_resample():
+    from unsloth_tpu.data.audio import decode_wav, encode_wav, resample
+
+    rng = np.random.RandomState(0)
+    audio = (rng.randn(8000) * 0.3).clip(-1, 1).astype(np.float32)
+    wav = encode_wav(audio, 16000)
+    back, rate = decode_wav(wav)
+    assert rate == 16000
+    np.testing.assert_allclose(back, audio, atol=1.0 / 32767)
+    up = resample(audio, 16000, 32000)
+    assert abs(len(up) - 16000) <= 1
+    down = resample(up, 32000, 16000)
+    np.testing.assert_allclose(down[100:-100], audio[100:-100], atol=0.05)
+
+
+def test_whisper_transcribe_http(whisper_ckpt, tmp_path):
+    """Studio /api/whisper/transcribe + OpenAI /v1/audio/transcriptions
+    (JSON and multipart WAV) serve the native whisper model."""
+    import base64
+    import json as jsonlib
+    import urllib.request
+
+    from unsloth_tpu.data.audio import encode_wav
+    from unsloth_tpu.studio.server import StudioServer
+
+    path, _ = whisper_ckpt
+    token = "whisper-test-token"
+    srv = StudioServer(workdir=str(tmp_path / "jobs"), token=token)
+    httpd = srv.serve(port=18377, background=True)
+    url = "http://127.0.0.1:18377"
+    rng = np.random.RandomState(1)
+    audio = (rng.randn(16000) * 0.1).astype(np.float32)
+
+    def post(path_, data, headers):
+        req = urllib.request.Request(url + path_, data=data,
+                                     headers=headers)
+        try:
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return r.status, jsonlib.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, jsonlib.loads(e.read())
+
+    jhdr = {"Content-Type": "application/json",
+            "Authorization": f"Bearer {token}"}
+    try:
+        code, out = post("/api/whisper/transcribe", jsonlib.dumps(
+            {"model": path, "audio": audio.tolist(),
+             "max_tokens": 8}).encode(), jhdr)
+        assert code == 200, out
+        assert "tokens" in out  # tiny fixture ships no tokenizer files
+        assert isinstance(out["tokens"], list)
+
+        # missing audio -> 400; unknown model dir -> 404
+        code, _ = post("/api/whisper/transcribe",
+                       jsonlib.dumps({"model": path}).encode(), jhdr)
+        assert code == 400
+        code, _ = post("/api/whisper/transcribe", jsonlib.dumps(
+            {"model": "/nonexistent", "audio": [0.0]}).encode(), jhdr)
+        assert code == 404
+
+        # OpenAI multipart shape (model already cached on the server)
+        wav = encode_wav(audio, 16000)
+        boundary = "xBOUNDARYx"
+        body = (
+            f"--{boundary}\r\nContent-Disposition: form-data; "
+            f'name="file"; filename="a.wav"\r\n'
+            f"Content-Type: audio/wav\r\n\r\n").encode() + wav + \
+            f"\r\n--{boundary}--\r\n".encode()
+        code, out = post("/v1/audio/transcriptions", body, {
+            "Content-Type":
+                f"multipart/form-data; boundary={boundary}",
+            "Authorization": f"Bearer {token}"})
+        assert code == 200, out
+        assert "tokens" in out
+
+        # JSON base64 WAV on the same endpoint, with resampling
+        code, out2 = post("/v1/audio/transcriptions", jsonlib.dumps(
+            {"audio_b64": base64.b64encode(
+                encode_wav(audio, 16000)).decode()}).encode(), jhdr)
+        assert code == 200 and out2["tokens"] == out["tokens"]
+    finally:
+        httpd.shutdown()
+
+
 def test_whisper_trainer_overfits(whisper_ckpt):
     """ASR fine-tuning loop: a tiny whisper overfits one (features,
     transcript) pair (the driver's Whisper bench family, BASELINE.md:35)."""

@@ -14,7 +14,7 @@ transformers' WhisperForConditionalGeneration.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -118,6 +118,7 @@ class WhisperConfig:
     eps: float = 1e-5
     decoder_start_token_id: int = 50258
     pad_token_id: int = 50257
+    eos_token_id: int = 50257
 
     @classmethod
     def from_hf(cls, hf: Dict[str, Any]) -> "WhisperConfig":
@@ -135,6 +136,7 @@ class WhisperConfig:
             decoder_start_token_id=int(
                 hf.get("decoder_start_token_id", 50258)),
             pad_token_id=int(hf.get("pad_token_id", 50257)),
+            eos_token_id=int(hf.get("eos_token_id", 50257)),
         )
 
 
@@ -260,6 +262,77 @@ def init_whisper_lora(cfg: WhisperConfig, key, r: int = 32,
                   for i in range(n_dec)]
     return {"encoder": {"layers": enc_layers},
             "decoder": {"layers": dec_layers}}
+
+
+def whisper_greedy_decode(params, features: jnp.ndarray,
+                          cfg: WhisperConfig, *,
+                          max_tokens: Optional[int] = None,
+                          prompt_ids: Optional[Sequence[int]] = None,
+                          lora=None) -> jnp.ndarray:
+    """Greedy transcription ids [B, max_tokens] from log-mel features.
+
+    TPU-native decode: the whole loop is one jittable `lax.while_loop`
+    over a fixed-size id buffer (static shapes; position `pos-1`'s
+    logits only attend causally to written slots, so the pad tail is
+    inert). The reference serves STT through whisper.cpp sidecars
+    (reference: studio/backend/core/inference/stt_sidecar.py); here the
+    same chip that trains also transcribes. Finished rows are padded
+    with pad_token_id after their first eos.
+    """
+    if prompt_ids is None or len(prompt_ids) == 0:
+        prompt_ids = [cfg.decoder_start_token_id]
+    max_tokens = int(max_tokens or cfg.max_target_positions)
+    max_tokens = max(max_tokens, len(prompt_ids) + 1)
+    enc = whisper_encode(params, features, cfg, lora=lora)
+    b = features.shape[0]
+    prompt = jnp.asarray(prompt_ids, jnp.int32)
+    ids0 = jnp.full((b, max_tokens), cfg.pad_token_id, jnp.int32)
+    ids0 = ids0.at[:, : prompt.shape[0]].set(prompt[None])
+
+    def cond(carry):
+        _, pos, done = carry
+        return (pos < max_tokens) & ~jnp.all(done)
+
+    def body(carry):
+        ids, pos, done = carry
+        logits = whisper_decode(params, ids, enc, cfg, lora=lora)
+        nxt = jnp.argmax(logits[jnp.arange(b), pos - 1], -1)
+        nxt = jnp.where(done, cfg.pad_token_id, nxt.astype(jnp.int32))
+        ids = ids.at[:, pos].set(nxt)
+        done = done | (nxt == cfg.eos_token_id)
+        return ids, pos + 1, done
+
+    ids, _, _ = jax.lax.while_loop(
+        cond, body,
+        (ids0, jnp.int32(prompt.shape[0]), jnp.zeros((b,), bool)))
+    return ids
+
+
+def whisper_transcribe(params, cfg: WhisperConfig, audio, *,
+                       tokenizer=None, max_tokens: Optional[int] = None,
+                       prompt_ids: Optional[Sequence[int]] = None,
+                       lora=None):
+    """Waveform (16 kHz float [T] or [B, T]) -> transcript text (with a
+    tokenizer) or token-id lists (without). Trailing pad/eos/prompt
+    tokens are stripped from the returned ids."""
+    audio = jnp.asarray(audio, jnp.float32)
+    if audio.ndim == 1:
+        audio = audio[None]
+    feats = log_mel_spectrogram(audio, n_mels=cfg.num_mel_bins)
+    ids = whisper_greedy_decode(params, feats, cfg,
+                                max_tokens=max_tokens,
+                                prompt_ids=prompt_ids, lora=lora)
+    n_prompt = len(prompt_ids) if prompt_ids else 1
+    out = []
+    for row in np.asarray(ids):
+        toks = [int(t) for t in row[n_prompt:]]
+        if cfg.eos_token_id in toks:
+            toks = toks[: toks.index(cfg.eos_token_id)]
+        toks = [t for t in toks if t != cfg.pad_token_id]
+        out.append(toks)
+    if tokenizer is None:
+        return out
+    return [tokenizer.decode(t, skip_special_tokens=True) for t in out]
 
 
 # ---------------------------------------------------------------------------

@@ -97,6 +97,38 @@ setInterval(poll, 2000); poll();
 </script></body></html>"""
 
 
+def _parse_multipart(ctype: str, raw: bytes) -> Dict[str, Any]:
+    """Minimal multipart/form-data parser: name -> (filename, bytes).
+    Enough for the OpenAI audio-transcription upload shape."""
+    m = None
+    for part in ctype.split(";"):
+        part = part.strip()
+        if part.startswith("boundary="):
+            m = part[len("boundary="):].strip('"')
+    if not m:
+        raise TypeError("multipart body without boundary")
+    out: Dict[str, Any] = {}
+    for chunk in raw.split(b"--" + m.encode()):
+        chunk = chunk.strip(b"\r\n")
+        if not chunk or chunk == b"--":
+            continue
+        if b"\r\n\r\n" not in chunk:
+            continue
+        head, body = chunk.split(b"\r\n\r\n", 1)
+        name, filename = None, None
+        for line in head.decode("utf-8", "replace").split("\r\n"):
+            if line.lower().startswith("content-disposition"):
+                for piece in line.split(";"):
+                    piece = piece.strip()
+                    if piece.startswith("name="):
+                        name = piece[5:].strip('"')
+                    elif piece.startswith("filename="):
+                        filename = piece[9:].strip('"')
+        if name:
+            out[name] = (filename, body)
+    return out
+
+
 class TrainingJobManager:
     """Subprocess training jobs (the reference's worker isolation)."""
 
@@ -276,6 +308,56 @@ class StudioServer(InferenceServer):
                 self.jobs.workdir, rag=self.rag,
                 generate_fn=self._studio_generate())
         return self._research
+
+    # -- whisper STT (reference: studio/backend/routes/whisper.py +
+    #    core/inference/stt_sidecar.py — whisper.cpp sidecars; here the
+    #    native JAX whisper model transcribes on the same backend) ------
+
+    def _whisper_handle(self, path: Optional[str]):
+        cached = getattr(self, "_whisper", None)
+        if cached is not None and (path is None or cached[0] == path):
+            return cached
+        if path is None:
+            raise KeyError("model")
+        from ..models.whisper import load_whisper
+
+        params, cfg = load_whisper(path)
+        tok = None
+        try:
+            from transformers import AutoTokenizer
+
+            tok = AutoTokenizer.from_pretrained(path)
+        except Exception:  # noqa: BLE001 — ids-only transcripts then
+            tok = None
+        self._whisper = (path, params, cfg, tok)
+        return self._whisper
+
+    def whisper_transcribe_api(self, body: Dict[str, Any]
+                               ) -> Dict[str, Any]:
+        """{model?, audio: [floats] | audio_b64: wav, sample_rate?,
+        max_tokens?} -> {text} (or {tokens} without a tokenizer)."""
+        import base64
+
+        import numpy as np
+
+        from ..data.audio import decode_wav, resample
+        from ..models.whisper import whisper_transcribe
+
+        _, params, cfg, tok = self._whisper_handle(body.get("model"))
+        if body.get("audio_b64"):
+            audio, rate = decode_wav(base64.b64decode(body["audio_b64"]))
+        elif body.get("audio") is not None:
+            audio = np.asarray(body["audio"], np.float32)
+            rate = int(body.get("sample_rate", 16000))
+        else:
+            raise KeyError("audio")
+        audio = resample(audio, rate, 16000)
+        out = whisper_transcribe(
+            params, cfg, audio, tokenizer=tok,
+            max_tokens=body.get("max_tokens"),
+            prompt_ids=body.get("prompt_ids"))
+        key = "text" if tok is not None else "tokens"
+        return {key: out[0], "model": self._whisper[0]}
 
     # -- datasets (reference: studio/backend/routes/datasets.py) --------
 
@@ -687,6 +769,9 @@ class StudioServer(InferenceServer):
                             except FileNotFoundError:
                                 return self._send(404,
                                                   {"error": "no such kb"})
+                        if self.path == "/api/whisper/transcribe":
+                            return self._send(
+                                200, server.whisper_transcribe_api(body))
                         if self.path == "/api/recipe/jobs":
                             return self._send(
                                 200, server.recipes.create(body))
@@ -733,6 +818,36 @@ class StudioServer(InferenceServer):
                                           {"error": f"not found: {e}"})
                     except RuntimeError as e:
                         return self._send(409, {"error": str(e)})
+                if self.path == "/v1/audio/transcriptions":
+                    # OpenAI-compatible STT: multipart {file, model} or
+                    # JSON {audio|audio_b64, model}
+                    length = int(self.headers.get("Content-Length", 0))
+                    raw = self.rfile.read(length)
+                    ctype = self.headers.get("Content-Type", "")
+                    try:
+                        if ctype.startswith("multipart/form-data"):
+                            fields = _parse_multipart(ctype, raw)
+                            if "file" not in fields:
+                                raise KeyError("file")
+                            import base64
+
+                            body = {"audio_b64": base64.b64encode(
+                                fields["file"][1]).decode()}
+                            if "model" in fields:
+                                body["model"] = fields["model"][1] \
+                                    .decode().strip()
+                        else:
+                            body = json.loads(raw or b"{}")
+                        return self._send(
+                            200, server.whisper_transcribe_api(body))
+                    except KeyError as e:
+                        return self._send(400, {"error":
+                                                f"missing field: {e}"})
+                    except (TypeError, ValueError) as e:
+                        return self._send(400, {"error": str(e)})
+                    except FileNotFoundError as e:
+                        return self._send(404,
+                                          {"error": f"not found: {e}"})
                 if server.model is None and self.path.startswith("/v1/"):
                     return self._send(503, {"error":
                                             "no model loaded for chat"})
