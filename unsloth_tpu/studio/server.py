@@ -309,6 +309,95 @@ class StudioServer(InferenceServer):
                 generate_fn=self._studio_generate())
         return self._research
 
+    # -- settings / prompts / MCP registry (reference: studio/backend/
+    #    routes/{settings,prompts,mcp_servers}.py — SQLite-backed CRUD;
+    #    here a JSON file under the workdir) ---------------------------
+
+    def _store_path(self, name: str) -> str:
+        return os.path.join(self.jobs.workdir, name + ".json")
+
+    def _store_load(self, name: str, default):
+        try:
+            with open(self._store_path(name)) as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return default
+
+    def _store_save(self, name: str, value) -> None:
+        path = self._store_path(name)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(value, f)
+        os.replace(tmp, path)
+
+    def settings_get(self) -> Dict[str, Any]:
+        return {"settings": self._store_load("settings", {})}
+
+    def settings_put(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        from .research import sanitize_config
+
+        cur = self._store_load("settings", {})
+        for k, v in sanitize_config(body).items():
+            if v is None:
+                cur.pop(k, None)
+            else:
+                cur[k] = v
+        self._store_save("settings", cur)
+        return {"settings": cur}
+
+    def prompts_list(self) -> Dict[str, Any]:
+        return {"entries": self._store_load("prompts", [])}
+
+    def prompts_add(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        name = str(body["name"]).strip()
+        if not name:
+            raise TypeError("prompt needs a name")
+        entries = self._store_load("prompts", [])
+        entry = {"id": "p-" + uuid.uuid4().hex[:8], "name": name,
+                 "text": str(body.get("text", "")),
+                 "updated": time.time()}
+        entries = [e for e in entries if e["name"] != name] + [entry]
+        self._store_save("prompts", entries)
+        return entry
+
+    def prompts_delete(self, pid: str) -> None:
+        entries = self._store_load("prompts", [])
+        kept = [e for e in entries if e["id"] != pid]
+        if len(kept) == len(entries):
+            raise FileNotFoundError(pid)
+        self._store_save("prompts", kept)
+
+    def mcp_list(self) -> Dict[str, Any]:
+        servers = self._store_load("mcp_servers", [])
+        # redact env values (credential-shaped config never round-trips)
+        out = []
+        for s in servers:
+            s = dict(s)
+            if s.get("env"):
+                s["env"] = {k: "***" for k in s["env"]}
+            out.append(s)
+        return {"servers": out}
+
+    def mcp_add(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        name = str(body["name"]).strip()
+        cmd = str(body["command"]).strip()
+        if not name or not cmd:
+            raise TypeError("mcp server needs name and command")
+        servers = self._store_load("mcp_servers", [])
+        entry = {"id": "mcp-" + uuid.uuid4().hex[:8], "name": name,
+                 "command": cmd, "args": list(body.get("args") or []),
+                 "env": dict(body.get("env") or {})}
+        servers = [s for s in servers if s["name"] != name] + [entry]
+        self._store_save("mcp_servers", servers)
+        return {"id": entry["id"], "name": name}
+
+    def mcp_delete(self, sid: str) -> None:
+        servers = self._store_load("mcp_servers", [])
+        kept = [s for s in servers if s["id"] != sid]
+        if len(kept) == len(servers):
+            raise FileNotFoundError(sid)
+        self._store_save("mcp_servers", kept)
+
     # -- whisper STT (reference: studio/backend/routes/whisper.py +
     #    core/inference/stt_sidecar.py — whisper.cpp sidecars; here the
     #    native JAX whisper model transcribes on the same backend) ------
@@ -660,6 +749,12 @@ class StudioServer(InferenceServer):
                     except RuntimeError as e:
                         return self._send(409, {"error": str(e)})
                     return self._send(404, {"error": "not found"})
+                if self.path == "/api/settings":
+                    return self._send(200, server.settings_get())
+                if self.path == "/api/prompts":
+                    return self._send(200, server.prompts_list())
+                if self.path == "/api/mcp/servers":
+                    return self._send(200, server.mcp_list())
                 if self.path == "/api/jobs":
                     jobs = []
                     wd = server.jobs.workdir
@@ -769,6 +864,20 @@ class StudioServer(InferenceServer):
                             except FileNotFoundError:
                                 return self._send(404,
                                                   {"error": "no such kb"})
+                        if self.path == "/api/settings":
+                            return self._send(200,
+                                              server.settings_put(body))
+                        if self.path == "/api/prompts":
+                            return self._send(200,
+                                              server.prompts_add(body))
+                        if self.path == "/api/prompts/delete":
+                            server.prompts_delete(body["id"])
+                            return self._send(200, {"ok": True})
+                        if self.path == "/api/mcp/servers":
+                            return self._send(200, server.mcp_add(body))
+                        if self.path == "/api/mcp/servers/delete":
+                            server.mcp_delete(body["id"])
+                            return self._send(200, {"ok": True})
                         if self.path == "/api/whisper/transcribe":
                             return self._send(
                                 200, server.whisper_transcribe_api(body))
