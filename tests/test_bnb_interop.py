@@ -312,3 +312,57 @@ def test_gpt_oss_mxfp4_checkpoint_loads(tmp_path):
         want_gup[:, :, 0::2].transpose(0, 2, 1), rtol=1e-6)
     ids = jnp.asarray(np.arange(8)[None, :], jnp.int32)
     assert np.isfinite(np.asarray(model.logits(ids, remat=False))).all()
+
+
+def test_cpp_reference_bit_exact():
+    """The independent C++ oracle (csrc/nf4_ref.cpp, SURVEY 2k.2)
+    matches the numpy double-dequant and the JAX split-half decode
+    BIT-EXACTLY (same fp32 op order)."""
+    import pytest
+
+    from unsloth_tpu.models.bnb import (bnb_to_nf4, native_bnb_dequantize,
+                                        native_decode_absmax, native_ref,
+                                        native_splithalf_dequantize)
+    from unsloth_tpu.ops.nf4 import _decode_absmax
+
+    if native_ref() is None:
+        pytest.skip("g++ unavailable")
+
+    rng = np.random.RandomState(0)
+    w = (rng.randn(64, 128) * 0.1).astype(np.float32)
+    tensors, state = bnb_quantize_4bit(w)
+
+    # absmax double-dequant: C++ == numpy bitwise
+    am_np = decode_absmax(tensors["absmax"], tensors["nested_absmax"],
+                          tensors["nested_quant_map"],
+                          state["nested_blocksize"],
+                          state["nested_offset"])
+    am_cpp = native_decode_absmax(tensors["absmax"],
+                                  tensors["nested_absmax"],
+                                  tensors["nested_quant_map"],
+                                  state["nested_blocksize"],
+                                  state["nested_offset"])
+    np.testing.assert_array_equal(am_np.view(np.uint32),
+                                  am_cpp.view(np.uint32))
+
+    # flat interleaved dequant: C++ == the oracle used by the repo tests
+    want = oracle_dequant(tensors, state)
+    got = native_bnb_dequantize(tensors["weight"], w.size,
+                                tensors["quant_map"], am_np,
+                                state["blocksize"]).reshape(w.shape)
+    np.testing.assert_array_equal(want.astype(np.float32).view(np.uint32),
+                                  got.view(np.uint32))
+
+    # split-half layout: C++ == the JAX decode path bitwise
+    q = bnb_to_nf4(tensors["weight"], state, absmax=tensors["absmax"],
+                   quant_map=tensors["quant_map"],
+                   nested_absmax=tensors["nested_absmax"],
+                   nested_quant_map=tensors["nested_quant_map"],
+                   dtype=jnp.float32)
+    jax_deq = np.asarray(dequantize_nf4(q, jnp.float32))
+    cpp_deq = native_splithalf_dequantize(
+        np.asarray(q.packed), q.shape[0], q.shape[1],
+        np.asarray(NF4_CODE, np.float32), np.asarray(_decode_absmax(q)),
+        q.block_size)
+    np.testing.assert_array_equal(jax_deq.view(np.uint32),
+                                  cpp_deq.view(np.uint32))

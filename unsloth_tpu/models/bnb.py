@@ -163,3 +163,102 @@ def load_bnb_tensor(reader, name: str, dtype=None) -> NF4Tensor:
         nested_quant_map=opt(".nested_quant_map"),
         dtype=dtype,
     )
+
+
+# ---------------------------------------------------------------------------
+# Native C++ reference (SURVEY 2k.2: independent oracle for parity tests)
+# ---------------------------------------------------------------------------
+
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def native_ref():
+    """ctypes handle to csrc/libnf4_ref.so (built on demand), or None.
+
+    The C++ file reimplements bnb's double-dequant (reference:
+    kernels/utils.py:656-662) and our split-half NF4 layout with the
+    same single-rounding fp32 op order, so tests can assert the Python
+    and JAX decoders BIT-EXACTLY against an independent implementation."""
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE_TRIED = True
+    import ctypes
+    import os
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    src = os.path.join(root, "csrc", "nf4_ref.cpp")
+    so = os.path.join(root, "csrc", "libnf4_ref.so")
+    try:
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", so,
+                            src], check=True, capture_output=True)
+        lib = ctypes.CDLL(so)
+        for fn in ("bnb_decode_absmax", "bnb_nf4_dequantize",
+                   "splithalf_nf4_dequantize"):
+            getattr(lib, fn).restype = None
+        _NATIVE = lib
+    except Exception:  # noqa: BLE001 — tests skip when unavailable
+        _NATIVE = None
+    return _NATIVE
+
+
+def native_decode_absmax(codes, nested_absmax, nested_quant_map,
+                         nested_blocksize: int, offset: float):
+    import ctypes
+
+    lib = native_ref()
+    codes = np.ascontiguousarray(codes, np.uint8)
+    na = np.ascontiguousarray(nested_absmax, np.float32)
+    nqm = np.ascontiguousarray(nested_quant_map, np.float32)
+    out = np.empty(codes.shape[0], np.float32)
+    lib.bnb_decode_absmax(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(codes.shape[0]),
+        na.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        nqm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(nested_blocksize), ctypes.c_float(offset),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
+
+
+def native_bnb_dequantize(packed, n_elems: int, quant_map, absmax,
+                          blocksize: int):
+    import ctypes
+
+    lib = native_ref()
+    packed = np.ascontiguousarray(packed, np.uint8).reshape(-1)
+    qm = np.ascontiguousarray(quant_map, np.float32)
+    am = np.ascontiguousarray(absmax, np.float32)
+    out = np.empty(n_elems, np.float32)
+    lib.bnb_nf4_dequantize(
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n_elems),
+        qm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        am.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(blocksize),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
+
+
+def native_splithalf_dequantize(packed, rows: int, cols: int, quant_map,
+                                absmax, blocksize: int):
+    import ctypes
+
+    lib = native_ref()
+    packed = np.ascontiguousarray(packed, np.uint8)
+    qm = np.ascontiguousarray(quant_map, np.float32)
+    am = np.ascontiguousarray(absmax, np.float32).reshape(-1)
+    out = np.empty((rows, cols), np.float32)
+    lib.splithalf_nf4_dequantize(
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(rows), ctypes.c_int64(cols),
+        qm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        am.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(blocksize),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
