@@ -220,6 +220,20 @@ def cmd_studio(args) -> int:
     """Launch the Studio backend (reference: `unsloth studio` — cli.py +
     unsloth_cli studio launch). Serves the dashboard SPA + REST API;
     optionally loads a model for the chat endpoints."""
+    if getattr(args, "supervised", False):
+        # native C++ shell (reference: the Tauri desktop wrapper owns
+        # the backend process — studio/src-tauri/src/process.rs):
+        # preflight, crash restart with backoff, clean signal shutdown
+        from .studio.supervisor import run_supervised
+
+        extra = []
+        if args.model_name:
+            extra += ["--model_name", args.model_name]
+        if args.no_auth:
+            extra += ["--no_auth"]
+        run_supervised(args.port, args.workdir, extra)  # execs; no return
+        return 0
+
     from .studio.server import StudioServer
 
     model = tokenizer = None
@@ -297,6 +311,9 @@ def main(argv=None) -> int:
     p_studio.add_argument("--port", type=int, default=8800)
     p_studio.add_argument("--workdir", default="studio_jobs")
     p_studio.add_argument("--no_auth", action="store_true")
+    p_studio.add_argument("--supervised", action="store_true",
+                          help="run under the native C++ supervisor "
+                               "(crash restart, preflight, pidfile)")
 
     from .cli_start import add_start_parser, cmd_start
 
