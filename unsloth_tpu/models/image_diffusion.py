@@ -263,3 +263,83 @@ class ImageDiffusionTrainer:
         return ddim_sample(self.params, self.cfg, jax.random.PRNGKey(seed),
                            num_images=num_images, steps=steps,
                            labels=labels)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint IO (safetensors + config.json; serves /v1/images/generations)
+# ---------------------------------------------------------------------------
+
+def save_dit(params, cfg: DiTConfig, path: str) -> None:
+    """Write the DiT as flat safetensors + config.json (the studio's
+    image-generation route loads this; reference serves images through
+    stable-diffusion.cpp sidecars — studio/backend/core/inference/
+    sd_cpp_server.py — here the same JAX model that trains also
+    serves)."""
+    import json
+    import os
+
+    from safetensors.numpy import save_file
+
+    os.makedirs(path, exist_ok=True)
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}.{k}" if prefix else k, v)
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                walk(f"{prefix}.{i}", v)
+        else:
+            # device_get returns Fortran-order views on the TPU tunnel;
+            # safetensors serializes raw bytes, so force C order
+            flat[prefix] = np.ascontiguousarray(
+                np.asarray(jax.device_get(node), np.float32))
+
+    walk("", params)
+    save_file(flat, os.path.join(path, "model.safetensors"))
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump({"model_type": "unsloth_tpu_dit",
+                   **dataclasses.asdict(cfg)}, f)
+
+
+def load_dit(path: str):
+    """Inverse of save_dit -> (params, DiTConfig)."""
+    import json
+    import os
+
+    from safetensors.numpy import load_file
+
+    with open(os.path.join(path, "config.json")) as f:
+        raw = json.load(f)
+    raw.pop("model_type", None)
+    cfg = DiTConfig(**raw)
+    flat = load_file(os.path.join(path, "model.safetensors"))
+
+    params: Dict[str, Any] = {}
+    for name, arr in flat.items():
+        parts = name.split(".")
+        node = params
+        for i, p in enumerate(parts[:-1]):
+            key = int(p) if p.isdigit() else p
+            if isinstance(key, int):
+                while len(node) <= key:
+                    node.append({})
+                nxt_is_int = parts[i + 1].isdigit()
+                if not isinstance(node[key], (dict, list)) or not node[key]:
+                    node[key] = [] if nxt_is_int else {}
+                node = node[key]
+            else:
+                nxt_is_int = parts[i + 1].isdigit()
+                if key not in node:
+                    node[key] = [] if nxt_is_int else {}
+                node = node[key]
+        leaf = parts[-1]
+        key = int(leaf) if leaf.isdigit() else leaf
+        if isinstance(key, int):
+            while len(node) <= key:
+                node.append(None)
+            node[key] = jnp.asarray(arr)
+        else:
+            node[leaf] = jnp.asarray(arr)
+    return params, cfg

@@ -448,6 +448,55 @@ class StudioServer(InferenceServer):
         key = "text" if tok is not None else "tokens"
         return {key: out[0], "model": self._whisper[0]}
 
+    # -- image generation (reference: studio/backend/core/inference/
+    #    sd_cpp_server.py — stable-diffusion.cpp sidecar; here the
+    #    native JAX DiT + DDIM sampler serve on the same backend) ------
+
+    def images_generate(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        """OpenAI images shape: {model: dit checkpoint dir, n?, steps?,
+        label?, seed?} -> {created, data: [{b64_json: png}]}."""
+        import base64
+        import io
+
+        import jax
+        import numpy as np
+
+        from ..models.image_diffusion import ddim_sample, load_dit
+
+        path = body.get("model")
+        cached = getattr(self, "_dit", None)
+        if cached is None or (path and cached[0] != path):
+            if path is None:
+                raise KeyError("model")
+            params, cfg = load_dit(path)
+            self._dit = (path, params, cfg)
+        path, params, cfg = self._dit
+        n = max(1, min(int(body.get("n", 1)), 8))
+        steps = max(1, min(int(body.get("steps", 50)), 250))
+        label = body.get("label")
+        labels = None
+        if label is not None and cfg.num_classes:
+            labels = jax.numpy.full((n,), int(label), jax.numpy.int32)
+        key = jax.random.PRNGKey(int(body.get("seed", 0)))
+        imgs = ddim_sample(params, cfg, key, num_images=n, steps=steps,
+                           labels=labels)
+        imgs = np.asarray(jax.device_get(imgs))
+        imgs = np.clip((imgs + 1.0) * 127.5, 0, 255).astype(np.uint8)
+
+        from PIL import Image
+
+        data = []
+        for img in imgs:
+            if img.shape[-1] == 1:
+                img = img[..., 0]
+            buf = io.BytesIO()
+            Image.fromarray(img).save(buf, format="PNG")
+            data.append({"b64_json":
+                         base64.b64encode(buf.getvalue()).decode()})
+        return {"created": int(time.time()), "data": data,
+                "model": path, "size":
+                f"{cfg.image_size}x{cfg.image_size}"}
+
     # -- datasets (reference: studio/backend/routes/datasets.py) --------
 
     def _datasets_dir(self) -> str:
@@ -927,6 +976,21 @@ class StudioServer(InferenceServer):
                                           {"error": f"not found: {e}"})
                     except RuntimeError as e:
                         return self._send(409, {"error": str(e)})
+                if self.path == "/v1/images/generations":
+                    length = int(self.headers.get("Content-Length", 0))
+                    try:
+                        body = json.loads(self.rfile.read(length)
+                                          or b"{}")
+                        return self._send(200,
+                                          server.images_generate(body))
+                    except KeyError as e:
+                        return self._send(400, {"error":
+                                                f"missing field: {e}"})
+                    except (TypeError, ValueError) as e:
+                        return self._send(400, {"error": str(e)})
+                    except FileNotFoundError as e:
+                        return self._send(404,
+                                          {"error": f"not found: {e}"})
                 if self.path == "/v1/audio/transcriptions":
                     # OpenAI-compatible STT: multipart {file, model} or
                     # JSON {audio|audio_b64, model}
