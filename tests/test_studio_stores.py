@@ -75,3 +75,21 @@ def test_settings_prompts_mcp_routes(tmp_path):
         assert srv2.settings_get()["settings"]["theme"] == "dark"
     finally:
         httpd.shutdown()
+
+
+def test_stats_route(tmp_path):
+    from unsloth_tpu.studio.server import StudioServer
+
+    srv = StudioServer(workdir=str(tmp_path / "jobs"), token=TOKEN)
+    httpd = srv.serve(port=18380, background=True)
+    url = "http://127.0.0.1:18380"
+    try:
+        _req(url, "/api/datasets")
+        _req(url, "/api/datasets")
+        code, s = _req(url, "/api/stats")
+        assert code == 200
+        assert s["uptime_s"] >= 0 and not s["model_loaded"]
+        assert s["requests"]["/api/datasets"] == 2
+        assert s["training_running"] is False
+    finally:
+        httpd.shutdown()

@@ -256,6 +256,31 @@ class StudioServer(InferenceServer):
             print(f"studio auth token: {token}")
         self._token_sha = (hashlib.sha256(token.encode()).hexdigest()
                            if token else None)
+        self._started = time.time()
+        self._req_counts: Dict[str, int] = {}
+
+    # -- stats (reference: studio/backend/routes/profile_stats.py) ------
+
+    def _count_request(self, path: str) -> None:
+        fam = "/".join(path.split("?")[0].split("/")[:3]) or "/"
+        self._req_counts[fam] = self._req_counts.get(fam, 0) + 1
+
+    def stats(self) -> Dict[str, Any]:
+        import jax
+
+        wd = self.jobs.workdir
+        n_jobs = sum(1 for d in os.listdir(wd)
+                     if os.path.isdir(os.path.join(wd, d))) \
+            if os.path.isdir(wd) else 0
+        return {
+            "uptime_s": round(time.time() - self._started, 1),
+            "backend": jax.default_backend(),
+            "n_devices": jax.device_count(),
+            "model_loaded": self.model is not None,
+            "jobs": n_jobs,
+            "training_running": self.jobs.status().get("running", False),
+            "requests": dict(sorted(self._req_counts.items())),
+        }
 
     # -- RAG (reference: studio/backend/routes/rag.py) ------------------
 
@@ -680,6 +705,9 @@ class StudioServer(InferenceServer):
                     return
                 if self.path.startswith(("/api/", "/v1/")) and self._gate():
                     return
+                server._count_request(self.path)
+                if self.path == "/api/stats":
+                    return self._send(200, server.stats())
                 if self.path == "/api/train/status":
                     return self._send(200, server.jobs.status())
                 if self.path.startswith("/api/metrics"):
@@ -822,6 +850,7 @@ class StudioServer(InferenceServer):
             def do_POST(self):
                 if self.path.startswith(("/api/", "/v1/")) and self._gate():
                     return
+                server._count_request(self.path)
                 if self.path.startswith("/api/"):
                     length = int(self.headers.get("Content-Length", 0))
                     try:
