@@ -203,3 +203,50 @@ def test_attention_dispatch_routes_windowed_to_ring(rng):
     ref = attention_ref(q, k, v, causal=True, window=16)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+@requires_8
+def test_ring_sinks_matches_reference(rng):
+    """gpt-oss attention sinks under the sp axis: the running (m, l)
+    after the full ring give the global lse, so the sink correction is
+    exact — parity with attention_ref(sinks=...)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    devices = np.asarray(jax.devices()[:8]).reshape(8)
+    mesh = Mesh(devices, ("sp",))
+    q, k, v = _qkv(rng)
+    sinks = jax.random.normal(jax.random.PRNGKey(9), (4,), jnp.float32)
+    fn = ring_attention_sharded(mesh, "sp", causal=True, sinks=sinks)
+    out = fn(q, k, v)
+    ref = attention_ref(q, k, v, causal=True, sinks=sinks)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+    # sliding-window + sinks together (the gpt-oss alternating layer)
+    fn = ring_attention_sharded(mesh, "sp", causal=True, sinks=sinks,
+                                window=16)
+    out = fn(q, k, v)
+    ref = attention_ref(q, k, v, causal=True, sinks=sinks, window=16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+@requires_8
+def test_attention_dispatch_ring_sinks(rng):
+    """The attention dispatcher routes sink models through ring
+    attention when context parallelism is active (gpt-oss under sp)."""
+    import numpy as np
+
+    from unsloth_tpu.ops.attention import attention
+    from unsloth_tpu.parallel.context import context_parallel
+
+    mesh = create_mesh(dp=1, fsdp=2, sp=4, tp=1)
+    q, k, v = _qkv(rng)
+    sinks = jax.random.normal(jax.random.PRNGKey(3), (4,), jnp.float32)
+    with context_parallel(mesh, "sp"):
+        got = jax.jit(lambda q, k, v: attention(
+            q, k, v, causal=True, sinks=sinks))(q, k, v)
+    ref = attention_ref(q, k, v, causal=True, sinks=sinks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)

@@ -259,7 +259,7 @@ def _tpu_splash(q, k, v, *, causal, segment_ids, window, softcap, scale,
 
 
 def _ring_dispatch(q, k, v, mesh, axis_name, n, *, segment_ids, scale,
-                   softcap, window=None):
+                   softcap, window=None, sinks=None):
     """shard_map ring attention over the sp axis (inside the current jit)."""
     import functools as ft
 
@@ -276,7 +276,7 @@ def _ring_dispatch(q, k, v, mesh, axis_name, n, *, segment_ids, scale,
     seg_spec = P(None, axis_name)
     body = ft.partial(ring_attention, axis_name=axis_name, axis_size=n,
                       causal=True, scale=scale, softcap=softcap,
-                      window=window)
+                      window=window, sinks=sinks)
     if segment_ids is not None:
         fn = shard_map(
             lambda q_, k_, v_, s_: body(q_, k_, v_, segment_ids=s_),
@@ -584,14 +584,14 @@ def attention(
     from ..parallel.context import current_context_parallel
 
     cp = current_context_parallel()
-    if (cp is not None and causal and sinks is None
-            and image_spans is None):
+    if cp is not None and causal and image_spans is None:
         mesh, axis_name = cp
         n = mesh.shape[axis_name]
         if t % n == 0 and t == k.shape[1]:
             return _ring_dispatch(q, k, v, mesh, axis_name, n,
                                   segment_ids=segment_ids, scale=scale,
-                                  softcap=softcap, window=window)
+                                  softcap=softcap, window=window,
+                                  sinks=sinks)
 
     on_tpu = jax.default_backend() == "tpu" and not env.disable_pallas()
     # dh=64 (gpt-oss) works in the Pallas kernels — blocks pad the lane

@@ -55,7 +55,8 @@ def ring_attention(q, k, v, *, axis_name: str, axis_size: int,
                    causal: bool = True, scale: Optional[float] = None,
                    segment_ids: Optional[jnp.ndarray] = None,
                    softcap: Optional[float] = None,
-                   window: Optional[int] = None):
+                   window: Optional[int] = None,
+                   sinks: Optional[jnp.ndarray] = None):
     """Per-shard body (call inside shard_map). q/k/v: the local sequence
     shard [B, T_local, Hq, D] / [B, T_local, Hkv, D] (GQA expanded here);
     segment_ids: the local [B, T_local] shard. axis_size must be the
@@ -132,6 +133,18 @@ def ring_attention(q, k, v, *, axis_name: str, axis_size: int,
         carry = step(i, carry)
     acc, m_run, l_run = carry[:3]
     out = acc / jnp.maximum(l_run[..., None], 1e-30)
+    if sinks is not None:
+        # gpt-oss sinks: a per-head logit in the softmax denominator
+        # only — out *= sigmoid(lse - sink). The running stats already
+        # hold the GLOBAL lse = m + log(l) after the full ring, so the
+        # sink is exact regardless of sharding (ops/attention.py
+        # _apply_sinks is the single-device twin).
+        lse = jnp.where(l_run > 0,
+                        jnp.where(jnp.isfinite(m_run), m_run, 0.0)
+                        + jnp.log(jnp.maximum(l_run, 1e-30)),
+                        -jnp.inf)                     # [B, T, Hq]
+        out = out * jax.nn.sigmoid(
+            lse - sinks.astype(jnp.float32)[None, None, :])[..., None]
     return out.astype(q.dtype)
 
 
@@ -140,6 +153,7 @@ def ring_attention_sharded(mesh: Mesh, axis_name: str = "sp",
                            scale: Optional[float] = None,
                            softcap: Optional[float] = None,
                            window: Optional[int] = None,
+                           sinks: Optional[jnp.ndarray] = None,
                            with_segment_ids: bool = False):
     """Build a jitted, shard_mapped ring attention: takes global
     q/k/v [B, T, H, D] (sequence sharded over `axis_name`), and, when
@@ -163,7 +177,7 @@ def ring_attention_sharded(mesh: Mesh, axis_name: str = "sp",
             return ring_attention(q, k, v, axis_name=axis_name,
                                   axis_size=n, causal=causal, scale=scale,
                                   segment_ids=seg, softcap=softcap,
-                                  window=window)
+                                  window=window, sinks=sinks)
 
         return fn
 
@@ -174,6 +188,6 @@ def ring_attention_sharded(mesh: Mesh, axis_name: str = "sp",
     def fn(q, k, v):
         return ring_attention(q, k, v, axis_name=axis_name, axis_size=n,
                               causal=causal, scale=scale, softcap=softcap,
-                              window=window)
+                              window=window, sinks=sinks)
 
     return fn
