@@ -115,3 +115,52 @@ def test_server_continuous_batching(model):
     finally:
         srv._batcher.stop()
         httpd.shutdown()
+
+
+def test_server_streaming_continuous_batching(model):
+    """stream=true over the shared decode loop: true per-token deltas
+    (more than one content chunk for a multi-token completion)."""
+    import json
+    import urllib.request
+
+    class Tok:
+        eos_token_id = None
+        pad_token_id = 0
+        chat_template = None
+
+        def __call__(self, text, **kw):
+            return {"input_ids": [ord(c) % 100 + 3 for c in text[:12]]}
+
+        def decode(self, ids, **kw):
+            return " ".join(str(i) for i in ids)
+
+    from unsloth_tpu.inference.server import InferenceServer
+
+    model.tokenizer = Tok()
+    srv = InferenceServer(model, Tok(), continuous_batching=True,
+                          max_batch=2, max_len=128)
+    httpd = srv.serve(port=18976, background=True)
+    try:
+        body = json.dumps({
+            "messages": [{"role": "user", "content": "hello"}],
+            "max_tokens": 6, "stream": True}).encode()
+        req = urllib.request.Request(
+            "http://127.0.0.1:18976/v1/chat/completions", data=body,
+            headers={"Content-Type": "application/json"})
+        deltas = []
+        with urllib.request.urlopen(req, timeout=120) as r:
+            for raw in r:
+                line = raw.decode().rstrip("\n")
+                if line.startswith("data: ") and line != "data: [DONE]":
+                    c = json.loads(line[6:])
+                    d = c["choices"][0]["delta"].get("content")
+                    if d:
+                        deltas.append(d)
+        # one delta per decode step (modulo detok holdback): streaming,
+        # not one blob at the end
+        assert len(deltas) >= 3, deltas
+        assert len("".join(deltas).split()) == 6
+    finally:
+        httpd.shutdown()
+        if srv._batcher:
+            srv._batcher.stop()

@@ -132,3 +132,67 @@ def test_cli_start_print_env(tmp_path, capsys):
         assert "ANTHROPIC_BASE_URL" in out
     finally:
         httpd.shutdown()
+
+
+def _post_sse(url, path, body):
+    """POST and parse an SSE stream into a list of (event, data)."""
+    req = urllib.request.Request(
+        url + path, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    events = []
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        event = None
+        for raw in r:
+            line = raw.decode().rstrip("\n")
+            if line.startswith("event: "):
+                event = line[7:]
+            elif line.startswith("data: "):
+                data = line[6:]
+                events.append((event, data))
+                event = None
+    return events
+
+
+def test_chat_completions_streaming(server):
+    body = {"messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 24, "temperature": 0.0, "seed": 0}
+    events = _post_sse(server, "/v1/chat/completions",
+                       {**body, "stream": True})
+    assert events[-1][1] == "[DONE]"
+    chunks = [json.loads(d) for _, d in events[:-1]]
+    assert chunks[0]["object"] == "chat.completion.chunk"
+    assert chunks[0]["choices"][0]["delta"]["role"] == "assistant"
+    assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
+    text = "".join(c["choices"][0]["delta"].get("content", "")
+                   for c in chunks)
+    # stream reassembles to the same text the non-stream path returns
+    _, full = _post(server, "/v1/chat/completions", body)
+    assert text == full["choices"][0]["message"]["content"]
+
+
+def test_completions_streaming(server):
+    events = _post_sse(server, "/v1/completions",
+                       {"prompt": "ab", "max_tokens": 16,
+                        "temperature": 0.0, "stream": True})
+    assert events[-1][1] == "[DONE]"
+    chunks = [json.loads(d) for _, d in events[:-1]]
+    assert chunks[0]["object"] == "text_completion"
+    assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
+
+
+def test_anthropic_messages_streaming(server):
+    events = _post_sse(server, "/v1/messages",
+                       {"messages": [{"role": "user", "content": "hi"}],
+                        "max_tokens": 16, "temperature": 0.0,
+                        "stream": True})
+    kinds = [e for e, _ in events]
+    assert kinds[0] == "message_start"
+    assert kinds[1] == "content_block_start"
+    assert "content_block_delta" in kinds
+    assert kinds[-3:] == ["content_block_stop", "message_delta",
+                          "message_stop"]
+    start = json.loads(events[0][1])
+    assert start["message"]["role"] == "assistant"
+    delta = json.loads(events[-2][1])
+    assert delta["delta"]["stop_reason"] == "end_turn"

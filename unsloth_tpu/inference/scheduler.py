@@ -245,6 +245,34 @@ class BatcherThread:
                 self._cv.wait(timeout=0.5)
             return self.batcher.requests.pop(rid).output_ids
 
+    def stream(self, prompt_ids, max_new_tokens: int = 64,
+               timeout: float = 600.0):
+        """Generator yielding NEW output token ids as the shared decode
+        loop produces them (true per-token streaming — each step of the
+        batched loop appends to every active request)."""
+        import time as _time
+
+        with self._cv:
+            rid = self.batcher.submit(prompt_ids, max_new_tokens)
+            self._cv.notify_all()
+        deadline = _time.monotonic() + timeout
+        seen = 0
+        req = self.batcher.requests[rid]
+        while True:
+            with self._cv:
+                while len(req.output_ids) <= seen and not req.done:
+                    if _time.monotonic() > deadline:
+                        raise TimeoutError(f"request {rid} timed out")
+                    self._cv.wait(timeout=0.5)
+                new = req.output_ids[seen:]
+                seen = len(req.output_ids)
+                done = req.done
+            if new:
+                yield new
+            if done and len(req.output_ids) <= seen:
+                self.batcher.requests.pop(rid, None)
+                return
+
     def stop(self):
         with self._cv:
             self._stop = True

@@ -54,11 +54,40 @@ class InferenceServer:
             return generate(self.model, [prompt], params,
                             tokenizer=self.tokenizer)[0]
 
+    def _gen_stream(self, prompt: str, params: SamplingParams):
+        """Yield text deltas. With continuous batching the shared decode
+        loop streams true per-token deltas (incremental detokenization
+        against the running id list, so multi-token codepoints surface
+        whole); single-flight falls back to generate-then-chunk, which
+        keeps the SSE protocol shape for clients that require
+        stream=true (the reference proxies llama-server's SSE)."""
+        if self._batcher is not None:
+            ids = self.tokenizer(prompt)["input_ids"]
+            eos = getattr(self.tokenizer, "eos_token_id", None)
+            out_ids: list = []
+            emitted = ""
+            for new in self._batcher.stream(
+                    ids, max_new_tokens=params.max_tokens):
+                out_ids.extend(new)
+                while out_ids and eos is not None and out_ids[-1] == eos:
+                    out_ids = out_ids[:-1]
+                text = self.tokenizer.decode(out_ids,
+                                             skip_special_tokens=True)
+                if text.endswith("�"):   # mid-codepoint: hold back
+                    continue
+                if len(text) > len(emitted):
+                    yield text[len(emitted):]
+                    emitted = text
+            return
+        text = self._gen_text(prompt, params)
+        chunk = 16
+        for i in range(0, len(text), chunk):
+            yield text[i:i + chunk]
+
     # -- request handling ------------------------------------------------
 
-    def chat_completion(self, body: Dict[str, Any]) -> Dict[str, Any]:
-        messages = body["messages"]
-        prompt = self._render(messages)
+    def _chat_prompt_params(self, body):
+        prompt = self._render(body["messages"])
         params = SamplingParams(
             max_tokens=int(body.get("max_tokens",
                                     body.get("max_completion_tokens", 256))),
@@ -66,6 +95,29 @@ class InferenceServer:
             top_p=float(body.get("top_p", 1.0)),
             seed=int(body.get("seed", 0)),
         )
+        return prompt, params
+
+    def _anthropic_prompt_params(self, body):
+        messages = list(body.get("messages", []))
+        if body.get("system"):
+            messages = [{"role": "system", "content": body["system"]}] \
+                + messages
+        norm = []
+        for m in messages:
+            c = m["content"]
+            if isinstance(c, list):
+                c = "".join(b.get("text", "") for b in c
+                            if b.get("type") == "text")
+            norm.append({"role": m["role"], "content": c})
+        prompt = self._render(norm)
+        params = SamplingParams(
+            max_tokens=int(body.get("max_tokens", 256)),
+            temperature=float(body.get("temperature", 0.7)),
+        )
+        return prompt, params
+
+    def chat_completion(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        prompt, params = self._chat_prompt_params(body)
         text = self._gen_text(prompt, params)
         n_prompt = len(self.tokenizer(prompt)["input_ids"])
         n_out = len(self.tokenizer(text)["input_ids"])
@@ -86,23 +138,7 @@ class InferenceServer:
 
     def anthropic_messages(self, body: Dict[str, Any]) -> Dict[str, Any]:
         """/v1/messages (Anthropic Messages API shape)."""
-        messages = list(body.get("messages", []))
-        if body.get("system"):
-            messages = [{"role": "system", "content": body["system"]}] \
-                + messages
-        # content may be a list of blocks
-        norm = []
-        for m in messages:
-            c = m["content"]
-            if isinstance(c, list):
-                c = "".join(b.get("text", "") for b in c
-                            if b.get("type") == "text")
-            norm.append({"role": m["role"], "content": c})
-        prompt = self._render(norm)
-        params = SamplingParams(
-            max_tokens=int(body.get("max_tokens", 256)),
-            temperature=float(body.get("temperature", 0.7)),
-        )
+        prompt, params = self._anthropic_prompt_params(body)
         text = self._gen_text(prompt, params)
         return {
             "id": f"msg_{uuid.uuid4().hex[:16]}",
@@ -159,6 +195,94 @@ class InferenceServer:
                 self.end_headers()
                 self.wfile.write(data)
 
+            def _sse_start(self):
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.send_header("Connection", "close")
+                self.end_headers()
+
+            def _sse(self, payload, event=None):
+                if event is not None:
+                    self.wfile.write(f"event: {event}\n".encode())
+                data = payload if isinstance(payload, str) \
+                    else json.dumps(payload)
+                self.wfile.write(f"data: {data}\n\n".encode())
+                self.wfile.flush()
+
+            def _stream_chat(self, body):
+                prompt, params = server._chat_prompt_params(body)
+                rid = f"chatcmpl-{uuid.uuid4().hex[:16]}"
+                base = {"id": rid, "object": "chat.completion.chunk",
+                        "created": int(time.time()),
+                        "model": body.get("model", server.model_name)}
+                self._sse_start()
+                self._sse({**base, "choices": [{
+                    "index": 0, "delta": {"role": "assistant",
+                                          "content": ""},
+                    "finish_reason": None}]})
+                for delta in server._gen_stream(prompt, params):
+                    self._sse({**base, "choices": [{
+                        "index": 0, "delta": {"content": delta},
+                        "finish_reason": None}]})
+                self._sse({**base, "choices": [{
+                    "index": 0, "delta": {}, "finish_reason": "stop"}]})
+                self._sse("[DONE]")
+
+            def _stream_completions(self, body):
+                prompt = body["prompt"]
+                if isinstance(prompt, list):
+                    prompt = prompt[0]
+                params = SamplingParams(
+                    max_tokens=int(body.get("max_tokens", 256)),
+                    temperature=float(body.get("temperature", 0.7)))
+                base = {"id": f"cmpl-{uuid.uuid4().hex[:16]}",
+                        "object": "text_completion",
+                        "created": int(time.time()),
+                        "model": body.get("model", server.model_name)}
+                self._sse_start()
+                for delta in server._gen_stream(prompt, params):
+                    self._sse({**base, "choices": [{
+                        "index": 0, "text": delta,
+                        "finish_reason": None}]})
+                self._sse({**base, "choices": [{
+                    "index": 0, "text": "", "finish_reason": "stop"}]})
+                self._sse("[DONE]")
+
+            def _stream_anthropic(self, body):
+                """Anthropic Messages streaming event sequence
+                (message_start .. content_block_delta .. message_stop),
+                the shape `unsloth start claude` clients consume."""
+                prompt, params = server._anthropic_prompt_params(body)
+                mid = f"msg_{uuid.uuid4().hex[:16]}"
+                self._sse_start()
+                self._sse({"type": "message_start", "message": {
+                    "id": mid, "type": "message", "role": "assistant",
+                    "model": body.get("model", server.model_name),
+                    "content": [],
+                    "usage": {"input_tokens": len(
+                        server.tokenizer(prompt)["input_ids"]),
+                        "output_tokens": 0}}}, event="message_start")
+                self._sse({"type": "content_block_start", "index": 0,
+                           "content_block": {"type": "text",
+                                             "text": ""}},
+                          event="content_block_start")
+                n_out = 0
+                for delta in server._gen_stream(prompt, params):
+                    n_out += len(server.tokenizer(delta)["input_ids"])
+                    self._sse({"type": "content_block_delta", "index": 0,
+                               "delta": {"type": "text_delta",
+                                         "text": delta}},
+                              event="content_block_delta")
+                self._sse({"type": "content_block_stop", "index": 0},
+                          event="content_block_stop")
+                self._sse({"type": "message_delta",
+                           "delta": {"stop_reason": "end_turn",
+                                     "stop_sequence": None},
+                           "usage": {"output_tokens": n_out}},
+                          event="message_delta")
+                self._sse({"type": "message_stop"}, event="message_stop")
+
             def do_GET(self):
                 if self.path == "/v1/models":
                     return self._send(200, server.models_list())
@@ -174,12 +298,19 @@ class InferenceServer:
                     return self._send(400, {"error": {
                         "message": "invalid JSON body"}})
                 try:
+                    stream = bool(body.get("stream"))
                     if self.path == "/v1/chat/completions":
+                        if stream:
+                            return self._stream_chat(body)
                         return self._send(200, server.chat_completion(body))
                     if self.path == "/v1/messages":
+                        if stream:
+                            return self._stream_anthropic(body)
                         return self._send(200,
                                           server.anthropic_messages(body))
                     if self.path == "/v1/completions":
+                        if stream:
+                            return self._stream_completions(body)
                         return self._send(200, server.completions(body))
                     return self._send(404, {"error": "not found"})
                 except KeyError as e:
