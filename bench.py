@@ -319,6 +319,11 @@ def run_path(cfg, key, batch, n_steps, *, quantize, fused_ce,
         os.environ["UNSLOTH_DISABLE_FUSED_NF4"] = "1"
     if flash_block:
         os.environ["UNSLOTH_FLASH_BLOCK"] = str(flash_block)
+    # jax.checkpoint's remat trace cache keys on (decoder_layer, avals)
+    # — NOT on env flags read during tracing — so without this, a
+    # baseline with identical avals silently reuses the optimized
+    # path's trace (measured: fused==unfused to 1% until cleared)
+    jax.clear_caches()
     try:
         params = build_model(cfg, key, quantize=quantize)
         lora = init_lora_tree(cfg, key, r=16, alpha=16, dtype=jnp.float32)
@@ -540,6 +545,9 @@ def main_gpt_oss(quick: bool):
     key = jax.random.PRNGKey(0)
 
     def run_once(n, warmup=2):
+        # bust the remat trace cache so UNSLOTH_DISABLE_FUSED_NF4 /
+        # UNSLOTH_MOE_IMPL flips are honored (see run_path)
+        jax.clear_caches()
         params = build_moe_model(cfg, key)
         lora = init_lora_tree(cfg, key, r=16, alpha=16, dtype=jnp.float32)
         batch = make_packed_batch(cfg, key, bsz, seq, packed=True)
@@ -588,6 +596,26 @@ def main_gpt_oss(quick: bool):
         else:
             os.environ["UNSLOTH_DISABLE_FUSED_NF4"] = prev
 
+    # HF-style loop-over-experts baseline (UNSLOTH_MOE_IMPL=eloop):
+    # every expert runs a full dense matmul over all tokens — the naive
+    # transformers MoE shape the reference's "12x faster MoE"
+    # (README.md:58, kernels/moe/README.md) is measured against.
+    os.environ["UNSLOTH_MOE_IMPL"] = "eloop"
+    os.environ["UNSLOTH_DISABLE_FUSED_NF4"] = "1"
+    try:
+        loop_tps, _, loop_gb, _ = run_once(2, warmup=1)
+        vs_hf_loop = tps / loop_tps
+    except Exception as e:
+        print(f"hf-loop baseline failed: {str(e)[:300]}",
+              file=sys.stderr)
+        loop_tps, loop_gb, vs_hf_loop = 0.0, None, None
+    finally:
+        os.environ.pop("UNSLOTH_MOE_IMPL", None)
+        if prev is None:
+            os.environ.pop("UNSLOTH_DISABLE_FUSED_NF4", None)
+        else:
+            os.environ["UNSLOTH_DISABLE_FUSED_NF4"] = prev
+
     print(json.dumps({
         "metric": "gpt_oss_20b_moe_qlora_sft_tokens_per_sec_per_chip"
                   + ("" if num_layers == 24 else f"_layers{num_layers}"),
@@ -606,6 +634,18 @@ def main_gpt_oss(quick: bool):
                                      "per use, same step otherwise",
                        "baseline_tokens_per_sec": round(base_tps, 2),
                        "baseline_peak_hbm_gb": base_gb},
+                   "hf_loop_baseline": {
+                       "definition": "loop-over-experts with static "
+                                     "shapes (UNSLOTH_MOE_IMPL=eloop): "
+                                     "every expert computes all tokens, "
+                                     "masked by routing weight — the "
+                                     "naive transformers MoE shape the "
+                                     "reference's 12x claim compares "
+                                     "against",
+                       "baseline_tokens_per_sec": round(loop_tps, 2),
+                       "baseline_peak_hbm_gb": loop_gb,
+                       "vs_hf_loop": (round(vs_hf_loop, 3)
+                                      if vs_hf_loop else None)},
                    "note": "MoE QLoRA: NF4 attention + stacked-NF4 "
                            "experts via the fused NF4-dequant-inside-gmm "
                            "Pallas kernel; sinks via single-pass "

@@ -64,3 +64,38 @@ def test_custom_vjp_wiring():
     assert np.isfinite(float(val))
     assert np.isfinite(np.asarray(grad)).all()
     assert float(jnp.abs(grad).max()) > 0
+
+
+def test_fwd_bias_epilogue():
+    """Per-expert bias added in the kernel's store epilogue equals
+    dequantize + matmul + bias[expert] per row."""
+    import jax.numpy as jnp
+
+    from unsloth_tpu.ops.nf4 import dequantize_nf4_stacked
+    from unsloth_tpu.ops.nf4_gmm import nf4_gmm
+
+    q, lhs, gs = _make()
+    e, n, k = q.shape
+    bias = jax.random.normal(jax.random.PRNGKey(5), (e, n),
+                             jnp.float32) * 0.5
+    out = nf4_gmm(lhs, q, gs, bias=bias)
+    w = dequantize_nf4_stacked(q, jnp.float32)
+    ends = jnp.cumsum(gs)
+    starts = ends - gs
+    row = jnp.arange(lhs.shape[0])
+    want = jnp.zeros((lhs.shape[0], n), jnp.float32)
+    for g in range(e):
+        mask = (row >= starts[g]) & (row < ends[g])
+        y = lhs.astype(jnp.float32) @ w[g].T + bias[g][None, :]
+        want = jnp.where(mask[:, None], y, want)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(want.astype(lhs.dtype)),
+                               atol=2e-2, rtol=2e-2)
+
+    # grads still flow to lhs only, unaffected by the bias term
+    g1 = jax.grad(lambda x: jnp.sum(
+        nf4_gmm(x, q, gs, bias=bias).astype(jnp.float32)))(lhs)
+    g2 = jax.grad(lambda x: jnp.sum(
+        nf4_gmm(x, q, gs).astype(jnp.float32)))(lhs)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=1e-5)

@@ -119,3 +119,39 @@ def test_moe_qlora_trains(rng):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] - 0.2, losses
+
+
+@pytest.mark.parametrize("routing", ["softmax_topk", "llama4"])
+def test_expert_loop_matches_dense(rng, routing):
+    """The HF-style loop-over-experts baseline (bench's hf-equivalent,
+    UNSLOTH_MOE_IMPL=eloop) is numerically the same layer."""
+    from unsloth_tpu.ops.moe import moe_mlp_expert_loop
+
+    x, router, experts, k = _setup(rng)
+    if routing == "llama4":
+        experts = dict(experts)
+    dense = moe_mlp_dense(x, router, experts, k, "silu",
+                          routing=routing)
+    loop = moe_mlp_expert_loop(x, router, experts, k, "silu",
+                               routing=routing)
+    np.testing.assert_allclose(np.asarray(loop), np.asarray(dense),
+                               atol=2e-5, rtol=2e-4)
+
+
+def test_expert_loop_with_biases(rng):
+    """gpt-oss per-expert biases apply inside the expert, before the
+    routing weight — parity with the dense oracle."""
+    from unsloth_tpu.ops.moe import moe_mlp_expert_loop
+
+    x, router, experts, k = _setup(rng)
+    keys = jax.random.split(rng, 3)
+    e, f, d = experts["gate"].shape[0], experts["gate"].shape[1], \
+        experts["down"].shape[1]
+    experts = {**experts,
+               "gate_bias": jax.random.normal(keys[0], (e, f)) * 0.1,
+               "up_bias": jax.random.normal(keys[1], (e, f)) * 0.1,
+               "down_bias": jax.random.normal(keys[2], (e, d)) * 0.1}
+    dense = moe_mlp_dense(x, router, experts, k, "silu")
+    loop = moe_mlp_expert_loop(x, router, experts, k, "silu")
+    np.testing.assert_allclose(np.asarray(loop), np.asarray(dense),
+                               atol=2e-5, rtol=2e-4)

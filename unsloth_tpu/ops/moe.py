@@ -128,6 +128,46 @@ def moe_mlp_dense(x, router_logits, experts: Dict[str, jnp.ndarray],
     return sum(one_slot(i) for i in range(k))
 
 
+def moe_mlp_expert_loop(x, router_logits,
+                        experts: Dict[str, jnp.ndarray],
+                        num_experts_per_tok: int, act: str,
+                        norm_topk_prob: bool = False,
+                        routing: str = "softmax_topk",
+                        routing_params=None):
+    """HF-style loop over experts, static shapes: EVERY expert runs a
+    full dense matmul over ALL tokens, masked by its routing weight —
+    E/k times the useful FLOPs. This is the naive transformers
+    loop-over-experts shape (reference: its grouped-GEMM kernel's "12x
+    vs HF" comparison, kernels/moe/README.md) kept as a second parity
+    oracle and the bench's hf-equivalent baseline."""
+    n, d = x.shape
+    dense = _dense_experts(experts, x.dtype)
+    weights, sel = _route(router_logits, num_experts_per_tok,
+                          norm_topk_prob, routing, routing_params)
+    glu = glu_for(act)
+    scale_input = routing == "llama4"
+    e_total = dense["gate"].shape[0]
+
+    def bias(name, e):
+        b = dense.get(name)
+        return b[e].astype(x.dtype) if b is not None else 0
+
+    out = jnp.zeros_like(x)
+    for e in range(e_total):
+        w_e = jnp.sum(jnp.where(sel == e, weights, 0.0),
+                      axis=-1)[:, None].astype(x.dtype)       # [N, 1]
+        xi = x * w_e if scale_input else x
+        eh = xi @ dense["gate"][e].astype(x.dtype).T + bias("gate_bias", e)
+        g = xi @ dense["up"][e].astype(x.dtype).T + bias("up_bias", e)
+        y = glu(eh, g) @ dense["down"][e].astype(x.dtype).T \
+            + bias("down_bias", e)
+        if scale_input:
+            out = out + jnp.where(w_e != 0, y, 0)
+        else:
+            out = out + y * w_e
+    return out
+
+
 def moe_mlp_grouped(x, router_logits, experts: Dict[str, jnp.ndarray],
                     num_experts_per_tok: int, act: str,
                     norm_topk_prob: bool = False,
@@ -164,8 +204,14 @@ def moe_mlp_grouped(x, router_logits, experts: Dict[str, jnp.ndarray],
     if scale_input:
         xs = xs * jnp.take(weights.reshape(-1), order)[:, None].astype(
             x.dtype)
-    group_sizes = jnp.bincount(flat_expert, length=num_experts
-                               ).astype(jnp.int32)
+    # group sizes via a one-hot matmul: jnp.bincount lowers to a serial
+    # scatter-add (~0.6 ms on v5e for 2k ids — comparable to a whole
+    # expert matmul at these dims); the [N*k, E] one-hot reduce is MXU
+    # work and exact for counts << 2^24
+    group_sizes = jnp.sum(
+        (flat_expert[:, None]
+         == jnp.arange(num_experts, dtype=flat_expert.dtype)[None, :]
+         ).astype(jnp.float32), axis=0).astype(jnp.int32)
 
     glu = glu_for(act)
 
@@ -207,38 +253,59 @@ def moe_mlp_grouped(x, router_logits, experts: Dict[str, jnp.ndarray],
                   transpose_rhs=True, interpret=interpret)
         return out[:, :n0] if np_ else out
 
-    def gmm_(lhs, name):
-        w = experts[name]
-        if fused[name]:
-            return nf4_gmm(lhs, w, group_sizes)
-        return tiled_gmm(lhs, w)
+    sorted_expert = None
 
-    sorted_expert = jnp.take(flat_expert, order)            # [N*k]
-
-    def bias(name):
+    def bias_rows(name):
+        nonlocal sorted_expert
         b = experts.get(name)
-        return jnp.take(b, sorted_expert, axis=0).astype(x.dtype) \
-            if b is not None else 0
+        if b is None:
+            return 0
+        if sorted_expert is None:
+            sorted_expert = jnp.take(flat_expert, order)    # [N*k]
+        return jnp.take(b, sorted_expert, axis=0).astype(x.dtype)
+
+    def gmm_(lhs, name):
+        """Expert matmul + its per-expert bias. The fused kernel adds
+        the bias in its store epilogue (no [m, N] row-gather); the
+        unfused path gathers per sorted row."""
+        w = experts[name]
+        b = experts.get(name + "_bias")
+        if fused[name]:
+            return nf4_gmm(lhs, w, group_sizes, bias=b).astype(x.dtype)
+        return tiled_gmm(lhs, w).astype(x.dtype) \
+            + bias_rows(name + "_bias")
 
     # gate/up: [E, F, D] with transpose_rhs => contracts D
-    e = gmm_(xs, "gate").astype(x.dtype) + bias("gate_bias")
-    g = gmm_(xs, "up").astype(x.dtype) + bias("up_bias")
+    e = gmm_(xs, "gate")
+    g = gmm_(xs, "up")
     h = glu(e, g)
-    y = gmm_(h, "down").astype(x.dtype) + bias("down_bias")
+    y = gmm_(h, "down")
 
-    out = jnp.zeros((n, d), x.dtype)
+    # unpermute by GATHER, not scatter-add: rows are a permutation of
+    # [N*k], so inverse-gather + reshape + sum-over-slots replaces the
+    # row scatter (TPU scatters serialize; the gather+reduce is vector
+    # work and numerically identical per token)
+    inv = jnp.argsort(order)                                # [N*k]
+    y_flat = jnp.take(y, inv, axis=0).reshape(n, k, d)
     if scale_input:
-        out = out.at[token_idx].add(y)
-    else:
-        w = jnp.take(weights.reshape(-1), order)            # [N*k]
-        out = out.at[token_idx].add(y * w[:, None].astype(x.dtype))
-    return out
+        return jnp.sum(y_flat, axis=1).astype(x.dtype)
+    return jnp.sum(y_flat * weights[:, :, None].astype(x.dtype),
+                   axis=1).astype(x.dtype)
 
 
 def moe_mlp(x, router_logits, experts, num_experts_per_tok: int, act: str,
             norm_topk_prob: bool = False, impl: str = "auto",
             routing: str = "softmax_topk", routing_params=None):
-    """Dispatching MoE MLP. impl: auto | grouped | dense."""
+    """Dispatching MoE MLP. impl: auto | grouped | dense | eloop
+    (UNSLOTH_MOE_IMPL overrides — eloop is the HF-style loop baseline)."""
+    import os
+
+    impl = os.environ.get("UNSLOTH_MOE_IMPL", impl)
+    if impl == "eloop":
+        return moe_mlp_expert_loop(x, router_logits, experts,
+                                   num_experts_per_tok, act,
+                                   norm_topk_prob, routing=routing,
+                                   routing_params=routing_params)
     if impl == "dense" or (impl == "auto" and (
             env.disable_pallas() or jax.default_backend() != "tpu")):
         return moe_mlp_dense(x, router_logits, experts,

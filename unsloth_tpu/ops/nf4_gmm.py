@@ -84,7 +84,7 @@ def _absmax_tiles(q: NF4Stacked, n_pad: int, tk: int):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(group_metadata, group_offset, xh_ref, xl_ref, pk_ref,
-                amh_ref, aml_ref, e_ref, out_ref, acc_ref, *,
+                amh_ref, aml_ref, e_ref, b_ref, out_ref, acc_ref, *,
                 block_size: int, tm: int, tn: int, out_dtype):
     group_offsets, group_ids, m_tile_ids = group_metadata
     del group_offset
@@ -120,8 +120,11 @@ def _fwd_kernel(group_metadata, group_offset, xh_ref, xl_ref, pk_ref,
         row = jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 0) \
             + m_tile_ids[grid_id] * tm
         mask = (row >= start) & (row < end)
+        # per-expert bias folded into the store (saves the [m, N]
+        # row-gather + add the caller would otherwise do — at MoE batch
+        # sizes those gathers cost as much as an expert matmul)
         out_ref[...] = jax.lax.select(
-            mask, acc_ref[...],
+            mask, acc_ref[...] + b_ref[...],
             out_ref[...].astype(jnp.float32)).astype(out_dtype)
 
 
@@ -198,7 +201,8 @@ def _pad_n(arr, n, n_pad, axis):
     return jnp.pad(arr, pads)
 
 
-def _nf4_gmm_fwd_impl(lhs, q: NF4Stacked, group_sizes, interpret=None):
+def _nf4_gmm_fwd_impl(lhs, q: NF4Stacked, group_sizes, bias=None,
+                      interpret=None):
     e, n, k = q.shape
     bs = q.block_size
     half = k // 2
@@ -210,6 +214,11 @@ def _nf4_gmm_fwd_impl(lhs, q: NF4Stacked, group_sizes, interpret=None):
     x_hi, x_lo = lhs[:, :half], lhs[:, half:]
     packed = _pad_n(q.packed, n, n_pad, axis=1)
     am_hi, am_lo = _absmax_tiles(q, n_pad, tk)
+    if bias is None:
+        b_pad = jnp.zeros((e, 1, n_pad), jnp.float32)
+    else:
+        b_pad = _pad_n(bias.astype(jnp.float32), n, n_pad,
+                       axis=1)[:, None, :]
 
     def x_idx(n_i, grid_id, k_i, group_metadata, group_offset):
         return group_metadata[2][grid_id], k_i
@@ -222,6 +231,9 @@ def _nf4_gmm_fwd_impl(lhs, q: NF4Stacked, group_sizes, interpret=None):
 
     def e_idx(n_i, grid_id, k_i, group_metadata, group_offset):
         return 0, 0
+
+    def b_idx(n_i, grid_id, k_i, group_metadata, group_offset):
+        return group_metadata[1][grid_id], 0, n_i
 
     def out_idx(n_i, grid_id, k_i, group_metadata, group_offset):
         return group_metadata[2][grid_id], n_i
@@ -240,6 +252,7 @@ def _nf4_gmm_fwd_impl(lhs, q: NF4Stacked, group_sizes, interpret=None):
                 pl.BlockSpec((None, 1, tk // bs, tn), am_idx),
                 pl.BlockSpec((None, 1, tk // bs, tn), am_idx),
                 pl.BlockSpec((tk // bs, tk), e_idx),
+                pl.BlockSpec((None, 1, tn), b_idx),
             ],
             out_specs=pl.BlockSpec((tm, tn), out_idx),
             grid=(n_pad // tn, num_tiles, n_hi),
@@ -254,7 +267,7 @@ def _nf4_gmm_fwd_impl(lhs, q: NF4Stacked, group_sizes, interpret=None):
             transcendentals=0),
         interpret=_interpret() if interpret is None else interpret,
     )(meta, jnp.zeros((1,), jnp.int32), x_hi, x_lo, packed, am_hi, am_lo,
-      _expansion_matrix(tk // bs, tk))
+      _expansion_matrix(tk // bs, tk), b_pad)
     return out[:m, :n]
 
 
@@ -328,25 +341,35 @@ def _nf4_gmm_bwd_impl(g, q: NF4Stacked, group_sizes, interpret=None):
 # ---------------------------------------------------------------------------
 
 @jax.custom_vjp
-def nf4_gmm(lhs, q: NF4Stacked, group_sizes):
-    """Grouped lhs[rows of group g] @ W_g^T with W NF4Stacked [E, N, K];
-    the dense expert stack never exists in HBM. Gradient flows to lhs
-    only (frozen QLoRA base)."""
-    return _nf4_gmm_fwd_impl(lhs, q, group_sizes)
+def _nf4_gmm_p(lhs, q: NF4Stacked, group_sizes, bias):
+    return _nf4_gmm_fwd_impl(lhs, q, group_sizes, bias)
 
 
-def _vjp_fwd(lhs, q, group_sizes):
-    return _nf4_gmm_fwd_impl(lhs, q, group_sizes), (q, group_sizes)
+def _vjp_fwd(lhs, q, group_sizes, bias):
+    return _nf4_gmm_fwd_impl(lhs, q, group_sizes, bias), (q, group_sizes)
 
 
 def _vjp_bwd(res, g):
     q, group_sizes = res
     dx = _nf4_gmm_bwd_impl(g, q, group_sizes)
     dq = jax.tree_util.tree_map(jnp.zeros_like, q)
-    return dx, dq, np.zeros(group_sizes.shape, jax.dtypes.float0)
+    return (dx, dq, np.zeros(group_sizes.shape, jax.dtypes.float0),
+            jnp.zeros((q.shape[0], q.shape[1]), jnp.float32))
 
 
-nf4_gmm.defvjp(_vjp_fwd, _vjp_bwd)
+_nf4_gmm_p.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def nf4_gmm(lhs, q: NF4Stacked, group_sizes, bias=None):
+    """Grouped lhs[rows of group g] @ W_g^T (+ bias[g]) with W
+    NF4Stacked [E, N, K]; the dense expert stack never exists in HBM and
+    the optional per-expert bias [E, N] is added in the kernel's store
+    epilogue. Gradient flows to lhs only (frozen QLoRA base: dW = 0 and
+    dbias = 0 by construction)."""
+    if bias is None:
+        e, n, _ = q.shape
+        bias = jnp.zeros((e, n), jnp.float32)
+    return _nf4_gmm_p(lhs, q, group_sizes, bias)
 
 
 def nf4_gmm_ref(lhs, q: NF4Stacked, group_sizes):
