@@ -68,6 +68,18 @@ _LAZY = {
                                 "train_on_responses_only"),
     "SFTTrainer": ("unsloth_tpu.trainer.sft", "SFTTrainer"),
     "UnslothTrainer": ("unsloth_tpu.trainer.sft", "SFTTrainer"),
+    "SFTConfig": ("unsloth_tpu.trainer.sft", "SFTConfig"),
+    "UnslothTrainingArguments": ("unsloth_tpu.trainer.sft", "SFTConfig"),
+    "GRPOTrainer": ("unsloth_tpu.trainer.grpo", "GRPOTrainer"),
+    "GRPOConfig": ("unsloth_tpu.trainer.grpo", "GRPOConfig"),
+    "DPOTrainer": ("unsloth_tpu.trainer.dpo", "DPOTrainer"),
+    "ORPOTrainer": ("unsloth_tpu.trainer.dpo", "ORPOTrainer"),
+    "KTOTrainer": ("unsloth_tpu.trainer.dpo", "KTOTrainer"),
+    "PatchFastRL": ("unsloth_tpu.trainer.grpo", "PatchFastRL"),
+    "SamplingParams": ("unsloth_tpu.inference.generate",
+                       "SamplingParams"),
+    "vLLMSamplingParams": ("unsloth_tpu.inference.generate",
+                           "SamplingParams"),
 }
 
 
