@@ -75,6 +75,7 @@ _LAZY = {
     "DPOTrainer": ("unsloth_tpu.trainer.dpo", "DPOTrainer"),
     "ORPOTrainer": ("unsloth_tpu.trainer.dpo", "ORPOTrainer"),
     "KTOTrainer": ("unsloth_tpu.trainer.dpo", "KTOTrainer"),
+    "CPOTrainer": ("unsloth_tpu.trainer.dpo", "CPOTrainer"),
     "PatchFastRL": ("unsloth_tpu.trainer.grpo", "PatchFastRL"),
     "SamplingParams": ("unsloth_tpu.inference.generate",
                        "SamplingParams"),
