@@ -66,6 +66,9 @@ _LAZY = {
                        "CHAT_TEMPLATES"),
     "train_on_responses_only": ("unsloth_tpu.trainer.sft",
                                 "train_on_responses_only"),
+    "unsloth_train": ("unsloth_tpu.trainer.sft", "unsloth_train"),
+    "enable_pipeline": ("unsloth_tpu.parallel.pipeline",
+                        "enable_pipeline"),
     "SFTTrainer": ("unsloth_tpu.trainer.sft", "SFTTrainer"),
     "UnslothTrainer": ("unsloth_tpu.trainer.sft", "SFTTrainer"),
     "SFTConfig": ("unsloth_tpu.trainer.sft", "SFTConfig"),

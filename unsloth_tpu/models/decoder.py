@@ -893,7 +893,19 @@ def loss_fn(
                 positions=batch.get("positions"),
                 segment_ids=batch.get("segment_ids"),
                 remat=remat, remat_policy=remat_policy)
+    return _loss_from_hidden(params, lora, h, labels, cfg,
+                             n_items=n_items,
+                             lm_head_trainable=lm_head_trainable,
+                             fused_ce=fused_ce, chunk_size=chunk_size)
 
+
+def _loss_from_hidden(
+    params, lora, h, labels, cfg: ModelConfig, *,
+    n_items=None, lm_head_trainable: bool = False,
+    fused_ce: Any = "auto", chunk_size: Optional[int] = None,
+) -> jnp.ndarray:
+    """Shift + lm_head + CE from final hidden states (shared by the
+    plain and pipeline-parallel loss paths)."""
     # shift: predict token t+1 from hidden t
     h = h[:, :-1, :]
     shift_labels = labels[:, 1:]

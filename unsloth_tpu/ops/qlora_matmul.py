@@ -160,12 +160,12 @@ def _fwd_kernel(x_ref, pk_ref, am_ref, e_ref, o_ref, acc_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # am_ref block: [bk//bs, bn] — row-block k of the folded absmax
-    # layout [n_k * bk//bs, out] (pre-gathered outside the kernel —
-    # Mosaic supports neither tiny trailing block tiles nor dynamic
-    # lane-dim slices; the scale axis sits in the SUBLANE dim so the
-    # HBM slab has zero tile padding).
-    w = _dequant_tile(pk_ref[:], am_ref[:], e_ref[:],
+    # am_ref block: [1, bk//bs, bn] — tile k of the rank-3 absmax slab
+    # [n_k, bk//bs, out] (pre-arranged outside the kernel — Mosaic
+    # supports neither tiny trailing block tiles nor dynamic lane-dim
+    # slices; the scale axis sits in the SUBLANE dim so the HBM slab has
+    # minimal tile padding, and the block spans the full sublane axis).
+    w = _dequant_tile(pk_ref[:], am_ref[0], e_ref[:],
                       use_hi=k < n_hi_tiles,
                       am_transposed=True)              # [bn, bk] fp32
     x = x_ref[:]                                       # [bm, bk]
@@ -207,17 +207,19 @@ def _fwd_pallas(x2d, q: NF4Tensor, *, bm=None, bn=None, bk=None,
 
     n_hi = half // bk
     n_k = 2 * n_hi
-    # Per-tile absmax layout [n_k * bk//bs, out] (row-block k = tile
-    # k's scales, transposed): the tiny bk//bs axis lives in the SUBLANE
-    # dim — the previous [n_k, out, bk//bs] trailing-dim-8 layout padded
-    # 16x under (8,128) tiling and cost ~52 MB of HLO temp PER WEIGHT at
-    # 8B scale (measured: the 8K full-depth bench OOMed on it). Folded
-    # 2-D (rather than [n_k, bk//bs, out] rank-3) so the block is a
-    # plain 2-D row-block.
+    # Per-tile absmax layout [n_k, bk//bs, out] (leading axis = k tile,
+    # scales in the SUBLANE dim): the old [n_k, out, bk//bs]
+    # trailing-dim-8 layout padded 16x under (8,128) tiling and cost
+    # ~52 MB of HLO temp PER WEIGHT at 8B scale (measured: the 8K
+    # full-depth bench OOMed on it). Rank-3 with the block spanning the
+    # FULL bk//bs axis (not a folded 2-D row-block) because Mosaic
+    # requires the block's sublane dim to be 8-divisible OR equal to the
+    # array dim — small models hit bk//bs < 8 (the folded layout failed
+    # the flagship-mini entry() compile with block (4, 512) on (8, 512)).
     # Logical col0 of tile k is k*bk for hi AND lo tiles (halves are
     # contiguous in logical order), so this is a plain reshape+transpose.
     absmax = _decode_absmax(q).reshape(out_f, n_k, bk // bs)
-    absmax = absmax.transpose(1, 2, 0).reshape(n_k * (bk // bs), out_f)
+    absmax = absmax.transpose(1, 2, 0)          # [n_k, bk//bs, out]
     e_mat = _expansion_matrix(bk // bs, bk)
 
     grid = (m_pad // bm, out_f // bn, n_k)
@@ -237,7 +239,7 @@ def _fwd_pallas(x2d, q: NF4Tensor, *, bm=None, bn=None, bk=None,
             pl.BlockSpec((bm, bk),
                          lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, bk), pk_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // bs, bn), lambda i, j, k: (k, j),
+            pl.BlockSpec((1, bk // bs, bn), lambda i, j, k: (k, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bk // bs, bk), lambda i, j, k: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -271,7 +273,7 @@ def _bwd_kernel(g_ref, pk_ref, am_ref, e_ref, o_ref, acc_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = _dequant_tile(pk_ref[:], am_ref[:], e_ref[:],
+    w = _dequant_tile(pk_ref[:], am_ref[0], e_ref[:],
                       use_hi=j < n_hi_tiles,
                       am_transposed=True)              # [bk_out, bn_in]
     g = g_ref[:]                                       # [bm, bk_out]
@@ -304,10 +306,11 @@ def _bwd_pallas(g2d, q: NF4Tensor, *, bm=None, bn=None, bk=None,
 
     n_hi = half // bn
     n_j = 2 * n_hi
-    # Per-tile absmax layout [n_j * bn//bs, out] (see _fwd_pallas: the
-    # scale axis sits in the sublane dim to avoid 16x tile padding).
+    # Per-tile absmax layout [n_j, bn//bs, out] (see _fwd_pallas: scale
+    # axis in the sublane dim, rank-3 so the block spans the full
+    # sublane axis even when bn//bs < 8).
     absmax = _decode_absmax(q).reshape(out_f, n_j, bn // bs)
-    absmax = absmax.transpose(1, 2, 0).reshape(n_j * (bn // bs), out_f)
+    absmax = absmax.transpose(1, 2, 0)          # [n_j, bn//bs, out]
     e_mat = _expansion_matrix(bn // bs, bn)
 
     grid = (m_pad // bm, n_j, out_f // bk)
@@ -327,7 +330,7 @@ def _bwd_pallas(g2d, q: NF4Tensor, *, bm=None, bn=None, bk=None,
             pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bk, bn), pk_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn // bs, bk), lambda i, j, k: (j, k),
+            pl.BlockSpec((1, bn // bs, bk), lambda i, j, k: (j, 0, k),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bn // bs, bn), lambda i, j, k: (0, 0),
                          memory_space=pltpu.VMEM),

@@ -3,7 +3,8 @@ from .dpo import (CPOConfig, CPOTrainer, DPOConfig, DPOTrainer,
                   PatchDPOTrainer)
 from .grpo import GRPOConfig, GRPOTrainer, PatchFastRL
 from .sft import (SFTConfig, SFTTrainer, TrainOutput, build_optimizer,
-                  build_schedule, make_config, train_on_responses_only)
+                  build_schedule, make_config, train_on_responses_only,
+                  unsloth_train)
 
 # Reference-parity aliases (reference: unsloth/trainer.py exports
 # UnslothTrainer / UnslothTrainingArguments).
@@ -13,6 +14,7 @@ UnslothTrainingArguments = SFTConfig
 __all__ = [
     "SFTConfig", "SFTTrainer", "TrainOutput", "build_optimizer",
     "build_schedule", "make_config", "train_on_responses_only",
+    "unsloth_train",
     "UnslothTrainer", "UnslothTrainingArguments",
     "GRPOConfig", "GRPOTrainer", "PatchFastRL",
     "DPOConfig", "DPOTrainer", "PatchDPOTrainer",

@@ -189,6 +189,10 @@ class SFTTrainer:
         self._batches: Optional[List[PackedBatch]] = None
         self.state_log: List[Dict[str, Any]] = []
         self.mesh = getattr(model, "mesh", None)
+        # pipeline parallelism (parallel/pipeline.enable_pipeline): layers
+        # sharded over a ("dp", "pp") mesh; loss routes through the GPipe
+        # schedule instead of the GSPMD mesh.
+        self.pp_mesh = getattr(model, "pp_mesh", None)
         from ..utils.logging import MetricsLogger
 
         self.metrics_logger = MetricsLogger(
@@ -320,8 +324,23 @@ class SFTTrainer:
 
         gc_mode = getattr(model, "gc_mode", True)
 
+        pp_mesh = self.pp_mesh
+
         def loss_for(trainables, base_params, micro):
             n_items = micro.pop("n_items")
+            if pp_mesh is not None:
+                from ..parallel.pipeline import pipeline_loss_fn
+
+                mb = getattr(model, "pp_microbatches", 4)
+                if full_ft:
+                    return pipeline_loss_fn(
+                        trainables, None, micro, cfg, pp_mesh,
+                        num_microbatches=mb, n_items=n_items,
+                        lm_head_trainable=True, remat=bool(gc_mode))
+                return pipeline_loss_fn(
+                    base_params, trainables, micro, cfg, pp_mesh,
+                    num_microbatches=mb, n_items=n_items,
+                    remat=bool(gc_mode))
             if full_ft:
                 return model_loss_fn(trainables, None, micro, cfg,
                                      n_items=n_items,
@@ -377,9 +396,15 @@ class SFTTrainer:
     def _batch_sharding(self, batch_dim: int):
         """NamedSharding for [accum, B, T] batches: B over (dp, fsdp),
         T over sp when context parallelism is on."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if self.pp_mesh is not None:
+            n = int(self.pp_mesh.shape.get("dp", 1))
+            if n <= 1 or batch_dim % n != 0:
+                return NamedSharding(self.pp_mesh, P())
+            return NamedSharding(self.pp_mesh, P(None, "dp", None))
         if self.mesh is None:
             return None
-        from jax.sharding import NamedSharding, PartitionSpec as P
 
         n = int(self.mesh.shape.get("dp", 1) * self.mesh.shape.get(
             "fsdp", 1))
@@ -391,6 +416,9 @@ class SFTTrainer:
     def _place_train_state(self, trainables, full_ft: bool):
         """Place trainables on the mesh: LoRA trees replicate (tiny, read
         everywhere); full-FT param trees shard via the loader's placer."""
+        if self.pp_mesh is not None:
+            # enable_pipeline already sharded layers_stacked over pp
+            return trainables
         if self.mesh is None:
             return trainables
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -436,7 +464,9 @@ class SFTTrainer:
         opt_state = tx.init(trainables)
         base_params = self.model.params
         step_fn = self._make_train_step(tx)
-        mesh_ctx = self.mesh if self.mesh is not None else _nullcontext()
+        mesh_ctx = (self.pp_mesh if self.pp_mesh is not None
+                    else self.mesh if self.mesh is not None
+                    else _nullcontext())
         # context parallelism: an sp axis > 1 routes attention through the
         # ring (parallel/context.py); everything else is GSPMD.
         if self.mesh is not None and self.mesh.shape.get("sp", 1) > 1:
@@ -607,6 +637,15 @@ def _data_parallel_size(model) -> int:
     if mesh is None:
         return 1
     return int(mesh.shape.get("dp", 1) * mesh.shape.get("fsdp", 1))
+
+
+def unsloth_train(trainer, *args, **kwargs):
+    """API-compat entry (reference: trainer.py:329-346 `unsloth_train`,
+    the gradient-accumulation bug fix for old transformers). Our train
+    step normalizes each microbatch by the GLOBAL token count of the
+    accumulation group (see `_make_train_step`), so accumulation is
+    already exact — this simply delegates to `trainer.train()`."""
+    return trainer.train(*args, **kwargs)
 
 
 def train_on_responses_only(example_or_trainer=None, *,
