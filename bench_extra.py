@@ -4,6 +4,7 @@
   BENCH_MODEL=vision   Qwen2.5-VL-7B-class vision fine-tune
   BENCH_MODEL=whisper  Whisper-large-v3 ASR fine-tune
   BENCH_MODEL=tts      Orpheus-3B-class TTS (SNAC-token LM) fine-tune
+  BENCH_MODEL=decode   Llama-8B NF4 decode/serving throughput vs dense
 
 Each prints ONE JSON line with the same {value, vs_baseline, peak/mfu}
 tuple as the headline (bench.py). Invoked via bench.py's BENCH_MODEL
@@ -459,3 +460,94 @@ def main_tts(quick: bool):
                    "backend": jax.default_backend(),
                    "note": "SNAC-token LM over the llama backbone; "
                            "codec interleave in data/tts.py"}}))
+
+
+# ---------------------------------------------------------------------------
+# Decode / serving — Llama-3.1-8B class
+# ---------------------------------------------------------------------------
+
+def main_decode(quick: bool):
+    """Decode (serving) throughput: NF4 8B on one chip, dense ratio.
+
+    The decode win for NF4 on a v5e is CAPACITY, not bandwidth: dense
+    bf16 8B weights alone exceed one chip's 16 GB HBM, so the full-depth
+    value below is a throughput dense cannot post at all. At a common
+    reduced depth where both fit, dense decode is FASTER (measured
+    per-projection at m=8: dense 701 us, NF4 dequant+matmul 868 us, of
+    which the NF4 decode alone is 820 us) — the VPU select-chain decode
+    of 16.7M nibbles costs more than the 24 MB of HBM reads it saves,
+    the mirror of the training roofline in BASELINE_notes.md. The
+    emitted vs_baseline is that honest common-depth NF4/dense ratio
+    (< 1); `value` is the full-depth 8B NF4 number.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from bench import build_model, llama31_8b_config, weight_gb
+    from unsloth_tpu.inference.generate import SamplingParams, _generate_jit
+
+    num_layers = _env_int("BENCH_LAYERS", 2 if quick else 32)
+    base_layers = _env_int("BENCH_BASE_LAYERS",
+                           min(num_layers, 2 if quick else 8))
+    bsz = _env_int("BENCH_BATCH", 8)
+    p_len = _env_int("BENCH_PROMPT_LEN", 64 if quick else 128)
+    new_toks = _env_int("BENCH_NEW_TOKENS", 16 if quick else 128)
+
+    key = jax.random.PRNGKey(0)
+    sp = SamplingParams(max_tokens=new_toks, temperature=0.0)
+    eos_ids = jnp.asarray([], jnp.int32)  # never stop early
+
+    def run(cfg, quantize):
+        params = build_model(cfg, key, quantize=quantize)
+        pid = jax.random.randint(key, (bsz, p_len), 10,
+                                 cfg.vocab_size - 10)
+        pmask = jnp.ones((bsz, p_len), jnp.int32)
+
+        def once():
+            return _generate_jit(params, None, pid, pmask, cfg,
+                                 jax.random.PRNGKey(0), new_toks,
+                                 eos_ids, sp)
+
+        float(jnp.sum(once()))          # compile + sync (axon gotcha)
+        t0 = time.perf_counter()
+        float(jnp.sum(once()))
+        dt = time.perf_counter() - t0
+        return bsz * new_toks / dt, dt
+
+    cfg_full = llama31_8b_config(num_layers)
+    tps_full, dt_full = run(cfg_full, True)
+
+    cfg_c = llama31_8b_config(base_layers)
+    tps_nf4_c, _ = run(cfg_c, True)
+    tps_dense_c, _ = run(cfg_c, False)
+
+    # Achieved weight-stream bandwidth at full depth (all rows of a batch
+    # share one weight read per step; prefill amortized into dt).
+    w_bytes = weight_gb(cfg_full, 0.55) * 1e9
+    bw_util = w_bytes * new_toks / dt_full / 819e9
+
+    import json as _json
+    print(_json.dumps({
+        "metric": "llama31_8b_nf4_decode_tokens_per_sec_per_chip"
+                  + ("" if num_layers == 32 else f"_layers{num_layers}"),
+        "value": round(tps_full, 2),
+        "unit": "generated tokens/s/chip",
+        "vs_baseline": round(tps_nf4_c / tps_dense_c, 3),
+        "detail": {
+            "layers": num_layers, "batch": bsz, "prompt_len": p_len,
+            "new_tokens": new_toks,
+            "generate_time_s": round(dt_full, 3),
+            "hbm_weight_bw_utilization": round(bw_util, 3),
+            "baseline": {
+                "definition": "dense bf16 decode at a reduced depth both"
+                              " paths fit (full-depth dense 8B weights "
+                              "exceed one v5e chip's HBM); same batch, "
+                              "same greedy loop. Expect < 1: on v5e the "
+                              "VPU nibble decode costs more than the "
+                              "bytes it saves — NF4's decode win is "
+                              "fitting the model at all",
+                "common_depth_layers": base_layers,
+                "nf4_tokens_per_sec": round(tps_nf4_c, 2),
+                "dense_tokens_per_sec": round(tps_dense_c, 2)},
+            "backend": jax.default_backend(),
+        }}))
