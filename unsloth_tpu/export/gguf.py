@@ -95,6 +95,7 @@ _GGUF_ARCH = {
     "llama": "llama", "mistral": "llama", "qwen2": "qwen2",
     "qwen3": "qwen3", "gemma": "gemma", "gemma2": "gemma2",
     "gemma3": "gemma3", "gemma3_text": "gemma3", "cohere": "command-r",
+    "qwen3_moe": "qwen3moe",
 }
 
 
@@ -127,6 +128,14 @@ def add_model_metadata(w: GGUFWriter, cfg: ModelConfig, name: str):
     w.add_metadata(f"{arch}.attention.key_length", cfg.head_dim)
     w.add_metadata(f"{arch}.attention.value_length", cfg.head_dim)
     w.add_metadata(f"{arch}.vocab_size", cfg.vocab_size)
+    if cfg.is_moe:
+        # llama.cpp MoE keys (qwen3moe arch)
+        w.add_metadata(f"{arch}.expert_count", cfg.num_experts)
+        w.add_metadata(f"{arch}.expert_used_count",
+                       cfg.num_experts_per_tok)
+        w.add_metadata(f"{arch}.expert_feed_forward_length",
+                       cfg.moe_intermediate_size
+                       or cfg.intermediate_size)
     if cfg.sliding_window:
         w.add_metadata(f"{arch}.attention.sliding_window",
                        cfg.sliding_window)
@@ -239,9 +248,20 @@ def _tensor_entries(params: Dict[str, Any], cfg: ModelConfig
                             layer["post_ffw_norm"]))
         else:
             entries.append((p + "ffn_norm.weight", layer["post_attn_norm"]))
-        entries.append((p + "ffn_gate.weight", layer["gate"]))
-        entries.append((p + "ffn_up.weight", layer["up"]))
-        entries.append((p + "ffn_down.weight", layer["down"]))
+        if "experts" in layer:
+            # llama.cpp MoE naming: router = ffn_gate_inp, stacked
+            # per-expert projections = ffn_{gate,up,down}_exps [E, ...]
+            entries.append((p + "ffn_gate_inp.weight", layer["router"]))
+            entries.append((p + "ffn_gate_exps.weight",
+                            layer["experts"]["gate"]))
+            entries.append((p + "ffn_up_exps.weight",
+                            layer["experts"]["up"]))
+            entries.append((p + "ffn_down_exps.weight",
+                            layer["experts"]["down"]))
+        else:
+            entries.append((p + "ffn_gate.weight", layer["gate"]))
+            entries.append((p + "ffn_up.weight", layer["up"]))
+            entries.append((p + "ffn_down.weight", layer["down"]))
     return entries
 
 
@@ -258,6 +278,8 @@ def _type_for(name: str, arr_shape, base_type: GGMLType,
     attn_output / ffn_down per _MIX_RULES."""
     if len(arr_shape) == 1:
         return GGMLType.F32
+    if name.endswith("ffn_gate_inp.weight"):
+        return GGMLType.F32          # llama.cpp keeps the router in F32
     if base_type in (GGMLType.F32, GGMLType.F16, GGMLType.BF16):
         return base_type
     from .gguf_writer import _TYPE_TRAITS

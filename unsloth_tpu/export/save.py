@@ -64,6 +64,14 @@ def merged_params(model) -> Dict[str, Any]:
                 from ..ops.nf4 import dequantize_nf4
 
                 new_layer[name] = dequantize_nf4(w, jnp.bfloat16)
+            elif name == "experts" and isinstance(w, dict):
+                # MoE QLoRA keeps experts as stacked per-expert NF4
+                from ..ops.nf4 import NF4Stacked, dequantize_nf4_stacked
+
+                new_layer[name] = {
+                    k: (dequantize_nf4_stacked(v, jnp.bfloat16)
+                        if isinstance(v, NF4Stacked) else v)
+                    for k, v in w.items()}
             else:
                 new_layer[name] = w
         out["layers"].append(new_layer)

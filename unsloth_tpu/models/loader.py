@@ -102,6 +102,14 @@ class LanguageModel:
 
         return save_lora(self, path)
 
+    def load_lora(self, path: str):
+        """Load a peft adapter into the LoRA tree (reference:
+        models/_utils.py:3681-3690 binds .load_lora/.save_lora on the
+        fast-inference model)."""
+        from ..export.save import load_lora
+
+        return load_lora(self, path)
+
 
 class FastLanguageModel:
     """Reference-compatible entry point (reference: models/loader.py:403)."""
@@ -139,6 +147,17 @@ class FastLanguageModel:
                 "with LoRA, pass `qat_scheme` to `get_peft_model(...)`.")
         if qat_scheme is not None:
             kwargs["_qat_scheme_full_ft"] = qat_scheme
+        if model_name.endswith(".gguf") and os.path.isfile(model_name):
+            # a GGUF export is a runnable artifact (the reference serves
+            # GGUF via llama.cpp's llama-server; here it loads straight
+            # back into the functional decoder) — export/gguf_loader.py
+            from ..export.gguf_loader import load_gguf
+
+            return load_gguf(model_name,
+                             dtype=canonical_dtype(dtype) or jnp.bfloat16,
+                             max_seq_length=max_seq_length,
+                             load_in_4bit=load_in_4bit and not
+                             full_finetuning)
         from .mapper import get_model_name
 
         if not os.path.isdir(model_name):
