@@ -302,3 +302,79 @@ def test_grpo_train_with_prefix_grouping(model):
     out = tr.train()
     assert out.global_step == 2
     assert np.isfinite(out.training_loss)
+
+
+# ---------------------------------------------------------------------------
+# GSPO — sequence-level importance sampling (TRL importance_sampling_level)
+# ---------------------------------------------------------------------------
+
+def _gspo_numpy_oracle(lp, old, adv, mask, eps, level):
+    """TRL GRPOTrainer semantics for importance_sampling_level."""
+    log_ratio = lp - old
+    if level == "sequence":
+        seq = (log_ratio * mask).sum(-1) / np.maximum(mask.sum(-1), 1.0)
+        ratio = np.exp(seq)[:, None] * np.ones_like(lp)
+    elif level == "sequence_token":
+        seq = (log_ratio * mask).sum(-1) / np.maximum(mask.sum(-1), 1.0)
+        ratio = np.exp(0.0 + seq)[:, None] * np.ones_like(lp)  # sg(lp-lp)=0
+    else:
+        ratio = np.exp(log_ratio)
+    a = adv[:, None]
+    per_tok = -np.minimum(ratio * a, np.clip(ratio, 1 - eps, 1 + eps) * a)
+    seq_loss = (per_tok * mask).sum(-1) / np.maximum(mask.sum(-1), 1.0)
+    return seq_loss.mean()
+
+
+@pytest.mark.parametrize("level", ["sequence", "sequence_token"])
+def test_gspo_loss_matches_oracle(level):
+    rng = np.random.RandomState(0)
+    lp = rng.randn(4, 6).astype(np.float32) * 0.1 - 1.0
+    old = lp + rng.randn(4, 6).astype(np.float32) * 0.05
+    adv = rng.randn(4).astype(np.float32)
+    mask = (rng.rand(4, 6) > 0.3).astype(np.float32)
+    got = float(grpo_loss(jnp.asarray(lp), jnp.asarray(old), None,
+                          jnp.asarray(adv), jnp.asarray(mask),
+                          beta=0.0, epsilon=0.2,
+                          importance_sampling_level=level))
+    want = _gspo_numpy_oracle(lp, old, adv, mask, 0.2, level)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_gspo_sequence_token_gradient_is_tokenwise():
+    """sequence_token keeps PER-TOKEN gradients (the detached sequence
+    ratio scales them uniformly), unlike "sequence" whose gradient routes
+    only through the mean — GSPO-token's defining property."""
+    rng = np.random.RandomState(1)
+    old = jnp.asarray(rng.randn(2, 5).astype(np.float32) * 0.1 - 1.0)
+    adv = jnp.asarray(np.array([1.0, -1.0], np.float32))
+    mask = jnp.ones((2, 5), jnp.float32)
+
+    def loss(lp, level):
+        return grpo_loss(lp, old, None, adv, mask, beta=0.0,
+                         epsilon=10.0,  # no clipping => smooth
+                         importance_sampling_level=level)
+
+    lp0 = old + 0.03
+    g_tok = jax.grad(lambda x: loss(x, "sequence_token"))(lp0)
+    g_seq = jax.grad(lambda x: loss(x, "sequence"))(lp0)
+    # both sum to the same total per sequence (chain rule through the mean)
+    np.testing.assert_allclose(np.asarray(g_tok).sum(), 
+                               np.asarray(g_seq).sum(), rtol=1e-4)
+    assert np.all(np.isfinite(np.asarray(g_tok)))
+
+
+def test_gspo_end_to_end_train(model):
+    """GRPOTrainer(importance_sampling_level="sequence") runs; packing is
+    forced off for sequence-level ratios."""
+    args = GRPOConfig(per_device_train_batch_size=2, num_generations=2,
+                      max_prompt_length=8, max_completion_length=8,
+                      max_steps=2, beta=0.0, packing=True,
+                      importance_sampling_level="sequence",
+                      report_to="none")
+    tr = GRPOTrainer(model, reward_funcs=[
+        lambda prompts=None, completions=None, **kw:
+        [float(len(c)) for c in completions]],
+        args=args, train_dataset=[{"prompt": "ab"}, {"prompt": "cd"}])
+    out = tr.train()
+    assert out.global_step == 2
+    assert np.isfinite(out.training_loss)

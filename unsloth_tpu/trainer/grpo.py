@@ -55,6 +55,12 @@ class GRPOConfig(SFTConfig):
     num_iterations: int = 1            # policy epochs per generation round
     scale_rewards: bool = True         # divide advantages by group std
     loss_type: str = "grpo"            # grpo | bnpo | dr_grpo
+    # GSPO (TRL GRPOConfig.importance_sampling_level): "token" is vanilla
+    # GRPO; "sequence" clips one sequence-level ratio
+    # exp(mean_t(logp - old)); "sequence_token" (GSPO-token) uses the
+    # detached sequence ratio as a per-token coefficient so token grads
+    # still flow. Sequence levels force the unpacked batch layout.
+    importance_sampling_level: str = "token"
     mask_truncated_completions: bool = False
     # GRPO sequence packing (reference: rl_replacements.py:55-61 gates it
     # behind UNSLOTH_ENABLE_GRPO_PACKING; here it's a config flag):
@@ -257,14 +263,37 @@ def grpo_loss(policy_logps, old_logps, ref_logps, advantages,
               completion_mask, *, beta: float, epsilon: float,
               epsilon_high: Optional[float] = None,
               loss_type: str = "grpo",
-              max_completion_length: int = 0):
+              max_completion_length: int = 0,
+              importance_sampling_level: str = "token"):
     """Token-level clipped surrogate + k3 KL (TRL GRPO semantics).
 
     policy/old/ref logps: [N, T]; advantages: [N]; mask: [N, T].
+
+    importance_sampling_level (TRL GRPOConfig; the GSPO paper's sequence-
+    level objective): "token" uses per-token ratios; "sequence" one
+    length-normalized sequence ratio exp(mean_t(logp-old)); \
+    "sequence_token" multiplies the DETACHED sequence ratio into
+    per-token policy terms (logp - sg(logp)) so token-level gradients
+    flow through a sequence-level clip.
     """
     eps_low = epsilon
     eps_high = epsilon_high if epsilon_high is not None else epsilon
-    ratio = jnp.exp(policy_logps - old_logps)
+    log_ratio = policy_logps - old_logps
+    if importance_sampling_level == "token":
+        ratio = jnp.exp(log_ratio)
+    else:
+        maskf = completion_mask.astype(jnp.float32)
+        seq_log = jnp.sum(log_ratio * maskf, -1) / jnp.maximum(
+            jnp.sum(maskf, -1), 1.0)                       # [N]
+        if importance_sampling_level == "sequence":
+            ratio = jnp.exp(seq_log)[:, None]
+        elif importance_sampling_level == "sequence_token":
+            ratio = jnp.exp(policy_logps
+                            - jax.lax.stop_gradient(policy_logps)
+                            + jax.lax.stop_gradient(seq_log)[:, None])
+        else:
+            raise ValueError("unknown importance_sampling_level "
+                             f"{importance_sampling_level!r}")
     adv = advantages[:, None]
     unclipped = ratio * adv
     clipped = jnp.clip(ratio, 1.0 - eps_low, 1.0 + eps_high) * adv
@@ -634,7 +663,8 @@ class GRPOTrainer:
                 batch.completion_mask, beta=args.beta,
                 epsilon=args.epsilon, epsilon_high=args.epsilon_high,
                 loss_type=args.loss_type,
-                max_completion_length=args.max_completion_length)
+                max_completion_length=args.max_completion_length,
+                importance_sampling_level=args.importance_sampling_level)
 
         def step(lora, opt_state, params, batch, old_logps, ref_logps):
             loss, grads = jax.value_and_grad(loss_fn)(
@@ -690,11 +720,15 @@ class GRPOTrainer:
                 prompts, completions_text, examples)
             adv = group_advantages(rewards, args.num_generations,
                                    args.scale_rewards)
-            grouped = bool(args.prefix_grouping)
+            # GSPO sequence-level ratios need per-sequence token means —
+            # the packed/grouped weighted-sum layouts fold normalization
+            # into per-token weights, so they stay token-level only.
+            seq_level = args.importance_sampling_level != "token"
+            grouped = bool(args.prefix_grouping) and not seq_level
             if grouped:
                 batch = self._build_grouped_batch(prompt_ids,
                                                   completion_ids, adv)
-            elif args.packing and args.packing != "auto":
+            elif args.packing and args.packing != "auto" and not seq_level:
                 batch = self._build_packed_batch(prompt_ids,
                                                  completion_ids, adv)
             else:
