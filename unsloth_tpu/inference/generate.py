@@ -146,13 +146,21 @@ def generate(
     skip_special_tokens: bool = True,
     return_token_ids: bool = False,
     num_return_sequences: int = 1,
+    speculative: bool = False,
+    draft_len: int = 5,
 ):
     """High-level generate: strings or token-id lists in, strings (or ids)
     out. This is `model.fast_generate` in the reference API.
 
     num_return_sequences=G returns G completions per prompt (grouped
     consecutively) with the prompt prefilled once — shared-prefix
-    dedup for GRPO rollouts."""
+    dedup for GRPO rollouts.
+
+    speculative=True enables n-gram (prompt-lookup) speculative decoding
+    — exact greedy output in fewer weight passes (inference/
+    speculative.py; the reference reaches this via vLLM's ngram
+    speculative config). Requires temperature 0, plain-attention model,
+    num_return_sequences 1; silently falls back otherwise."""
     sampling = sampling_params or SamplingParams()
     if max_new_tokens is not None:
         sampling = dataclasses.replace(sampling, max_tokens=max_new_tokens)
@@ -187,12 +195,26 @@ def generate(
     eos.extend(sampling.stop_token_ids)
     eos_ids = jnp.asarray(sorted(set(eos)), jnp.int32)
 
-    out = _generate_jit(
-        model.params, model.lora, jnp.asarray(prompt_ids),
-        jnp.asarray(prompt_mask), model.cfg,
-        jax.random.PRNGKey(sampling.seed),
-        sampling.max_tokens, eos_ids, sampling,
-        n_fanout=num_return_sequences)
+    use_spec = False
+    if speculative and sampling.temperature == 0.0 \
+            and num_return_sequences == 1:
+        from .speculative import supports_ngram_spec
+
+        use_spec = supports_ngram_spec(model.cfg)
+    if use_spec:
+        from .speculative import _generate_ngram_spec_jit
+
+        out, _ = _generate_ngram_spec_jit(
+            model.params, model.lora, jnp.asarray(prompt_ids),
+            jnp.asarray(prompt_mask), model.cfg,
+            sampling.max_tokens, eos_ids, draft_len=draft_len)
+    else:
+        out = _generate_jit(
+            model.params, model.lora, jnp.asarray(prompt_ids),
+            jnp.asarray(prompt_mask), model.cfg,
+            jax.random.PRNGKey(sampling.seed),
+            sampling.max_tokens, eos_ids, sampling,
+            n_fanout=num_return_sequences)
     out = np.asarray(jax.device_get(out))
 
     n_out = b * num_return_sequences

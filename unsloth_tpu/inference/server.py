@@ -26,10 +26,13 @@ from .generate import SamplingParams, generate
 class InferenceServer:
     def __init__(self, model, tokenizer=None, model_name: str = "local",
                  continuous_batching: bool = False, max_batch: int = 4,
-                 max_len: int = 2048):
+                 max_len: int = 2048, speculative: bool = False):
         self.model = model
         self.tokenizer = tokenizer or model.tokenizer
         self.model_name = model_name
+        # ngram speculative decoding for greedy single-flight requests
+        # (inference/speculative.py; exact output, fewer weight passes)
+        self.speculative = speculative
         self._lock = threading.Lock()  # single-flight generation
         self._batcher = None
         if continuous_batching:
@@ -52,7 +55,8 @@ class InferenceServer:
             return self.tokenizer.decode(out, skip_special_tokens=True)
         with self._lock:
             return generate(self.model, [prompt], params,
-                            tokenizer=self.tokenizer)[0]
+                            tokenizer=self.tokenizer,
+                            speculative=self.speculative)[0]
 
     def _gen_stream(self, prompt: str, params: SamplingParams):
         """Yield text deltas. With continuous batching the shared decode
