@@ -196,3 +196,63 @@ def test_anthropic_messages_streaming(server):
     assert start["message"]["role"] == "assistant"
     delta = json.loads(events[-2][1])
     assert delta["delta"]["stop_reason"] == "end_turn"
+
+
+# ---------------------------------------------------------------------------
+# Multi-LoRA serving: the OpenAI "model" field selects an adapter
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def adapter_server():
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from unsloth_tpu.models.params import init_lora_tree
+
+    cfg = ModelConfig(vocab_size=128, hidden_size=32, intermediate_size=64,
+                      num_layers=2, num_heads=2, num_kv_heads=2,
+                      max_position_embeddings=256, eos_token_id=0)
+    model = LanguageModel(cfg=cfg, params=init_params(
+        cfg, jax.random.PRNGKey(0)), tokenizer=CharTokenizer())
+
+    def mk(seed, scale):
+        lora = init_lora_tree(cfg, jax.random.PRNGKey(seed), r=4, alpha=8)
+        # fresh LoRA is a no-op (B=0); make it bite
+        for layer in lora["layers"]:
+            for k, lw in layer.items():
+                layer[k] = dataclasses.replace(
+                    lw, b=jnp.ones_like(lw.b) * scale)
+        return lora
+
+    srv = InferenceServer(model, model_name="tiny-base",
+                          adapters={"tuned-a": mk(1, 0.5),
+                                    "tuned-b": mk(2, -0.5)})
+    httpd = srv.serve(port=18377, background=True)
+    yield "http://127.0.0.1:18377"
+    httpd.shutdown()
+
+
+def test_adapters_listed(adapter_server):
+    code, body = _get(adapter_server, "/v1/models")
+    ids = {m["id"] for m in body["data"]}
+    assert {"tiny-base", "tuned-a", "tuned-b"} <= ids
+
+
+def test_adapter_selection_changes_output(adapter_server):
+    def ask(model_name):
+        code, body = _post(adapter_server, "/v1/chat/completions", {
+            "model": model_name,
+            "messages": [{"role": "user", "content": "hello there"}],
+            "max_tokens": 12, "temperature": 0})
+        assert code == 200, body
+        return body["choices"][0]["message"]["content"]
+
+    base = ask("tiny-base")          # unknown name -> default (no lora)
+    a = ask("tuned-a")
+    b = ask("tuned-b")
+    explicit_base = ask("base")
+    assert a != base
+    assert b != base
+    assert a != b
+    assert explicit_base == base

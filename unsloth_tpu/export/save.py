@@ -170,8 +170,11 @@ def save_lora(model, path: str):
     return path
 
 
-def load_lora(model, path: str):
-    """Load a peft adapter back into the model's LoRA tree."""
+def load_lora_tree(path: str, num_layers: int):
+    """Read a peft adapter directory into a (lora_tree, lora_config)
+    pair without touching any model — the unit multi-adapter serving
+    loads per name (reference: vLLM LoRARequest adapters behind
+    model.load_lora, _utils.py:3681-3690)."""
     from safetensors import safe_open
 
     lc_path = os.path.join(path, "adapter_config.json")
@@ -181,7 +184,7 @@ def load_lora(model, path: str):
              else lc["lora_alpha"] / lc["r"])
     inv = {v.split(".")[-1]: k for k, v in _PEFT_MODULE_NAMES.items()}
 
-    layers = [dict() for _ in range(model.cfg.num_layers)]
+    layers = [dict() for _ in range(num_layers)]
     with safe_open(os.path.join(path, "adapter_model.safetensors"),
                    framework="numpy") as f:
         names = list(f.keys())
@@ -195,6 +198,11 @@ def load_lora(model, path: str):
             a = jnp.asarray(f.get_tensor(name))
             b = jnp.asarray(f.get_tensor(stem + ".lora_B.weight"))
             layers[layer_idx][ours] = LoRAWeights(a=a, b=b, scale=scale)
-    model.lora = {"layers": layers}
-    model.lora_config = lc
+    return {"layers": layers}, lc
+
+
+def load_lora(model, path: str):
+    """Load a peft adapter back into the model's LoRA tree."""
+    model.lora, model.lora_config = load_lora_tree(path,
+                                                   model.cfg.num_layers)
     return model

@@ -148,6 +148,7 @@ def generate(
     num_return_sequences: int = 1,
     speculative: bool = False,
     draft_len: int = 5,
+    lora: Any = "__model__",
 ):
     """High-level generate: strings or token-id lists in, strings (or ids)
     out. This is `model.fast_generate` in the reference API.
@@ -160,7 +161,12 @@ def generate(
     — exact greedy output in fewer weight passes (inference/
     speculative.py; the reference reaches this via vLLM's ngram
     speculative config). Requires temperature 0, plain-attention model,
-    num_return_sequences 1; silently falls back otherwise."""
+    num_return_sequences 1; silently falls back otherwise.
+
+    lora: adapter override for multi-LoRA serving — a LoRA pytree (or
+    None for the bare base model); defaults to model.lora. Same shapes
+    hit the same compiled program, so switching adapters per request is
+    a data swap, not a recompile."""
     sampling = sampling_params or SamplingParams()
     if max_new_tokens is not None:
         sampling = dataclasses.replace(sampling, max_tokens=max_new_tokens)
@@ -195,6 +201,8 @@ def generate(
     eos.extend(sampling.stop_token_ids)
     eos_ids = jnp.asarray(sorted(set(eos)), jnp.int32)
 
+    lora_tree = model.lora if isinstance(lora, str) \
+        and lora == "__model__" else lora
     use_spec = False
     if speculative and sampling.temperature == 0.0 \
             and num_return_sequences == 1:
@@ -205,12 +213,12 @@ def generate(
         from .speculative import _generate_ngram_spec_jit
 
         out, _ = _generate_ngram_spec_jit(
-            model.params, model.lora, jnp.asarray(prompt_ids),
+            model.params, lora_tree, jnp.asarray(prompt_ids),
             jnp.asarray(prompt_mask), model.cfg,
             sampling.max_tokens, eos_ids, draft_len=draft_len)
     else:
         out = _generate_jit(
-            model.params, model.lora, jnp.asarray(prompt_ids),
+            model.params, lora_tree, jnp.asarray(prompt_ids),
             jnp.asarray(prompt_mask), model.cfg,
             jax.random.PRNGKey(sampling.seed),
             sampling.max_tokens, eos_ids, sampling,

@@ -26,13 +26,26 @@ from .generate import SamplingParams, generate
 class InferenceServer:
     def __init__(self, model, tokenizer=None, model_name: str = "local",
                  continuous_batching: bool = False, max_batch: int = 4,
-                 max_len: int = 2048, speculative: bool = False):
+                 max_len: int = 2048, speculative: bool = False,
+                 adapters: Optional[Dict[str, str]] = None):
         self.model = model
         self.tokenizer = tokenizer or model.tokenizer
         self.model_name = model_name
         # ngram speculative decoding for greedy single-flight requests
         # (inference/speculative.py; exact output, fewer weight passes)
         self.speculative = speculative
+        # multi-LoRA serving: {"name": peft_dir_or_lora_tree}; requests
+        # select via the OpenAI "model" field — an adapter swap is a
+        # data swap (same pytree shapes -> same compiled program), the
+        # TPU-native form of vLLM's LoRARequest routing the reference
+        # leans on (reference: _utils.py:3681-3690 .load_lora binding)
+        self.adapters: Dict[str, Any] = {}
+        for name, src in (adapters or {}).items():
+            if isinstance(src, str):
+                from ..export.save import load_lora_tree
+
+                src, _ = load_lora_tree(src, model.cfg.num_layers)
+            self.adapters[name] = src
         self._lock = threading.Lock()  # single-flight generation
         self._batcher = None
         if continuous_batching:
@@ -44,7 +57,19 @@ class InferenceServer:
             self._batcher = BatcherThread(ContinuousBatcher(
                 model, max_batch=max_batch, max_len=max_len))
 
-    def _gen_text(self, prompt: str, params: SamplingParams) -> str:
+    def _resolve_lora(self, body) -> Any:
+        """OpenAI "model" field -> adapter tree. Unknown names keep the
+        model's own adapter; the literal name "base" forces the bare
+        base model (lora=None)."""
+        name = body.get("model") if isinstance(body, dict) else None
+        if name in self.adapters:
+            return self.adapters[name]
+        if name == "base":
+            return None
+        return "__model__"
+
+    def _gen_text(self, prompt: str, params: SamplingParams,
+                  lora: Any = "__model__") -> str:
         if self._batcher is not None:
             ids = self.tokenizer(prompt)["input_ids"]
             out = self._batcher.generate(ids,
@@ -56,9 +81,10 @@ class InferenceServer:
         with self._lock:
             return generate(self.model, [prompt], params,
                             tokenizer=self.tokenizer,
-                            speculative=self.speculative)[0]
+                            speculative=self.speculative, lora=lora)[0]
 
-    def _gen_stream(self, prompt: str, params: SamplingParams):
+    def _gen_stream(self, prompt: str, params: SamplingParams,
+                    lora: Any = "__model__"):
         """Yield text deltas. With continuous batching the shared decode
         loop streams true per-token deltas (incremental detokenization
         against the running id list, so multi-token codepoints surface
@@ -83,7 +109,7 @@ class InferenceServer:
                     yield text[len(emitted):]
                     emitted = text
             return
-        text = self._gen_text(prompt, params)
+        text = self._gen_text(prompt, params, lora=lora)
         chunk = 16
         for i in range(0, len(text), chunk):
             yield text[i:i + chunk]
@@ -122,7 +148,8 @@ class InferenceServer:
 
     def chat_completion(self, body: Dict[str, Any]) -> Dict[str, Any]:
         prompt, params = self._chat_prompt_params(body)
-        text = self._gen_text(prompt, params)
+        text = self._gen_text(prompt, params,
+                              lora=self._resolve_lora(body))
         n_prompt = len(self.tokenizer(prompt)["input_ids"])
         n_out = len(self.tokenizer(text)["input_ids"])
         return {
@@ -143,7 +170,8 @@ class InferenceServer:
     def anthropic_messages(self, body: Dict[str, Any]) -> Dict[str, Any]:
         """/v1/messages (Anthropic Messages API shape)."""
         prompt, params = self._anthropic_prompt_params(body)
-        text = self._gen_text(prompt, params)
+        text = self._gen_text(prompt, params,
+                              lora=self._resolve_lora(body))
         return {
             "id": f"msg_{uuid.uuid4().hex[:16]}",
             "type": "message",
@@ -162,7 +190,8 @@ class InferenceServer:
         params = SamplingParams(
             max_tokens=int(body.get("max_tokens", 256)),
             temperature=float(body.get("temperature", 0.7)))
-        text = self._gen_text(prompt, params)
+        text = self._gen_text(prompt, params,
+                              lora=self._resolve_lora(body))
         return {
             "id": f"cmpl-{uuid.uuid4().hex[:16]}",
             "object": "text_completion",
@@ -173,9 +202,12 @@ class InferenceServer:
         }
 
     def models_list(self) -> Dict[str, Any]:
-        return {"object": "list",
-                "data": [{"id": self.model_name, "object": "model",
-                          "owned_by": "unsloth_tpu"}]}
+        data = [{"id": self.model_name, "object": "model",
+                 "owned_by": "unsloth_tpu"}]
+        data += [{"id": name, "object": "model",
+                  "owned_by": "unsloth_tpu", "parent": self.model_name}
+                 for name in self.adapters]
+        return {"object": "list", "data": data}
 
     def _render(self, messages) -> str:
         if getattr(self.tokenizer, "chat_template", None):
@@ -225,7 +257,9 @@ class InferenceServer:
                     "index": 0, "delta": {"role": "assistant",
                                           "content": ""},
                     "finish_reason": None}]})
-                for delta in server._gen_stream(prompt, params):
+                for delta in server._gen_stream(
+                        prompt, params,
+                        lora=server._resolve_lora(body)):
                     self._sse({**base, "choices": [{
                         "index": 0, "delta": {"content": delta},
                         "finish_reason": None}]})
@@ -245,7 +279,9 @@ class InferenceServer:
                         "created": int(time.time()),
                         "model": body.get("model", server.model_name)}
                 self._sse_start()
-                for delta in server._gen_stream(prompt, params):
+                for delta in server._gen_stream(
+                        prompt, params,
+                        lora=server._resolve_lora(body)):
                     self._sse({**base, "choices": [{
                         "index": 0, "text": delta,
                         "finish_reason": None}]})
@@ -272,7 +308,9 @@ class InferenceServer:
                                              "text": ""}},
                           event="content_block_start")
                 n_out = 0
-                for delta in server._gen_stream(prompt, params):
+                for delta in server._gen_stream(
+                        prompt, params,
+                        lora=server._resolve_lora(body)):
                     n_out += len(server.tokenizer(delta)["input_ids"])
                     self._sse({"type": "content_block_delta", "index": 0,
                                "delta": {"type": "text_delta",
