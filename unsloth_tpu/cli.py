@@ -207,8 +207,18 @@ def cmd_serve(args) -> int:
     model, tokenizer = FastLanguageModel.from_pretrained(
         args.model_name, load_in_4bit=args.load_in_4bit)
     model.for_inference()
-    srv = InferenceServer(model, tokenizer,
-                          model_name=os.path.basename(args.model_name))
+    adapters = {}
+    for spec in getattr(args, "adapter", []) or []:
+        name, _, path = spec.partition("=")
+        if not path:
+            raise SystemExit(f"--adapter expects NAME=PEFT_DIR, got {spec!r}")
+        adapters[name] = path
+    srv = InferenceServer(
+        model, tokenizer,
+        model_name=os.path.basename(args.model_name),
+        speculative=getattr(args, "speculative", False),
+        continuous_batching=getattr(args, "continuous_batching", False),
+        adapters=adapters or None)
     print(f"serving OpenAI/Anthropic-compatible APIs on "
           f"http://{args.host}:{args.port} "
           f"(/v1/chat/completions, /v1/messages, /v1/completions)")
@@ -301,6 +311,17 @@ def main(argv=None) -> int:
     p_serve.add_argument("--load_in_4bit", action="store_true", default=True)
     p_serve.add_argument("--host", default="127.0.0.1")
     p_serve.add_argument("--port", type=int, default=8000)
+    p_serve.add_argument("--speculative", action="store_true",
+                         help="ngram speculative decoding for greedy "
+                              "requests (exact output, fewer passes)")
+    p_serve.add_argument("--continuous_batching", action="store_true",
+                         help="share one paged decode loop across "
+                              "concurrent requests")
+    p_serve.add_argument("--adapter", action="append", default=[],
+                         metavar="NAME=PEFT_DIR",
+                         help="serve a LoRA adapter under NAME "
+                              "(repeatable); requests select via the "
+                              "'model' field")
 
     p_studio = sub.add_parser(
         "studio", help="Studio web app (training jobs, datasets, chat)")
