@@ -79,6 +79,8 @@ _LAZY = {
     "ORPOTrainer": ("unsloth_tpu.trainer.dpo", "ORPOTrainer"),
     "KTOTrainer": ("unsloth_tpu.trainer.dpo", "KTOTrainer"),
     "CPOTrainer": ("unsloth_tpu.trainer.dpo", "CPOTrainer"),
+    "RewardTrainer": ("unsloth_tpu.trainer.reward", "RewardTrainer"),
+    "RewardConfig": ("unsloth_tpu.trainer.reward", "RewardConfig"),
     "PatchFastRL": ("unsloth_tpu.trainer.grpo", "PatchFastRL"),
     "SamplingParams": ("unsloth_tpu.inference.generate",
                        "SamplingParams"),

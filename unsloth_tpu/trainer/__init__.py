@@ -2,6 +2,7 @@ from .dpo import (CPOConfig, CPOTrainer, DPOConfig, DPOTrainer,
                   KTOConfig, KTOTrainer, ORPOConfig, ORPOTrainer,
                   PatchDPOTrainer)
 from .grpo import GRPOConfig, GRPOTrainer, PatchFastRL
+from .reward import RewardConfig, RewardTrainer
 from .sft import (SFTConfig, SFTTrainer, TrainOutput, build_optimizer,
                   build_schedule, make_config, train_on_responses_only,
                   unsloth_train)
@@ -20,4 +21,5 @@ __all__ = [
     "DPOConfig", "DPOTrainer", "PatchDPOTrainer",
     "ORPOConfig", "ORPOTrainer", "KTOConfig", "KTOTrainer",
     "CPOConfig", "CPOTrainer",
+    "RewardConfig", "RewardTrainer",
 ]
