@@ -214,3 +214,33 @@ def test_moe_gguf_round_trip(tmp_path):
     ref = np.asarray(model.logits(jnp.asarray(ids)), np.float32)
     got = np.asarray(loaded.logits(jnp.asarray(ids)), np.float32)
     np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_mixtral_gguf_round_trip(tmp_path):
+    """Mixtral exports under the llama arch with expert_count metadata
+    (llama.cpp's mixtral convention); the loader detects the MoE keys."""
+    import jax
+    import jax.numpy as jnp
+
+    from unsloth_tpu.export.gguf import save_to_gguf
+    from unsloth_tpu.export.gguf_loader import load_gguf
+    from unsloth_tpu.models.config import ModelConfig
+    from unsloth_tpu.models.loader import LanguageModel
+    from unsloth_tpu.models.params import init_params
+
+    cfg = ModelConfig(model_type="mixtral", vocab_size=128,
+                      hidden_size=32, intermediate_size=64, num_layers=2,
+                      num_heads=2, num_kv_heads=2, num_experts=4,
+                      num_experts_per_tok=2, norm_topk_prob=True,
+                      max_position_embeddings=64)
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    model = LanguageModel(cfg=cfg, params=params)
+    path = save_to_gguf(model, str(tmp_path / "mx.gguf"),
+                        quantization_method="f32")
+    loaded, _ = load_gguf(path, dtype=jnp.float32)
+    assert loaded.cfg.model_type == "mixtral"
+    assert loaded.cfg.num_experts == 4
+    ids = np.arange(10, dtype=np.int32)[None] % 100
+    ref = np.asarray(model.logits(jnp.asarray(ids)), np.float32)
+    got = np.asarray(loaded.logits(jnp.asarray(ids)), np.float32)
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)

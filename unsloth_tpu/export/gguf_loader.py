@@ -62,9 +62,14 @@ def _hf_config_from_metadata(md: Dict[str, Any],
     }
     if g("expert_count"):
         hf["num_experts"] = int(g("expert_count"))
+        hf["num_local_experts"] = hf["num_experts"]   # mixtral key
         hf["num_experts_per_tok"] = int(g("expert_used_count", 8))
         hf["moe_intermediate_size"] = int(
             g("expert_feed_forward_length", hf["intermediate_size"]))
+        if mt == "llama":
+            # llama.cpp serves mixtral under the "llama" arch with
+            # expert_count metadata — the MoE keys are the tell
+            hf["model_type"] = "mixtral"
     if g("attention.sliding_window") is not None:
         hf["sliding_window"] = int(g("attention.sliding_window"))
         hf["use_sliding_window"] = True          # qwen2 builder gate
