@@ -378,3 +378,34 @@ def test_gspo_end_to_end_train(model):
     out = tr.train()
     assert out.global_step == 2
     assert np.isfinite(out.training_loss)
+
+
+# ---------------------------------------------------------------------------
+# RLOO — leave-one-out baseline
+# ---------------------------------------------------------------------------
+
+def test_loo_advantages_math():
+    from unsloth_tpu.trainer.grpo import loo_advantages
+
+    r = np.array([1.0, 0.0, 3.0, 2.0])
+    adv = loo_advantages(r, num_generations=2)
+    # group 1: baselines are the OTHER sample: 1-0=1, 0-1=-1
+    np.testing.assert_allclose(adv, [1.0, -1.0, 1.0, -1.0])
+    r3 = np.array([3.0, 0.0, 0.0])
+    adv3 = loo_advantages(r3, num_generations=3)
+    np.testing.assert_allclose(adv3, [3.0, -1.5, -1.5])
+
+
+def test_rloo_end_to_end(model):
+    from unsloth_tpu.trainer.grpo import RLOOConfig, RLOOTrainer
+
+    args = RLOOConfig(per_device_train_batch_size=2, num_generations=2,
+                      max_prompt_length=8, max_completion_length=8,
+                      max_steps=2, beta=0.0, report_to="none")
+    tr = RLOOTrainer(model, reward_funcs=[
+        lambda prompts=None, completions=None, **kw:
+        [float(len(c)) for c in completions]],
+        args=args, train_dataset=[{"prompt": "ab"}, {"prompt": "cd"}])
+    out = tr.train()
+    assert out.global_step == 2
+    assert np.isfinite(out.training_loss)

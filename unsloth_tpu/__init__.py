@@ -81,6 +81,8 @@ _LAZY = {
     "CPOTrainer": ("unsloth_tpu.trainer.dpo", "CPOTrainer"),
     "RewardTrainer": ("unsloth_tpu.trainer.reward", "RewardTrainer"),
     "RewardConfig": ("unsloth_tpu.trainer.reward", "RewardConfig"),
+    "RLOOTrainer": ("unsloth_tpu.trainer.grpo", "RLOOTrainer"),
+    "RLOOConfig": ("unsloth_tpu.trainer.grpo", "RLOOConfig"),
     "PatchFastRL": ("unsloth_tpu.trainer.grpo", "PatchFastRL"),
     "SamplingParams": ("unsloth_tpu.inference.generate",
                        "SamplingParams"),

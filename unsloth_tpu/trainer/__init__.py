@@ -1,7 +1,8 @@
 from .dpo import (CPOConfig, CPOTrainer, DPOConfig, DPOTrainer,
                   KTOConfig, KTOTrainer, ORPOConfig, ORPOTrainer,
                   PatchDPOTrainer)
-from .grpo import GRPOConfig, GRPOTrainer, PatchFastRL
+from .grpo import (GRPOConfig, GRPOTrainer, PatchFastRL, RLOOConfig,
+                   RLOOTrainer)
 from .reward import RewardConfig, RewardTrainer
 from .sft import (SFTConfig, SFTTrainer, TrainOutput, build_optimizer,
                   build_schedule, make_config, train_on_responses_only,
@@ -22,4 +23,5 @@ __all__ = [
     "ORPOConfig", "ORPOTrainer", "KTOConfig", "KTOTrainer",
     "CPOConfig", "CPOTrainer",
     "RewardConfig", "RewardTrainer",
+    "RLOOConfig", "RLOOTrainer",
 ]

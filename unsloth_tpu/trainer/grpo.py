@@ -631,6 +631,12 @@ class GRPOTrainer:
 
     # -- training ------------------------------------------------------
 
+    def _advantages(self, rewards: np.ndarray) -> np.ndarray:
+        """Group-normalized advantages (RLOOTrainer overrides with the
+        leave-one-out baseline)."""
+        return group_advantages(rewards, self.args.num_generations,
+                                self.args.scale_rewards)
+
     def _make_step(self, tx):
         model = self.model
         cfg = model.cfg
@@ -718,8 +724,7 @@ class GRPOTrainer:
                 for c in completion_ids]
             rewards, per_func = self._compute_rewards(
                 prompts, completions_text, examples)
-            adv = group_advantages(rewards, args.num_generations,
-                                   args.scale_rewards)
+            adv = self._advantages(rewards)
             # GSPO sequence-level ratios need per-sequence token means —
             # the packed/grouped weighted-sum layouts fold normalization
             # into per-token weights, so they stay token-level only.
@@ -792,3 +797,42 @@ def PatchFastRL(algorithm: str = "GRPO", FastLanguageModel=None):
     unnecessary here — the trainers are native — so this is a no-op that
     returns the native trainer class for the asked algorithm."""
     return {"GRPO": GRPOTrainer}.get(algorithm, GRPOTrainer)
+
+
+# ---------------------------------------------------------------------------
+# RLOO — REINFORCE with a leave-one-out baseline (TRL RLOOTrainer)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class RLOOConfig(GRPOConfig):
+    """TRL-RLOOConfig-compatible surface: same generation/optimization
+    knobs as GRPO; advantages use the leave-one-out group baseline and
+    are NOT std-normalized by default (TRL normalize_advantages=False)."""
+
+    scale_rewards: bool = False
+
+
+def loo_advantages(rewards: np.ndarray, num_generations: int,
+                   scale_rewards: bool = False) -> np.ndarray:
+    """adv_i = r_i - mean(r_j, j != i) = G/(G-1) * (r_i - mean)."""
+    g = num_generations
+    r = rewards.reshape(-1, g)
+    adv = (r - r.mean(axis=1, keepdims=True)) * (g / max(g - 1, 1))
+    if scale_rewards:
+        adv = adv / (r.std(axis=1, keepdims=True) + 1e-4)
+    return adv.reshape(-1).astype(np.float32)
+
+
+class RLOOTrainer(GRPOTrainer):
+    """TRL RLOOTrainer analog: GRPO machinery (rollouts, clipped
+    surrogate, packing/prefix-grouping, metrics) with the leave-one-out
+    advantage estimator (the reference patches trl's rloo_trainer with
+    the same generic machinery, models/rl.py:2286-2299)."""
+
+    def __init__(self, model, reward_funcs, args=None, **kwargs):
+        super().__init__(model, reward_funcs, args=args or RLOOConfig(),
+                         **kwargs)
+
+    def _advantages(self, rewards: np.ndarray) -> np.ndarray:
+        return loo_advantages(rewards, self.args.num_generations,
+                              self.args.scale_rewards)
