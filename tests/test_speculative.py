@@ -129,3 +129,44 @@ def test_supports_gate():
         vocab_size=8, hidden_size=8, intermediate_size=16, num_layers=1,
         num_heads=1, num_kv_heads=1, max_position_embeddings=32,
         sliding_window=16, layer_pattern=("sliding",)))
+
+
+# ---------------------------------------------------------------------------
+# Quantized KV cache (kv_cache_dtype) — llama.cpp --cache-type-k/v analog
+# ---------------------------------------------------------------------------
+
+def test_fp8_kv_cache_generates_close(model):
+    """fp8 KV storage must track bf16-KV greedy decode closely (identical
+    for the vast majority of tokens on this tiny model) and never nan."""
+    rng = np.random.RandomState(3)
+    prompt = rng.randint(5, 120, (2, 12)).astype(np.int32)
+    mask = np.ones((2, 12), np.int32)
+    eos = jnp.asarray([], jnp.int32)
+    sp = SamplingParams(max_tokens=16, temperature=0.0)
+
+    def run(kv):
+        return np.asarray(_generate_jit(
+            model.params, None, jnp.asarray(prompt), jnp.asarray(mask),
+            model.cfg, jax.random.PRNGKey(0), 16, eos, sp, kv_dtype=kv))
+
+    ref = run("bf16")
+    got = run("fp8_e4m3")
+    agreement = (got == ref).mean()
+    assert agreement >= 0.75, (agreement, got, ref)
+    assert np.all(got < model.cfg.vocab_size)
+
+
+def test_kv_cache_dtype_generate_api(model):
+    class Tok:
+        eos_token_id = None
+
+        def __call__(self, text, **kw):
+            return {"input_ids": [ord(c) % 120 + 5 for c in text]}
+
+        def decode(self, ids, **kw):
+            return "".join(chr(i) for i in ids)
+
+    model.tokenizer = Tok()
+    out = generate(model, ["hello"], max_new_tokens=6, temperature=0.0,
+                   kv_cache_dtype="fp8_e4m3", return_token_ids=True)
+    assert len(out) == 1 and len(out[0]) <= 6

@@ -218,7 +218,8 @@ def cmd_serve(args) -> int:
         model_name=os.path.basename(args.model_name),
         speculative=getattr(args, "speculative", False),
         continuous_batching=getattr(args, "continuous_batching", False),
-        adapters=adapters or None)
+        adapters=adapters or None,
+        kv_cache_dtype=getattr(args, "kv_cache_dtype", "bf16"))
     print(f"serving OpenAI/Anthropic-compatible APIs on "
           f"http://{args.host}:{args.port} "
           f"(/v1/chat/completions, /v1/messages, /v1/completions)")
@@ -322,6 +323,10 @@ def main(argv=None) -> int:
                          help="serve a LoRA adapter under NAME "
                               "(repeatable); requests select via the "
                               "'model' field")
+    p_serve.add_argument("--kv_cache_dtype", default="bf16",
+                         choices=["bf16", "fp8_e4m3", "fp8_e5m2"],
+                         help="KV-cache storage precision (llama.cpp "
+                              "--cache-type-k/v analog)")
 
     p_studio = sub.add_parser(
         "studio", help="Studio web app (training jobs, datasets, chat)")

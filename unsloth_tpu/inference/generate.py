@@ -55,12 +55,23 @@ def _sample(logits, key, p: SamplingParams):
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
+# Quantized KV cache for serving (the llama.cpp --cache-type-k/v q8_0
+# and vLLM fp8-KV analog): halves decode-cache HBM; attention upcasts
+# to f32 on read so only storage precision changes.
+KV_CACHE_DTYPES = {
+    "bf16": jnp.bfloat16,
+    "fp8_e4m3": jnp.float8_e4m3fn,
+    "fp8_e5m2": jnp.float8_e5m2,
+}
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_new_tokens", "sampling", "n_fanout"))
+    static_argnames=("cfg", "max_new_tokens", "sampling", "n_fanout",
+                     "kv_dtype"))
 def _generate_jit(params, lora, prompt_ids, prompt_mask, cfg, rng,
                   max_new_tokens, eos_ids, sampling: SamplingParams,
-                  n_fanout: int = 1):
+                  n_fanout: int = 1, kv_dtype: str = "bf16"):
     """n_fanout > 1: each prompt is prefilled ONCE and its KV cache tiled
     into n_fanout independent decode streams — the TPU formulation of the
     reference's PrefixGrouper / GRPO shared-prefix dedup (reference:
@@ -68,7 +79,7 @@ def _generate_jit(params, lora, prompt_ids, prompt_mask, cfg, rng,
     prefix once)."""
     b, t_prompt = prompt_ids.shape
     total = t_prompt + max_new_tokens
-    cache = init_cache(cfg, b, total, dtype=jnp.bfloat16)
+    cache = init_cache(cfg, b, total, dtype=KV_CACHE_DTYPES[kv_dtype])
 
     # positions: left-padded prompts start at 0 on their first real token
     first_real = jnp.argmax(prompt_mask.astype(jnp.int32), axis=1)   # [B]
@@ -149,6 +160,7 @@ def generate(
     speculative: bool = False,
     draft_len: int = 5,
     lora: Any = "__model__",
+    kv_cache_dtype: str = "bf16",
 ):
     """High-level generate: strings or token-id lists in, strings (or ids)
     out. This is `model.fast_generate` in the reference API.
@@ -166,7 +178,11 @@ def generate(
     lora: adapter override for multi-LoRA serving — a LoRA pytree (or
     None for the bare base model); defaults to model.lora. Same shapes
     hit the same compiled program, so switching adapters per request is
-    a data swap, not a recompile."""
+    a data swap, not a recompile.
+
+    kv_cache_dtype: "bf16" (default) | "fp8_e4m3" | "fp8_e5m2" — store
+    the KV cache at reduced precision (the llama.cpp --cache-type-k/v /
+    vLLM fp8-KV analog); attention math stays f32 on read."""
     sampling = sampling_params or SamplingParams()
     if max_new_tokens is not None:
         sampling = dataclasses.replace(sampling, max_tokens=max_new_tokens)
@@ -222,7 +238,7 @@ def generate(
             jnp.asarray(prompt_mask), model.cfg,
             jax.random.PRNGKey(sampling.seed),
             sampling.max_tokens, eos_ids, sampling,
-            n_fanout=num_return_sequences)
+            n_fanout=num_return_sequences, kv_dtype=kv_cache_dtype)
     out = np.asarray(jax.device_get(out))
 
     n_out = b * num_return_sequences

@@ -27,13 +27,17 @@ class InferenceServer:
     def __init__(self, model, tokenizer=None, model_name: str = "local",
                  continuous_batching: bool = False, max_batch: int = 4,
                  max_len: int = 2048, speculative: bool = False,
-                 adapters: Optional[Dict[str, str]] = None):
+                 adapters: Optional[Dict[str, str]] = None,
+                 kv_cache_dtype: str = "bf16"):
         self.model = model
         self.tokenizer = tokenizer or model.tokenizer
         self.model_name = model_name
         # ngram speculative decoding for greedy single-flight requests
         # (inference/speculative.py; exact output, fewer weight passes)
         self.speculative = speculative
+        # "bf16" | "fp8_e4m3" | "fp8_e5m2" — the llama.cpp
+        # --cache-type-k/v analog (halves decode-cache HBM)
+        self.kv_cache_dtype = kv_cache_dtype
         # multi-LoRA serving: {"name": peft_dir_or_lora_tree}; requests
         # select via the OpenAI "model" field — an adapter swap is a
         # data swap (same pytree shapes -> same compiled program), the
@@ -81,7 +85,8 @@ class InferenceServer:
         with self._lock:
             return generate(self.model, [prompt], params,
                             tokenizer=self.tokenizer,
-                            speculative=self.speculative, lora=lora)[0]
+                            speculative=self.speculative, lora=lora,
+                            kv_cache_dtype=self.kv_cache_dtype)[0]
 
     def _gen_stream(self, prompt: str, params: SamplingParams,
                     lora: Any = "__model__"):
