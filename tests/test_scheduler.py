@@ -164,3 +164,67 @@ def test_server_streaming_continuous_batching(model):
         httpd.shutdown()
         if srv._batcher:
             srv._batcher.stop()
+
+
+# ---------------------------------------------------------------------------
+# Automatic prefix caching (the vLLM APC analog)
+# ---------------------------------------------------------------------------
+
+def test_prefix_cache_reuses_pages_and_matches(model):
+    """Second request with the same long prompt reuses cached KV pages
+    (cached_tokens > 0, fewer fresh allocations) and its output is
+    identical to the uncached run."""
+    prompt = list(np.random.RandomState(0).randint(3, 120, 100))
+    ref = _greedy_reference(model, prompt, 5)
+
+    cb = ContinuousBatcher(model, max_batch=1, max_len=256, page_size=32,
+                           prefix_caching=True)
+    r1 = cb.submit(prompt, max_new_tokens=5)
+    out1 = cb.run()
+    assert out1[r1] == ref
+    assert cb.requests[r1].cached_tokens == 0
+
+    used_before = cb.alloc.pages_in_use()
+    r2 = cb.submit(prompt, max_new_tokens=5)
+    out2 = cb.run()
+    assert out2[r2] == ref
+    # 100-token prompt @ page 32 -> 3 full pages cached
+    assert cb.requests[r2].cached_tokens == 96
+    assert cb.alloc.pages_in_use() == used_before  # nothing leaked
+
+
+def test_prefix_cache_partial_prefix(model):
+    """A request sharing only a prefix reuses the common full pages and
+    still decodes exactly."""
+    rng = np.random.RandomState(1)
+    common = list(rng.randint(3, 120, 64))
+    a = common + list(rng.randint(3, 120, 10))
+    b = common + list(rng.randint(3, 120, 12))
+    ref_a = _greedy_reference(model, a, 4)
+    ref_b = _greedy_reference(model, b, 4)
+
+    cb = ContinuousBatcher(model, max_batch=1, max_len=256, page_size=32,
+                           prefix_caching=True)
+    ra = cb.submit(a, max_new_tokens=4)
+    out = cb.run()
+    assert out[ra] == ref_a
+    rb = cb.submit(b, max_new_tokens=4)
+    out = cb.run()
+    assert out[rb] == ref_b
+    assert cb.requests[rb].cached_tokens == 64  # the two common pages
+
+
+def test_prefix_cache_eviction_under_pressure(model):
+    """When the pool runs dry, unreferenced cached pages are evicted and
+    admission succeeds."""
+    cb = ContinuousBatcher(model, max_batch=1, max_len=128, page_size=32,
+                           n_pages=9, prefix_caching=True)
+    rng = np.random.RandomState(2)
+    refs = []
+    for i in range(4):
+        p = list(rng.randint(3, 120, 64))
+        refs.append((p, _greedy_reference(model, p, 3)))
+    for p, want in refs:
+        rid = cb.submit(p, max_new_tokens=3)
+        out = cb.run()
+        assert out[rid] == want

@@ -219,7 +219,8 @@ def cmd_serve(args) -> int:
         speculative=getattr(args, "speculative", False),
         continuous_batching=getattr(args, "continuous_batching", False),
         adapters=adapters or None,
-        kv_cache_dtype=getattr(args, "kv_cache_dtype", "bf16"))
+        kv_cache_dtype=getattr(args, "kv_cache_dtype", "bf16"),
+        prefix_caching=getattr(args, "prefix_caching", False))
     print(f"serving OpenAI/Anthropic-compatible APIs on "
           f"http://{args.host}:{args.port} "
           f"(/v1/chat/completions, /v1/messages, /v1/completions)")
@@ -323,6 +324,9 @@ def main(argv=None) -> int:
                          help="serve a LoRA adapter under NAME "
                               "(repeatable); requests select via the "
                               "'model' field")
+    p_serve.add_argument("--prefix_caching", action="store_true",
+                         help="reuse KV pages of shared prompt prefixes "
+                              "across requests (continuous batching)")
     p_serve.add_argument("--kv_cache_dtype", default="bf16",
                          choices=["bf16", "fp8_e4m3", "fp8_e5m2"],
                          help="KV-cache storage precision (llama.cpp "

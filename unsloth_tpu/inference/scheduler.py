@@ -35,6 +35,90 @@ class Request:
     output_ids: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
     slot: Optional[int] = None
+    cached_tokens: int = 0     # prompt tokens served from the prefix cache
+    reused_pages: List[int] = dataclasses.field(default_factory=list)
+
+
+class PrefixCache:
+    """Automatic prefix caching (the vLLM APC analog): full prompt pages
+    are indexed by a rolling chain hash (hash of all tokens up to and
+    including the page), so a new request reuses the longest cached
+    page-chain prefix and prefills only the suffix. Cached pages are
+    read-only by construction — reuse covers FULL pages only, and every
+    later write (suffix prefill, decode) lands in pages past the reused
+    chain. Eviction is LRU over unreferenced pages under pool pressure.
+    """
+
+    def __init__(self, page_size: int):
+        self.page_size = page_size
+        self.chains: dict = {}     # chain_hash -> page_id
+        self.hash_of: dict = {}    # page_id -> chain_hash
+        self.refs: dict = {}       # page_id -> active users
+        self.last_use: dict = {}   # page_id -> tick
+        self.tick = 0
+
+    def _chain_hashes(self, prompt_ids: List[int]) -> List[int]:
+        ps = self.page_size
+        hashes, h = [], 0
+        for p in range(len(prompt_ids) // ps):
+            h = hash((h, tuple(prompt_ids[p * ps:(p + 1) * ps])))
+            hashes.append(h)
+        return hashes
+
+    def lookup(self, prompt_ids: List[int]):
+        """Longest cached chain -> (pages, n_cached_tokens). At least one
+        prompt token is always left for prefill (its logits seed decode)."""
+        self.tick += 1
+        max_full = (len(prompt_ids) - 1) // self.page_size
+        pages = []
+        for h in self._chain_hashes(prompt_ids)[:max_full]:
+            page = self.chains.get(h)
+            if page is None:
+                break
+            pages.append(page)
+        for page in pages:
+            self.refs[page] = self.refs.get(page, 0) + 1
+            self.last_use[page] = self.tick
+        return pages, len(pages) * self.page_size
+
+    def insert(self, prompt_ids: List[int], page_ids: List[int]) -> List[int]:
+        """Index this prompt's fully-written pages; returns the page ids
+        newly ADOPTED by the cache (ownership transfers to the cache)."""
+        self.tick += 1
+        adopted = []
+        n_full = len(prompt_ids) // self.page_size
+        for i, h in enumerate(self._chain_hashes(prompt_ids)[:n_full]):
+            if i >= len(page_ids):
+                break
+            if h in self.chains:
+                continue                    # chain already cached
+            page = page_ids[i]
+            if page in self.hash_of:
+                continue                    # page already indexed
+            self.chains[h] = page
+            self.hash_of[page] = h
+            self.refs.setdefault(page, 0)
+            self.last_use[page] = self.tick
+            adopted.append(page)
+        return adopted
+
+    def release(self, pages: List[int]) -> None:
+        for page in pages:
+            if page in self.refs:
+                self.refs[page] = max(self.refs[page] - 1, 0)
+
+    def evict(self, n: int) -> List[int]:
+        """Drop up to n unreferenced pages, oldest first."""
+        victims = sorted(
+            (p for p, r in self.refs.items() if r == 0),
+            key=lambda p: self.last_use.get(p, 0))[:n]
+        for p in victims:
+            h = self.hash_of.pop(p, None)
+            if h is not None:
+                self.chains.pop(h, None)
+            self.refs.pop(p, None)
+            self.last_use.pop(p, None)
+        return victims
 
 
 class ContinuousBatcher:
@@ -45,13 +129,16 @@ class ContinuousBatcher:
     """
 
     def __init__(self, model, *, max_batch: int = 4, max_len: int = 512,
-                 page_size: int = 64, n_pages: Optional[int] = None):
+                 page_size: int = 64, n_pages: Optional[int] = None,
+                 prefix_caching: bool = False):
         self.model = model
         cfg = model.cfg
         self.cfg = cfg
         self.max_batch = max_batch
         self.max_len = max_len
         self.page_size = page_size
+        self.prefix_cache = (PrefixCache(page_size) if prefix_caching
+                             else None)
         max_pages_per_seq = -(-max_len // page_size)
         n_pages = n_pages or (1 + max_batch * max_pages_per_seq)
         self.cache = init_paged_cache(cfg, n_pages, page_size,
@@ -105,21 +192,47 @@ class ContinuousBatcher:
             page_table=jnp.asarray(self.page_table),
             seq_lens=jnp.asarray(self.seq_lens))
 
+    def _alloc_pages(self, seq_id, n: int) -> List[int]:
+        """Allocate, evicting unreferenced prefix-cache pages on pressure."""
+        try:
+            return self.alloc.alloc(seq_id, n)
+        except RuntimeError:
+            if self.prefix_cache is None:
+                raise
+            shortfall = n - len(self.alloc.free)
+            evicted = self.prefix_cache.evict(shortfall)
+            if len(evicted) < shortfall:
+                raise
+            cache_owned = self.alloc.owned.get("__prefix_cache__", [])
+            for p in evicted:
+                if p in cache_owned:
+                    cache_owned.remove(p)
+            self.alloc.free.extend(evicted)
+            return self.alloc.alloc(seq_id, n)
+
     def _admit(self, req: Request, slot: int):
         t = len(req.prompt_ids)
-        # bucket prompt length to limit prefill recompiles
-        t_pad = max(64, 1 << (t - 1).bit_length())
-        n_pages = -(-(t + req.max_new_tokens) // self.page_size)
-        pages = self.alloc.alloc(req.req_id, n_pages)
+        cached_pages: List[int] = []
+        t_cached = 0
+        if self.prefix_cache is not None:
+            cached_pages, t_cached = self.prefix_cache.lookup(
+                req.prompt_ids)
+            req.cached_tokens = t_cached
+        suffix = t - t_cached
+        # bucket SUFFIX length to limit prefill recompiles
+        t_pad = max(64, 1 << (suffix - 1).bit_length())
+        n_new = -(-(t + req.max_new_tokens) // self.page_size) \
+            - len(cached_pages)
+        pages = cached_pages + self._alloc_pages(req.req_id, n_new)
         self.page_table[slot] = 0
         self.page_table[slot, :len(pages)] = pages
-        self.seq_lens[slot] = 0
+        self.seq_lens[slot] = t_cached
         self._sync_tables()
 
         ids = np.zeros((1, t_pad), np.int32)
-        ids[0, :t] = req.prompt_ids
+        ids[0, :suffix] = req.prompt_ids[t_cached:]
         positions = np.zeros((1, t_pad), np.int32)
-        positions[0] = np.arange(t_pad)     # pad slots write within pages
+        positions[0] = t_cached + np.arange(t_pad)   # pads write in-page
         sub = dataclasses.replace(
             self.cache,
             page_table=self.cache.page_table[slot:slot + 1],
@@ -137,6 +250,21 @@ class ContinuousBatcher:
         self.slots[slot] = req
         self.seq_lens[slot] = t
         self._sync_tables()
+        if self.prefix_cache is not None:
+            # index this prompt's full pages; the cache adopts ownership
+            # of the newly-indexed ones so free_seq won't recycle them
+            adopted = self.prefix_cache.insert(req.prompt_ids, pages)
+            owned = self.alloc.owned.get(req.req_id, [])
+            for p in adopted:
+                if p in owned:
+                    owned.remove(p)
+                self.alloc.owned.setdefault("__prefix_cache__",
+                                            []).append(p)
+                # this request still attends its own prompt pages: hold a
+                # ref until it finishes so eviction can't free live pages
+                self.prefix_cache.refs[p] = \
+                    self.prefix_cache.refs.get(p, 0) + 1
+            req.reused_pages = cached_pages + adopted
 
     def step(self) -> int:
         """Admit + advance one token; returns number of active slots."""
@@ -189,6 +317,8 @@ class ContinuousBatcher:
                     or self.seq_lens[i] >= self.max_len:
                 req.done = True
                 self.alloc.free_seq(req.req_id)
+                if self.prefix_cache is not None:
+                    self.prefix_cache.release(req.reused_pages)
                 self.slots[i] = None
         return len(active)
 

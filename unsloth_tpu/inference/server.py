@@ -28,7 +28,8 @@ class InferenceServer:
                  continuous_batching: bool = False, max_batch: int = 4,
                  max_len: int = 2048, speculative: bool = False,
                  adapters: Optional[Dict[str, str]] = None,
-                 kv_cache_dtype: str = "bf16"):
+                 kv_cache_dtype: str = "bf16",
+                 prefix_caching: bool = False):
         self.model = model
         self.tokenizer = tokenizer or model.tokenizer
         self.model_name = model_name
@@ -59,7 +60,8 @@ class InferenceServer:
             from .scheduler import BatcherThread, ContinuousBatcher
 
             self._batcher = BatcherThread(ContinuousBatcher(
-                model, max_batch=max_batch, max_len=max_len))
+                model, max_batch=max_batch, max_len=max_len,
+                prefix_caching=prefix_caching))
 
     def _resolve_lora(self, body) -> Any:
         """OpenAI "model" field -> adapter tree. Unknown names keep the
