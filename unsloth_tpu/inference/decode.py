@@ -104,11 +104,16 @@ def init_cache(cfg: ModelConfig, batch: int, max_length: int,
 
 
 def _attend_cached(q, k_cache, v_cache, *, q_slots, kv_len_mask,
-                   window: Optional[int], softcap, scale, sinks=None):
+                   window: Optional[int], softcap, scale, sinks=None,
+                   q_spans=None, kv_spans=None):
     """q: [B, Tq, Hq, Dh]; caches [B, S, Hkv, Dh]; kv_len_mask [B, S] bool
     marks valid cache slots; q_slots [B, Tq] are cache-slot indices of the
     query tokens (causality is slot-order, which equals arrival order).
-    sinks [Hq]: gpt-oss per-head sink logit joining the denominator."""
+    sinks [Hq]: gpt-oss per-head sink logit joining the denominator.
+    q_spans [B, Tq] / kv_spans [B, S] (0 = text): tokens in the same
+    nonzero image span attend bidirectionally (gemma-3 VLM semantics —
+    the causal check is overridden, the window check is not, mirroring
+    ops/attention.py:136-144)."""
     b, tq, hq, dh = q.shape
     s = k_cache.shape[1]
     hkv = k_cache.shape[2]
@@ -123,7 +128,12 @@ def _attend_cached(q, k_cache, v_cache, *, q_slots, kv_len_mask,
         scores = softcap * jnp.tanh(scores / softcap)
     kv_pos = jnp.arange(s, dtype=jnp.int32)[None, None, :]     # [1,1,S]
     qp = q_slots[:, :, None]                                   # [B,Tq,1]
-    mask = (kv_pos <= qp) & kv_len_mask[:, None, :]
+    causal_ok = kv_pos <= qp
+    if q_spans is not None and kv_spans is not None:
+        same_span = (q_spans[:, :, None] > 0) \
+            & (kv_spans[:, None, :] == q_spans[:, :, None])
+        causal_ok = causal_ok | same_span
+    mask = causal_ok & kv_len_mask[:, None, :]
     if window is not None:
         mask &= (qp - kv_pos) < window
     scores = jnp.where(mask[:, None, :, :], scores, -jnp.inf)
@@ -144,6 +154,8 @@ def _attend_cached(q, k_cache, v_cache, *, q_slots, kv_len_mask,
 def forward_with_cache(
     params, lora, input_ids, cfg: ModelConfig, cache: KVCache,
     *, positions: jnp.ndarray, kv_valid_extra: Optional[jnp.ndarray] = None,
+    inputs_embeds: Optional[jnp.ndarray] = None,
+    image_spans: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Run [B, T] tokens through the stack, writing k/v into cache slots
     [cache.length, cache.length+T) and attending to all valid slots.
@@ -153,6 +165,11 @@ def forward_with_cache(
     owns this bookkeeping — left-padded prompts have shifted positions).
     kv_valid_extra [B, S]: optional mask of cache slots to exclude (False =
     invalid, e.g. slots holding left-pad tokens). Returns hidden [B, T, D].
+
+    inputs_embeds [B, T, D]: pre-built embeddings (VLM prefill — image
+    features spliced by embed_multimodal, already embed-scaled);
+    image_spans [B, T] makes same-span tokens attend bidirectionally
+    (gemma-3 VLM). Plain-attention path only.
     """
     b, t = input_ids.shape
     if cfg.altup is not None:
@@ -196,12 +213,15 @@ def forward_with_cache(
             lora = unstack_lora(lora, n)
     lora_layers = (lora or {}).get("layers")
 
-    embed_w = (lora or {}).get("embed")  # modules_to_save shadow
-    if embed_w is None:
-        embed_w = params["embed"]
-    x = jnp.take(embed_w, input_ids, axis=0)
-    if cfg.embed_scale is not None:
-        x = x * jnp.asarray(cfg.embed_scale, dtype=x.dtype)
+    if inputs_embeds is not None:
+        x = inputs_embeds                 # pre-scaled (embed_multimodal)
+    else:
+        embed_w = (lora or {}).get("embed")  # modules_to_save shadow
+        if embed_w is None:
+            embed_w = params["embed"]
+        x = jnp.take(embed_w, input_ids, axis=0)
+        if cfg.embed_scale is not None:
+            x = x * jnp.asarray(cfg.embed_scale, dtype=x.dtype)
 
     cos, sin, cos_l, sin_l = _rope_tables(cfg, positions)
 
@@ -211,6 +231,14 @@ def forward_with_cache(
     kv_valid = jnp.broadcast_to(written, (b, s_max))
     if kv_valid_extra is not None:
         kv_valid = kv_valid & kv_valid_extra
+    kv_spans = None
+    if image_spans is not None:
+        # scatter this block's spans to its cache slots (image tokens
+        # are all within the prefill block, so cached-slot spans = 0
+        # elsewhere)
+        kv_spans = jax.lax.dynamic_update_slice(
+            jnp.zeros((b, s_max), jnp.int32), image_spans.astype(jnp.int32),
+            (0, cache.length))
 
     rm = cfg.residual_multiplier
     new_k, new_v = [], []
@@ -312,6 +340,7 @@ def forward_with_cache(
         attn = _attend_cached(
             q, k_cache, v_cache, q_slots=q_slots,
             kv_len_mask=kv_valid, window=window,
+            q_spans=image_spans, kv_spans=kv_spans,
             softcap=cfg.attn_softcap, scale=cfg.attn_logit_scale,
             sinks=layer_p.get("sinks"))
         attn = attn.reshape(b, t, hq * dh)

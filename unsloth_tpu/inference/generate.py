@@ -263,3 +263,147 @@ def _trim_eos(ids: List[int], eos: set) -> List[int]:
             break
         result.append(t)
     return result
+
+
+# ---------------------------------------------------------------------------
+# VLM generation — prefill with spliced image embeddings, text decode
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_new_tokens", "sampling"))
+def _generate_vision_jit(params, lora, embeds, spans, prompt_ids,
+                         prompt_mask, cfg, rng, max_new_tokens, eos_ids,
+                         sampling: SamplingParams):
+    """Cached VLM decode: the prefill consumes pre-built multimodal
+    embeddings (image features spliced by embed_multimodal; gemma-3
+    image spans attend bidirectionally via the span mask in
+    decode._attend_cached); new tokens are text and run the standard
+    decode loop. The reference reaches VLM inference through HF
+    generate / llama.cpp mmproj sidecars (reference: models/vision.py
+    unsloth_base_fast_generate :502)."""
+    b, t_prompt = prompt_ids.shape
+    total = t_prompt + max_new_tokens
+    cache = init_cache(cfg, b, total, dtype=jnp.bfloat16)
+
+    first_real = jnp.argmax(prompt_mask.astype(jnp.int32), axis=1)
+    positions = jnp.arange(t_prompt, dtype=jnp.int32)[None] \
+        - first_real[:, None]
+    positions = jnp.maximum(positions, 0)
+    pad_slots = jnp.zeros((b, total), bool).at[:, :t_prompt].set(
+        ~prompt_mask.astype(bool))
+    kv_valid_extra = ~pad_slots
+
+    h, cache = forward_with_cache(
+        params, lora, prompt_ids, cfg, cache,
+        positions=positions, kv_valid_extra=kv_valid_extra,
+        inputs_embeds=embeds, image_spans=spans)
+    logits = logits_from_hidden(params, h[:, -1, :], cfg, lora)
+    key0 = jax.random.PRNGKey(sampling.seed) if rng is None else rng
+    tok0 = _sample(logits, key0, sampling)
+
+    out_buf = jnp.zeros((b, max_new_tokens), jnp.int32)
+    out_buf = out_buf.at[:, 0].set(tok0)
+    done0 = jnp.isin(tok0, eos_ids) if eos_ids.size \
+        else jnp.zeros((b,), bool)
+
+    def cond(state):
+        i, _, _, _, done, _, _ = state
+        return (i < max_new_tokens) & ~jnp.all(done)
+
+    def body(state):
+        i, cache, tok, pos, done, out_buf, key = state
+        h, cache = forward_with_cache(
+            params, lora, tok[:, None], cfg, cache,
+            positions=pos[:, None], kv_valid_extra=kv_valid_extra)
+        logits = logits_from_hidden(params, h, cfg, lora)[:, 0]
+        key, sub = jax.random.split(key)
+        nxt = _sample(logits, sub, sampling)
+        nxt = jnp.where(done, 0, nxt)
+        out_buf = jax.lax.dynamic_update_slice_in_dim(
+            out_buf, nxt[:, None], i, axis=1)
+        newly = jnp.isin(nxt, eos_ids) if eos_ids.size \
+            else jnp.zeros((b,), bool)
+        return (i + 1, cache, nxt, pos + 1, done | newly, out_buf, key)
+
+    state = (jnp.int32(1), cache, tok0, positions[:, -1] + 1, done0,
+             out_buf, key0)
+    out = jax.lax.while_loop(cond, body, state)
+    return out[5]
+
+
+def generate_vision(model, prompts, images, sampling_params=None, *,
+                    max_new_tokens: Optional[int] = None,
+                    temperature: Optional[float] = None,
+                    tokenizer=None, skip_special_tokens: bool = True,
+                    return_token_ids: bool = False):
+    """Multimodal generate: per-prompt image lists + text prompts.
+
+    images: list (per prompt) of lists of preprocessed pixel arrays
+    [C, H, W] (the model family's expected pixel_values rows). Prompts
+    without the model's image placeholder get one span per image
+    prepended (llava-style, mirroring trainer/dpo.py vision rows).
+    """
+    import dataclasses as _dc
+
+    sampling = sampling_params or SamplingParams()
+    if max_new_tokens is not None:
+        sampling = _dc.replace(sampling, max_tokens=max_new_tokens)
+    if temperature is not None:
+        sampling = _dc.replace(sampling, temperature=temperature)
+    tok = tokenizer or model.tokenizer
+    if isinstance(prompts, str):
+        prompts = [prompts]
+        images = [images]
+
+    img_id = model.image_token_id
+    n_tok = model.mm_tokens_per_image
+    rows, pixel_rows = [], []
+    for p, imgs in zip(prompts, images):
+        ids = tok(p)["input_ids"] if isinstance(p, str) else list(p)
+        imgs = list(imgs or [])
+        if imgs and img_id not in ids:
+            ids = [img_id] * (n_tok * len(imgs)) + ids
+        rows.append(ids)
+        pixel_rows.extend(imgs)
+
+    b = len(rows)
+    t_prompt = ((max(len(r) for r in rows) + 63) // 64) * 64
+    prompt_ids = np.zeros((b, t_prompt), np.int32)
+    prompt_mask = np.zeros((b, t_prompt), np.int32)
+    for i, r in enumerate(rows):
+        prompt_ids[i, t_prompt - len(r):] = r
+        prompt_mask[i, t_prompt - len(r):] = 1
+
+    if not pixel_rows:
+        # no images: plain text generate
+        return generate(model, [list(r) for r in rows], sampling,
+                        tokenizer=tok,
+                        skip_special_tokens=skip_special_tokens,
+                        return_token_ids=return_token_ids)
+    pixels = jnp.asarray(np.stack(pixel_rows))
+    ids_j = jnp.asarray(prompt_ids)
+    embeds, spans = model.embed_multimodal(ids_j, pixels)
+
+    eos = []
+    if tok is not None and getattr(tok, "eos_token_id", None) is not None:
+        eos.append(int(tok.eos_token_id))
+    if model.cfg.eos_token_id is not None:
+        eos.append(int(model.cfg.eos_token_id))
+    eos_ids = jnp.asarray(sorted(set(eos)), jnp.int32)
+
+    out = _generate_vision_jit(
+        model.params, model.lora, embeds, spans, ids_j,
+        jnp.asarray(prompt_mask), model.cfg,
+        jax.random.PRNGKey(sampling.seed), sampling.max_tokens,
+        eos_ids, sampling)
+    out = np.asarray(jax.device_get(out))
+    eos_set = set(int(e) for e in eos)
+    results = []
+    for i in range(b):
+        ids = _trim_eos(out[i].tolist(), eos_set)
+        if return_token_ids or tok is None:
+            results.append(ids)
+        else:
+            results.append(tok.decode(
+                ids, skip_special_tokens=skip_special_tokens))
+    return results

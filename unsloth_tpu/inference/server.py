@@ -123,6 +123,78 @@ class InferenceServer:
 
     # -- request handling ------------------------------------------------
 
+    # -- multimodal content blocks ----------------------------------------
+
+    def _decode_image(self, data: str):
+        """base64 (optionally a data: URI) -> preprocessed [C, H, W]
+        pixel array for the model's vision tower. Uses the checkpoint's
+        image processor when present; falls back to SigLIP-style
+        resize + (x/255 - 0.5) / 0.5."""
+        import base64
+        import io
+
+        from PIL import Image
+
+        if data.startswith("data:"):
+            data = data.split(",", 1)[1]
+        img = Image.open(io.BytesIO(base64.b64decode(data))).convert("RGB")
+
+        proc = getattr(self, "_image_proc", None)
+        if proc is None and getattr(self.model, "model_path", None):
+            try:
+                from transformers import AutoImageProcessor
+
+                proc = AutoImageProcessor.from_pretrained(
+                    self.model.model_path, local_files_only=True)
+            except Exception:
+                proc = False
+            self._image_proc = proc
+        if proc:
+            import numpy as _np
+
+            out = proc(images=img, return_tensors="np")
+            return _np.asarray(out["pixel_values"][0], _np.float32)
+        import numpy as _np
+
+        size = getattr(getattr(self.model, "vision_cfg", None),
+                       "image_size", 224)
+        img = img.resize((size, size), Image.BICUBIC)
+        arr = _np.asarray(img, _np.float32) / 255.0
+        arr = (arr - 0.5) / 0.5
+        return arr.transpose(2, 0, 1)
+
+    def _split_multimodal(self, messages):
+        """OpenAI/Anthropic content blocks -> (text messages, images)."""
+        images = []
+        norm = []
+        for m in messages:
+            c = m.get("content")
+            if isinstance(c, list):
+                text = ""
+                for block in c:
+                    t = block.get("type")
+                    if t == "text":
+                        text += block.get("text", "")
+                    elif t == "image_url":              # OpenAI shape
+                        images.append(self._decode_image(
+                            block["image_url"]["url"]))
+                    elif t == "image":                  # Anthropic shape
+                        images.append(self._decode_image(
+                            block["source"]["data"]))
+                norm.append({"role": m["role"], "content": text})
+            else:
+                norm.append(m)
+        return norm, images
+
+    def _gen_multimodal(self, norm_messages, images, params) -> str:
+        prompt = self._render(norm_messages)
+        if not images or not hasattr(self.model, "embed_multimodal"):
+            return self._gen_text(prompt, params)
+        with self._lock:
+            return self.model.generate(
+                [prompt], images=[images], sampling_params=params,
+                tokenizer=self.tokenizer)[0]
+
     def _chat_prompt_params(self, body):
         prompt = self._render(body["messages"])
         params = SamplingParams(
@@ -154,9 +226,16 @@ class InferenceServer:
         return prompt, params
 
     def chat_completion(self, body: Dict[str, Any]) -> Dict[str, Any]:
-        prompt, params = self._chat_prompt_params(body)
-        text = self._gen_text(prompt, params,
-                              lora=self._resolve_lora(body))
+        messages = body["messages"]
+        if any(isinstance(m.get("content"), list) for m in messages):
+            norm, images = self._split_multimodal(messages)
+            prompt, params = self._chat_prompt_params(
+                {**body, "messages": norm})
+            text = self._gen_multimodal(norm, images, params)
+        else:
+            prompt, params = self._chat_prompt_params(body)
+            text = self._gen_text(prompt, params,
+                                  lora=self._resolve_lora(body))
         n_prompt = len(self.tokenizer(prompt)["input_ids"])
         n_out = len(self.tokenizer(text)["input_ids"])
         return {
@@ -176,9 +255,21 @@ class InferenceServer:
 
     def anthropic_messages(self, body: Dict[str, Any]) -> Dict[str, Any]:
         """/v1/messages (Anthropic Messages API shape)."""
+        messages = list(body.get("messages", []))
+        has_images = any(
+            isinstance(m.get("content"), list)
+            and any(b.get("type") == "image" for b in m["content"])
+            for m in messages)
         prompt, params = self._anthropic_prompt_params(body)
-        text = self._gen_text(prompt, params,
-                              lora=self._resolve_lora(body))
+        if has_images and hasattr(self.model, "embed_multimodal"):
+            if body.get("system"):
+                messages = [{"role": "system",
+                             "content": body["system"]}] + messages
+            norm, images = self._split_multimodal(messages)
+            text = self._gen_multimodal(norm, images, params)
+        else:
+            text = self._gen_text(prompt, params,
+                                  lora=self._resolve_lora(body))
         return {
             "id": f"msg_{uuid.uuid4().hex[:16]}",
             "type": "message",

@@ -124,6 +124,17 @@ class VisionLanguageModel(LanguageModel):
             0)
         return x, span
 
+    def generate(self, prompts, *args, images=None, **kw):
+        """Multimodal generate: `model.generate(prompts, images=[[img,
+        ...], ...])` runs the cached VLM decode (prefill with spliced
+        image embeddings — inference/generate.generate_vision); without
+        images it is the plain text loop."""
+        if images is None:
+            return super().generate(prompts, *args, **kw)
+        from ..inference.generate import generate_vision
+
+        return generate_vision(self, prompts, images, *args, **kw)
+
     def vision_loss_fn(self, lora, batch, **kw):
         """SFT loss over multimodal batches: input_ids, labels,
         pixel_values."""
