@@ -256,3 +256,21 @@ def test_adapter_selection_changes_output(adapter_server):
     assert b != base
     assert a != b
     assert explicit_base == base
+
+
+def test_stop_sequences(server):
+    """OpenAI `stop` strings truncate the completion."""
+    code, full = _post(server, "/v1/chat/completions", {
+        "model": "tiny-test",
+        "messages": [{"role": "user", "content": "hi"}],
+        "max_tokens": 12, "temperature": 0})
+    text = full["choices"][0]["message"]["content"]
+    if len(text) < 3:
+        pytest.skip("completion too short to split")
+    stop = text[2]
+    code, cut = _post(server, "/v1/chat/completions", {
+        "model": "tiny-test",
+        "messages": [{"role": "user", "content": "hi"}],
+        "max_tokens": 12, "temperature": 0, "stop": [stop]})
+    got = cut["choices"][0]["message"]["content"]
+    assert got == text.split(stop)[0]

@@ -195,6 +195,21 @@ class InferenceServer:
                 [prompt], images=[images], sampling_params=params,
                 tokenizer=self.tokenizer)[0]
 
+    @staticmethod
+    def _stop_list(body) -> list:
+        stop = body.get("stop") or body.get("stop_sequences") or []
+        return [stop] if isinstance(stop, str) else list(stop)
+
+    @staticmethod
+    def _apply_stop(text: str, stops: list) -> str:
+        """OpenAI `stop` semantics: truncate at the first occurrence of
+        any stop string (the stop itself is not returned)."""
+        for s in stops:
+            i = text.find(s)
+            if i >= 0:
+                text = text[:i]
+        return text
+
     def _chat_prompt_params(self, body):
         prompt = self._render(body["messages"])
         params = SamplingParams(
@@ -236,6 +251,7 @@ class InferenceServer:
             prompt, params = self._chat_prompt_params(body)
             text = self._gen_text(prompt, params,
                                   lora=self._resolve_lora(body))
+        text = self._apply_stop(text, self._stop_list(body))
         n_prompt = len(self.tokenizer(prompt)["input_ids"])
         n_out = len(self.tokenizer(text)["input_ids"])
         return {
@@ -270,6 +286,7 @@ class InferenceServer:
         else:
             text = self._gen_text(prompt, params,
                                   lora=self._resolve_lora(body))
+        text = self._apply_stop(text, self._stop_list(body))
         return {
             "id": f"msg_{uuid.uuid4().hex[:16]}",
             "type": "message",
@@ -288,8 +305,9 @@ class InferenceServer:
         params = SamplingParams(
             max_tokens=int(body.get("max_tokens", 256)),
             temperature=float(body.get("temperature", 0.7)))
-        text = self._gen_text(prompt, params,
-                              lora=self._resolve_lora(body))
+        text = self._apply_stop(
+            self._gen_text(prompt, params, lora=self._resolve_lora(body)),
+            self._stop_list(body))
         return {
             "id": f"cmpl-{uuid.uuid4().hex[:16]}",
             "object": "text_completion",
