@@ -83,6 +83,10 @@ _LAZY = {
     "RewardConfig": ("unsloth_tpu.trainer.reward", "RewardConfig"),
     "RLOOTrainer": ("unsloth_tpu.trainer.grpo", "RLOOTrainer"),
     "RLOOConfig": ("unsloth_tpu.trainer.grpo", "RLOOConfig"),
+    "OnlineDPOTrainer": ("unsloth_tpu.trainer.online_dpo",
+                         "OnlineDPOTrainer"),
+    "OnlineDPOConfig": ("unsloth_tpu.trainer.online_dpo",
+                        "OnlineDPOConfig"),
     "PatchFastRL": ("unsloth_tpu.trainer.grpo", "PatchFastRL"),
     "SamplingParams": ("unsloth_tpu.inference.generate",
                        "SamplingParams"),

@@ -3,6 +3,7 @@ from .dpo import (CPOConfig, CPOTrainer, DPOConfig, DPOTrainer,
                   PatchDPOTrainer)
 from .grpo import (GRPOConfig, GRPOTrainer, PatchFastRL, RLOOConfig,
                    RLOOTrainer)
+from .online_dpo import OnlineDPOConfig, OnlineDPOTrainer
 from .reward import RewardConfig, RewardTrainer
 from .sft import (SFTConfig, SFTTrainer, TrainOutput, build_optimizer,
                   build_schedule, make_config, train_on_responses_only,
@@ -24,4 +25,5 @@ __all__ = [
     "CPOConfig", "CPOTrainer",
     "RewardConfig", "RewardTrainer",
     "RLOOConfig", "RLOOTrainer",
+    "OnlineDPOConfig", "OnlineDPOTrainer",
 ]
