@@ -1,0 +1,75 @@
+"""Qwen2.5-VL cached generation (inference/generate.generate_qwen_vl):
+M-RoPE prefill + uniform-stream decode vs transformers' generate."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+IMG = 150
+
+
+@pytest.fixture(scope="module")
+def qwen_vl(tmp_path_factory):
+    from transformers import Qwen2_5_VLConfig
+    from transformers.models.qwen2_5_vl import (
+        Qwen2_5_VLForConditionalGeneration)
+
+    cfg = Qwen2_5_VLConfig(
+        text_config=dict(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, num_key_value_heads=1,
+            vocab_size=256, max_position_embeddings=256,
+            rope_theta=1000000.0,
+            rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]}),
+        vision_config=dict(
+            depth=2, hidden_size=32, intermediate_size=64, num_heads=2,
+            patch_size=14, temporal_patch_size=2, spatial_merge_size=2,
+            window_size=56, fullatt_block_indexes=[1], in_channels=3,
+            out_hidden_size=32),
+        image_token_id=IMG, video_token_id=151,
+        vision_start_token_id=148, vision_end_token_id=149)
+    torch.manual_seed(0)
+    hf = Qwen2_5_VLForConditionalGeneration(cfg)
+    hf.eval()
+    path = str(tmp_path_factory.mktemp("qwenvlgen"))
+    hf.save_pretrained(path, safe_serialization=True)
+
+    from unsloth_tpu.models.vision import FastVisionModel
+
+    model, _ = FastVisionModel.from_pretrained(path, load_in_4bit=False,
+                                               dtype="float32")
+    return model, hf
+
+
+def test_qwen_vl_generate_matches_hf(qwen_vl):
+    model, hf = qwen_vl
+    rng = np.random.RandomState(0)
+    grid = [(1, 8, 8)]                       # 64 patches -> 16 LLM tokens
+    pixel = rng.randn(64, 3 * 2 * 14 * 14).astype(np.float32)
+    ids = [5, 6, 7, 148] + [IMG] * 16 + [149, 8, 9]
+    n = 8
+
+    with torch.no_grad():
+        hf_out = hf.generate(
+            input_ids=torch.tensor([ids]),
+            pixel_values=torch.tensor(pixel),
+            image_grid_thw=torch.tensor(grid),
+            max_new_tokens=n, do_sample=False)
+    want = hf_out[0, len(ids):].tolist()
+
+    got = model.generate([ids], images=pixel, grids=grid,
+                         max_new_tokens=n, temperature=0.0,
+                         return_token_ids=True)
+    assert got[0] == want, (got[0], want)
+
+
+def test_qwen_vl_generate_text_only_route(qwen_vl):
+    model, _ = qwen_vl
+    out = model.generate([[5, 6, 7, 8]], max_new_tokens=4,
+                         temperature=0.0, return_token_ids=True)
+    assert len(out) == 1 and len(out[0]) <= 4

@@ -156,6 +156,7 @@ def forward_with_cache(
     *, positions: jnp.ndarray, kv_valid_extra: Optional[jnp.ndarray] = None,
     inputs_embeds: Optional[jnp.ndarray] = None,
     image_spans: Optional[jnp.ndarray] = None,
+    mrope_positions: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Run [B, T] tokens through the stack, writing k/v into cache slots
     [cache.length, cache.length+T) and attending to all valid slots.
@@ -223,7 +224,8 @@ def forward_with_cache(
         if cfg.embed_scale is not None:
             x = x * jnp.asarray(cfg.embed_scale, dtype=x.dtype)
 
-    cos, sin, cos_l, sin_l = _rope_tables(cfg, positions)
+    cos, sin, cos_l, sin_l = _rope_tables(cfg, positions,
+                                          mrope_positions)
 
     s_max = cache.k[0].shape[1]
     kv_slots = jnp.arange(s_max, dtype=jnp.int32)[None]          # [1,S]

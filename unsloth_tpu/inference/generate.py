@@ -407,3 +407,142 @@ def generate_vision(model, prompts, images, sampling_params=None, *,
             results.append(tok.decode(
                 ids, skip_special_tokens=skip_special_tokens))
     return results
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_new_tokens", "sampling"))
+def _generate_qwen_vl_jit(params, lora, embeds, mrope_pos, prompt_ids,
+                          prompt_mask, cfg, rng, max_new_tokens, eos_ids,
+                          sampling: SamplingParams):
+    """Qwen-VL cached decode: prefill with spliced image embeddings and
+    M-RoPE [B, 3, T] positions; generated text tokens advance all three
+    streams uniformly (HF get_rope_index semantics), which reduces to
+    standard 1-D rope at max(final position)+1 — so the decode loop is
+    the plain text loop started at that position."""
+    b, t_prompt = prompt_ids.shape
+    total = t_prompt + max_new_tokens
+    cache = init_cache(cfg, b, total, dtype=jnp.bfloat16)
+
+    pad_slots = jnp.zeros((b, total), bool).at[:, :t_prompt].set(
+        ~prompt_mask.astype(bool))
+    kv_valid_extra = ~pad_slots
+    # causal positions for the prefill mask bookkeeping come from the
+    # T stream (monotone over text) — attention causality itself is
+    # slot-order, so only rope uses mrope_pos
+    positions = mrope_pos[:, 0, :]
+
+    h, cache = forward_with_cache(
+        params, lora, prompt_ids, cfg, cache,
+        positions=positions, kv_valid_extra=kv_valid_extra,
+        inputs_embeds=embeds, mrope_positions=mrope_pos)
+    logits = logits_from_hidden(params, h[:, -1, :], cfg, lora)
+    key0 = jax.random.PRNGKey(sampling.seed) if rng is None else rng
+    tok0 = _sample(logits, key0, sampling)
+
+    # next position value = max over the three streams' final entries + 1
+    pos0 = jnp.max(mrope_pos[:, :, -1], axis=1) + 1           # [B]
+
+    out_buf = jnp.zeros((b, max_new_tokens), jnp.int32)
+    out_buf = out_buf.at[:, 0].set(tok0)
+    done0 = jnp.isin(tok0, eos_ids) if eos_ids.size \
+        else jnp.zeros((b,), bool)
+
+    def cond(state):
+        i = state[0]
+        done = state[4]
+        return (i < max_new_tokens) & ~jnp.all(done)
+
+    def body(state):
+        i, cache, tok, pos, done, out_buf, key = state
+        h, cache = forward_with_cache(
+            params, lora, tok[:, None], cfg, cache,
+            positions=pos[:, None], kv_valid_extra=kv_valid_extra)
+        logits = logits_from_hidden(params, h, cfg, lora)[:, 0]
+        key, sub = jax.random.split(key)
+        nxt = _sample(logits, sub, sampling)
+        nxt = jnp.where(done, 0, nxt)
+        out_buf = jax.lax.dynamic_update_slice_in_dim(
+            out_buf, nxt[:, None], i, axis=1)
+        newly = jnp.isin(nxt, eos_ids) if eos_ids.size \
+            else jnp.zeros((b,), bool)
+        return (i + 1, cache, nxt, pos + 1, done | newly, out_buf, key)
+
+    state = (jnp.int32(1), cache, tok0, pos0, done0, out_buf, key0)
+    return jax.lax.while_loop(cond, body, state)[5]
+
+
+def generate_qwen_vl(model, prompts, pixel_patches, grids,
+                     sampling_params=None, *,
+                     max_new_tokens: Optional[int] = None,
+                     temperature: Optional[float] = None,
+                     tokenizer=None, skip_special_tokens: bool = True,
+                     return_token_ids: bool = False):
+    """Qwen2/2.5-VL generation. prompts: token-id lists that ALREADY
+    contain the vision_start/image-token/vision_end layout the HF
+    processor emits (each image = t*(h/m)*(w/m) image tokens);
+    pixel_patches: concatenated [N_patches_total, D] patch rows;
+    grids: one (t, h, w) per image, order of appearance."""
+    import dataclasses as _dc
+
+    from ..models.qwen_vl import mrope_positions_for
+
+    sampling = sampling_params or SamplingParams()
+    if max_new_tokens is not None:
+        sampling = _dc.replace(sampling, max_tokens=max_new_tokens)
+    if temperature is not None:
+        sampling = _dc.replace(sampling, temperature=temperature)
+    tok = tokenizer or model.tokenizer
+
+    rows = [tok(p)["input_ids"] if isinstance(p, str) else list(p)
+            for p in prompts]
+    b = len(rows)
+    t_prompt = ((max(len(r) for r in rows) + 63) // 64) * 64
+    prompt_ids = np.zeros((b, t_prompt), np.int32)
+    prompt_mask = np.zeros((b, t_prompt), np.int32)
+    mrope = np.zeros((b, 3, t_prompt), np.int32)
+    img_cursor = 0
+    merge = getattr(model, "spatial_merge_size", 2)
+    for i, r in enumerate(rows):
+        off = t_prompt - len(r)
+        prompt_ids[i, off:] = r
+        prompt_mask[i, off:] = 1
+        row_grids = []
+        n_img_tok = 0
+        # count this row's images by walking its image tokens
+        j = 0
+        while j < len(r):
+            if r[j] == model.image_token_id:
+                g = grids[img_cursor + len(row_grids)]
+                row_grids.append(g)
+                j += g[0] * (g[1] // merge) * (g[2] // merge)
+            else:
+                j += 1
+        img_cursor += len(row_grids)
+        mrope[i, :, off:] = mrope_positions_for(
+            np.asarray(r), model.image_token_id, row_grids, merge=merge)
+
+    ids_j = jnp.asarray(prompt_ids)
+    embeds, _ = model.embed_multimodal(ids_j, jnp.asarray(pixel_patches),
+                                       list(map(tuple, grids)))
+
+    eos = []
+    if tok is not None and getattr(tok, "eos_token_id", None) is not None:
+        eos.append(int(tok.eos_token_id))
+    if model.cfg.eos_token_id is not None:
+        eos.append(int(model.cfg.eos_token_id))
+    eos_ids = jnp.asarray(sorted(set(eos)), jnp.int32)
+
+    out = _generate_qwen_vl_jit(
+        model.params, model.lora, embeds, jnp.asarray(mrope), ids_j,
+        jnp.asarray(prompt_mask), model.cfg,
+        jax.random.PRNGKey(sampling.seed), sampling.max_tokens, eos_ids,
+        sampling)
+    out = np.asarray(jax.device_get(out))
+    eos_set = set(int(e) for e in eos)
+    results = []
+    for i in range(b):
+        ids = _trim_eos(out[i].tolist(), eos_set)
+        results.append(ids if return_token_ids or tok is None
+                       else tok.decode(
+                           ids, skip_special_tokens=skip_special_tokens))
+    return results

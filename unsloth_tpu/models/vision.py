@@ -174,6 +174,17 @@ class QwenVLModel(VisionLanguageModel):
 
     spatial_merge_size: int = 2
 
+    def generate(self, prompts, *args, images=None, grids=None, **kw):
+        """Qwen-VL generate: `model.generate(prompts, images=patches,
+        grids=[(t,h,w), ...])` — patches are the HF processor's packed
+        pixel rows, prompts already carry the vision token layout
+        (inference/generate.generate_qwen_vl)."""
+        if images is None:
+            return LanguageModel.generate(self, prompts, *args, **kw)
+        from ..inference.generate import generate_qwen_vl
+
+        return generate_qwen_vl(self, prompts, images, grids, *args, **kw)
+
     def embed_multimodal(self, input_ids, pixel_values, grid_thw):
         """pixel_values [S, C*Tp*P*P] packed patches; grid_thw static."""
         from .qwen_vl import mrope_positions_for, qwen_vision_forward
