@@ -5,6 +5,8 @@ tests)."""
 import json
 import urllib.request
 
+import numpy as np
+
 import jax
 import pytest
 
@@ -274,3 +276,36 @@ def test_stop_sequences(server):
         "max_tokens": 12, "temperature": 0, "stop": [stop]})
     got = cut["choices"][0]["message"]["content"]
     assert got == text.split(stop)[0]
+
+
+def test_embeddings_endpoint():
+    """/v1/embeddings backed by a FastSentenceTransformer handle."""
+    from unsloth_tpu.models.sentence_transformer import (
+        SentenceTransformerModel)
+
+    cfg = ModelConfig(vocab_size=128, hidden_size=32, intermediate_size=64,
+                      num_layers=2, num_heads=2, num_kv_heads=2,
+                      max_position_embeddings=256, eos_token_id=0)
+    lm = LanguageModel(cfg=cfg, params=init_params(
+        cfg, jax.random.PRNGKey(3)), tokenizer=CharTokenizer())
+    st = SentenceTransformerModel(lm=lm, pooling="mean")
+    srv = InferenceServer(lm, model_name="tiny-embed", embed_model=st)
+    httpd = srv.serve(port=18381, background=True)
+    try:
+        code, body = _post("http://127.0.0.1:18381", "/v1/embeddings",
+                           {"model": "tiny-embed",
+                            "input": ["hello world", "hi"]})
+        assert code == 200, body
+        assert body["object"] == "list"
+        assert len(body["data"]) == 2
+        emb = np.asarray(body["data"][0]["embedding"])
+        assert emb.shape == (32,)
+        np.testing.assert_allclose(np.linalg.norm(emb), 1.0, atol=1e-4)
+        ref = st.encode(["hello world"])[0]
+        np.testing.assert_allclose(emb, ref, atol=1e-5)
+        # string input also accepted
+        code, one = _post("http://127.0.0.1:18381", "/v1/embeddings",
+                          {"input": "hello"})
+        assert code == 200 and len(one["data"]) == 1
+    finally:
+        httpd.shutdown()

@@ -29,7 +29,8 @@ class InferenceServer:
                  max_len: int = 2048, speculative: bool = False,
                  adapters: Optional[Dict[str, str]] = None,
                  kv_cache_dtype: str = "bf16",
-                 prefix_caching: bool = False):
+                 prefix_caching: bool = False,
+                 embed_model: Any = None):
         self.model = model
         self.tokenizer = tokenizer or model.tokenizer
         self.model_name = model_name
@@ -39,6 +40,8 @@ class InferenceServer:
         # "bf16" | "fp8_e4m3" | "fp8_e5m2" — the llama.cpp
         # --cache-type-k/v analog (halves decode-cache HBM)
         self.kv_cache_dtype = kv_cache_dtype
+        # /v1/embeddings backend (FastSentenceTransformer handle)
+        self.embed_model = embed_model
         # multi-LoRA serving: {"name": peft_dir_or_lora_tree}; requests
         # select via the OpenAI "model" field — an adapter swap is a
         # data swap (same pytree shapes -> same compiled program), the
@@ -317,6 +320,30 @@ class InferenceServer:
                          "finish_reason": "stop"}],
         }
 
+    def embeddings(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        """/v1/embeddings (OpenAI shape) backed by the embed model
+        (a FastSentenceTransformer handle passed as `embed_model`, or
+        the served model itself when it has .encode — the reference's
+        embedding-model serving goes through its embedder zoo)."""
+        target = self.embed_model or (
+            self.model if hasattr(self.model, "encode") else None)
+        if target is None:
+            raise KeyError("no embedding model configured")
+        texts = body["input"]
+        if isinstance(texts, str):
+            texts = [texts]
+        with self._lock:
+            embs = target.encode(texts)
+        return {
+            "object": "list",
+            "model": body.get("model", self.model_name),
+            "data": [{"object": "embedding", "index": i,
+                      "embedding": [float(x) for x in e]}
+                     for i, e in enumerate(embs)],
+            "usage": {"prompt_tokens": sum(len(t) for t in texts),
+                      "total_tokens": sum(len(t) for t in texts)},
+        }
+
     def models_list(self) -> Dict[str, Any]:
         data = [{"id": self.model_name, "object": "model",
                  "owned_by": "unsloth_tpu"}]
@@ -470,6 +497,8 @@ class InferenceServer:
                         if stream:
                             return self._stream_completions(body)
                         return self._send(200, server.completions(body))
+                    if self.path == "/v1/embeddings":
+                        return self._send(200, server.embeddings(body))
                     return self._send(404, {"error": "not found"})
                 except KeyError as e:
                     return self._send(400, {"error": {
