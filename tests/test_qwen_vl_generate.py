@@ -73,3 +73,71 @@ def test_qwen_vl_generate_text_only_route(qwen_vl):
     out = model.generate([[5, 6, 7, 8]], max_new_tokens=4,
                          temperature=0.0, return_token_ids=True)
     assert len(out) == 1 and len(out[0]) <= 4
+
+
+def test_server_qwen_vl_chat_with_image(qwen_vl):
+    """Live HTTP: an image content block routes through the Qwen image
+    processor into the M-RoPE cached decode."""
+    import base64
+    import io
+    import json
+    import urllib.request
+
+    from PIL import Image
+
+    from unsloth_tpu.inference.server import InferenceServer
+
+    model, _ = qwen_vl
+
+    class Tok:
+        eos_token_id = None
+        chat_template = None
+
+        def __call__(self, text, **kw):
+            return {"input_ids": [ord(c) % 140 for c in text]}
+
+        def decode(self, ids, **kw):
+            return "".join(chr(max(int(i), 1)) for i in ids)
+
+    model.tokenizer = Tok()
+    srv = InferenceServer(model, Tok(), model_name="tiny-qvl")
+    httpd = srv.serve(port=18383, background=True)
+    try:
+        img = Image.fromarray((np.arange(56 * 56 * 3).reshape(56, 56, 3)
+                               % 255).astype(np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        b64 = base64.b64encode(buf.getvalue()).decode()
+        body = {
+            "model": "tiny-qvl",
+            "messages": [{"role": "user", "content": [
+                {"type": "text", "text": "describe"},
+                {"type": "image_url", "image_url": {
+                    "url": f"data:image/png;base64,{b64}"}},
+            ]}],
+            "max_tokens": 5, "temperature": 0,
+        }
+        req = urllib.request.Request(
+            "http://127.0.0.1:18383/v1/chat/completions",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out = json.loads(r.read())
+        content = out["choices"][0]["message"]["content"]
+        assert isinstance(content, str) and len(content) > 0
+
+        # parity with the direct path using the same processed patches
+        kind, patches, grid = srv._decode_image(
+            f"data:image/png;base64,{b64}")
+        assert kind == "qwen"
+        merge = model.spatial_merge_size
+        n = grid[0] * (grid[1] // merge) * (grid[2] // merge)
+        header = [model.vision_start_token_id] \
+            + [model.image_token_id] * n + [model.vision_end_token_id]
+        ids = Tok()("user: describe\nassistant:")["input_ids"]
+        direct = model.generate([header + ids], images=patches,
+                                grids=[grid], max_new_tokens=5,
+                                temperature=0.0)
+        assert content == direct[0], (content, direct[0])
+    finally:
+        httpd.shutdown()

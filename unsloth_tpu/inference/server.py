@@ -142,6 +142,27 @@ class InferenceServer:
             data = data.split(",", 1)[1]
         img = Image.open(io.BytesIO(base64.b64decode(data))).convert("RGB")
 
+        if hasattr(self.model, "spatial_merge_size"):
+            # qwen-vl: the image becomes packed patch rows + a grid
+            import numpy as _np
+
+            proc = getattr(self, "_qwen_proc", None)
+            if proc is None:
+                try:
+                    from transformers import AutoImageProcessor
+
+                    proc = AutoImageProcessor.from_pretrained(
+                        self.model.model_path, local_files_only=True)
+                except Exception:
+                    from transformers import Qwen2VLImageProcessor
+
+                    proc = Qwen2VLImageProcessor()
+                self._qwen_proc = proc
+            out = proc(images=img, return_tensors="np")
+            grid = tuple(int(x) for x in out["image_grid_thw"][0])
+            return ("qwen", _np.asarray(out["pixel_values"],
+                                        _np.float32), grid)
+
         proc = getattr(self, "_image_proc", None)
         if proc is None and getattr(self.model, "model_path", None):
             try:
@@ -193,6 +214,29 @@ class InferenceServer:
         prompt = self._render(norm_messages)
         if not images or not hasattr(self.model, "embed_multimodal"):
             return self._gen_text(prompt, params)
+        if isinstance(images[0], tuple) and images[0][0] == "qwen":
+            # qwen-vl: prepend [vision_start][img]*n[vision_end] per
+            # image, concat the packed patch rows, M-RoPE decode
+            import numpy as _np
+
+            m = self.model
+            merge = m.spatial_merge_size
+            ids = self.tokenizer(prompt)["input_ids"]
+            grids, patch_rows = [], []
+            header: list = []
+            for _, patches, grid in images:
+                t, h, w = grid
+                n = t * (h // merge) * (w // merge)
+                header += [m.vision_start_token_id] \
+                    + [m.image_token_id] * n + [m.vision_end_token_id]
+                grids.append(grid)
+                patch_rows.append(patches)
+            with self._lock:
+                return m.generate(
+                    [header + list(ids)],
+                    images=_np.concatenate(patch_rows, axis=0),
+                    grids=grids, sampling_params=params,
+                    tokenizer=self.tokenizer)[0]
         with self._lock:
             return self.model.generate(
                 [prompt], images=[images], sampling_params=params,

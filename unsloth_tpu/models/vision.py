@@ -173,6 +173,8 @@ class QwenVLModel(VisionLanguageModel):
     no bidirectional image spans in this family)."""
 
     spatial_merge_size: int = 2
+    vision_start_token_id: int = 151652
+    vision_end_token_id: int = 151653
 
     def generate(self, prompts, *args, images=None, grids=None, **kw):
         """Qwen-VL generate: `model.generate(prompts, images=patches,
@@ -610,7 +612,10 @@ def _load_qwen_vl(model_name, path, hf, dtype, load_in_4bit,
         vision_cfg=vision_cfg, vision=vision, projector=None,
         image_token_id=int(hf.get("image_token_id",
                                   hf.get("image_token_index", 151655))),
-        spatial_merge_size=vision_cfg.spatial_merge_size)
+        spatial_merge_size=vision_cfg.spatial_merge_size,
+        vision_start_token_id=int(hf.get("vision_start_token_id",
+                                         151652)),
+        vision_end_token_id=int(hf.get("vision_end_token_id", 151653)))
     return model, tokenizer
 
 
