@@ -367,7 +367,8 @@ def main():
     bench_model = os.environ.get("BENCH_MODEL", "llama")
     if bench_model == "gpt_oss":
         return main_gpt_oss(quick)
-    if bench_model in ("grpo", "vision", "whisper", "tts", "decode"):
+    if bench_model in ("grpo", "vision", "whisper", "tts", "decode",
+                       "spec"):
         import bench_extra
 
         return getattr(bench_extra, f"main_{bench_model}")(quick)
