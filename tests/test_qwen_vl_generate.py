@@ -141,3 +141,61 @@ def test_server_qwen_vl_chat_with_image(qwen_vl):
         assert content == direct[0], (content, direct[0])
     finally:
         httpd.shutdown()
+
+
+@pytest.fixture(scope="module")
+def qwen3_vl(tmp_path_factory):
+    from transformers import Qwen3VLConfig
+    from transformers.models.qwen3_vl import (
+        Qwen3VLForConditionalGeneration)
+
+    cfg = Qwen3VLConfig(
+        text_config=dict(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+            num_attention_heads=2, num_key_value_heads=1, head_dim=16,
+            vocab_size=256, max_position_embeddings=256,
+            rope_theta=1000000.0,
+            rope_scaling={"rope_type": "default",
+                          "mrope_section": [2, 3, 3],
+                          "mrope_interleaved": True}),
+        vision_config=dict(
+            depth=3, hidden_size=32, intermediate_size=64, num_heads=2,
+            patch_size=14, temporal_patch_size=2, spatial_merge_size=2,
+            out_hidden_size=32, num_position_embeddings=16,
+            deepstack_visual_indexes=[0, 1], in_channels=3),
+        image_token_id=IMG, video_token_id=151,
+        vision_start_token_id=148, vision_end_token_id=149)
+    torch.manual_seed(0)
+    hf = Qwen3VLForConditionalGeneration(cfg)
+    hf.eval()
+    path = str(tmp_path_factory.mktemp("qwen3vlgen"))
+    hf.save_pretrained(path, safe_serialization=True)
+
+    from unsloth_tpu.models.vision import FastVisionModel
+
+    model, _ = FastVisionModel.from_pretrained(path, load_in_4bit=False,
+                                               dtype="float32")
+    return model, hf
+
+
+def test_qwen3_vl_generate_matches_hf(qwen3_vl):
+    """DeepStack injection + interleaved M-RoPE in the cached decode."""
+    model, hf = qwen3_vl
+    rng = np.random.RandomState(0)
+    grid = [(1, 8, 8)]
+    pixel = rng.randn(64, 3 * 2 * 14 * 14).astype(np.float32)
+    ids = [5, 6, 7, 148] + [IMG] * 16 + [149, 8, 9]
+    n = 8
+
+    with torch.no_grad():
+        hf_out = hf.generate(
+            input_ids=torch.tensor([ids]),
+            pixel_values=torch.tensor(pixel),
+            image_grid_thw=torch.tensor(grid),
+            max_new_tokens=n, do_sample=False)
+    want = hf_out[0, len(ids):].tolist()
+
+    got = model.generate([ids], images=pixel, grids=grid,
+                         max_new_tokens=n, temperature=0.0,
+                         return_token_ids=True)
+    assert got[0] == want, (got[0], want)

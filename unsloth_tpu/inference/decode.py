@@ -157,6 +157,7 @@ def forward_with_cache(
     inputs_embeds: Optional[jnp.ndarray] = None,
     image_spans: Optional[jnp.ndarray] = None,
     mrope_positions: Optional[jnp.ndarray] = None,
+    deepstack_embeds: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Run [B, T] tokens through the stack, writing k/v into cache slots
     [cache.length, cache.length+T) and attending to all valid slots.
@@ -361,6 +362,12 @@ def forward_with_cache(
         if cfg.use_post_norms and "post_ffw_norm" in layer_p:
             mlp = _norm(mlp, layer_p["post_ffw_norm"], cfg)
         x = x + (mlp * rm if rm is not None else mlp)
+        if deepstack_embeds is not None \
+                and i < deepstack_embeds.shape[0]:
+            # qwen3-vl DeepStack (prefill only): early-ViT merged
+            # features added after the first text layers, zero at text
+            # positions (mirrors models/decoder.py run_stack)
+            x = x + deepstack_embeds[i].astype(x.dtype)
 
     x = _norm(x, params["final_norm"], cfg)
     new_cache = KVCache(k=new_k, v=new_v, length=cache.length + t,

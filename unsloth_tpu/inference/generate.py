@@ -413,7 +413,8 @@ def generate_vision(model, prompts, images, sampling_params=None, *,
     jax.jit, static_argnames=("cfg", "max_new_tokens", "sampling"))
 def _generate_qwen_vl_jit(params, lora, embeds, mrope_pos, prompt_ids,
                           prompt_mask, cfg, rng, max_new_tokens, eos_ids,
-                          sampling: SamplingParams):
+                          sampling: SamplingParams,
+                          deepstack_embeds=None):
     """Qwen-VL cached decode: prefill with spliced image embeddings and
     M-RoPE [B, 3, T] positions; generated text tokens advance all three
     streams uniformly (HF get_rope_index semantics), which reduces to
@@ -434,7 +435,8 @@ def _generate_qwen_vl_jit(params, lora, embeds, mrope_pos, prompt_ids,
     h, cache = forward_with_cache(
         params, lora, prompt_ids, cfg, cache,
         positions=positions, kv_valid_extra=kv_valid_extra,
-        inputs_embeds=embeds, mrope_positions=mrope_pos)
+        inputs_embeds=embeds, mrope_positions=mrope_pos,
+        deepstack_embeds=deepstack_embeds)
     logits = logits_from_hidden(params, h[:, -1, :], cfg, lora)
     key0 = jax.random.PRNGKey(sampling.seed) if rng is None else rng
     tok0 = _sample(logits, key0, sampling)
@@ -537,6 +539,64 @@ def generate_qwen_vl(model, prompts, pixel_patches, grids,
         jnp.asarray(prompt_mask), model.cfg,
         jax.random.PRNGKey(sampling.seed), sampling.max_tokens, eos_ids,
         sampling)
+    out = np.asarray(jax.device_get(out))
+    eos_set = set(int(e) for e in eos)
+    results = []
+    for i in range(b):
+        ids = _trim_eos(out[i].tolist(), eos_set)
+        results.append(ids if return_token_ids or tok is None
+                       else tok.decode(
+                           ids, skip_special_tokens=skip_special_tokens))
+    return results
+
+
+def generate_qwen3_vl(model, prompts, pixel_patches, grids,
+                      sampling_params=None, *,
+                      max_new_tokens: Optional[int] = None,
+                      temperature: Optional[float] = None,
+                      tokenizer=None, skip_special_tokens: bool = True,
+                      return_token_ids: bool = False):
+    """Qwen3-VL generation: the qwen M-RoPE loop plus DeepStack
+    injection (early-ViT merged features added after the first text
+    layers during the prefill). embed_multimodal computes the
+    (interleaved) M-RoPE positions itself; a uniform left-pad shift is
+    harmless because rope attention depends only on position
+    differences."""
+    import dataclasses as _dc
+
+    sampling = sampling_params or SamplingParams()
+    if max_new_tokens is not None:
+        sampling = _dc.replace(sampling, max_tokens=max_new_tokens)
+    if temperature is not None:
+        sampling = _dc.replace(sampling, temperature=temperature)
+    tok = tokenizer or model.tokenizer
+
+    rows = [tok(p)["input_ids"] if isinstance(p, str) else list(p)
+            for p in prompts]
+    b = len(rows)
+    t_prompt = ((max(len(r) for r in rows) + 63) // 64) * 64
+    prompt_ids = np.zeros((b, t_prompt), np.int32)
+    prompt_mask = np.zeros((b, t_prompt), np.int32)
+    for i, r in enumerate(rows):
+        prompt_ids[i, t_prompt - len(r):] = r
+        prompt_mask[i, t_prompt - len(r):] = 1
+
+    ids_j = jnp.asarray(prompt_ids)
+    embeds, mpos, ds = model.embed_multimodal(
+        ids_j, jnp.asarray(pixel_patches), list(map(tuple, grids)))
+
+    eos = []
+    if tok is not None and getattr(tok, "eos_token_id", None) is not None:
+        eos.append(int(tok.eos_token_id))
+    if model.cfg.eos_token_id is not None:
+        eos.append(int(model.cfg.eos_token_id))
+    eos_ids = jnp.asarray(sorted(set(eos)), jnp.int32)
+
+    out = _generate_qwen_vl_jit(
+        model.params, model.lora, embeds, mpos, ids_j,
+        jnp.asarray(prompt_mask), model.cfg,
+        jax.random.PRNGKey(sampling.seed), sampling.max_tokens, eos_ids,
+        sampling, deepstack_embeds=ds)
     out = np.asarray(jax.device_get(out))
     eos_set = set(int(e) for e in eos)
     results = []

@@ -507,6 +507,17 @@ class Qwen3VLModel(VisionLanguageModel):
 
     spatial_merge_size: int = 2
 
+    def generate(self, prompts, *args, images=None, grids=None, **kw):
+        """Qwen3-VL generate: like QwenVLModel.generate, plus DeepStack
+        feature injection during the prefill
+        (inference/generate.generate_qwen3_vl)."""
+        if images is None:
+            return LanguageModel.generate(self, prompts, *args, **kw)
+        from ..inference.generate import generate_qwen3_vl
+
+        return generate_qwen3_vl(self, prompts, images, grids, *args,
+                                 **kw)
+
     def embed_multimodal(self, input_ids, pixel_values, grid_thw):
         """pixel_values [S, C*Tp*P*P] packed patches; grid_thw static.
         Returns (embeds, mrope_positions, deepstack_embeds [n,B,T,D])."""
