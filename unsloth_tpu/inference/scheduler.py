@@ -130,7 +130,8 @@ class ContinuousBatcher:
 
     def __init__(self, model, *, max_batch: int = 4, max_len: int = 512,
                  page_size: int = 64, n_pages: Optional[int] = None,
-                 prefix_caching: bool = False):
+                 prefix_caching: bool = False,
+                 speculative: bool = False, draft_len: int = 5):
         self.model = model
         cfg = model.cfg
         self.cfg = cfg
@@ -139,6 +140,13 @@ class ContinuousBatcher:
         self.page_size = page_size
         self.prefix_cache = (PrefixCache(page_size) if prefix_caching
                              else None)
+        # ngram speculative decoding inside the shared loop: drafts come
+        # from host-side bigram lookup over each request's own tokens;
+        # one [B, K] forward verifies every slot's block, and per-slot
+        # rewind is free because seq_lens/page positions are host state
+        # (rejected pool entries are simply overwritten next step).
+        self.speculative = speculative
+        self.draft_len = max(int(draft_len), 2) if speculative else 1
         max_pages_per_seq = -(-max_len // page_size)
         n_pages = n_pages or (1 + max_batch * max_pages_per_seq)
         self.cache = init_paged_cache(cfg, n_pages, page_size,
@@ -154,6 +162,7 @@ class ContinuousBatcher:
         self.requests: Dict[int, Request] = {}
         self._next_id = 0
         self._decode = jax.jit(self._decode_impl)
+        self._decode_block = jax.jit(self._decode_block_impl)
         self._prefill = jax.jit(self._prefill_impl,
                                 static_argnames=("t",))
 
@@ -175,6 +184,16 @@ class ContinuousBatcher:
 
         logits = logits_from_hidden(params, h, self.cfg, lora=lora)
         return jnp.argmax(logits[:, -1], axis=-1), cache
+
+    def _decode_block_impl(self, params, lora, ids, cache, positions):
+        """Speculative verify: greedy next-token for EVERY position of
+        the [B, K] block."""
+        h, cache = forward_paged(params, lora, ids, self.cfg, cache,
+                                 positions=positions)
+        from .decode import logits_from_hidden
+
+        logits = logits_from_hidden(params, h, self.cfg, lora=lora)
+        return jnp.argmax(logits, axis=-1), cache
 
     # -- host-side scheduling --------------------------------------------
 
@@ -266,6 +285,83 @@ class ContinuousBatcher:
                     self.prefix_cache.refs.get(p, 0) + 1
             req.reused_pages = cached_pages + adopted
 
+    @staticmethod
+    def _ngram_draft(toks: List[int], n: int) -> List[int]:
+        """Bigram prompt-lookup draft over the request's own tokens."""
+        if n <= 0:
+            return []
+        if len(toks) < 2:
+            return [toks[-1]] * n
+        prev, cur = toks[-2], toks[-1]
+        for j in range(len(toks) - 3, -1, -1):
+            if toks[j] == prev and toks[j + 1] == cur:
+                cont = list(toks[j + 2:j + 2 + n])
+                return cont + [cur] * (n - len(cont))
+        return [cur] * n
+
+    def _finish(self, i: int, req: Request):
+        req.done = True
+        self.alloc.free_seq(req.req_id)
+        if self.prefix_cache is not None:
+            self.prefix_cache.release(req.reused_pages)
+        self.slots[i] = None
+
+    def _step_spec(self, active: List[int]) -> int:
+        """Speculative decode step: one [B, K] verify forward; per-slot
+        acceptance + rewind are pure host bookkeeping (rejected pool
+        entries get overwritten when their positions are next written)."""
+        k = self.draft_len
+        ids = np.zeros((self.max_batch, k), np.int32)
+        positions = np.zeros((self.max_batch, k), np.int32)
+        table = self.page_table.copy()
+        drafts = {}
+        for i in range(self.max_batch):
+            req = self.slots[i]
+            if req is None:
+                table[i] = 0
+                continue
+            toks = req.prompt_ids + req.output_ids
+            d = self._ngram_draft(toks, k - 1)
+            drafts[i] = d
+            ids[i] = [toks[-1]] + d
+            positions[i] = self.seq_lens[i] - 1 + np.arange(k)
+
+        self.cache = dataclasses.replace(
+            self.cache, page_table=jnp.asarray(table),
+            seq_lens=jnp.asarray(self.seq_lens))
+        g, cache = self._decode_block(
+            self.model.params, self.model.lora, jnp.asarray(ids),
+            self.cache, jnp.asarray(positions))
+        self.cache = dataclasses.replace(
+            self.cache, k_pool=cache.k_pool, v_pool=cache.v_pool)
+        g = np.asarray(jax.device_get(g))
+
+        eos = self.cfg.eos_token_id
+        for i in active:
+            req = self.slots[i]
+            d = drafts[i]
+            a = 0
+            while a < k - 1 and d[a] == g[i, a]:
+                a += 1
+            cand = [int(t) for t in g[i, :a + 1]]
+            room = min(req.max_new_tokens - len(req.output_ids),
+                       self.max_len - int(self.seq_lens[i]))
+            cand = cand[:max(room, 0)]
+            emitted = []
+            for t in cand:
+                emitted.append(t)
+                if eos is not None and t == eos:
+                    break
+            req.output_ids.extend(emitted)
+            self.seq_lens[i] += len(emitted)
+            hit_eos = bool(emitted) and eos is not None \
+                and emitted[-1] == eos
+            full = len(req.output_ids) >= req.max_new_tokens
+            if hit_eos or full or self.seq_lens[i] >= self.max_len \
+                    or not emitted:
+                self._finish(i, req)
+        return len(active)
+
     def step(self) -> int:
         """Admit + advance one token; returns number of active slots."""
         for i in range(self.max_batch):
@@ -276,6 +372,8 @@ class ContinuousBatcher:
                   if self.slots[i] is not None]
         if not active:
             return 0
+        if self.speculative:
+            return self._step_spec(active)
 
         # batched single-token decode over ALL slots; inactive slots point
         # at the trash page
@@ -315,11 +413,7 @@ class ContinuousBatcher:
             full = len(req.output_ids) >= req.max_new_tokens
             if (eos is not None and tok == eos) or full \
                     or self.seq_lens[i] >= self.max_len:
-                req.done = True
-                self.alloc.free_seq(req.req_id)
-                if self.prefix_cache is not None:
-                    self.prefix_cache.release(req.reused_pages)
-                self.slots[i] = None
+                self._finish(i, req)
         return len(active)
 
     def run(self, max_steps: int = 10_000) -> Dict[int, List[int]]:

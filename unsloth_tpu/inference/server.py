@@ -64,7 +64,8 @@ class InferenceServer:
 
             self._batcher = BatcherThread(ContinuousBatcher(
                 model, max_batch=max_batch, max_len=max_len,
-                prefix_caching=prefix_caching))
+                prefix_caching=prefix_caching,
+                speculative=speculative))
 
     def _resolve_lora(self, body) -> Any:
         """OpenAI "model" field -> adapter tree. Unknown names keep the
