@@ -281,3 +281,20 @@ def test_spec_batcher_eos_and_reclaim(model):
         cb.submit([5, 6, 7, 8, 5, 6, 7, 8], max_new_tokens=5)
     cb.run()
     assert cb.alloc.pages_in_use() == used0
+
+
+def test_spec_plus_prefix_caching_compose(model):
+    """Both serving features on at once: cached prefix pages + block
+    verify + per-slot rewind still produce exact greedy outputs."""
+    prompt = list(np.random.RandomState(4).randint(3, 120, 80))
+    ref = _greedy_reference(model, prompt, 6)
+    cb = ContinuousBatcher(model, max_batch=1, max_len=256, page_size=32,
+                           prefix_caching=True, speculative=True,
+                           draft_len=4)
+    r1 = cb.submit(prompt, max_new_tokens=6)
+    out = cb.run()
+    assert out[r1] == ref
+    r2 = cb.submit(prompt, max_new_tokens=6)
+    out = cb.run()
+    assert out[r2] == ref
+    assert cb.requests[r2].cached_tokens == 64

@@ -90,6 +90,9 @@ _LAZY = {
     "PatchFastRL": ("unsloth_tpu.trainer.grpo", "PatchFastRL"),
     "SamplingParams": ("unsloth_tpu.inference.generate",
                        "SamplingParams"),
+    "load_gguf": ("unsloth_tpu.export.gguf_loader", "load_gguf"),
+    "InferenceServer": ("unsloth_tpu.inference.server",
+                        "InferenceServer"),
     "vLLMSamplingParams": ("unsloth_tpu.inference.generate",
                            "SamplingParams"),
 }
