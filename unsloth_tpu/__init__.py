@@ -87,6 +87,8 @@ _LAZY = {
                          "OnlineDPOTrainer"),
     "OnlineDPOConfig": ("unsloth_tpu.trainer.online_dpo",
                         "OnlineDPOConfig"),
+    "GKDTrainer": ("unsloth_tpu.trainer.gkd", "GKDTrainer"),
+    "GKDConfig": ("unsloth_tpu.trainer.gkd", "GKDConfig"),
     "PatchFastRL": ("unsloth_tpu.trainer.grpo", "PatchFastRL"),
     "SamplingParams": ("unsloth_tpu.inference.generate",
                        "SamplingParams"),

@@ -3,6 +3,7 @@ from .dpo import (CPOConfig, CPOTrainer, DPOConfig, DPOTrainer,
                   PatchDPOTrainer)
 from .grpo import (GRPOConfig, GRPOTrainer, PatchFastRL, RLOOConfig,
                    RLOOTrainer)
+from .gkd import GKDConfig, GKDTrainer
 from .online_dpo import OnlineDPOConfig, OnlineDPOTrainer
 from .reward import RewardConfig, RewardTrainer
 from .sft import (SFTConfig, SFTTrainer, TrainOutput, build_optimizer,
@@ -26,4 +27,5 @@ __all__ = [
     "RewardConfig", "RewardTrainer",
     "RLOOConfig", "RLOOTrainer",
     "OnlineDPOConfig", "OnlineDPOTrainer",
+    "GKDConfig", "GKDTrainer",
 ]
