@@ -89,6 +89,8 @@ _LAZY = {
                         "OnlineDPOConfig"),
     "GKDTrainer": ("unsloth_tpu.trainer.gkd", "GKDTrainer"),
     "GKDConfig": ("unsloth_tpu.trainer.gkd", "GKDConfig"),
+    "PPOTrainer": ("unsloth_tpu.trainer.ppo", "PPOTrainer"),
+    "PPOConfig": ("unsloth_tpu.trainer.ppo", "PPOConfig"),
     "PatchFastRL": ("unsloth_tpu.trainer.grpo", "PatchFastRL"),
     "SamplingParams": ("unsloth_tpu.inference.generate",
                        "SamplingParams"),

@@ -4,6 +4,7 @@ from .dpo import (CPOConfig, CPOTrainer, DPOConfig, DPOTrainer,
 from .grpo import (GRPOConfig, GRPOTrainer, PatchFastRL, RLOOConfig,
                    RLOOTrainer)
 from .gkd import GKDConfig, GKDTrainer
+from .ppo import PPOConfig, PPOTrainer
 from .online_dpo import OnlineDPOConfig, OnlineDPOTrainer
 from .reward import RewardConfig, RewardTrainer
 from .sft import (SFTConfig, SFTTrainer, TrainOutput, build_optimizer,
@@ -28,4 +29,5 @@ __all__ = [
     "RLOOConfig", "RLOOTrainer",
     "OnlineDPOConfig", "OnlineDPOTrainer",
     "GKDConfig", "GKDTrainer",
+    "PPOConfig", "PPOTrainer",
 ]
