@@ -183,7 +183,8 @@ def test_research_http_routes(tmp_path):
         code, out = _req(url, f"/api/research/{rid}/approve",
                          {"plan_revision": run["plan_revision"],
                           "plan_hash": run["plan_hash"]})
-        assert code == 200 and out["status"] == "running"
+        # the worker thread may already have finished under load
+        assert code == 200 and out["status"] in ("running", "completed")
         srv.research.wait(rid)
 
         code, got = _req(url, f"/api/research/{rid}")
