@@ -270,3 +270,23 @@ def test_dryrun_after_backend_already_initialized():
                        capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, f"stdout={r.stdout}\nstderr={r.stderr}"
     assert "OK" in r.stdout
+
+
+def test_host_local_batch_and_init_distributed():
+    """Multi-host helpers: init_distributed is a single-process no-op;
+    host_local_batch assembles global batch arrays with ("dp","fsdp")
+    sharding (works unchanged single-process)."""
+    import numpy as np
+
+    from unsloth_tpu.parallel.mesh import (create_mesh, host_local_batch,
+                                           init_distributed)
+
+    assert init_distributed() == jax.process_index() == 0
+    mesh = create_mesh(dp=2, fsdp=4, tp=1)
+    batch = {"input_ids": np.arange(8 * 16).reshape(8, 16).astype(np.int32),
+             "labels": np.ones((8, 16), np.int32)}
+    global_batch = host_local_batch(mesh, batch)
+    for k, v in global_batch.items():
+        assert v.shape == batch[k].shape
+        np.testing.assert_array_equal(np.asarray(v), batch[k])
+        assert len(v.sharding.device_set) == 8

@@ -80,6 +80,57 @@ def single_device_mesh() -> Mesh:
     return create_mesh(dp=1, fsdp=1, tp=1, devices=jax.devices()[:1])
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host initialization (SURVEY §2j: `jax.distributed` + one
+    mesh over ICI/DCN replaces the reference's per-rank torchrun
+    device_map, loader_utils.py:73-106).
+
+    On TPU pods `jax.distributed.initialize()` auto-detects everything;
+    explicit args (or JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID env) override for CPU/GPU clusters. Idempotent; a
+    single-process run is a no-op. Returns this host's process index.
+    """
+    import os
+
+    if jax.process_count() > 1 or getattr(
+            jax.distributed, "is_initialized", lambda: False)():
+        return jax.process_index()
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    env_np = os.environ.get("JAX_NUM_PROCESSES")
+    env_pid = os.environ.get("JAX_PROCESS_ID")
+    if coordinator_address is None and env_np is None:
+        # single host (or a TPU pod where initialize() self-detects);
+        # only auto-call on real TPU pods to keep CPU tests cheap
+        return jax.process_index()
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=(num_processes if num_processes is not None
+                           else int(env_np) if env_np else None),
+            process_id=(process_id if process_id is not None
+                        else int(env_pid) if env_pid else None))
+    except RuntimeError:
+        pass  # already initialized
+    return jax.process_index()
+
+
+def host_local_batch(mesh: Mesh, batch: Dict[str, "np.ndarray"],
+                     rules: Optional[ShardingRules] = None):
+    """Turn per-HOST numpy batch shards into global sharded arrays
+    (multi-host data loading: every host tokenizes its own slice of the
+    dataset; `jax.make_array_from_process_local_data` assembles the
+    global batch over the ("dp","fsdp") axes without gathering to one
+    host). Works unchanged single-process."""
+    sharding = batch_sharding(mesh, rules)
+    return {
+        k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+        for k, v in batch.items()
+    }
+
+
 # ---------------------------------------------------------------------------
 # Logical-axis rules
 # ---------------------------------------------------------------------------
