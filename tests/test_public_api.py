@@ -18,6 +18,7 @@ EXPECTED_TOP_LEVEL = {
     "PPOTrainer", "PPOConfig",
     "RewardTrainer", "RewardConfig",
     "GKDTrainer", "GKDConfig",
+    "PRMTrainer", "PRMConfig",
     # data / generation / export
     "SamplingParams", "vLLMSamplingParams",
     "load_gguf", "InferenceServer",

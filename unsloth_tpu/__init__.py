@@ -91,6 +91,8 @@ _LAZY = {
     "GKDConfig": ("unsloth_tpu.trainer.gkd", "GKDConfig"),
     "PPOTrainer": ("unsloth_tpu.trainer.ppo", "PPOTrainer"),
     "PPOConfig": ("unsloth_tpu.trainer.ppo", "PPOConfig"),
+    "PRMTrainer": ("unsloth_tpu.trainer.prm", "PRMTrainer"),
+    "PRMConfig": ("unsloth_tpu.trainer.prm", "PRMConfig"),
     "PatchFastRL": ("unsloth_tpu.trainer.grpo", "PatchFastRL"),
     "SamplingParams": ("unsloth_tpu.inference.generate",
                        "SamplingParams"),

@@ -5,6 +5,7 @@ from .grpo import (GRPOConfig, GRPOTrainer, PatchFastRL, RLOOConfig,
                    RLOOTrainer)
 from .gkd import GKDConfig, GKDTrainer
 from .ppo import PPOConfig, PPOTrainer
+from .prm import PRMConfig, PRMTrainer
 from .online_dpo import OnlineDPOConfig, OnlineDPOTrainer
 from .reward import RewardConfig, RewardTrainer
 from .sft import (SFTConfig, SFTTrainer, TrainOutput, build_optimizer,
@@ -30,4 +31,5 @@ __all__ = [
     "OnlineDPOConfig", "OnlineDPOTrainer",
     "GKDConfig", "GKDTrainer",
     "PPOConfig", "PPOTrainer",
+    "PRMConfig", "PRMTrainer",
 ]
