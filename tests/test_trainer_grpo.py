@@ -409,3 +409,49 @@ def test_rloo_end_to_end(model):
     out = tr.train()
     assert out.global_step == 2
     assert np.isfinite(out.training_loss)
+
+
+# ---------------------------------------------------------------------------
+# BCO — unpaired preference with a running-mean baseline
+# ---------------------------------------------------------------------------
+
+def test_bco_loss_math():
+    from unsloth_tpu.trainer.dpo import bco_loss
+
+    logps = jnp.asarray([-1.0, -3.0])
+    ref = jnp.asarray([-2.0, -2.0])
+    labels = jnp.asarray([1, 0])
+    loss, rewards = bco_loss(logps, ref, labels, jnp.float32(0.0),
+                             beta=0.5)
+    # rewards: 0.5*(1), 0.5*(-1) = [0.5, -0.5]
+    np.testing.assert_allclose(np.asarray(rewards), [0.5, -0.5],
+                               rtol=1e-6)
+    import math
+    want = (-math.log(1 / (1 + math.exp(-0.5)))     # desirable, r=0.5
+            - math.log(1 / (1 + math.exp(-0.5)))    # undesirable, -r=0.5
+            ) / 2
+    np.testing.assert_allclose(float(loss), want, rtol=1e-5)
+    # a positive delta makes desirable rows harder, undesirable easier
+    loss_hi, _ = bco_loss(logps, ref, labels, jnp.float32(0.5), beta=0.5)
+    assert not np.isclose(float(loss_hi), float(loss))
+
+
+def test_bco_end_to_end(model):
+    from unsloth_tpu.trainer.dpo import BCOConfig, BCOTrainer
+
+    ds = [{"prompt": "ab", "completion": "zzzz", "label": True},
+          {"prompt": "cd", "completion": "aaaa", "label": False},
+          {"prompt": "ef", "completion": "zzz", "label": True},
+          {"prompt": "gh", "completion": "aaa", "label": False}]
+    args = BCOConfig(per_device_train_batch_size=4, max_steps=8,
+                     max_prompt_length=8, max_completion_length=8,
+                     learning_rate=5e-3, logging_steps=1, warmup_steps=0,
+                     lr_scheduler_type="constant", report_to="none")
+    tr = BCOTrainer(model, args=args, train_dataset=ds)
+    out = tr.train()
+    assert out.global_step == 8
+    assert np.isfinite(out.training_loss)
+    last = tr.state_log[-1]
+    # desirable completions end up above the baseline, undesirable below
+    assert last["rewards/chosen"] > last["rewards/rejected"]
+    assert "delta" in last

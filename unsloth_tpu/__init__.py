@@ -93,6 +93,8 @@ _LAZY = {
     "PPOConfig": ("unsloth_tpu.trainer.ppo", "PPOConfig"),
     "PRMTrainer": ("unsloth_tpu.trainer.prm", "PRMTrainer"),
     "PRMConfig": ("unsloth_tpu.trainer.prm", "PRMConfig"),
+    "BCOTrainer": ("unsloth_tpu.trainer.dpo", "BCOTrainer"),
+    "BCOConfig": ("unsloth_tpu.trainer.dpo", "BCOConfig"),
     "PatchFastRL": ("unsloth_tpu.trainer.grpo", "PatchFastRL"),
     "SamplingParams": ("unsloth_tpu.inference.generate",
                        "SamplingParams"),

@@ -1,6 +1,6 @@
-from .dpo import (CPOConfig, CPOTrainer, DPOConfig, DPOTrainer,
-                  KTOConfig, KTOTrainer, ORPOConfig, ORPOTrainer,
-                  PatchDPOTrainer)
+from .dpo import (BCOConfig, BCOTrainer, CPOConfig, CPOTrainer,
+                  DPOConfig, DPOTrainer, KTOConfig, KTOTrainer,
+                  ORPOConfig, ORPOTrainer, PatchDPOTrainer)
 from .grpo import (GRPOConfig, GRPOTrainer, PatchFastRL, RLOOConfig,
                    RLOOTrainer)
 from .gkd import GKDConfig, GKDTrainer
@@ -32,4 +32,5 @@ __all__ = [
     "GKDConfig", "GKDTrainer",
     "PPOConfig", "PPOTrainer",
     "PRMConfig", "PRMTrainer",
+    "BCOConfig", "BCOTrainer",
 ]

@@ -492,3 +492,105 @@ class ORPOTrainer(DPOTrainer):
         ref_fn = jax.jit(lambda params, ids, targets, pixels=None:
                          jnp.zeros((ids.shape[0],), jnp.float32))
         return jax.jit(step, donate_argnums=(0, 1)), ref_fn
+
+
+# ---------------------------------------------------------------------------
+# BCO — Binary Classifier Optimization (KTO's unpaired sibling with a
+# running-mean reward baseline). Reference patches TRL's bco_trainer
+# generically (models/rl.py:2286-2299); native here.
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class BCOConfig(DPOConfig):
+    """TRL-BCOConfig-compatible surface (subset).
+
+    delta (the reward baseline) is the RUNNING MEAN of beta*logratio
+    across training, updated each step (TRL's running delta; the UDM
+    classifier variant is not implemented)."""
+
+    running_delta_momentum: float = 0.99
+
+
+def bco_loss(policy_logps, ref_logps, labels, delta, *, beta: float):
+    """Unpaired BCO: -logsigmoid(r - delta) for desirable rows,
+    -logsigmoid(-(r - delta)) for undesirable, r = beta*logratio."""
+    rewards = beta * (policy_logps - ref_logps)
+    centered = rewards - delta
+    lab = labels.astype(jnp.float32)
+    per = -(lab * jax.nn.log_sigmoid(centered)
+            + (1 - lab) * jax.nn.log_sigmoid(-centered))
+    return jnp.mean(per), rewards
+
+
+class BCOTrainer(KTOTrainer):
+    """BCOTrainer(model=..., args=BCOConfig(...), train_dataset=
+    [{"prompt", "completion", "label"}], processing_class=tok)."""
+
+    def __init__(self, model, args: Optional[BCOConfig] = None, **kw):
+        super().__init__(model, args=args or BCOConfig(), **kw)
+
+    def train(self):
+        args = self.args
+        model = self.model
+        assert model.lora is not None, "BCO requires get_peft_model (LoRA)"
+        total = args.max_steps if args.max_steps > 0 else max(
+            len(self.train_dataset) // args.per_device_train_batch_size, 1)
+        tx, _ = build_optimizer(args, total)
+        opt_state = tx.init(model.lora)
+        cfg = model.cfg
+
+        def seq_logps(lora, params, ids, targets):
+            per_tok = grpo_per_token_logps(params, lora, ids, targets, cfg)
+            return jnp.sum(jnp.where(targets != -100, per_tok, 0.0), -1)
+
+        ref_fn = jax.jit(lambda params, ids, tg:
+                         seq_logps(None, params, ids, tg))
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(lora, opt_state, params, ids, targets, ref, delta,
+                 labels):
+            def lf(lora):
+                logps = seq_logps(lora, params, ids, targets)
+                return bco_loss(logps, ref, labels, delta, beta=args.beta)
+
+            (loss, rewards), grads = jax.value_and_grad(
+                lf, has_aux=True)(lora)
+            updates, opt_state = tx.update(grads, opt_state, lora)
+            return (optax.apply_updates(lora, updates), opt_state, loss,
+                    rewards)
+
+        bsz = args.per_device_train_batch_size
+        ds = self.train_dataset
+        mom = args.running_delta_momentum
+        delta = 0.0
+        t0 = time.time()
+        idx = 0
+        for s in range(total):
+            batch = [ds[(idx + j) % len(ds)] for j in range(bsz)]
+            idx += bsz
+            ids, targets, _, _, labels = self._build_batch(batch)
+            ref = jax.lax.stop_gradient(ref_fn(model.params, ids, targets))
+            model.lora, opt_state, loss, rewards = step(
+                model.lora, opt_state, model.params, ids, targets, ref,
+                jnp.float32(delta), labels)
+            batch_mean = float(np.asarray(rewards).mean())
+            delta = (mom * delta + (1 - mom) * batch_mean) if s else \
+                batch_mean
+            if (s + 1) % args.logging_steps == 0 or s == 0:
+                lab = np.asarray(labels)
+                rew = np.asarray(rewards)
+                self.state_log.append({
+                    "loss": float(loss),
+                    "delta": float(delta),
+                    "rewards/chosen": float(rew[lab == 1].mean())
+                    if (lab == 1).any() else 0.0,
+                    "rewards/rejected": float(rew[lab == 0].mean())
+                    if (lab == 0).any() else 0.0,
+                    "step": s + 1,
+                })
+        from .sft import TrainOutput
+
+        losses = [e["loss"] for e in self.state_log]
+        return TrainOutput(total, float(np.mean(losses)) if losses
+                           else float("nan"),
+                           {"train_runtime": time.time() - t0})
