@@ -19,6 +19,7 @@ EXPECTED_TOP_LEVEL = {
     "RewardTrainer", "RewardConfig",
     "GKDTrainer", "GKDConfig",
     "PRMTrainer", "PRMConfig",
+    "BCOTrainer", "BCOConfig",
     # data / generation / export
     "SamplingParams", "vLLMSamplingParams",
     "load_gguf", "InferenceServer",
