@@ -87,6 +87,52 @@ def test_completions_endpoint(server):
     assert body["object"] == "text_completion"
 
 
+def test_responses_endpoint(server):
+    """/v1/responses (OpenAI Responses API): string input, instructions,
+    and structured input items all resolve; output matches the chat path
+    at temperature 0."""
+    code, body = _post(server, "/v1/responses", {
+        "model": "tiny-test", "input": "hi",
+        "max_output_tokens": 8, "temperature": 0})
+    assert code == 200
+    assert body["object"] == "response"
+    assert body["status"] == "completed"
+    msg = body["output"][0]
+    assert msg["type"] == "message" and msg["role"] == "assistant"
+    assert msg["content"][0]["type"] == "output_text"
+    assert body["output_text"] == msg["content"][0]["text"]
+    assert body["usage"]["total_tokens"] > 0
+
+    # structured input items + instructions == equivalent chat messages
+    code, structured = _post(server, "/v1/responses", {
+        "instructions": "be brief",
+        "input": [{"role": "user", "content": [
+            {"type": "input_text", "text": "hi"}]}],
+        "max_output_tokens": 8, "temperature": 0})
+    assert code == 200
+    _, chat = _post(server, "/v1/chat/completions", {
+        "messages": [{"role": "system", "content": "be brief"},
+                     {"role": "user", "content": "hi"}],
+        "max_tokens": 8, "temperature": 0})
+    assert structured["output_text"] == \
+        chat["choices"][0]["message"]["content"]
+
+
+def test_responses_streaming(server):
+    events = _post_sse(server, "/v1/responses",
+                       {"input": "hi", "max_output_tokens": 16,
+                        "temperature": 0.0, "stream": True})
+    kinds = [e for e, _ in events]
+    assert kinds[0] == "response.created"
+    assert "response.output_text.delta" in kinds
+    assert kinds[-1] == "response.completed"
+    done = json.loads(events[-1][1])
+    assert done["response"]["status"] == "completed"
+    text = "".join(json.loads(d)["delta"] for e, d in events
+                   if e == "response.output_text.delta")
+    assert done["response"]["output"][0]["content"][0]["text"] == text
+
+
 def test_error_paths(server):
     code, body = _post(server, "/v1/chat/completions", {})
     assert code == 400

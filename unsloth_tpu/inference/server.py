@@ -365,6 +365,85 @@ class InferenceServer:
                          "finish_reason": "stop"}],
         }
 
+    @staticmethod
+    def _responses_messages(body) -> list:
+        """OpenAI Responses API `input`/`instructions` -> chat messages.
+
+        `input` is either a bare string (one user turn) or a list of
+        role/content items whose content blocks use the Responses block
+        types (input_text / output_text / input_image); those are mapped
+        onto the chat-completions block types so the multimodal splitter
+        applies unchanged. Reference surface: studio
+        `core/inference/inference.py` exposes /v1/responses alongside
+        /v1/chat/completions.
+        """
+        messages = []
+        if body.get("instructions"):
+            messages.append({"role": "system",
+                             "content": body["instructions"]})
+        inp = body.get("input", "")
+        if isinstance(inp, str):
+            messages.append({"role": "user", "content": inp})
+            return messages
+        for item in inp:
+            if item.get("type") not in (None, "message"):
+                continue  # tool/function items are not served natively
+            content = item.get("content", "")
+            if isinstance(content, list):
+                blocks = []
+                for b in content:
+                    t = b.get("type")
+                    if t in ("input_text", "output_text", "text"):
+                        blocks.append({"type": "text",
+                                       "text": b.get("text", "")})
+                    elif t == "input_image":
+                        blocks.append({"type": "image_url", "image_url":
+                                       {"url": b.get("image_url", "")}})
+                content = blocks
+            messages.append({"role": item.get("role", "user"),
+                             "content": content})
+        return messages
+
+    def _responses_params(self, body) -> SamplingParams:
+        return SamplingParams(
+            max_tokens=int(body.get("max_output_tokens", 256)),
+            temperature=float(body.get("temperature", 0.7)),
+            top_p=float(body.get("top_p", 1.0)),
+        )
+
+    def responses(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        """/v1/responses (OpenAI Responses API), non-streaming."""
+        messages = self._responses_messages(body)
+        params = self._responses_params(body)
+        if any(isinstance(m.get("content"), list) for m in messages):
+            norm, images = self._split_multimodal(messages)
+            prompt = self._render(norm)
+            text = self._gen_multimodal(norm, images, params)
+        else:
+            prompt = self._render(messages)
+            text = self._gen_text(prompt, params,
+                                  lora=self._resolve_lora(body))
+        n_in = len(self.tokenizer(prompt)["input_ids"])
+        n_out = len(self.tokenizer(text)["input_ids"])
+        return {
+            "id": f"resp_{uuid.uuid4().hex[:16]}",
+            "object": "response",
+            "created_at": int(time.time()),
+            "status": "completed",
+            "model": body.get("model", self.model_name),
+            "output": [{
+                "type": "message",
+                "id": f"msg_{uuid.uuid4().hex[:16]}",
+                "status": "completed",
+                "role": "assistant",
+                "content": [{"type": "output_text", "text": text,
+                             "annotations": []}],
+            }],
+            "output_text": text,
+            "usage": {"input_tokens": n_in, "output_tokens": n_out,
+                      "total_tokens": n_in + n_out},
+        }
+
     def embeddings(self, body: Dict[str, Any]) -> Dict[str, Any]:
         """/v1/embeddings (OpenAI shape) backed by the embed model
         (a FastSentenceTransformer handle passed as `embed_model`, or
@@ -477,6 +556,57 @@ class InferenceServer:
                     "index": 0, "text": "", "finish_reason": "stop"}]})
                 self._sse("[DONE]")
 
+            def _stream_responses(self, body):
+                """Responses API streaming event sequence
+                (response.created .. response.output_text.delta ..
+                response.completed)."""
+                messages = server._responses_messages(body)
+                params = server._responses_params(body)
+                prompt = server._render(messages)
+                rid = f"resp_{uuid.uuid4().hex[:16]}"
+                mid = f"msg_{uuid.uuid4().hex[:16]}"
+                shell = {"id": rid, "object": "response",
+                         "created_at": int(time.time()),
+                         "model": body.get("model", server.model_name)}
+                self._sse_start()
+                self._sse({"type": "response.created",
+                           "response": {**shell, "status": "in_progress",
+                                        "output": []}},
+                          event="response.created")
+                self._sse({"type": "response.output_item.added",
+                           "output_index": 0,
+                           "item": {"type": "message", "id": mid,
+                                    "status": "in_progress",
+                                    "role": "assistant", "content": []}},
+                          event="response.output_item.added")
+                text = ""
+                for delta in server._gen_stream(
+                        prompt, params,
+                        lora=server._resolve_lora(body)):
+                    text += delta
+                    self._sse({"type": "response.output_text.delta",
+                               "item_id": mid, "output_index": 0,
+                               "content_index": 0, "delta": delta},
+                              event="response.output_text.delta")
+                self._sse({"type": "response.output_text.done",
+                           "item_id": mid, "output_index": 0,
+                           "content_index": 0, "text": text},
+                          event="response.output_text.done")
+                n_in = len(server.tokenizer(prompt)["input_ids"])
+                n_out = len(server.tokenizer(text)["input_ids"])
+                self._sse({"type": "response.completed", "response": {
+                    **shell, "status": "completed",
+                    "output": [{"type": "message", "id": mid,
+                                "status": "completed",
+                                "role": "assistant",
+                                "content": [{"type": "output_text",
+                                             "text": text,
+                                             "annotations": []}]}],
+                    "usage": {"input_tokens": n_in,
+                              "output_tokens": n_out,
+                              "total_tokens": n_in + n_out}}},
+                          event="response.completed")
+
             def _stream_anthropic(self, body):
                 """Anthropic Messages streaming event sequence
                 (message_start .. content_block_delta .. message_stop),
@@ -542,6 +672,10 @@ class InferenceServer:
                         if stream:
                             return self._stream_completions(body)
                         return self._send(200, server.completions(body))
+                    if self.path == "/v1/responses":
+                        if stream:
+                            return self._stream_responses(body)
+                        return self._send(200, server.responses(body))
                     if self.path == "/v1/embeddings":
                         return self._send(200, server.embeddings(body))
                     return self._send(404, {"error": "not found"})
