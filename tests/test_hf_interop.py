@@ -182,3 +182,34 @@ def test_checkpoint_validation_catches_truncation(tmp_path):
     assert not v["ok"] and v["error"]
     with pytest.raises(ValueError, match="validation failed"):
         load_params(ckpt)
+
+
+def test_push_to_hub_stages_then_uploads(llama_ckpt, tmp_path,
+                                         monkeypatch):
+    """push_to_hub_merged/gguf (reference: save.py:2368,:3395): the
+    artifact is staged locally first, the uploader gets the staged
+    folder, and an upload failure reports the staged path instead of
+    losing the export."""
+    from unsloth_tpu.export import save as save_mod
+
+    monkeypatch.setenv("UNSLOTH_CACHE_DIR", str(tmp_path / "cache"))
+    calls = []
+    monkeypatch.setattr(save_mod, "_hub_upload",
+                        lambda repo, folder, token=None, private=False:
+                        calls.append((repo, folder)))
+    model, tok = FastLanguageModel.from_pretrained(
+        llama_ckpt, load_in_4bit=False, dtype="float32")
+    staged = model.push_to_hub_merged("me/tiny-merged", tokenizer=tok)
+    assert calls[0][0] == "me/tiny-merged" and calls[0][1] == staged
+    assert os.path.exists(os.path.join(staged, "model.safetensors"))
+
+    staged_g = model.push_to_hub_gguf("me/tiny-gguf",
+                                      quantization_method="q8_0")
+    assert any(f.endswith(".gguf") for f in os.listdir(staged_g))
+
+    # failed upload (e.g. offline) -> clear error carrying the staging dir
+    def boom(*a, **kw):
+        raise OSError("no network")
+    monkeypatch.setattr(save_mod, "_hub_upload", boom)
+    with pytest.raises(RuntimeError, match="staged at"):
+        model.push_to_hub_merged("me/tiny-merged2")

@@ -355,3 +355,23 @@ def test_embeddings_endpoint():
         assert code == 200 and len(one["data"]) == 1
     finally:
         httpd.shutdown()
+
+
+def test_cli_inference_one_shot(tmp_path, capsys):
+    """`unsloth inference` (reference CLI subcommand roster): one-shot
+    prompt -> completion on stdout, rc 0."""
+    from tests.helpers import TINY_LLAMA, make_hf_checkpoint
+    from tests.test_gguf_loader import _make_bpe_tokenizer_json
+    from unsloth_tpu.cli import main
+
+    ckpt = str(tmp_path / "ckpt")
+    cfg = dict(TINY_LLAMA)
+    cfg["vocab_size"] = 320   # >= the tiny BPE's trained vocab
+    cfg["bos_token_id"], cfg["eos_token_id"] = 0, 1
+    make_hf_checkpoint(ckpt, cfg)
+    _make_bpe_tokenizer_json(ckpt)
+    rc = main(["inference", "--model_name", ckpt, "--prompt", "ab",
+               "--max_new_tokens", "4"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert isinstance(out, str)

@@ -174,9 +174,33 @@ def cmd_chat(args) -> int:
         out = model.generate(
             [prompt],
             SamplingParams(max_tokens=args.max_new_tokens,
-                           temperature=args.temperature))[0]
+                           temperature=args.temperature),
+            tokenizer=tokenizer)[0]
         print(f"model> {out}")
         history.append({"role": "assistant", "content": out})
+    return 0
+
+
+def cmd_inference(args) -> int:
+    """One-shot generation (reference: `unsloth inference` subcommand —
+    prompt in, completion out, no REPL)."""
+    from .inference.generate import SamplingParams
+    from .models.loader import FastLanguageModel
+
+    model, tokenizer = FastLanguageModel.from_pretrained(
+        args.model_name, load_in_4bit=args.load_in_4bit)
+    model.for_inference()
+    prompt = args.prompt
+    if args.chat and getattr(tokenizer, "chat_template", None):
+        prompt = tokenizer.apply_chat_template(
+            [{"role": "user", "content": prompt}], tokenize=False,
+            add_generation_prompt=True)
+    out = model.generate(
+        [prompt],
+        SamplingParams(max_tokens=args.max_new_tokens,
+                       temperature=args.temperature),
+        tokenizer=tokenizer)[0]
+    print(out)
     return 0
 
 
@@ -296,6 +320,15 @@ def main(argv=None) -> int:
     p_chat.add_argument("--max_new_tokens", type=int, default=256)
     p_chat.add_argument("--temperature", type=float, default=0.7)
 
+    p_inf = sub.add_parser("inference", help="one-shot generation")
+    p_inf.add_argument("--model_name", required=True)
+    p_inf.add_argument("--prompt", required=True)
+    p_inf.add_argument("--load_in_4bit", action="store_true", default=True)
+    p_inf.add_argument("--max_new_tokens", type=int, default=256)
+    p_inf.add_argument("--temperature", type=float, default=0.0)
+    p_inf.add_argument("--chat", action="store_true",
+                       help="wrap the prompt in the chat template")
+
     p_export = sub.add_parser("export", help="merge/export a model")
     p_export.add_argument("--model_name", required=True)
     p_export.add_argument("--adapter", default=None)
@@ -359,6 +392,7 @@ def main(argv=None) -> int:
     return {
         "train": cmd_train,
         "chat": cmd_chat,
+        "inference": cmd_inference,
         "export": cmd_export,
         "models": cmd_models,
         "serve": cmd_serve,

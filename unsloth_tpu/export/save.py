@@ -111,6 +111,77 @@ def save_pretrained_merged(model, path: str, tokenizer=None,
 
 
 # ---------------------------------------------------------------------------
+# Hub push (reference: save.py:2368 unsloth_push_to_hub_merged,
+# :3395 unsloth_push_to_hub_gguf, :2529-2679 repo create/upload)
+# ---------------------------------------------------------------------------
+
+
+def _hub_upload(repo_id: str, folder: str, token=None,
+                private: bool = False):
+    """Create the repo and upload `folder`. Module-level so tests (and
+    offline users) can stub it; raises with the staged path preserved."""
+    from huggingface_hub import HfApi
+
+    api = HfApi(token=token)
+    api.create_repo(repo_id, private=private, exist_ok=True)
+    api.upload_folder(repo_id=repo_id, folder_path=folder)
+
+
+def _staging_dir(repo_id: str) -> str:
+    base = os.path.join(
+        os.path.expanduser(os.environ.get("UNSLOTH_CACHE_DIR",
+                                          "~/.cache/unsloth_tpu")),
+        "hub_staging", repo_id.replace("/", "--"))
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
+def _push_staged(repo_id: str, staged: str, token, private) -> str:
+    try:
+        _hub_upload(repo_id, staged, token=token, private=private)
+    except Exception as e:  # noqa: BLE001 — offline/auth failures
+        raise RuntimeError(
+            f"Upload to '{repo_id}' failed ({type(e).__name__}: {e}). "
+            f"The export itself succeeded and is staged at: {staged}"
+        ) from e
+    return staged
+
+
+def push_to_hub_merged(model, repo_id: str, tokenizer=None,
+                       save_method: str = "merged_16bit",
+                       token=None, private: bool = False, **kw):
+    """Merge + upload to the Hub (reference: save.py:2368). The artifact
+    is always materialized locally first (staging dir), so a failed
+    upload never loses the merge."""
+    staged = _staging_dir(repo_id)
+    save_pretrained_merged(model, staged, tokenizer=tokenizer,
+                           save_method=save_method, **kw)
+    return _push_staged(repo_id, staged, token, private)
+
+
+def push_to_hub_gguf(model, repo_id: str, tokenizer=None,
+                     quantization_method: str = "q8_0",
+                     token=None, private: bool = False, **kw):
+    """GGUF quantize + upload (reference: save.py:3395)."""
+    from .gguf import save_pretrained_gguf
+
+    staged = _staging_dir(repo_id)
+    save_pretrained_gguf(model, staged,
+                         quantization_method=quantization_method,
+                         tokenizer=tokenizer, **kw)
+    return _push_staged(repo_id, staged, token, private)
+
+
+def push_to_hub_lora(model, repo_id: str, token=None,
+                     private: bool = False):
+    """Adapter-only upload (reference: save.py push_to_hub with
+    save_method='lora')."""
+    staged = _staging_dir(repo_id)
+    save_lora(model, staged)
+    return _push_staged(repo_id, staged, token, private)
+
+
+# ---------------------------------------------------------------------------
 # peft-format LoRA adapter
 # ---------------------------------------------------------------------------
 

@@ -97,6 +97,32 @@ class LanguageModel:
         return save_pretrained_merged(self, path, tokenizer=tokenizer,
                                       save_method=save_method, **kw)
 
+    def save_pretrained_gguf(self, path: str,
+                             tokenizer=None,
+                             quantization_method: str = "q8_0", **kw):
+        """GGUF export (reference: save.py:2940 binds
+        .save_pretrained_gguf on the model)."""
+        from ..export.gguf import save_pretrained_gguf
+
+        return save_pretrained_gguf(
+            self, path, quantization_method=quantization_method,
+            tokenizer=tokenizer or self.tokenizer, **kw)
+
+    def push_to_hub_merged(self, repo_id: str, tokenizer=None,
+                           save_method: str = "merged_16bit", **kw):
+        from ..export.save import push_to_hub_merged
+
+        return push_to_hub_merged(self, repo_id, tokenizer=tokenizer,
+                                  save_method=save_method, **kw)
+
+    def push_to_hub_gguf(self, repo_id: str, tokenizer=None,
+                         quantization_method: str = "q8_0", **kw):
+        from ..export.save import push_to_hub_gguf
+
+        return push_to_hub_gguf(
+            self, repo_id, tokenizer=tokenizer,
+            quantization_method=quantization_method, **kw)
+
     def save_lora(self, path: str):
         from ..export.save import save_lora
 
