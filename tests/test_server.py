@@ -375,3 +375,100 @@ def test_cli_inference_one_shot(tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert isinstance(out, str)
+
+
+def test_tool_call_parsing():
+    """Tool-call extraction from the formats the catalogued chat
+    templates produce (qwen <tool_call> blocks, bare llama-3.1 JSON)."""
+    parse = InferenceServer._parse_tool_calls
+    calls, rest = parse(
+        'Let me check.\n<tool_call>{"name": "get_weather", '
+        '"arguments": {"city": "SF"}}</tool_call>')
+    assert calls == [{"name": "get_weather",
+                      "arguments": {"city": "SF"}}]
+    assert rest == "Let me check."
+    # two calls in one turn
+    calls, rest = parse(
+        '<tool_call>{"name": "a", "arguments": {}}</tool_call>'
+        '<tool_call>{"name": "b", "arguments": {"x": 1}}</tool_call>')
+    assert [c["name"] for c in calls] == ["a", "b"] and rest == ""
+    # llama-3.1 style bare JSON (uses "parameters")
+    calls, rest = parse('{"name": "f", "parameters": {"q": "hi"}}')
+    assert calls == [{"name": "f", "arguments": {"q": "hi"}}] \
+        and rest == ""
+    # plain text untouched
+    calls, rest = parse("just an answer")
+    assert calls == [] and rest == "just an answer"
+
+
+def test_chat_completion_tool_calls(server, monkeypatch):
+    """OpenAI tools round-trip: tools in -> tool_calls message out with
+    finish_reason tool_calls; tool-result turns render back into the
+    prompt (the `unsloth start claude|codex` agent-loop contract)."""
+    from unsloth_tpu.inference import server as srv_mod
+
+    canned = ('<tool_call>{"name": "get_weather", '
+              '"arguments": {"city": "SF"}}</tool_call>')
+    monkeypatch.setattr(
+        srv_mod.InferenceServer, "_gen_text",
+        lambda self, prompt, params, lora=None: canned)
+    tools = [{"type": "function", "function": {
+        "name": "get_weather", "description": "weather lookup",
+        "parameters": {"type": "object", "properties": {
+            "city": {"type": "string"}}}}}]
+    code, body = _post(server, "/v1/chat/completions", {
+        "messages": [{"role": "user", "content": "weather in SF?"}],
+        "tools": tools, "max_tokens": 32, "temperature": 0})
+    assert code == 200
+    choice = body["choices"][0]
+    assert choice["finish_reason"] == "tool_calls"
+    tc = choice["message"]["tool_calls"][0]
+    assert tc["type"] == "function"
+    assert tc["function"]["name"] == "get_weather"
+    assert json.loads(tc["function"]["arguments"]) == {"city": "SF"}
+
+    # follow-up turn carrying the tool result must round-trip (200)
+    code, body2 = _post(server, "/v1/chat/completions", {
+        "messages": [
+            {"role": "user", "content": "weather in SF?"},
+            {"role": "assistant", "content": None,
+             "tool_calls": [tc]},
+            {"role": "tool", "tool_call_id": tc["id"],
+             "content": "72F sunny"}],
+        "tools": tools, "max_tokens": 16, "temperature": 0})
+    assert code == 200
+
+
+def test_anthropic_tool_use(server, monkeypatch):
+    """Anthropic tools: input_schema accepted, tool_use block + stop
+    reason tool_use out; tool_result turns round-trip."""
+    from unsloth_tpu.inference import server as srv_mod
+
+    canned = ('<tool_call>{"name": "read_file", '
+              '"arguments": {"path": "/a"}}</tool_call>')
+    monkeypatch.setattr(
+        srv_mod.InferenceServer, "_gen_text",
+        lambda self, prompt, params, lora=None: canned)
+    tools = [{"name": "read_file", "description": "read a file",
+              "input_schema": {"type": "object", "properties": {
+                  "path": {"type": "string"}}}}]
+    code, body = _post(server, "/v1/messages", {
+        "messages": [{"role": "user", "content": "read /a"}],
+        "tools": tools, "max_tokens": 32})
+    assert code == 200
+    assert body["stop_reason"] == "tool_use"
+    block = [b for b in body["content"] if b["type"] == "tool_use"][0]
+    assert block["name"] == "read_file"
+    assert block["input"] == {"path": "/a"}
+
+    code, _ = _post(server, "/v1/messages", {
+        "messages": [
+            {"role": "user", "content": "read /a"},
+            {"role": "assistant", "content": [
+                {"type": "tool_use", "id": block["id"],
+                 "name": "read_file", "input": {"path": "/a"}}]},
+            {"role": "user", "content": [
+                {"type": "tool_result", "tool_use_id": block["id"],
+                 "content": "contents"}]}],
+        "tools": tools, "max_tokens": 16})
+    assert code == 200

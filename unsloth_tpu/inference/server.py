@@ -259,7 +259,9 @@ class InferenceServer:
         return text
 
     def _chat_prompt_params(self, body):
-        prompt = self._render(body["messages"])
+        prompt = self._render(
+            self._normalize_tool_messages(body["messages"]),
+            tools=body.get("tools"))
         params = SamplingParams(
             max_tokens=int(body.get("max_tokens",
                                     body.get("max_completion_tokens", 256))),
@@ -269,8 +271,19 @@ class InferenceServer:
         )
         return prompt, params
 
+    @staticmethod
+    def _anthropic_tools(body):
+        """Anthropic tool schema ({name, description, input_schema}) ->
+        the OpenAI function shape chat templates consume."""
+        return [{"type": "function",
+                 "function": {"name": t.get("name"),
+                              "description": t.get("description", ""),
+                              "parameters": t.get("input_schema", {})}}
+                for t in body.get("tools", [])] or None
+
     def _anthropic_prompt_params(self, body):
-        messages = list(body.get("messages", []))
+        messages = self._normalize_tool_messages(
+            list(body.get("messages", [])))
         if body.get("system"):
             messages = [{"role": "system", "content": body["system"]}] \
                 + messages
@@ -281,7 +294,7 @@ class InferenceServer:
                 c = "".join(b.get("text", "") for b in c
                             if b.get("type") == "text")
             norm.append({"role": m["role"], "content": c})
-        prompt = self._render(norm)
+        prompt = self._render(norm, tools=self._anthropic_tools(body))
         params = SamplingParams(
             max_tokens=int(body.get("max_tokens", 256)),
             temperature=float(body.get("temperature", 0.7)),
@@ -289,7 +302,8 @@ class InferenceServer:
         return prompt, params
 
     def chat_completion(self, body: Dict[str, Any]) -> Dict[str, Any]:
-        messages = body["messages"]
+        messages = self._normalize_tool_messages(body["messages"])
+        body = {**body, "messages": messages}
         if any(isinstance(m.get("content"), list) for m in messages):
             norm, images = self._split_multimodal(messages)
             prompt, params = self._chat_prompt_params(
@@ -300,6 +314,23 @@ class InferenceServer:
             text = self._gen_text(prompt, params,
                                   lora=self._resolve_lora(body))
         text = self._apply_stop(text, self._stop_list(body))
+        message: Dict[str, Any] = {"role": "assistant", "content": text}
+        finish = "stop"
+        if body.get("tools") and body.get("tool_choice") != "none":
+            calls, rest = self._parse_tool_calls(text)
+            if calls:
+                message = {
+                    "role": "assistant",
+                    "content": rest or None,
+                    "tool_calls": [{
+                        "id": f"call_{uuid.uuid4().hex[:12]}",
+                        "type": "function",
+                        "function": {"name": c["name"],
+                                     "arguments": json.dumps(
+                                         c["arguments"])},
+                    } for c in calls],
+                }
+                finish = "tool_calls"
         n_prompt = len(self.tokenizer(prompt)["input_ids"])
         n_out = len(self.tokenizer(text)["input_ids"])
         return {
@@ -309,8 +340,8 @@ class InferenceServer:
             "model": body.get("model", self.model_name),
             "choices": [{
                 "index": 0,
-                "message": {"role": "assistant", "content": text},
-                "finish_reason": "stop",
+                "message": message,
+                "finish_reason": finish,
             }],
             "usage": {"prompt_tokens": n_prompt,
                       "completion_tokens": n_out,
@@ -335,13 +366,25 @@ class InferenceServer:
             text = self._gen_text(prompt, params,
                                   lora=self._resolve_lora(body))
         text = self._apply_stop(text, self._stop_list(body))
+        content: list = [{"type": "text", "text": text}]
+        stop_reason = "end_turn"
+        if body.get("tools"):
+            calls, rest = self._parse_tool_calls(text)
+            if calls:
+                content = ([{"type": "text", "text": rest}] if rest
+                           else [])
+                content += [{"type": "tool_use",
+                             "id": f"toolu_{uuid.uuid4().hex[:12]}",
+                             "name": c["name"],
+                             "input": c["arguments"]} for c in calls]
+                stop_reason = "tool_use"
         return {
             "id": f"msg_{uuid.uuid4().hex[:16]}",
             "type": "message",
             "role": "assistant",
             "model": body.get("model", self.model_name),
-            "content": [{"type": "text", "text": text}],
-            "stop_reason": "end_turn",
+            "content": content,
+            "stop_reason": stop_reason,
             "usage": {"input_tokens": len(self.tokenizer(prompt)["input_ids"]),
                       "output_tokens": len(self.tokenizer(text)["input_ids"])},
         }
@@ -476,12 +519,118 @@ class InferenceServer:
                  for name in self.adapters]
         return {"object": "list", "data": data}
 
-    def _render(self, messages) -> str:
+    def _render(self, messages, tools=None) -> str:
         if getattr(self.tokenizer, "chat_template", None):
+            if tools:
+                try:
+                    return self.tokenizer.apply_chat_template(
+                        messages, tools=tools, tokenize=False,
+                        add_generation_prompt=True)
+                except Exception:  # noqa: BLE001 — template lacks tools
+                    pass
             return self.tokenizer.apply_chat_template(
                 messages, tokenize=False, add_generation_prompt=True)
-        return "\n".join(f"{m['role']}: {m['content']}"
-                         for m in messages) + "\nassistant:"
+        text = "\n".join(f"{m['role']}: {m['content']}"
+                         for m in messages)
+        if tools:
+            text = "tools: " + json.dumps(tools) + "\n" + text
+        return text + "\nassistant:"
+
+    # -- tool calling ----------------------------------------------------
+
+    @staticmethod
+    def _parse_tool_calls(text: str):
+        """Extract model-emitted tool calls. Handles the two formats the
+        catalogued templates produce: `<tool_call>{json}</tool_call>`
+        blocks (qwen/chatml-tools, llama-3.1 json) and a bare top-level
+        JSON object with "name" + "arguments"/"parameters". Returns
+        (calls, remaining_text); calls = [{"name", "arguments": dict}].
+        """
+        calls = []
+        remaining = text
+        start = 0
+        while True:
+            i = remaining.find("<tool_call>", start)
+            if i < 0:
+                break
+            j = remaining.find("</tool_call>", i)
+            if j < 0:
+                break
+            blob = remaining[i + len("<tool_call>"):j].strip()
+            try:
+                obj = json.loads(blob)
+                calls.append({"name": obj["name"],
+                              "arguments": obj.get("arguments",
+                                                   obj.get("parameters",
+                                                           {}))})
+            except (json.JSONDecodeError, KeyError):
+                pass
+            remaining = remaining[:i] + remaining[j + len("</tool_call>"):]
+            start = i
+        if not calls:
+            stripped = text.strip()
+            if stripped.startswith("{") and stripped.endswith("}"):
+                try:
+                    obj = json.loads(stripped)
+                    if "name" in obj and ("arguments" in obj
+                                          or "parameters" in obj):
+                        calls.append({
+                            "name": obj["name"],
+                            "arguments": obj.get("arguments",
+                                                 obj.get("parameters",
+                                                         {}))})
+                        remaining = ""
+                except json.JSONDecodeError:
+                    pass
+        return calls, remaining.strip()
+
+    @staticmethod
+    def _normalize_tool_messages(messages) -> list:
+        """Fold OpenAI tool-protocol messages (assistant tool_calls,
+        role:"tool" results) and Anthropic tool_use/tool_result blocks
+        into plain renderable turns for templates without native tool
+        roles."""
+        norm = []
+        for m in messages:
+            role = m.get("role")
+            content = m.get("content")
+            if role == "assistant" and m.get("tool_calls"):
+                parts = [content] if isinstance(content, str) and content \
+                    else []
+                for tc in m["tool_calls"]:
+                    fn = tc.get("function", tc)
+                    parts.append("<tool_call>" + json.dumps(
+                        {"name": fn.get("name"),
+                         "arguments": fn.get("arguments")}) +
+                        "</tool_call>")
+                norm.append({"role": "assistant",
+                             "content": "\n".join(parts)})
+            elif role == "tool":
+                norm.append({"role": "tool",
+                             "content": content if isinstance(content, str)
+                             else json.dumps(content)})
+            elif isinstance(content, list) and any(
+                    b.get("type") in ("tool_use", "tool_result")
+                    for b in content):
+                texts = []
+                for b in content:
+                    t = b.get("type")
+                    if t == "text":
+                        texts.append(b.get("text", ""))
+                    elif t == "tool_use":
+                        texts.append("<tool_call>" + json.dumps(
+                            {"name": b.get("name"),
+                             "arguments": b.get("input", {})}) +
+                            "</tool_call>")
+                    elif t == "tool_result":
+                        rc = b.get("content")
+                        if isinstance(rc, list):
+                            rc = "".join(x.get("text", "") for x in rc)
+                        texts.append(str(rc))
+                norm.append({"role": role, "content": "\n".join(texts)})
+            else:
+                norm.append(m)
+        return norm
 
     # -- HTTP plumbing ---------------------------------------------------
 
