@@ -472,3 +472,46 @@ def test_anthropic_tool_use(server, monkeypatch):
                  "content": "contents"}]}],
         "tools": tools, "max_tokens": 16})
     assert code == 200
+
+
+def test_streaming_tool_calls(server, monkeypatch):
+    """Tool calls in BOTH streaming APIs: markup split across stream
+    chunks is buffered, parsed, and emitted as delta.tool_calls (OpenAI)
+    / tool_use + input_json_delta blocks (Anthropic) — what streaming
+    agent clients (`unsloth start claude`) actually consume."""
+    from unsloth_tpu.inference import server as srv_mod
+
+    def canned_stream(self, prompt, params, lora=None):
+        yield '<tool_call>{"name": "f",'
+        yield ' "arguments": {"x": 1}}</tool_call>'
+    monkeypatch.setattr(srv_mod.InferenceServer, "_gen_stream",
+                        canned_stream)
+    tools = [{"type": "function", "function": {
+        "name": "f", "parameters": {"type": "object"}}}]
+    events = _post_sse(server, "/v1/chat/completions",
+                       {"messages": [{"role": "user", "content": "go"}],
+                        "tools": tools, "stream": True,
+                        "max_tokens": 16, "temperature": 0})
+    chunks = [json.loads(d) for _, d in events if d != "[DONE]"]
+    tc_chunks = [c for c in chunks
+                 if c["choices"][0]["delta"].get("tool_calls")]
+    assert len(tc_chunks) == 1
+    tc = tc_chunks[0]["choices"][0]["delta"]["tool_calls"][0]
+    assert tc["function"]["name"] == "f"
+    assert json.loads(tc["function"]["arguments"]) == {"x": 1}
+    assert chunks[-1]["choices"][0]["finish_reason"] == "tool_calls"
+
+    events = _post_sse(server, "/v1/messages",
+                       {"messages": [{"role": "user", "content": "go"}],
+                        "tools": [{"name": "f",
+                                   "input_schema": {"type": "object"}}],
+                        "stream": True, "max_tokens": 16})
+    payloads = [json.loads(d) for _, d in events]
+    starts = [p for p in payloads if p["type"] == "content_block_start"
+              and p["content_block"]["type"] == "tool_use"]
+    assert starts and starts[0]["content_block"]["name"] == "f"
+    jdeltas = [p for p in payloads if p["type"] == "content_block_delta"
+               and p["delta"]["type"] == "input_json_delta"]
+    assert json.loads(jdeltas[0]["delta"]["partial_json"]) == {"x": 1}
+    mdelta = [p for p in payloads if p["type"] == "message_delta"][0]
+    assert mdelta["delta"]["stop_reason"] == "tool_use"

@@ -673,12 +673,44 @@ class InferenceServer:
                     "index": 0, "delta": {"role": "assistant",
                                           "content": ""},
                     "finish_reason": None}]})
-                for delta in server._gen_stream(
+                if body.get("tools") and body.get("tool_choice") != "none":
+                    # buffered: tool-call markup must be parsed whole
+                    text = "".join(server._gen_stream(
                         prompt, params,
-                        lora=server._resolve_lora(body)):
-                    self._sse({**base, "choices": [{
-                        "index": 0, "delta": {"content": delta},
-                        "finish_reason": None}]})
+                        lora=server._resolve_lora(body)))
+                    calls, rest = server._parse_tool_calls(text)
+                    if calls:
+                        if rest:
+                            self._sse({**base, "choices": [{
+                                "index": 0, "delta": {"content": rest},
+                                "finish_reason": None}]})
+                        for i, c in enumerate(calls):
+                            self._sse({**base, "choices": [{
+                                "index": 0, "delta": {"tool_calls": [{
+                                    "index": i,
+                                    "id": f"call_{uuid.uuid4().hex[:12]}",
+                                    "type": "function",
+                                    "function": {
+                                        "name": c["name"],
+                                        "arguments": json.dumps(
+                                            c["arguments"])}}]},
+                                "finish_reason": None}]})
+                        self._sse({**base, "choices": [{
+                            "index": 0, "delta": {},
+                            "finish_reason": "tool_calls"}]})
+                        self._sse("[DONE]")
+                        return
+                    if text:
+                        self._sse({**base, "choices": [{
+                            "index": 0, "delta": {"content": text},
+                            "finish_reason": None}]})
+                else:
+                    for delta in server._gen_stream(
+                            prompt, params,
+                            lora=server._resolve_lora(body)):
+                        self._sse({**base, "choices": [{
+                            "index": 0, "delta": {"content": delta},
+                            "finish_reason": None}]})
                 self._sse({**base, "choices": [{
                     "index": 0, "delta": {}, "finish_reason": "stop"}]})
                 self._sse("[DONE]")
@@ -770,23 +802,69 @@ class InferenceServer:
                     "usage": {"input_tokens": len(
                         server.tokenizer(prompt)["input_ids"]),
                         "output_tokens": 0}}}, event="message_start")
-                self._sse({"type": "content_block_start", "index": 0,
-                           "content_block": {"type": "text",
-                                             "text": ""}},
-                          event="content_block_start")
                 n_out = 0
-                for delta in server._gen_stream(
+                if body.get("tools"):
+                    # buffered: tool-call markup must be parsed whole
+                    text = "".join(server._gen_stream(
                         prompt, params,
-                        lora=server._resolve_lora(body)):
-                    n_out += len(server.tokenizer(delta)["input_ids"])
-                    self._sse({"type": "content_block_delta", "index": 0,
-                               "delta": {"type": "text_delta",
-                                         "text": delta}},
-                              event="content_block_delta")
-                self._sse({"type": "content_block_stop", "index": 0},
-                          event="content_block_stop")
+                        lora=server._resolve_lora(body)))
+                    n_out = len(server.tokenizer(text)["input_ids"])
+                    calls, rest = server._parse_tool_calls(text)
+                    idx = 0
+                    if rest or not calls:
+                        self._sse({"type": "content_block_start",
+                                   "index": idx,
+                                   "content_block": {"type": "text",
+                                                     "text": ""}},
+                                  event="content_block_start")
+                        self._sse({"type": "content_block_delta",
+                                   "index": idx,
+                                   "delta": {"type": "text_delta",
+                                             "text": rest if calls
+                                             else text}},
+                                  event="content_block_delta")
+                        self._sse({"type": "content_block_stop",
+                                   "index": idx},
+                                  event="content_block_stop")
+                        idx += 1
+                    for c in calls:
+                        self._sse({"type": "content_block_start",
+                                   "index": idx, "content_block": {
+                                       "type": "tool_use",
+                                       "id": f"toolu_"
+                                             f"{uuid.uuid4().hex[:12]}",
+                                       "name": c["name"], "input": {}}},
+                                  event="content_block_start")
+                        self._sse({"type": "content_block_delta",
+                                   "index": idx, "delta": {
+                                       "type": "input_json_delta",
+                                       "partial_json": json.dumps(
+                                           c["arguments"])}},
+                                  event="content_block_delta")
+                        self._sse({"type": "content_block_stop",
+                                   "index": idx},
+                                  event="content_block_stop")
+                        idx += 1
+                    stop_reason = "tool_use" if calls else "end_turn"
+                else:
+                    self._sse({"type": "content_block_start", "index": 0,
+                               "content_block": {"type": "text",
+                                                 "text": ""}},
+                              event="content_block_start")
+                    for delta in server._gen_stream(
+                            prompt, params,
+                            lora=server._resolve_lora(body)):
+                        n_out += len(server.tokenizer(delta)["input_ids"])
+                        self._sse({"type": "content_block_delta",
+                                   "index": 0,
+                                   "delta": {"type": "text_delta",
+                                             "text": delta}},
+                                  event="content_block_delta")
+                    self._sse({"type": "content_block_stop", "index": 0},
+                              event="content_block_stop")
+                    stop_reason = "end_turn"
                 self._sse({"type": "message_delta",
-                           "delta": {"stop_reason": "end_turn",
+                           "delta": {"stop_reason": stop_reason,
                                      "stop_sequence": None},
                            "usage": {"output_tokens": n_out}},
                           event="message_delta")
