@@ -515,3 +515,36 @@ def test_streaming_tool_calls(server, monkeypatch):
     assert json.loads(jdeltas[0]["delta"]["partial_json"]) == {"x": 1}
     mdelta = [p for p in payloads if p["type"] == "message_delta"][0]
     assert mdelta["delta"]["stop_reason"] == "tool_use"
+
+
+def test_responses_function_calls(server, monkeypatch):
+    """Responses API function calling: flat tool defs in, function_call
+    output items out; function_call / function_call_output input items
+    round-trip into the next turn's prompt."""
+    from unsloth_tpu.inference import server as srv_mod
+
+    canned = ('<tool_call>{"name": "lookup", '
+              '"arguments": {"q": "x"}}</tool_call>')
+    monkeypatch.setattr(
+        srv_mod.InferenceServer, "_gen_text",
+        lambda self, prompt, params, lora=None: canned)
+    tools = [{"type": "function", "name": "lookup",
+              "parameters": {"type": "object", "properties": {
+                  "q": {"type": "string"}}}}]
+    code, body = _post(server, "/v1/responses", {
+        "input": "find x", "tools": tools,
+        "max_output_tokens": 32, "temperature": 0})
+    assert code == 200
+    fc = [o for o in body["output"] if o["type"] == "function_call"][0]
+    assert fc["name"] == "lookup"
+    assert json.loads(fc["arguments"]) == {"q": "x"}
+
+    code, _ = _post(server, "/v1/responses", {
+        "input": [
+            {"role": "user", "content": "find x"},
+            {"type": "function_call", "call_id": fc["call_id"],
+             "name": "lookup", "arguments": fc["arguments"]},
+            {"type": "function_call_output", "call_id": fc["call_id"],
+             "output": "found it"}],
+        "tools": tools, "max_output_tokens": 16, "temperature": 0})
+    assert code == 200

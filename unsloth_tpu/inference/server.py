@@ -429,8 +429,21 @@ class InferenceServer:
             messages.append({"role": "user", "content": inp})
             return messages
         for item in inp:
-            if item.get("type") not in (None, "message"):
-                continue  # tool/function items are not served natively
+            t = item.get("type")
+            if t == "function_call":
+                messages.append({"role": "assistant", "content":
+                                 "<tool_call>" + json.dumps(
+                                     {"name": item.get("name"),
+                                      "arguments": json.loads(
+                                          item.get("arguments") or "{}")})
+                                 + "</tool_call>"})
+                continue
+            if t == "function_call_output":
+                messages.append({"role": "tool",
+                                 "content": item.get("output", "")})
+                continue
+            if t not in (None, "message"):
+                continue  # other item kinds are not served natively
             content = item.get("content", "")
             if isinstance(content, list):
                 blocks = []
@@ -454,18 +467,53 @@ class InferenceServer:
             top_p=float(body.get("top_p", 1.0)),
         )
 
+    @staticmethod
+    def _responses_tools(body):
+        """Responses API flat tool entries ({type:function, name,
+        parameters}) -> the nested chat-template shape."""
+        return [{"type": "function",
+                 "function": {"name": t.get("name"),
+                              "description": t.get("description", ""),
+                              "parameters": t.get("parameters", {})}}
+                for t in body.get("tools", [])
+                if t.get("type", "function") == "function"] or None
+
     def responses(self, body: Dict[str, Any]) -> Dict[str, Any]:
         """/v1/responses (OpenAI Responses API), non-streaming."""
         messages = self._responses_messages(body)
         params = self._responses_params(body)
+        tools = self._responses_tools(body)
         if any(isinstance(m.get("content"), list) for m in messages):
             norm, images = self._split_multimodal(messages)
-            prompt = self._render(norm)
+            prompt = self._render(norm, tools=tools)
             text = self._gen_multimodal(norm, images, params)
         else:
-            prompt = self._render(messages)
+            prompt = self._render(messages, tools=tools)
             text = self._gen_text(prompt, params,
                                   lora=self._resolve_lora(body))
+        output: list = []
+        output_text = text
+        if tools:
+            calls, rest = self._parse_tool_calls(text)
+            if calls:
+                output_text = rest
+                output += [{
+                    "type": "function_call",
+                    "id": f"fc_{uuid.uuid4().hex[:12]}",
+                    "call_id": f"call_{uuid.uuid4().hex[:12]}",
+                    "name": c["name"],
+                    "arguments": json.dumps(c["arguments"]),
+                    "status": "completed",
+                } for c in calls]
+        if output_text or not output:
+            output.insert(0, {
+                "type": "message",
+                "id": f"msg_{uuid.uuid4().hex[:16]}",
+                "status": "completed",
+                "role": "assistant",
+                "content": [{"type": "output_text", "text": output_text,
+                             "annotations": []}],
+            })
         n_in = len(self.tokenizer(prompt)["input_ids"])
         n_out = len(self.tokenizer(text)["input_ids"])
         return {
@@ -474,15 +522,8 @@ class InferenceServer:
             "created_at": int(time.time()),
             "status": "completed",
             "model": body.get("model", self.model_name),
-            "output": [{
-                "type": "message",
-                "id": f"msg_{uuid.uuid4().hex[:16]}",
-                "status": "completed",
-                "role": "assistant",
-                "content": [{"type": "output_text", "text": text,
-                             "annotations": []}],
-            }],
-            "output_text": text,
+            "output": output,
+            "output_text": output_text,
             "usage": {"input_tokens": n_in, "output_tokens": n_out,
                       "total_tokens": n_in + n_out},
         }
