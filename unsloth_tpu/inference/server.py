@@ -640,9 +640,14 @@ class InferenceServer:
                     else []
                 for tc in m["tool_calls"]:
                     fn = tc.get("function", tc)
+                    args = fn.get("arguments")
+                    if isinstance(args, str):  # OpenAI wire format
+                        try:
+                            args = json.loads(args)
+                        except json.JSONDecodeError:
+                            pass
                     parts.append("<tool_call>" + json.dumps(
-                        {"name": fn.get("name"),
-                         "arguments": fn.get("arguments")}) +
+                        {"name": fn.get("name"), "arguments": args}) +
                         "</tool_call>")
                 norm.append({"role": "assistant",
                              "content": "\n".join(parts)})
