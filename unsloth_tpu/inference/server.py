@@ -560,21 +560,38 @@ class InferenceServer:
                  for name in self.adapters]
         return {"object": "list", "data": data}
 
+    @staticmethod
+    def _tools_preamble(tools) -> str:
+        """System-turn tool listing for templates without native tools
+        support; the call format matches what _parse_tool_calls reads."""
+        return (
+            "You may call functions. Available tools:\n"
+            + json.dumps(tools) +
+            '\nTo call one, reply with <tool_call>{"name": <name>, '
+            '"arguments": <args-object>}</tool_call>.')
+
     def _render(self, messages, tools=None) -> str:
-        if getattr(self.tokenizer, "chat_template", None):
-            if tools:
+        template = getattr(self.tokenizer, "chat_template", None)
+        if template:
+            if tools and "tools" in template:
                 try:
                     return self.tokenizer.apply_chat_template(
                         messages, tools=tools, tokenize=False,
                         add_generation_prompt=True)
                 except Exception:  # noqa: BLE001 — template lacks tools
                     pass
+            if tools:
+                # template ignores the tools kwarg — inject a system
+                # preamble so the definitions still reach the model
+                messages = [{"role": "system", "content":
+                             self._tools_preamble(tools)}] \
+                    + list(messages)
             return self.tokenizer.apply_chat_template(
                 messages, tokenize=False, add_generation_prompt=True)
         text = "\n".join(f"{m['role']}: {m['content']}"
                          for m in messages)
         if tools:
-            text = "tools: " + json.dumps(tools) + "\n" + text
+            text = self._tools_preamble(tools) + "\n" + text
         return text + "\nassistant:"
 
     # -- tool calling ----------------------------------------------------
