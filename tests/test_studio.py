@@ -248,3 +248,75 @@ def test_chat_history_route(studio):
                                          "content": "hi"}}) + "\n")
     code, out = _req(url, "/api/chat/history")
     assert len(out["entries"]) == 1
+
+
+def test_audio_speech_endpoint(studio):
+    """/v1/audio/speech (OpenAI TTS shape): speaker waveform comes back
+    as a WAV body; 404 when no TTS model is configured."""
+    import numpy as np
+
+    from unsloth_tpu.data.audio import decode_wav
+
+    url, srv, _ = studio
+    wave = np.sin(np.linspace(0, 2 * np.pi * 10, 2400)) \
+        .astype(np.float32)
+
+    class Speaker:
+        def speak(self, text, voice=None):
+            assert text == "hello" and voice == "tara"
+            return wave, 24000
+
+    srv.tts_speaker = Speaker()
+    try:
+        req = urllib.request.Request(
+            url + "/v1/audio/speech",
+            data=json.dumps({"input": "hello", "voice": "tara"}).encode(),
+            headers={"Content-Type": "application/json",
+                     "Authorization": f"Bearer {TOKEN}"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.headers["Content-Type"] == "audio/wav"
+            audio, rate = decode_wav(r.read())
+        assert rate == 24000
+        assert np.max(np.abs(audio - wave)) < 1e-3  # int16 quantization
+    finally:
+        srv.tts_speaker = None
+    code, body = _req(url, "/v1/audio/speech", {"input": "x"})
+    assert code == 404
+
+
+def test_orpheus_speaker_pipeline():
+    """OrpheusSpeaker: prompt framing -> generate -> SNAC layer split ->
+    codec decode, with the exact token protocol of data/tts.py."""
+    import numpy as np
+
+    from unsloth_tpu.data.tts import (ORPHEUS_TOKENS, OrpheusSpeaker,
+                                      interleave_snac_codes)
+
+    l0, l1, l2 = [5, 9], [1, 2, 3, 4], [10, 11, 12, 13, 14, 15, 16, 17]
+    codes = interleave_snac_codes([l0, l1, l2])
+
+    class Tok:
+        def encode(self, s, add_special_tokens=True):
+            return [ord(c) for c in s]
+
+    class Model:
+        def generate(self, prompts, params, **kw):
+            ids = prompts[0]
+            t = ORPHEUS_TOKENS
+            # prompt framing must match the training-side example
+            assert ids[0] == t.start_of_human
+            assert ids[-2:] == [t.start_of_ai, t.start_of_speech]
+            assert kw.get("return_token_ids")
+            return [list(codes) + [t.end_of_speech]]
+
+    class Codec:
+        def decode(self, layers):
+            assert list(layers[0]) == l0
+            assert list(layers[1]) == l1
+            assert list(layers[2]) == l2
+            return np.ones(64, np.float32) * 0.5
+
+    spk = OrpheusSpeaker(Model(), Tok(), Codec())
+    audio, rate = spk.speak("hi", voice="tara")
+    assert rate == 24000 and audio.shape == (64,)
+    assert np.allclose(audio, 0.5)

@@ -162,3 +162,47 @@ def split_orpheus_output(ids: Sequence[int],
         l2.extend([codes[f + 2] % cb, codes[f + 3] % cb,
                    codes[f + 5] % cb, codes[f + 6] % cb])
     return l0, l1, l2
+
+
+class OrpheusSpeaker:
+    """Text -> waveform through an Orpheus-style TTS LM + a SNAC-class
+    codec (reference: the Orpheus notebook flow — generate audio tokens,
+    split into SNAC layers, vocode). The codec is pluggable: any object
+    with `decode(layers) -> float waveform` (a SNAC vocoder in the
+    reference; tests use a synthetic codec).
+
+    Serves `/v1/audio/speech` when attached to the studio server as
+    `tts_speaker`.
+    """
+
+    def __init__(self, model, tokenizer, codec, *,
+                 sample_rate: int = 24000,
+                 tokens: OrpheusTokens = ORPHEUS_TOKENS,
+                 max_tokens: int = 1792):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.codec = codec
+        self.sample_rate = sample_rate
+        self.tokens = tokens
+        self.max_tokens = max_tokens
+
+    def speak(self, text: str, voice: Optional[str] = None):
+        """Returns (waveform float32 ndarray, sample_rate)."""
+        import numpy as np
+
+        t = self.tokens
+        prompt = f"{voice}: {text}" if voice else text
+        text_ids = list(self.tokenizer.encode(
+            prompt, add_special_tokens=True)) + [t.end_of_text]
+        input_ids = ([t.start_of_human] + text_ids + [t.end_of_human]
+                     + [t.start_of_ai, t.start_of_speech])
+        from ..inference.generate import SamplingParams
+
+        out = self.model.generate(
+            [input_ids],
+            SamplingParams(max_tokens=self.max_tokens, temperature=0.0),
+            return_token_ids=True)
+        ids = input_ids + [int(x) for x in out[0]]
+        layers = split_orpheus_output(ids, self.tokens)
+        audio = np.asarray(self.codec.decode(layers), np.float32).ravel()
+        return audio, self.sample_rate

@@ -473,6 +473,31 @@ class StudioServer(InferenceServer):
         key = "text" if tok is not None else "tokens"
         return {key: out[0], "model": self._whisper[0]}
 
+    # -- speech synthesis (OpenAI /v1/audio/speech; reference: studio
+    #    audio pipelines drive Orpheus/CSM through the trainer service —
+    #    here a `tts_speaker` handle (data/tts.py OrpheusSpeaker or any
+    #    object with .speak(text, voice) -> (waveform, rate)) serves
+    #    natively) -----------------------------------------------------
+
+    tts_speaker = None
+
+    def audio_speech_api(self, body: Dict[str, Any]) -> bytes:
+        """{input, voice?, response_format?: wav} -> WAV bytes."""
+        if self.tts_speaker is None:
+            raise FileNotFoundError("no TTS model configured "
+                                    "(set server.tts_speaker)")
+        fmt = body.get("response_format", "wav")
+        if fmt != "wav":
+            raise ValueError(f"unsupported response_format: {fmt!r} "
+                             "(native output is wav)")
+        text = body["input"]
+        with self._lock:
+            audio, rate = self.tts_speaker.speak(text,
+                                                 voice=body.get("voice"))
+        from ..data.audio import encode_wav
+
+        return encode_wav(audio, rate)
+
     # -- image generation (reference: studio/backend/core/inference/
     #    sd_cpp_server.py — stable-diffusion.cpp sidecar; here the
     #    native JAX DiT + DDIM sampler serve on the same backend) ------
@@ -1005,6 +1030,27 @@ class StudioServer(InferenceServer):
                                           {"error": f"not found: {e}"})
                     except RuntimeError as e:
                         return self._send(409, {"error": str(e)})
+                if self.path == "/v1/audio/speech":
+                    length = int(self.headers.get("Content-Length", 0))
+                    try:
+                        body = json.loads(self.rfile.read(length)
+                                          or b"{}")
+                        wav = server.audio_speech_api(body)
+                        self.send_response(200)
+                        self.send_header("Content-Type", "audio/wav")
+                        self.send_header("Content-Length",
+                                         str(len(wav)))
+                        self.end_headers()
+                        self.wfile.write(wav)
+                        return
+                    except KeyError as e:
+                        return self._send(400, {"error":
+                                                f"missing field: {e}"})
+                    except (TypeError, ValueError) as e:
+                        return self._send(400, {"error": str(e)})
+                    except FileNotFoundError as e:
+                        return self._send(404,
+                                          {"error": f"not found: {e}"})
                 if self.path == "/v1/images/generations":
                     length = int(self.headers.get("Content-Length", 0))
                     try:
