@@ -365,11 +365,21 @@ def _file_type_code(t: GGMLType, method: str = "") -> int:
 
 
 def save_pretrained_gguf(model, save_dir: str,
-                         quantization_method: str = "q8_0",
-                         tokenizer=None, **kwargs) -> str:
+                         quantization_method="q8_0",
+                         tokenizer=None, **kwargs):
     """Reference-parity entry (reference: save.py:2940
-    unsloth_save_pretrained_gguf). Writes
-    {save_dir}/model-{quant}.gguf + an Ollama Modelfile."""
+    unsloth_save_pretrained_gguf; :1862 — quantization_method may be a
+    LIST of tiers, e.g. ["q4_k_m", "q8_0", "q5_k_m"]). Writes
+    {save_dir}/model-{quant}.gguf per tier + an Ollama Modelfile
+    (pointing at the first tier); returns the path, or a list of paths
+    for a list request."""
+    if isinstance(quantization_method, (list, tuple)):
+        paths = [save_pretrained_gguf(model, save_dir, q,
+                                      tokenizer=tokenizer, **kwargs)
+                 for q in quantization_method]
+        _write_ollama_modelfile(model, save_dir,
+                                os.path.basename(paths[0]))
+        return paths
     os.makedirs(save_dir, exist_ok=True)
     method = QUANT_ALIASES.get(quantization_method.lower(),
                                quantization_method)
