@@ -566,3 +566,31 @@ def test_model_export_q5_k_m(tmp_path):
     orig = np.asarray(model.params["layers"][0]["q"], np.float32)
     got = data["blk.0.attn_q.weight"].reshape(orig.shape)
     assert _rmse(got, orig) < 0.06
+
+
+def test_save_pretrained_gguf_tier_list(tmp_path):
+    """quantization_method may be a LIST of tiers (reference:
+    save.py:1862 iterates the list, producing one GGUF per tier); the
+    Modelfile points at the first tier."""
+    from unsloth_tpu.export.gguf import save_pretrained_gguf
+    from unsloth_tpu.export.gguf_writer import read_gguf
+    from unsloth_tpu.models.config import ModelConfig
+    from unsloth_tpu.models.loader import LanguageModel
+    from unsloth_tpu.models.params import init_params
+
+    import jax
+
+    cfg = ModelConfig(vocab_size=512, hidden_size=256,
+                      intermediate_size=512, num_layers=2, num_heads=4,
+                      num_kv_heads=2, max_position_embeddings=128)
+    model = LanguageModel(cfg=cfg,
+                          params=init_params(cfg, jax.random.PRNGKey(0)))
+    paths = save_pretrained_gguf(model, str(tmp_path / "g"),
+                                 quantization_method=["q4_k_m", "q8_0"])
+    assert [os.path.basename(p) for p in paths] == [
+        "model-Q4_K_M.gguf", "model-Q8_0.gguf"]
+    for p, ftype in zip(paths, (15, 7)):
+        md, _, _ = read_gguf(p)
+        assert md["general.file_type"] == ftype
+    with open(tmp_path / "g" / "Modelfile") as f:
+        assert "FROM ./model-Q4_K_M.gguf" in f.read()
