@@ -633,3 +633,117 @@ def main_spec(quick: bool):
                     "random-init weights (f32 verified bit-exact)",
             "backend": jax.default_backend()},
     }))
+
+
+# ---------------------------------------------------------------------------
+# CPU LoRA — Qwen2.5-0.5B class, measured HF+PEFT torch baseline
+# ---------------------------------------------------------------------------
+
+def main_cpu_lora(quick: bool):
+    """Driver config 1 (BASELINE.md:33): Qwen2.5-0.5B LoRA SFT, fp32, on
+    the CPU backend. Unlike the TPU modes, the HF+PEFT baseline here is
+    MEASURED, not modeled: torch (CPU) + transformers Qwen2ForCausalLM
+    (eager) + peft LoRA run the identical [B, T] fp32 workload on the
+    same host, so vs_baseline is a true same-hardware HF-vs-us ratio
+    (the reference's published "2x vs HF+PEFT" methodology,
+    /root/reference/README.md:58, measured rather than claimed).
+
+    Dims are Qwen2.5-0.5B (hidden 896, inter 4864, 14h/2kv, qkv bias,
+    vocab 151936) at BENCH_LAYERS depth — both paths depth-reduced
+    identically, so the ratio carries."""
+    import time as _time
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from bench import compile_step, measure
+    from unsloth_tpu.models.config import ModelConfig
+    from unsloth_tpu.models.params import init_lora_tree, init_params
+
+    num_layers = _env_int("BENCH_LAYERS", 2 if quick else 4)
+    seq = _env_int("BENCH_SEQ", 128 if quick else 1024)
+    bsz = _env_int("BENCH_BATCH", 1)
+    n_steps = _env_int("BENCH_STEPS", 2)
+    vocab = _env_int("BENCH_VOCAB", 8192 if quick else 151936)
+
+    cfg = ModelConfig(
+        model_type="qwen2", name="qwen2.5-0.5b-bench",
+        vocab_size=vocab, hidden_size=896, intermediate_size=4864,
+        num_layers=num_layers, num_heads=14, num_kv_heads=2, head_dim=64,
+        rope_theta=1000000.0, max_position_embeddings=32768,
+        attention_bias=True, o_proj_bias=False,
+    )
+    key = jax.random.PRNGKey(0)
+    ids = np.asarray(jax.random.randint(key, (bsz, seq), 0, vocab))
+    batch = {"input_ids": jnp.asarray(ids), "labels": jnp.asarray(ids)}
+
+    params = init_params(cfg, key, dtype=jnp.float32)
+    lora = init_lora_tree(cfg, key, r=16, alpha=16, dtype=jnp.float32)
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(lora)
+    step = compile_step(cfg, tx, "auto", list(batch))
+    dt_ours, loss = measure(step, lora, opt_state, params, batch,
+                            n_steps, warmup=1)
+    tps_ours = ids.size / dt_ours
+    del params, lora, opt_state
+
+    # ---- HF+PEFT torch CPU eager baseline (same dims, same batch) ----
+    import torch
+    from peft import LoraConfig, get_peft_model
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    torch.manual_seed(0)
+    hf_cfg = Qwen2Config(
+        vocab_size=vocab, hidden_size=896, intermediate_size=4864,
+        num_hidden_layers=num_layers, num_attention_heads=14,
+        num_key_value_heads=2, max_position_embeddings=32768,
+        rope_theta=1000000.0, tie_word_embeddings=False,
+        attn_implementation="eager", use_cache=False)
+    hf = Qwen2ForCausalLM(hf_cfg).float()
+    hf = get_peft_model(hf, LoraConfig(
+        r=16, lora_alpha=16, lora_dropout=0.0, bias="none",
+        target_modules=["q_proj", "k_proj", "v_proj", "o_proj",
+                        "gate_proj", "up_proj", "down_proj"]))
+    hf.train()
+    opt = torch.optim.AdamW(
+        [p for p in hf.parameters() if p.requires_grad], lr=1e-4)
+    t_ids = torch.from_numpy(ids).long()
+
+    def hf_step():
+        opt.zero_grad()
+        out = hf(input_ids=t_ids, labels=t_ids)
+        out.loss.backward()
+        opt.step()
+        return float(out.loss.detach())
+
+    hf_loss = hf_step()  # warmup
+    t0 = _time.perf_counter()
+    for _ in range(n_steps):
+        hf_loss = hf_step()
+    dt_hf = (_time.perf_counter() - t0) / n_steps
+    tps_hf = ids.size / dt_hf
+
+    print(json.dumps({
+        "metric": "qwen25_05b_cpu_lora_tokens_per_sec"
+                  + ("" if num_layers == 24 else f"_layers{num_layers}"),
+        "value": round(tps_ours, 2),
+        "unit": "tokens/s (fp32, CPU)",
+        "vs_baseline": round(tps_ours / tps_hf, 3),
+        "detail": {
+            "layers": num_layers, "seq": seq, "batch": bsz,
+            "vocab": vocab,
+            "step_time_s": round(dt_ours, 4), "loss": round(loss, 3),
+            "baseline": {
+                "definition": "HF+PEFT LoRA, torch CPU eager, identical "
+                              "dims/batch/steps on the same host "
+                              "(transformers Qwen2ForCausalLM + peft)",
+                "baseline_tokens_per_sec": round(tps_hf, 2),
+                "baseline_step_time_s": round(dt_hf, 4),
+                "baseline_loss": round(hf_loss, 3)},
+            "backend": jax.default_backend()},
+    }))
