@@ -661,7 +661,7 @@ def main_cpu_lora(quick: bool):
     import numpy as np
     import optax
 
-    from bench import compile_step, measure
+    from bench import measure
     from unsloth_tpu.models.config import ModelConfig
     from unsloth_tpu.models.params import init_lora_tree, init_params
 
@@ -686,7 +686,21 @@ def main_cpu_lora(quick: bool):
     lora = init_lora_tree(cfg, key, r=16, alpha=16, dtype=jnp.float32)
     tx = optax.adamw(1e-4)
     opt_state = tx.init(lora)
-    step = compile_step(cfg, tx, "auto", list(batch))
+
+    # TPU memory levers are pure overhead here: remat recomputes every
+    # layer forward in the backward (+1/3 FLOPs torch eager doesn't pay)
+    # and the chunked fused-CE scan serializes the lm_head. Host RAM
+    # holds the full [B,T,V] logits, so run without both.
+    from unsloth_tpu.models.decoder import loss_fn
+
+    def _step(lora, opt_state, params, batch):
+        loss, grads = jax.value_and_grad(
+            lambda l: loss_fn(params, l, batch, cfg, fused_ce=False,
+                              remat=False))(lora)
+        updates, opt_state = tx.update(grads, opt_state, lora)
+        return optax.apply_updates(lora, updates), opt_state, loss
+
+    step = jax.jit(_step, donate_argnums=(0, 1))
     dt_ours, loss = measure(step, lora, opt_state, params, batch,
                             n_steps, warmup=1)
     tps_ours = ids.size / dt_ours
