@@ -24,6 +24,11 @@ EXPECTED_TOP_LEVEL = {
     "SamplingParams", "vLLMSamplingParams",
     "load_gguf", "InferenceServer",
     "enable_pipeline",
+    # data-layer / tokenizer utilities (reference package-root exports)
+    "standardize_sharegpt", "standardize_data_formats",
+    "add_new_tokens", "mean_of_trained_tokens", "fix_untrained_tokens",
+    "convert_to_fast_tokenizer", "PatchDPOTrainer",
+    "RawTextDataLoader", "SyntheticDataKit",
 }
 
 

@@ -98,6 +98,94 @@ def test_fix_untrained_tokens(rng):
     assert float(jnp.linalg.norm(row)) > 0  # now mean-initialized
 
 
+def _tiny_slow_tokenizer(tmp_path):
+    import json
+    import string
+
+    from transformers import GPT2Tokenizer
+
+    vocab = {"<|endoftext|>": 0}
+    toks = list(string.ascii_lowercase) + ["Ġ", "he", "ll", "o",
+                                           "hell", "Ġw", "or", "ld"]
+    for t in toks:
+        if t not in vocab:
+            vocab[t] = len(vocab)
+    merges = ["h e", "l l", "he ll", "Ġ w", "o r"]
+    d = str(tmp_path)
+    with open(os.path.join(d, "vocab.json"), "w") as f:
+        json.dump(vocab, f)
+    with open(os.path.join(d, "merges.txt"), "w") as f:
+        f.write("#version: 0.2\n" + "\n".join(merges) + "\n")
+    return GPT2Tokenizer(os.path.join(d, "vocab.json"),
+                         os.path.join(d, "merges.txt"),
+                         unk_token="<|endoftext|>")
+
+
+def test_add_new_tokens(rng, tmp_path):
+    """reference: tokenizer_utils.py:35-46 add_new_tokens — grows the
+    tokenizer + embedding/lm_head with mean / interpolated init."""
+    pytest.importorskip("transformers")
+    from unsloth_tpu.data.tokenizer_utils import (add_new_tokens,
+                                                  mean_of_trained_tokens)
+    from unsloth_tpu.models.config import ModelConfig
+    from unsloth_tpu.models.loader import LanguageModel
+    from unsloth_tpu.models.params import init_params
+
+    tok = _tiny_slow_tokenizer(tmp_path)
+    v0 = len(tok)
+    cfg = ModelConfig(vocab_size=v0, hidden_size=16, intermediate_size=32,
+                      num_layers=1, num_heads=2, num_kv_heads=2,
+                      tie_word_embeddings=False)
+    model = LanguageModel(cfg=cfg, params=init_params(cfg, rng),
+                          tokenizer=tok)
+    mean_e, mean_h = mean_of_trained_tokens(model)
+    embed_before = np.asarray(model.params["embed"])
+
+    add_new_tokens(model, tok, ["<REASON>", "<SQL>"], method="mean")
+    assert len(tok) == v0 + 2
+    assert model.cfg.vocab_size == v0 + 2
+    assert model.params["embed"].shape[0] == v0 + 2
+    assert model.params["lm_head"].shape[0] == v0 + 2
+    # old rows intact, new rows = mean of trained rows
+    np.testing.assert_allclose(np.asarray(model.params["embed"][:v0]),
+                               embed_before, rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(model.params["embed"][v0]),
+                               np.asarray(mean_e), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(model.params["lm_head"][v0 + 1]),
+                               np.asarray(mean_h), rtol=1e-5, atol=1e-6)
+
+    # duplicate add is refused
+    with pytest.raises(ValueError):
+        add_new_tokens(model, tok, ["<SQL>"])
+
+
+def test_add_new_tokens_interpolation(rng, tmp_path):
+    pytest.importorskip("transformers")
+    from unsloth_tpu.data.tokenizer_utils import (add_new_tokens,
+                                                  mean_of_trained_tokens)
+    from unsloth_tpu.models.config import ModelConfig
+    from unsloth_tpu.models.loader import LanguageModel
+    from unsloth_tpu.models.params import init_params
+
+    tok = _tiny_slow_tokenizer(tmp_path)
+    v0 = len(tok)
+    cfg = ModelConfig(vocab_size=v0, hidden_size=16, intermediate_size=32,
+                      num_layers=1, num_heads=2, num_kv_heads=2,
+                      tie_word_embeddings=True)
+    model = LanguageModel(cfg=cfg, params=init_params(cfg, rng),
+                          tokenizer=tok)
+    mean_e, _ = mean_of_trained_tokens(model)
+    sub_ids = tok("hello!", add_special_tokens=False)["input_ids"]
+    embed = np.asarray(model.params["embed"], dtype=np.float32)
+    expected = 0.75 * np.asarray(mean_e) \
+        + 0.25 * embed[np.asarray(sub_ids)].mean(axis=0)
+
+    add_new_tokens(model, tok, ["hello!"], method="interpolation",
+                   interpolation=0.25)
+    got = np.asarray(model.params["embed"][v0])
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # mapper
 # ---------------------------------------------------------------------------

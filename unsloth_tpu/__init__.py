@@ -59,6 +59,23 @@ _LAZY = {
                             "apply_chat_template"),
     "standardize_sharegpt": ("unsloth_tpu.data.chat_templates",
                              "standardize_sharegpt"),
+    # reference: unsloth/__init__.py:1320 — newer alias of the same op
+    "standardize_data_formats": ("unsloth_tpu.data.chat_templates",
+                                 "standardize_sharegpt"),
+    # reference: tokenizer_utils.py:35-46 (zoo re-exports)
+    "add_new_tokens": ("unsloth_tpu.data.tokenizer_utils",
+                       "add_new_tokens"),
+    "mean_of_trained_tokens": ("unsloth_tpu.data.tokenizer_utils",
+                               "mean_of_trained_tokens"),
+    "fix_untrained_tokens": ("unsloth_tpu.data.tokenizer_utils",
+                             "fix_untrained_tokens"),
+    "convert_to_fast_tokenizer": ("unsloth_tpu.data.tokenizer_utils",
+                                  "convert_to_fast_tokenizer"),
+    "PatchDPOTrainer": ("unsloth_tpu.trainer.dpo", "PatchDPOTrainer"),
+    "RawTextDataLoader": ("unsloth_tpu.data.raw_text",
+                          "RawTextDataLoader"),
+    "SyntheticDataKit": ("unsloth_tpu.data.synthetic",
+                         "SyntheticDataKit"),
     "to_sharegpt": ("unsloth_tpu.data.chat_templates", "to_sharegpt"),
     "construct_chat_template": ("unsloth_tpu.data.chat_templates",
                                 "construct_chat_template"),

@@ -132,6 +132,108 @@ def fix_untrained_tokens(model, tokenizer, train_texts: Optional[List[str]]
     return params
 
 
+def mean_of_trained_tokens(model, eps: float = 1e-16):
+    """fp32 mean of the trained embedding / lm_head rows (rows whose norm
+    is >= eps), the init vector for new tokens (reference:
+    tokenizer_utils.py:35 re-exports zoo mean_of_trained_tokens)."""
+    import jax.numpy as jnp
+
+    def _mean(mat):
+        mat32 = mat.astype(jnp.float32)
+        trained = jnp.linalg.norm(mat32, axis=-1) >= eps
+        denom = jnp.maximum(trained.sum(), 1)
+        return jnp.where(trained[:, None], mat32, 0.0).sum(axis=0) / denom
+
+    embed = model.params["embed"]
+    if hasattr(embed, "packed"):
+        raise ValueError(
+            "add_new_tokens/mean_of_trained_tokens need unquantized "
+            "embeddings (the embed table is a packed quantized tensor)")
+    mean_embed = _mean(embed)
+    lm_head = model.params.get("lm_head")
+    mean_head = None
+    if lm_head is not None and not hasattr(lm_head, "packed"):
+        mean_head = _mean(lm_head)
+    return mean_embed, mean_head
+
+
+def add_new_tokens(model, tokenizer, new_tokens=(), method: str = "mean",
+                   interpolation: float = 0.5):
+    """Add tokens to the tokenizer and grow the embedding / lm_head rows
+    (reference: tokenizer_utils.py:35/:46 `add_new_tokens` from zoo).
+
+    method="mean": each new row is the mean of the trained rows.
+    method="interpolation": blend that mean with the mean embedding of the
+    token STRING's existing-subword tokenization —
+    row = (1-interpolation)*mean + interpolation*subword_mean.
+
+    Mutates `model.params` / `model.cfg.vocab_size` and the tokenizer;
+    returns the model for chaining."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    if isinstance(new_tokens, str):
+        new_tokens = [new_tokens]
+    new_tokens = list(new_tokens)
+    assert method in ("mean", "interpolation"), method
+    assert 0.0 <= interpolation <= 1.0, interpolation
+    if not new_tokens:
+        return model
+    vocab = set(tokenizer.get_vocab())
+    overlap = [t for t in new_tokens if t in vocab]
+    if overlap:
+        raise ValueError(
+            f"tokens already exist in the tokenizer: {overlap}")
+
+    mean_embed, mean_head = mean_of_trained_tokens(model)
+
+    # Per-token subword means BEFORE the tokenizer grows.
+    sub_embeds, sub_heads = [], []
+    embed = model.params["embed"]
+    lm_head = model.params.get("lm_head")
+    for tok in new_tokens:
+        ids = tokenizer(tok, add_special_tokens=False)["input_ids"]
+        if method == "interpolation" and ids:
+            idx = jnp.asarray(ids)
+            se = embed.astype(jnp.float32)[idx].mean(axis=0)
+            sub_embeds.append(
+                (1.0 - interpolation) * mean_embed + interpolation * se)
+            if mean_head is not None:
+                sh = lm_head.astype(jnp.float32)[idx].mean(axis=0)
+                sub_heads.append((1.0 - interpolation) * mean_head
+                                 + interpolation * sh)
+        else:
+            sub_embeds.append(mean_embed)
+            if mean_head is not None:
+                sub_heads.append(mean_head)
+
+    tokenizer.add_tokens(new_tokens)
+    new_ids = [tokenizer.convert_tokens_to_ids(t) for t in new_tokens]
+
+    def _grow(mat, rows):
+        # embed tables may be padded past len(tokenizer); only grow when
+        # the new ids don't fit.
+        old_v = mat.shape[0]
+        new_v = max(old_v, max(new_ids) + 1)
+        grown = mat
+        if new_v > old_v:
+            grown = jnp.zeros((new_v, mat.shape[1]), dtype=mat.dtype)
+            grown = grown.at[:old_v].set(mat)
+        for tid, r in zip(new_ids, rows):
+            grown = grown.at[tid].set(r.astype(mat.dtype))
+        return grown
+
+    params = dict(model.params)
+    params["embed"] = _grow(embed, sub_embeds)
+    if lm_head is not None and mean_head is not None:
+        params["lm_head"] = _grow(lm_head, sub_heads)
+    model.params = params
+    model.cfg = dataclasses.replace(
+        model.cfg, vocab_size=int(params["embed"].shape[0]))
+    return model
+
+
 # ---------------------------------------------------------------------------
 # Slow -> fast tokenizer conversion (reference: tokenizer_utils.py:141-262
 # convert_to_fast_tokenizer + assert_same_tokenization)
