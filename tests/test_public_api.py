@@ -27,8 +27,12 @@ EXPECTED_TOP_LEVEL = {
     # data-layer / tokenizer utilities (reference package-root exports)
     "standardize_sharegpt", "standardize_data_formats",
     "add_new_tokens", "mean_of_trained_tokens", "fix_untrained_tokens",
-    "convert_to_fast_tokenizer", "PatchDPOTrainer",
-    "RawTextDataLoader", "SyntheticDataKit",
+    "convert_to_fast_tokenizer", "PatchDPOTrainer", "PatchKTOTrainer",
+    "RawTextDataLoader", "SyntheticDataKit", "remove_special_tokens",
+    # per-arch facades (reference models/__init__.py)
+    "FastLlamaModel", "FastMistralModel", "FastQwen2Model",
+    "FastQwen3Model", "FastQwen3MoeModel", "FastGraniteModel",
+    "FastFalconH1Model", "FastTextModel", "is_vLLM_available",
 }
 
 

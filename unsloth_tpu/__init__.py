@@ -49,6 +49,24 @@ from .utils import env as _env
 # (reference: models/loader.py:2158).
 FastTextModel = FastLanguageModel
 
+# Per-architecture facades (reference: models/__init__.py exports
+# FastLlamaModel/FastMistralModel/... — in the functional design every
+# arch routes through the same loader; these are port-compat aliases).
+FastLlamaModel = FastLanguageModel
+FastMistralModel = FastLanguageModel
+FastQwen2Model = FastLanguageModel
+FastQwen3Model = FastLanguageModel
+FastQwen3MoeModel = FastLanguageModel
+FastGraniteModel = FastLanguageModel
+FastFalconH1Model = FastLanguageModel
+
+
+def is_vLLM_available() -> bool:
+    """Reference-parity probe (reference: models/_utils.py). Fast
+    inference here is native (inference/generate.py on-device decode, no
+    vLLM process), so `fast_inference=True` is always servable."""
+    return True
+
 
 # data-layer API parity (reference exports these from the package root:
 # unsloth/__init__.py via chat_templates/zoo star-imports)
@@ -72,6 +90,9 @@ _LAZY = {
     "convert_to_fast_tokenizer": ("unsloth_tpu.data.tokenizer_utils",
                                   "convert_to_fast_tokenizer"),
     "PatchDPOTrainer": ("unsloth_tpu.trainer.dpo", "PatchDPOTrainer"),
+    "PatchKTOTrainer": ("unsloth_tpu.trainer.dpo", "PatchKTOTrainer"),
+    "remove_special_tokens": ("unsloth_tpu.data.chat_templates",
+                              "remove_special_tokens"),
     "RawTextDataLoader": ("unsloth_tpu.data.raw_text",
                           "RawTextDataLoader"),
     "SyntheticDataKit": ("unsloth_tpu.data.synthetic",

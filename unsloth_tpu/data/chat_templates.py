@@ -669,6 +669,16 @@ def get_chat_template(tokenizer, chat_template: str = "chatml",
     return tokenizer
 
 
+def remove_special_tokens(tokenizer, prompt: str) -> str:
+    """Strip a duplicated leading BOS from a rendered prompt (reference:
+    chat_templates.py:2173 — templates that bake in the BOS double it
+    when the tokenizer adds one too)."""
+    bos = getattr(tokenizer, "bos_token", None)
+    if bos and prompt.startswith(bos):
+        prompt = prompt[len(bos):]
+    return prompt
+
+
 def standardize_sharegpt(dataset):
     """ShareGPT {"conversations": [{"from", "value"}]} ->
     {"messages": [{"role", "content"}]}

@@ -237,6 +237,12 @@ def PatchDPOTrainer(*args, **kwargs):
     return DPOTrainer
 
 
+def PatchKTOTrainer(*args, **kwargs):
+    """Reference API no-op (reference: models/__init__.py exports it from
+    models/dpo.py alongside PatchDPOTrainer)."""
+    return KTOTrainer
+
+
 # ---------------------------------------------------------------------------
 # KTO — reference patches TRL's KTOTrainer tokenizer handling
 # (rl_replacements.py:791-872); native here. Unpaired feedback: each row is
