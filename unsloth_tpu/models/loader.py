@@ -264,6 +264,7 @@ class FastLanguageModel:
         use_rslora: bool = False,
         modules_to_save: Optional[Sequence[str]] = None,
         qat_scheme: Optional[str] = None,
+        loftq_config: Optional[Any] = None,
         **kwargs,
     ) -> LanguageModel:
         """Attach a LoRA tree (reference: models/llama.py:3044).
@@ -297,6 +298,17 @@ class FastLanguageModel:
             model.cfg, key, r=r, alpha=lora_alpha,
             target_modules=normalize_target_modules(target_modules),
             use_rslora=use_rslora)
+        if loftq_config:
+            # LoftQ (reference: models/llama.py:3068,3102 routes
+            # init_lora_weights="loftq" + loftq_config into peft): the
+            # dense base is quantized HERE with SVD-initialized adapters
+            # absorbing the quantization error.
+            from .loftq import apply_loftq
+
+            model.params, model.lora = apply_loftq(
+                model.params, model.lora, loftq_config,
+                {"r": r, "lora_alpha": lora_alpha,
+                 "use_rslora": use_rslora})
         if "layers_stacked" in model.params:
             from .decoder import stack_lora
 
@@ -325,6 +337,7 @@ class FastLanguageModel:
             "lora_dropout": lora_dropout, "bias": bias,
             "use_rslora": use_rslora,
             "modules_to_save": list(modules_to_save or []),
+            "init_lora_weights": "loftq" if loftq_config else True,
         }
         return model
 
