@@ -217,6 +217,11 @@ def save_lora(model, path: str):
                 np.asarray(jax.device_get(lw.a.astype(jnp.float32))))
             tensors[f"{base}.lora_B.weight"] = np.ascontiguousarray(
                 np.asarray(jax.device_get(lw.b.astype(jnp.float32))))
+            if getattr(lw, "m", None) is not None:
+                # peft DoRA magnitude param name
+                tensors[f"{base}.lora_magnitude_vector.weight"] = \
+                    np.ascontiguousarray(np.asarray(
+                        jax.device_get(lw.m.astype(jnp.float32))))
     save_file(tensors, os.path.join(path, "adapter_model.safetensors"))
 
     lc = model.lora_config or {}
@@ -231,6 +236,7 @@ def save_lora(model, path: str):
         "lora_dropout": lc.get("lora_dropout", 0.0),
         "bias": lc.get("bias", "none"),
         "use_rslora": lc.get("use_rslora", False),
+        "use_dora": lc.get("use_dora", False),
         "target_modules": target_modules,
         "task_type": "CAUSAL_LM",
         "fan_in_fan_out": False,
@@ -268,7 +274,16 @@ def load_lora_tree(path: str, num_layers: int):
             ours = inv[parts[-1]]
             a = jnp.asarray(f.get_tensor(name))
             b = jnp.asarray(f.get_tensor(stem + ".lora_B.weight"))
-            layers[layer_idx][ours] = LoRAWeights(a=a, b=b, scale=scale)
+            mkey = stem + ".lora_magnitude_vector.weight"
+            if mkey in names:
+                from ..ops.lora import DoRAWeights
+
+                layers[layer_idx][ours] = DoRAWeights(
+                    a=a, b=b, scale=scale,
+                    m=jnp.asarray(f.get_tensor(mkey)))
+            else:
+                layers[layer_idx][ours] = LoRAWeights(a=a, b=b,
+                                                      scale=scale)
     return {"layers": layers}, lc
 
 

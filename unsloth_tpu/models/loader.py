@@ -265,6 +265,7 @@ class FastLanguageModel:
         modules_to_save: Optional[Sequence[str]] = None,
         qat_scheme: Optional[str] = None,
         loftq_config: Optional[Any] = None,
+        use_dora: bool = False,
         **kwargs,
     ) -> LanguageModel:
         """Attach a LoRA tree (reference: models/llama.py:3044).
@@ -309,6 +310,16 @@ class FastLanguageModel:
                 model.params, model.lora, loftq_config,
                 {"r": r, "lora_alpha": lora_alpha,
                  "use_rslora": use_rslora})
+        if use_dora:
+            # DoRA (reference: models/llama.py:3149 use_dora via kwargs
+            # -> peft): magnitude-initialized so step 0 == plain LoRA.
+            from ..ops.lora import LoRAWeights, to_dora
+
+            for layer_p, layer_l in zip(model.params["layers"],
+                                        model.lora["layers"]):
+                for name, lw in list(layer_l.items()):
+                    if isinstance(lw, LoRAWeights) and name in layer_p:
+                        layer_l[name] = to_dora(layer_p[name], lw)
         if "layers_stacked" in model.params:
             from .decoder import stack_lora
 
@@ -338,6 +349,7 @@ class FastLanguageModel:
             "use_rslora": use_rslora,
             "modules_to_save": list(modules_to_save or []),
             "init_lora_weights": "loftq" if loftq_config else True,
+            "use_dora": use_dora,
         }
         return model
 

@@ -9,7 +9,8 @@ from .attention import attention, attention_ref
 from .cross_entropy import (cross_entropy_per_row, cross_entropy_ref,
                             fast_cross_entropy_loss)
 from .fused_ce_linear import fused_ce_loss_mean, fused_linear_cross_entropy
-from .lora import LoRAWeights, base_matmul, init_lora, lora_matmul, merge_lora
+from .lora import (DoRAWeights, LoRAWeights, base_matmul, init_lora,
+                   lora_matmul, merge_lora, to_dora)
 from .nf4 import NF4Tensor, dequantize_nf4, nf4_matmul_ref, quantize_nf4
 from .rms_norm import layer_norm_ref, rms_norm, rms_norm_ref
 from .rope import apply_rope, apply_rope_qk, rope_inv_freq, rope_table

@@ -45,7 +45,61 @@ class LoRAWeights:
         return cls(children[0], children[1], aux[0])
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DoRAWeights(LoRAWeights):
+    """DoRA (arXiv:2402.09353): W' = m ⊙ (W + s·BA) / ||W + s·BA||_row.
+
+    The reference reaches DoRA through peft's ``use_dora=True`` kwarg
+    (models/llama.py:3149 — arrives via **kwargs); here it is a pytree
+    variant the same `lora_matmul` dispatches on. `m` [out] is trainable;
+    the row norm is stop-gradiented (the DoRA paper's detach trick)."""
+
+    m: jnp.ndarray = None  # [out] magnitude
+
+    def tree_flatten(self):
+        return (self.a, self.b, self.m), (self.scale,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], children[2])
+
+
 BaseWeight = Union[jnp.ndarray, NF4Tensor, "FP8Tensor"]  # noqa: F821
+
+
+def _dense_f32(w: BaseWeight) -> jnp.ndarray:
+    if isinstance(w, NF4Tensor):
+        return dequantize_nf4(w, dtype=jnp.float32)
+    if hasattr(w, "scales"):  # FP8Tensor
+        from .fp8 import dequantize_fp8
+
+        return dequantize_fp8(w, dtype=jnp.float32)
+    return w.astype(jnp.float32)
+
+
+def dora_weight_norm(w: BaseWeight, lora: LoRAWeights,
+                     eps: float = 1e-12) -> jnp.ndarray:
+    """Row norms of (W + scale·B@A) WITHOUT materializing the [out,in]
+    delta: ||W_i||² + 2s·W_i·(BA)_i + s²·||(BA)_i||² via [out,r]-shaped
+    intermediates (W@Aᵀ and B@(AAᵀ))."""
+    wd = _dense_f32(w)
+    a = lora.a.astype(jnp.float32)
+    b = lora.b.astype(jnp.float32)
+    s = lora.scale
+    w_sq = jnp.sum(wd * wd, axis=1)
+    cross = jnp.sum((wd @ a.T) * b, axis=1)
+    ba_sq = jnp.sum((b @ (a @ a.T)) * b, axis=1)
+    return jnp.sqrt(jnp.maximum(w_sq + 2.0 * s * cross + s * s * ba_sq,
+                                eps))
+
+
+def to_dora(w: BaseWeight, lora: LoRAWeights) -> DoRAWeights:
+    """Attach the DoRA magnitude, initialized so the initial forward is
+    exactly the plain-LoRA one (m = ||W + s·BA||_row; with zero-init B
+    this is ||W||_row, matching peft's dora init)."""
+    m = dora_weight_norm(w, lora)
+    return DoRAWeights(a=lora.a, b=lora.b, scale=lora.scale, m=m)
 
 
 def base_matmul(x: jnp.ndarray, w: BaseWeight) -> jnp.ndarray:
@@ -87,9 +141,14 @@ def lora_matmul(
     lora: Optional[LoRAWeights] = None,
     bias: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """y = x @ W.T (+ bias) (+ scale * (x @ A.T) @ B.T)."""
+    """y = x @ W.T (+ bias) (+ scale * (x @ A.T) @ B.T).
+
+    DoRAWeights adapters additionally rescale the (base + delta) rows by
+    m / ||W + s·BA||_row before the bias (the bias is outside the
+    decomposed weight)."""
+    is_dora = isinstance(lora, DoRAWeights)
     y = base_matmul(x, w)
-    if bias is not None:
+    if bias is not None and not is_dora:
         y = y + bias.astype(y.dtype)
     if lora is not None:
         xa = jax.lax.dot_general(
@@ -102,6 +161,11 @@ def lora_matmul(
             dimension_numbers=(((xa.ndim - 1,), (1,)), ((), ())),
             preferred_element_type=x.dtype,
         )
+    if is_dora:
+        c = jax.lax.stop_gradient(dora_weight_norm(w, lora))
+        y = y * (lora.m / c).astype(y.dtype)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
     return y
 
 
@@ -120,7 +184,8 @@ def init_lora(key, in_features: int, out_features: int, r: int,
 def merge_lora(w: BaseWeight, lora: LoRAWeights,
                dtype=jnp.bfloat16) -> jnp.ndarray:
     """Dequant-if-needed and merge: W' = W + scale * B @ A in fp32
-    (reference: save.py:608 `_merge_lora` merges in fp32 then casts)."""
+    (reference: save.py:608 `_merge_lora` merges in fp32 then casts).
+    DoRA merges the full decomposition m ⊙ (W + s·BA) / ||·||_row."""
     if isinstance(w, NF4Tensor):
         wd = dequantize_nf4(w, dtype=jnp.float32)
     else:
@@ -128,4 +193,9 @@ def merge_lora(w: BaseWeight, lora: LoRAWeights,
     delta = lora.scale * jnp.dot(
         lora.b.astype(jnp.float32), lora.a.astype(jnp.float32),
         preferred_element_type=jnp.float32)
-    return (wd + delta).astype(dtype)
+    merged = wd + delta
+    if isinstance(lora, DoRAWeights):
+        c = jnp.linalg.norm(merged, axis=1, keepdims=True)
+        merged = merged * (lora.m.astype(jnp.float32)[:, None]
+                           / jnp.maximum(c, 1e-12))
+    return merged.astype(dtype)
