@@ -594,3 +594,15 @@ def test_save_pretrained_gguf_tier_list(tmp_path):
         assert md["general.file_type"] == ftype
     with open(tmp_path / "g" / "Modelfile") as f:
         assert "FROM ./model-Q4_K_M.gguf" in f.read()
+
+
+def test_iq_grid_quants_refused():
+    """IQ1/IQ2/IQ3 need llama.cpp's trained grid tables — exporting a
+    file that would silently misdecode is refused with guidance
+    (reference menu: save.py:140-173)."""
+    import pytest
+
+    from unsloth_tpu.export.gguf import save_to_gguf
+
+    with pytest.raises(ValueError, match="E8-lattice"):
+        save_to_gguf(None, "/tmp/x.gguf", quantization_method="iq2_xxs")

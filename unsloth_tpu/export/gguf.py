@@ -307,6 +307,15 @@ def _type_for(name: str, arr_shape, base_type: GGMLType,
     return base_type
 
 
+# Reference menu entries (save.py:140-173) that CANNOT be produced
+# bit-compatibly here: llama.cpp's IQ1/IQ2/IQ3 decoders look values up in
+# trained E8-lattice grid tables baked into ggml; without those exact
+# tables an "iq2_xxs" file would parse but decode to garbage. We refuse
+# loudly instead of writing a silently-wrong artifact.
+_GRID_CODEBOOK_QUANTS = ("iq1_s", "iq1_m", "iq2_xxs", "iq2_xs", "iq2_s",
+                         "iq2_m", "iq3_xxs", "iq3_s", "iq3_m")
+
+
 def save_to_gguf(model, path: str, quantization_method: str = "q8_0",
                  name: Optional[str] = None,
                  imatrix: Optional[Dict[str, np.ndarray]] = None) -> str:
@@ -315,6 +324,13 @@ def save_to_gguf(model, path: str, quantization_method: str = "q8_0",
     imatrix: per-tensor importance weights keyed by gguf tensor name
     (export/imatrix.py collect_imatrix output) — feeds the IQ4 weighted
     search (reference: save.py:3806 imatrix + IQ quants)."""
+    if quantization_method.lower() in _GRID_CODEBOOK_QUANTS:
+        raise ValueError(
+            f"{quantization_method!r} needs llama.cpp's trained "
+            "E8-lattice grid codebooks, which this native quantizer "
+            "cannot reproduce bit-compatibly. Use q2_k / q3_k_* for "
+            "similar sizes, or iq4_nl / iq4_xs (supported, "
+            "imatrix-weighted).")
     method = QUANT_ALIASES.get(quantization_method.lower())
     if method is None:
         raise ValueError(
