@@ -168,3 +168,30 @@ def test_dora_e2e_train_and_save(rng, tmp_path):
                                np.asarray(model.lora["layers"][0]["q"].m),
                                rtol=1e-6)
     assert lc["use_dora"] is True
+
+
+def test_dora_stacked_layout(rng):
+    """get_peft_model(use_dora=True) on PRE-STACKED params (the scan
+    layout) must produce the same loss as the list layout."""
+    from unsloth_tpu.models.config import ModelConfig
+    from unsloth_tpu.models.decoder import loss_fn, stack_params
+    from unsloth_tpu.models.loader import FastLanguageModel, LanguageModel
+    from unsloth_tpu.models.params import init_params
+
+    cfg = ModelConfig(vocab_size=64, hidden_size=64, intermediate_size=128,
+                      num_layers=2, num_heads=2, num_kv_heads=2)
+    params = init_params(cfg, rng)
+    ids = jnp.arange(16, dtype=jnp.int32)[None, :] % 64
+    batch = {"input_ids": ids, "labels": ids}
+
+    m1 = LanguageModel(cfg=cfg, params=params)
+    FastLanguageModel.get_peft_model(m1, r=8, use_dora=True,
+                                     use_gradient_checkpointing=False)
+    l1 = float(loss_fn(m1.params, m1.lora, batch, cfg))
+
+    m2 = LanguageModel(cfg=cfg, params=stack_params(params))
+    FastLanguageModel.get_peft_model(m2, r=8, use_dora=True,
+                                     use_gradient_checkpointing=False)
+    assert "layers_stacked" in m2.lora
+    l2 = float(loss_fn(m2.params, m2.lora, batch, cfg))
+    assert abs(l1 - l2) < 1e-4, (l1, l2)

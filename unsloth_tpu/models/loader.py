@@ -310,7 +310,7 @@ class FastLanguageModel:
                 model.params, model.lora, loftq_config,
                 {"r": r, "lora_alpha": lora_alpha,
                  "use_rslora": use_rslora})
-        if use_dora:
+        if use_dora and "layers" in model.params:
             # DoRA (reference: models/llama.py:3149 use_dora via kwargs
             # -> peft): magnitude-initialized so step 0 == plain LoRA.
             from ..ops.lora import LoRAWeights, to_dora
@@ -324,6 +324,16 @@ class FastLanguageModel:
             from .decoder import stack_lora
 
             model.lora = stack_lora(model.lora)
+            if use_dora:
+                # pre-stacked params: vmap the magnitude init over the
+                # layer axis of the stacked weights.
+                from ..ops.lora import LoRAWeights, to_dora
+
+                sp = model.params["layers_stacked"]
+                sl = model.lora["layers_stacked"]
+                for name, lw in list(sl.items()):
+                    if isinstance(lw, LoRAWeights) and name in sp:
+                        sl[name] = jax.vmap(to_dora)(sp[name], lw)
         # modules_to_save: full-rank trainable copies shadowing frozen base
         # (reference: peft modules_to_save; enables embedding fine-tuning
         # with the separate embedding_learning_rate, trainer.py:435-456)
