@@ -36,6 +36,9 @@ def _add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--lora_alpha", type=float, default=16)
     p.add_argument("--lora_dropout", type=float, default=0.0)
     p.add_argument("--use_rslora", action="store_true")
+    p.add_argument("--use_dora", action="store_true")
+    p.add_argument("--loftq_iter", type=int, default=0,
+                   help="LoftQ iterations (requires --no_load_in_4bit)")
     # data
     p.add_argument("--dataset", required=True,
                    help="path to a .json/.jsonl file or HF dataset dir")
@@ -103,7 +106,10 @@ def cmd_train(args) -> int:
         dtype=args.dtype, load_in_4bit=args.load_in_4bit)
     model = FastLanguageModel.get_peft_model(
         model, r=args.r, lora_alpha=args.lora_alpha,
-        lora_dropout=args.lora_dropout, use_rslora=args.use_rslora)
+        lora_dropout=args.lora_dropout, use_rslora=args.use_rslora,
+        use_dora=args.use_dora,
+        loftq_config=({"loftq_bits": 4, "loftq_iter": args.loftq_iter}
+                      if args.loftq_iter else None))
 
     if args.chat_template and tokenizer is not None:
         from .data.chat_templates import get_chat_template
