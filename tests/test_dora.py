@@ -195,3 +195,20 @@ def test_dora_stacked_layout(rng):
     assert "layers_stacked" in m2.lora
     l2 = float(loss_fn(m2.params, m2.lora, batch, cfg))
     assert abs(l1 - l2) < 1e-4, (l1, l2)
+
+
+def test_dora_gguf_adapter_refused(rng):
+    """GGUF's LoRA adapter format has no magnitude tensor — exporting a
+    DoRA adapter there would silently drop the decomposition."""
+    from unsloth_tpu.export.gguf import save_lora_gguf
+    from unsloth_tpu.models.config import ModelConfig
+    from unsloth_tpu.models.loader import FastLanguageModel, LanguageModel
+    from unsloth_tpu.models.params import init_params
+
+    cfg = ModelConfig(vocab_size=64, hidden_size=64, intermediate_size=128,
+                      num_layers=2, num_heads=2, num_kv_heads=2)
+    model = LanguageModel(cfg=cfg, params=init_params(cfg, rng))
+    FastLanguageModel.get_peft_model(model, r=8, use_dora=True,
+                                     use_gradient_checkpointing=False)
+    with pytest.raises(ValueError, match="DoRA"):
+        save_lora_gguf(model, "/tmp/dora-adapter.gguf")

@@ -477,6 +477,12 @@ def save_lora_gguf(model, path: str, dtype=np.float32) -> str:
             gguf_name = _LORA_GGUF_NAMES.get(ours)
             if gguf_name is None or not hasattr(lw, "a"):
                 continue
+            if getattr(lw, "m", None) is not None:
+                raise ValueError(
+                    "llama.cpp's GGUF adapter format cannot express DoRA "
+                    "magnitudes; export a merged model "
+                    "(save_pretrained_gguf) or a peft adapter "
+                    "(save_lora) instead.")
             base = f"blk.{i}.{gguf_name}.weight"
             w.add_tensor(base + ".lora_a", host(lw.a), GGMLType.F32)
             w.add_tensor(base + ".lora_b", host(lw.b), GGMLType.F32)
