@@ -71,3 +71,17 @@ def test_loftq_rejects_non4bit(rng):
         FastLanguageModel.get_peft_model(
             model, r=8, loftq_config={"loftq_bits": 2},
             use_gradient_checkpointing=False)
+
+
+def test_loftq_rejects_stacked_layout(rng):
+    """ADVICE r3: pre-stacked (scan-layout) params must fail with a clear
+    message, not a bare KeyError."""
+    from unsloth_tpu.models.decoder import stack_params
+    from unsloth_tpu.models.loftq import apply_loftq
+    from unsloth_tpu.models.params import init_lora_tree
+
+    model = _model(rng)
+    stacked = stack_params(model.params)
+    lora = init_lora_tree(model.cfg, rng, r=8, alpha=8)
+    with pytest.raises(ValueError, match="list layout"):
+        apply_loftq(stacked, lora, {"loftq_bits": 4}, {"r": 8})

@@ -319,3 +319,29 @@ def test_convert_to_fast_tokenizer(tmp_path):
     assert fast.is_fast
     assert assert_same_tokenization(slow, fast,
                                     texts=("hello", "hello world", "abc"))
+
+
+def test_add_new_tokens_rejects_packed_lm_head(rng, tmp_path):
+    """ADVICE r3: a packed (quantized) lm_head must raise, not be silently
+    skipped while embed/vocab_size still grow (head rows would be short of
+    the new token ids)."""
+    pytest.importorskip("transformers")
+    from unsloth_tpu.data.tokenizer_utils import add_new_tokens
+    from unsloth_tpu.models.config import ModelConfig
+    from unsloth_tpu.models.loader import LanguageModel
+    from unsloth_tpu.models.params import init_params
+    from unsloth_tpu.ops.nf4 import quantize_nf4
+
+    tok = _tiny_slow_tokenizer(tmp_path)
+    v0 = len(tok)
+    cfg = ModelConfig(vocab_size=v0, hidden_size=16, intermediate_size=32,
+                      num_layers=1, num_heads=2, num_kv_heads=2,
+                      tie_word_embeddings=False)
+    params = init_params(cfg, rng)
+    params["lm_head"] = quantize_nf4(params["lm_head"], block_size=16)
+    model = LanguageModel(cfg=cfg, params=params, tokenizer=tok)
+    with pytest.raises(ValueError, match="lm_head"):
+        add_new_tokens(model, tok, ["<REASON>"])
+    # nothing mutated
+    assert model.cfg.vocab_size == v0
+    assert len(tok) == v0

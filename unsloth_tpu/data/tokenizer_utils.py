@@ -186,6 +186,13 @@ def add_new_tokens(model, tokenizer, new_tokens=(), method: str = "mean",
         raise ValueError(
             f"tokens already exist in the tokenizer: {overlap}")
 
+    if hasattr(model.params.get("lm_head"), "packed"):
+        # mirror the embed guard: silently skipping the head while still
+        # growing embed/vocab_size would leave lm_head rows short of the
+        # new token ids (logits/labels indexing past the head)
+        raise ValueError(
+            "add_new_tokens needs an unquantized lm_head (the head is a "
+            "packed quantized tensor); dequantize it before adding tokens")
     mean_embed, mean_head = mean_of_trained_tokens(model)
 
     # Per-token subword means BEFORE the tokenizer grows.

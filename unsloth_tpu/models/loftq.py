@@ -65,6 +65,16 @@ def apply_loftq(params: Dict[str, Any], lora: Dict[str, Any],
             "the QLoRA path this framework quantizes to")
 
     r = int(lora_config.get("r", 16))
+    if "layers" not in params or "layers" not in lora:
+        # the stacked (scan) layout holds [L, ...] leaves; LoftQ's per-
+        # weight SVD needs the list layout — unstack, apply, restack
+        # (mirrors the loader's DoRA stacked branch)
+        if "layers_stacked" in params:
+            raise ValueError(
+                "LoftQ requires the per-layer list layout; apply "
+                "loftq_config in get_peft_model BEFORE stack_params "
+                "(or unstack, apply, and restack)")
+        raise ValueError("params/lora trees have no 'layers' entry")
     new_layers = []
     for layer_p, layer_l in zip(params["layers"], lora["layers"]):
         new_layer = dict(layer_p)

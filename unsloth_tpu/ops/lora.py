@@ -82,13 +82,30 @@ def dora_weight_norm(w: BaseWeight, lora: LoRAWeights,
                      eps: float = 1e-12) -> jnp.ndarray:
     """Row norms of (W + scale·B@A) WITHOUT materializing the [out,in]
     delta: ||W_i||² + 2s·W_i·(BA)_i + s²·||(BA)_i||² via [out,r]-shaped
-    intermediates (W@Aᵀ and B@(AAᵀ))."""
-    wd = _dense_f32(w)
+    intermediates (W@Aᵀ and B@(AAᵀ)).
+
+    The dense base is materialized in bfloat16 (a full-f32 dequant temp
+    inside every training-step jit is exactly the dense-dequant HLO-temp
+    class that OOMs 8B/8K configs); the reductions over it accumulate in
+    f32 via preferred_element_type, so the norm keeps f32 accuracy."""
+    if isinstance(w, jnp.ndarray) and w.dtype == jnp.float32:
+        wd = w
+    elif isinstance(w, NF4Tensor):
+        wd = dequantize_nf4(w, dtype=jnp.bfloat16)
+    elif hasattr(w, "scales"):  # FP8Tensor
+        from .fp8 import dequantize_fp8
+
+        wd = dequantize_fp8(w, dtype=jnp.bfloat16)
+    else:
+        wd = w
     a = lora.a.astype(jnp.float32)
     b = lora.b.astype(jnp.float32)
     s = lora.scale
-    w_sq = jnp.sum(wd * wd, axis=1)
-    cross = jnp.sum((wd @ a.T) * b, axis=1)
+    f32 = jnp.float32
+    w_sq = jnp.einsum("oi,oi->o", wd, wd, preferred_element_type=f32)
+    wa = jnp.einsum("oi,ri->or", wd, a.astype(wd.dtype),
+                    preferred_element_type=f32)
+    cross = jnp.sum(wa * b, axis=1)
     ba_sq = jnp.sum((b @ (a @ a.T)) * b, axis=1)
     return jnp.sqrt(jnp.maximum(w_sq + 2.0 * s * cross + s * s * ba_sq,
                                 eps))
