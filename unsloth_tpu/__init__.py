@@ -22,7 +22,15 @@ def _enable_compile_cache():
 
     UNSLOTH_COMPILE_CACHE: unset/"1" = on at ~/.cache/unsloth_tpu/jax,
     a path = on there, "0"/"off" = disabled. Must run before any jax
-    backend initializes — package import time is early enough."""
+    backend initializes — package import time is early enough.
+
+    The cache directory is suffixed with a host fingerprint (machine type
+    + CPU feature flags): XLA:CPU entries are AOT results compiled for the
+    build host's CPU features, and jax's cache key does NOT include them —
+    reusing such an entry on a host with different features can SIGILL
+    (observed: "+prefer-no-gather is not supported on the host machine").
+    Per-host directories make cross-host reuse impossible; same-host reuse
+    (the latency win that matters) is unaffected."""
     import os
 
     raw = os.environ.get("UNSLOTH_COMPILE_CACHE", "1")
@@ -30,6 +38,24 @@ def _enable_compile_cache():
         return
     path = raw if raw.lower() not in ("1", "true", "on") else \
         os.path.expanduser("~/.cache/unsloth_tpu/jax_cache")
+    try:
+        import hashlib
+        import platform
+
+        fp = platform.machine()
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith(("flags", "Features")):
+                        feats = "_".join(sorted(line.split(":", 1)[1].split()))
+                        fp += "-" + hashlib.sha256(
+                            feats.encode()).hexdigest()[:12]
+                        break
+        except OSError:
+            pass
+        path = os.path.join(path, fp)
+    except Exception:
+        pass
     try:
         import jax
 

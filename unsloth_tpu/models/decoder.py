@@ -223,6 +223,15 @@ def attention_block(
             jnp.ones((b, t), jnp.int32)
         attn_segments = base * n_chunks + chunk_id
 
+    from jax.ad_checkpoint import checkpoint_name
+
+    # remat-policy tags: identity ops unless a save/offload policy names
+    # them (see resolve_remat_policy). Saving q/k/v skips the qkv-proj +
+    # rope recompute in backward; saving attn_out skips the flash-forward
+    # recompute entirely (the flash bwd kernel needs only q,k,v,out,lse).
+    q = checkpoint_name(q, "q_rope")
+    k = checkpoint_name(k, "k_rope")
+    v = checkpoint_name(v, "v_proj")
     out = attention(
         q, k, v,
         causal=cfg.causal,
@@ -234,6 +243,7 @@ def attention_block(
         image_spans=image_spans,
         sinks=layer_p.get("sinks"),
     )
+    out = checkpoint_name(out, "attn_out")
     out = out.reshape(b, t, hq * dh)
     if out_gate is not None:
         out = out * jax.nn.sigmoid(out_gate.astype(jnp.float32)).astype(
@@ -376,7 +386,12 @@ def mlp_block(x, layer_p, lora_p, cfg: ModelConfig, layer_idx: int):
         if cfg.hybrid_mamba:  # falcon-h1 muP: act(gate*gm), down*dm
             gm, dm = cfg.mamba.mlp_multipliers
             return _proj(glu(e * gm, g), layer_p, lora_p, "down") * dm
-        return _proj(glu(e, g), layer_p, lora_p, "down")
+        from jax.ad_checkpoint import checkpoint_name
+
+        # remat-policy tag: saving the [tokens, F] glu output skips the
+        # gate/up matmul recompute in backward (~2/3 of MLP forward FLOPs)
+        return _proj(checkpoint_name(glu(e, g), "swiglu_out"),
+                     layer_p, lora_p, "down")
 
     # Tiled MLP: chunk the token dim so the [tokens, F] intermediates
     # (F is ~3.5x D) never materialize for the full sequence — the
@@ -697,6 +712,7 @@ def forward(
         instead of hand-written D2H copies, so the compiler overlaps the
         transfers with compute.
     """
+    remat_policy = resolve_remat_policy(remat_policy)
     if cfg.altup is not None:
         # gemma-3n: multi-stream AltUp stack lives in its own module
         from .gemma3n import gemma3n_forward
@@ -738,7 +754,7 @@ def forward(
         if deepstack_embeds is not None:
             raise ValueError("deepstack embeds require the list layout")
         x = _scan_layers(params, lora, x, cfg, cos, sin, segment_ids,
-                         positions, image_spans, remat)
+                         positions, image_spans, remat, remat_policy)
         return _normp(x, params, "final_norm", cfg)
 
     lora_layers = (lora or {}).get("layers")
@@ -785,7 +801,7 @@ def forward(
 
 
 def _scan_layers(params, lora, x, cfg, cos, sin, segment_ids, positions,
-                 image_spans, remat):
+                 image_spans, remat, remat_policy=None):
     """lax.scan over stacked homogeneous layers: compile time is one
     layer's, not num_layers' (the TPU idiom for deep stacks — the reference
     has no analog because torch modules execute eagerly). Requires
@@ -811,9 +827,55 @@ def _scan_layers(params, lora, x, cfg, cos, sin, segment_ids, positions,
         return y, None
 
     if remat:
-        body = jax.checkpoint(body)
+        body = jax.checkpoint(body, policy=resolve_remat_policy(remat_policy))
     x, _ = jax.lax.scan(body, x, (stacked, lora_stacked))
     return x
+
+
+#: named remat policies accepted wherever `remat_policy` flows
+#: (forward / loss_fn / trainers / UNSLOTH_REMAT_POLICY):
+#:   none             — full per-layer rematerialization (save nothing)
+#:   save_attn        — keep attn outputs in HBM (skips the flash-forward
+#:                      recompute; +[B,T,Hq,Dh] bf16 per layer)
+#:   offload_attn     — same, but parked in pinned host memory (≈0 HBM)
+#:   offload_qkv_attn — also offload post-rope q/k/v (skips qkv-proj +
+#:                      rope recompute; flash bwd reads them back)
+#:   offload_acts     — also offload the [tokens, F] swiglu output
+#:                      (skips the gate/up matmul recompute — the largest
+#:                      single recompute term — at the cost of host
+#:                      bandwidth). TPU-native form of the reference's
+#:                      offloaded gradient checkpointing
+#:                      (reference unsloth/models/_utils.py:356-382).
+REMAT_POLICIES = ("none", "save_attn", "offload_attn", "offload_qkv_attn",
+                  "offload_acts")
+
+_OFFLOAD_NAMES = {
+    "offload_attn": ["attn_out"],
+    "offload_qkv_attn": ["q_rope", "k_rope", "v_proj", "attn_out"],
+    "offload_acts": ["q_rope", "k_rope", "v_proj", "attn_out",
+                     "swiglu_out"],
+}
+
+
+def resolve_remat_policy(spec):
+    """Map a policy NAME (see REMAT_POLICIES) to a jax.checkpoint policy;
+    callables/None pass through unchanged."""
+    if spec is None or not isinstance(spec, str):
+        return spec
+    cp = jax.checkpoint_policies
+    if spec == "none":
+        return None
+    if spec == "save_attn":
+        return cp.save_only_these_names("attn_out")
+    names = _OFFLOAD_NAMES.get(spec)
+    if names is None:
+        raise ValueError(
+            f"unknown remat policy {spec!r}; expected one of "
+            f"{REMAT_POLICIES}")
+    return cp.save_and_offload_only_these_names(
+        names_which_can_be_saved=[],
+        names_which_can_be_offloaded=names,
+        offload_src="device", offload_dst="pinned_host")
 
 
 def stack_params(params):
@@ -915,12 +977,30 @@ def _loss_from_hidden(
 
     if fused_ce == "auto":
         # The fused path recomputes chunk logits in backward (one extra
-        # lm_head matmul) to avoid materializing [N, V]; measured ~14%
-        # step cost at 2k ctx on v5e. Take the memory win only when the
-        # logits would be genuinely large (reference gates fused CE the
-        # same way, models/llama.py:1454-1509 "bsz*q_len large").
+        # lm_head matmul, ~2·N·D·V FLOPs) to avoid materializing [N, V];
+        # full-logits CE instead pays ~2x logits_bytes of HBM temps —
+        # far cheaper in TIME whenever it fits (HBM traffic vs a
+        # 128K-vocab matmul). So fuse only when full logits would NOT
+        # fit next to the weights and remat residuals (reference gates
+        # fused CE the same way, models/llama.py:1454-1509
+        # "bsz*q_len large").
         logits_bytes = h2d.shape[0] * cfg.vocab_size * 4
-        fused_ce = logits_bytes > 1536 * 1024 * 1024
+        if logits_bytes <= 1536 * 1024 * 1024:
+            fused_ce = False
+        else:
+            import os
+
+            param_bytes = sum(
+                x.size * x.dtype.itemsize
+                for x in jax.tree_util.tree_leaves(params)
+                if hasattr(x, "dtype"))
+            # per-layer GC keeps one [B,T,D] boundary per layer
+            resid_bytes = cfg.num_layers * h2d.shape[0] * d * 2
+            budget_gb = float(os.environ.get(
+                "UNSLOTH_CE_HBM_BUDGET_GB",
+                "13.5" if jax.default_backend() == "tpu" else "1e9"))
+            fused_ce = (param_bytes + resid_bytes + 2 * logits_bytes
+                        > budget_gb * (1 << 30))
 
     w = (lora or {}).get("lm_head")
     if w is not None:

@@ -348,14 +348,18 @@ def _flash_block_sizes(t):
     # Block 1024 is ~7% faster fwd+bwd at 8K, but its backward buffers
     # add ~1 GB of HLO temp — enough to OOM the 8B/8K headline config on
     # a 16 GB chip. Default 512; opt into bigger blocks when memory
-    # allows via UNSLOTH_FLASH_BLOCK.
+    # allows via UNSLOTH_FLASH_BLOCK. UNSLOTH_FLASH_BLOCK_BWD sets the
+    # dkv/dq pass blocks independently (the bwd temps, not the fwd
+    # schedule, are what OOM first).
     pref = int(os.environ.get("UNSLOTH_FLASH_BLOCK", "512"))
+    pref_b = int(os.environ.get("UNSLOTH_FLASH_BLOCK_BWD", pref))
     block = next(b for b in (pref, 512, 256, 128) if b <= t and t % b == 0)
+    bwd = next(b for b in (pref_b, 512, 256, 128) if b <= t and t % b == 0)
     return BlockSizes(
         block_q=block, block_k_major=block, block_k=block, block_b=1,
-        block_q_major_dkv=block, block_k_major_dkv=block,
-        block_k_dkv=block, block_q_dkv=block,
-        block_k_major_dq=block, block_k_dq=block, block_q_dq=block,
+        block_q_major_dkv=bwd, block_k_major_dkv=bwd,
+        block_k_dkv=bwd, block_q_dkv=bwd,
+        block_k_major_dq=bwd, block_k_dq=bwd, block_q_dq=bwd,
     )
 
 
