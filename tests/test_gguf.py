@@ -606,3 +606,19 @@ def test_iq_grid_quants_refused():
 
     with pytest.raises(ValueError, match="E8-lattice"):
         save_to_gguf(None, "/tmp/x.gguf", quantization_method="iq2_xxs")
+
+
+def test_iq_menu_mirrors_reference_imatrix_quants():
+    """The refused grid-codebook tiers plus the shipped iq4 tiers must
+    together be EXACTLY the reference's IMATRIX_QUANTS menu
+    (reference unsloth/save.py:162-175) — no name invented, none missing."""
+    from unsloth_tpu.export.gguf import _GRID_CODEBOOK_QUANTS
+
+    reference_imatrix_quants = {
+        "iq1_s", "iq1_m", "iq2_xxs", "iq2_xs", "iq2_s", "iq2_m",
+        "iq3_xxs", "iq3_s", "iq3_m", "iq4_nl", "iq4_xs",
+    }
+    shipped_iq = {"iq4_nl", "iq4_xs"}
+    assert set(_GRID_CODEBOOK_QUANTS) | shipped_iq == \
+        reference_imatrix_quants
+    assert set(_GRID_CODEBOOK_QUANTS) & shipped_iq == set()

@@ -413,8 +413,13 @@ def _align(n: int, a: int) -> int:
 # Minimal reader (for tests / round-trip validation)
 # ---------------------------------------------------------------------------
 
-def read_gguf(path: str, load_tensors: bool = False):
-    """Parse header/metadata/tensor table; optionally tensor data."""
+def read_gguf(path: str, load_tensors: bool = False,
+              return_raw: bool = False):
+    """Parse header/metadata/tensor table; optionally tensor data.
+
+    return_raw=True: returns (metadata, {name: decoded fp32 array},
+    {name: (raw bytes, ggml type)}) — the raw view lets independent
+    decoders (export/gguf_dequant_ref.py) cross-check the file."""
     with open(path, "rb") as f:
         magic, version, n_tensors, n_kv = struct.unpack(
             "<IIQQ", f.read(24))
@@ -456,7 +461,8 @@ def read_gguf(path: str, load_tensors: bool = False):
                             "offset": offset})
 
         data = {}
-        if load_tensors:
+        raws = {}
+        if load_tensors or return_raw:
             align = metadata.get("general.alignment", DEFAULT_ALIGNMENT)
             base = _align(f.tell(), align)
             for t in tensors:
@@ -465,6 +471,10 @@ def read_gguf(path: str, load_tensors: bool = False):
                 nbytes = n // epb * bpb
                 f.seek(base + t["offset"])
                 raw = np.frombuffer(f.read(nbytes), np.uint8)
+                if return_raw:
+                    raws[t["name"]] = (raw, t["type"])
                 data[t["name"]] = dequantize_tensor(
                     raw, t["type"], n).reshape(t["shape"])
+    if return_raw:
+        return metadata, data, raws
     return metadata, tensors, data
