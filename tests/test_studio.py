@@ -134,6 +134,73 @@ def test_training_job_lifecycle(studio):
     assert code == 200 and len(jobs["jobs"]) >= 1
 
 
+def test_train_stream_sse_live(studio):
+    """/api/train/stream pushes per-step metric events WHILE the job is
+    running — the SSE replacement for polling (reference: the WS progress
+    callback in studio/backend/core/training/trainer.py:280)."""
+    import threading
+
+    url, srv, tmp = studio
+    data_dir = str(tmp.mktemp("sse_data"))
+    ckpt = os.path.join(data_dir, "ckpt")
+    make_hf_checkpoint(ckpt, TINY_LLAMA)
+    dataset = os.path.join(data_dir, "d.jsonl")
+    with open(dataset, "w") as f:
+        for i in range(16):
+            f.write(json.dumps({"input_ids": list(range(3, 30))}) + "\n")
+
+    code, out = _req(url, "/api/train/start", {
+        "model_name": ckpt, "dataset": dataset, "max_steps": 8,
+        "max_seq_length": 32, "per_device_train_batch_size": 2,
+        "gradient_accumulation_steps": 1, "platform": "cpu"})
+    assert code == 200 and "job_id" in out, out
+
+    events = []  # (arrival time, event name, payload)
+
+    def read_stream():
+        req = urllib.request.Request(
+            url + "/api/train/stream",
+            headers={"Authorization": f"Bearer {TOKEN}"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.headers["Content-Type"] == "text/event-stream"
+            ev = None
+            for raw in r:
+                line = raw.decode().rstrip("\n")
+                if line.startswith("event: "):
+                    ev = line[7:]
+                elif line.startswith("data: "):
+                    events.append((time.time(), ev,
+                                   json.loads(line[6:])))
+                    if ev == "done":
+                        return
+                    ev = None
+
+    reader = threading.Thread(target=read_stream, daemon=True)
+    reader.start()
+
+    deadline = time.time() + 240
+    job_end = None
+    while time.time() < deadline:
+        _, status = _req(url, "/api/train/status")
+        if not status["running"]:
+            job_end = time.time()
+            break
+        time.sleep(0.5)
+    assert job_end is not None and status.get("returncode") == 0, status
+    reader.join(timeout=30)
+    assert not reader.is_alive()
+
+    names = [e[1] for e in events]
+    assert names[-1] == "done"
+    metrics = [e for e in events if e[1] == "metric"]
+    assert len(metrics) >= 8, names
+    assert all("loss" in e[2] for e in metrics)
+    # liveness: metric events STREAMED while the worker was still alive,
+    # not dumped after the fact
+    early = [e for e in metrics if e[0] < job_end]
+    assert len(early) >= 2, (len(early), job_end, names)
+
+
 def test_resume_validation_rejects_bad_dir(studio):
     url, _, tmp = studio
     code, out = _req(url, "/api/train/start", {

@@ -735,6 +735,12 @@ class StudioServer(InferenceServer):
                     return self._send(200, server.stats())
                 if self.path == "/api/train/status":
                     return self._send(200, server.jobs.status())
+                if self.path.startswith("/api/train/stream"):
+                    from urllib.parse import parse_qs, urlparse
+
+                    q = parse_qs(urlparse(self.path).query)
+                    return self._stream_train(
+                        int((q.get("after") or [0])[0]))
                 if self.path.startswith("/api/metrics"):
                     return self._send(
                         200, {"entries": server.jobs.metrics()})
@@ -871,6 +877,68 @@ class StudioServer(InferenceServer):
                                 })
                     return self._send(200, {"jobs": jobs})
                 return super().do_GET()
+
+            def _stream_train(self, after: int = 0):
+                """SSE live training metrics (reference: the WS progress
+                callback in studio/backend/core/training/trainer.py:280 —
+                here an SSE tail of the worker's metrics.jsonl, which
+                survives worker crashes because the file does).
+
+                Events: ``metric`` per metrics.jsonl line (skipping the
+                first ``after``), ``status`` heartbeats while the line is
+                quiet, and a final ``done`` carrying the job status."""
+                job = server.jobs.job
+                self._sse_start()
+                try:
+                    if not job:
+                        self._sse({"running": False}, event="done")
+                        return
+                    path = os.path.join(job["output_dir"],
+                                        "metrics.jsonl")
+                    f, n_seen = None, 0
+
+                    def drain():
+                        nonlocal f, n_seen
+                        if f is None:
+                            if not os.path.exists(path):
+                                return
+                            f = open(path)
+                        while True:
+                            pos = f.tell()
+                            line = f.readline()
+                            if not line:
+                                return
+                            if not line.endswith("\n"):
+                                f.seek(pos)  # partial write; retry later
+                                return
+                            n_seen += 1
+                            if n_seen <= after or not line.strip():
+                                continue
+                            try:
+                                self._sse(json.loads(line),
+                                          event="metric")
+                            except json.JSONDecodeError:
+                                pass
+
+                    last_beat = 0.0
+                    while True:
+                        running = server.jobs.status().get("running")
+                        drain()
+                        if not running:
+                            drain()  # final lines written before exit
+                            self._sse(server.jobs.status(), event="done")
+                            return
+                        now = time.time()
+                        if now - last_beat > 2.0:
+                            self._sse({"running": True, "seen": n_seen},
+                                      event="status")
+                            last_beat = now
+                        time.sleep(0.25)
+                except (BrokenPipeError, ConnectionResetError):
+                    return  # client went away; the worker is unaffected
+                finally:
+                    if "f" in locals() and f is not None:
+                        f.close()
 
             def do_POST(self):
                 if self.path.startswith(("/api/", "/v1/")) and self._gate():
