@@ -242,6 +242,216 @@ def add_new_tokens(model, tokenizer, new_tokens=(), method: str = "mean",
 
 
 # ---------------------------------------------------------------------------
+# Chat-template auto-repair (reference: tokenizer_utils.py:950-1326
+# _fix_chat_template / _validate_patched_template /
+# _fix_chat_template_for_tokenizer) and the repair loop around it
+# (reference: tokenizer_utils.py:1343 check_tokenizer's fix-then-recheck)
+# ---------------------------------------------------------------------------
+
+_AGP_MSGS = [{"role": "user", "content": "__U__"}]
+
+
+def _render(tokenizer, template, agp: bool) -> str:
+    prev = getattr(tokenizer, "chat_template", None)
+    tokenizer.chat_template = template
+    try:
+        return tokenizer.apply_chat_template(
+            _AGP_MSGS, tokenize=False, add_generation_prompt=agp)
+    finally:
+        tokenizer.chat_template = prev
+
+
+def _derive_generation_prefix(tokenizer) -> Optional[str]:
+    """Render-diff derivation of the assistant generation prefix: the text
+    the template emits between the end of the last user turn and the
+    assistant's content (reference: tokenizer_utils.py:982-1005 derives
+    the prefix the same way, by diffing renders)."""
+    try:
+        user_only = tokenizer.apply_chat_template(
+            _AGP_MSGS, tokenize=False, add_generation_prompt=False)
+        both = tokenizer.apply_chat_template(
+            _AGP_MSGS + [{"role": "assistant", "content": "__A__"}],
+            tokenize=False, add_generation_prompt=False)
+    except Exception:
+        return None
+    marker = both.find("__A__")
+    if marker < 0:
+        return None
+    # longest common prefix of (user_only, both) ends where the assistant
+    # block begins; the generation prefix is everything from there to the
+    # assistant content
+    n = 0
+    while n < min(len(user_only), marker) and user_only[n] == both[n]:
+        n += 1
+    prefix = both[n:marker]
+    return prefix or None
+
+
+def fix_chat_template(tokenizer):
+    """Repair a chat template that ignores ``add_generation_prompt``
+    (reference: tokenizer_utils.py:950-1070 _fix_chat_template).
+
+    Returns (tokenizer, repaired: bool). The repaired template must pass
+    the reference's validation contract (:1089-1125): the agp=True render
+    differs from agp=False and strictly EXTENDS it; otherwise the original
+    template is restored untouched."""
+    template = getattr(tokenizer, "chat_template", None)
+    if not template:
+        return tokenizer, False
+    try:
+        no = _render(tokenizer, template, False)
+        yes = _render(tokenizer, template, True)
+    except Exception:
+        return tokenizer, False  # syntax errors are repair_tokenizer's job
+    if yes != no:
+        return tokenizer, False  # already responds to the flag
+    candidates = []
+    stripped = template.rstrip()
+    # Case 1 (reference :1010): trailing {{ expr }} IS the generation
+    # prefix (always emitted) — wrap it in the conditional block.
+    if stripped.endswith("}}"):
+        start = stripped.rfind("{{")
+        if start > 0 and "{%" not in stripped[start:]:
+            candidates.append(
+                stripped[:start]
+                + "{% if add_generation_prompt %}"
+                + stripped[start:] + "{% endif %}")
+    # Case 2 (reference :1032, GH#4150): template simply never emits a
+    # prefix — append an add_generation_prompt block with the render-diff
+    # derived prefix.
+    prefix = _derive_generation_prefix(tokenizer)
+    if prefix is not None:
+        escaped = prefix.replace("\\", "\\\\").replace("'", "\\'") \
+            .replace("\n", "\\n")
+        candidates.append(
+            template + "{% if add_generation_prompt %}{{ '"
+            + escaped + "' }}{% endif %}")
+    if not candidates:
+        return tokenizer, False
+    for cand in candidates:
+        try:
+            no2 = _render(tokenizer, cand, False)
+            yes2 = _render(tokenizer, cand, True)
+        except Exception:
+            continue
+        # contract (reference :1089-1125): renders differ and the agp=True
+        # render strictly EXTENDS the agp=False one. (Case 1 legitimately
+        # changes the agp=False render — it stops emitting the prefix.)
+        if yes2 != no2 and yes2.startswith(no2):
+            tokenizer.chat_template = cand
+            return tokenizer, True
+    return tokenizer, False
+
+
+def repair_tokenizer(tokenizer, model_config=None,
+                     fallback_template: Optional[str] = None):
+    """Auto-repair loop: fix what can be fixed, report what can't
+    (reference: tokenizer_utils.py:950-1343 — the repair/validate cycle
+    load_tokenizer runs before training).
+
+    Returns (tokenizer, repairs, problems): ``repairs`` lists what was
+    changed, ``problems`` what remains broken after repair.
+
+    Breakage classes handled:
+      * missing pad token / pad == eos   -> fix_pad_token
+      * pad/eos id out of model range    -> reassign pad; report eos
+      * jinja template that fails to render -> install fallback_template
+        from the registry (when given), else report
+      * template that drops message content -> same
+      * template ignoring add_generation_prompt -> fix_chat_template
+      * broken encode/decode round-trip  -> report (not repairable)
+    """
+    repairs: List[str] = []
+    problems: List[str] = []
+    if tokenizer is None:
+        return tokenizer, repairs, ["tokenizer is None"]
+
+    # -- pad token ---------------------------------------------------------
+    pad_before = getattr(tokenizer, "pad_token", None)
+    eos = getattr(tokenizer, "eos_token", None)
+    if pad_before is None or pad_before == eos:
+        fix_pad_token(tokenizer, model_config)
+        pad_now = getattr(tokenizer, "pad_token", None)
+        if pad_now != pad_before:
+            repairs.append(
+                f"pad_token: {pad_before!r} -> {pad_now!r}"
+                + (" (was eos)" if pad_before == eos and pad_before
+                   else " (was missing)"))
+        if pad_now is not None and pad_now == eos:
+            problems.append(
+                "pad_token == eos_token (no dedicated pad in vocab); "
+                "label masking must not mask real EOS supervision")
+
+    # -- special ids inside the model vocab ---------------------------------
+    vocab_size = getattr(model_config, "vocab_size", None) \
+        if model_config is not None else None
+    if vocab_size is not None:
+        pad_id = getattr(tokenizer, "pad_token_id", None)
+        if pad_id is not None and pad_id >= vocab_size:
+            try:
+                vocab = tokenizer.get_vocab()
+            except Exception:
+                vocab = {}
+            for cand in PAD_CANDIDATES:
+                cid = vocab.get(cand)
+                if cid is not None and cid < vocab_size and cand != eos:
+                    tokenizer.pad_token = cand
+                    repairs.append(
+                        f"pad_token_id {pad_id} >= model vocab "
+                        f"{vocab_size}: reassigned to {cand!r} ({cid})")
+                    break
+            else:
+                problems.append(
+                    f"pad_token_id {pad_id} out of model vocab "
+                    f"{vocab_size} and no in-range candidate")
+        for name in ("eos_token_id", "bos_token_id"):
+            tid = getattr(tokenizer, name, None)
+            if tid is not None and tid >= vocab_size:
+                problems.append(f"{name}={tid} >= model vocab "
+                                f"{vocab_size} (cannot guess a repair)")
+
+    # -- chat template -------------------------------------------------------
+    err = validate_chat_template(tokenizer)
+    if err is not None and getattr(tokenizer, "chat_template", None):
+        if fallback_template is not None:
+            from .chat_templates import get_chat_template
+
+            broken = err
+            tokenizer.chat_template = None
+            get_chat_template(tokenizer, chat_template=fallback_template)
+            err = validate_chat_template(tokenizer)
+            if err is None:
+                repairs.append(
+                    f"chat_template replaced with registry "
+                    f"{fallback_template!r} (was: {broken})")
+            else:
+                problems.append(f"chat_template still broken after "
+                                f"registry install: {err}")
+        else:
+            problems.append(f"chat_template: {err}")
+    elif err is None:
+        tokenizer, fixed = fix_chat_template(tokenizer)
+        if fixed:
+            repairs.append(
+                "chat_template ignored add_generation_prompt: injected a "
+                "render-diff-derived generation-prefix block")
+
+    # -- round trip ----------------------------------------------------------
+    try:
+        ids = tokenizer("hello world")["input_ids"]
+        text = tokenizer.decode(ids, skip_special_tokens=True)
+        # whitespace-insensitive: char/word-level decoders may re-join
+        # pieces with separators
+        if "hello" not in text.replace(" ", ""):
+            problems.append(f"encode/decode round-trip failed: {text!r}")
+    except Exception as e:
+        problems.append(
+            f"round-trip raised {type(e).__name__}: {e}")
+
+    return tokenizer, repairs, problems
+
+
+# ---------------------------------------------------------------------------
 # Slow -> fast tokenizer conversion (reference: tokenizer_utils.py:141-262
 # convert_to_fast_tokenizer + assert_same_tokenization)
 # ---------------------------------------------------------------------------

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import logging
 import os
 from typing import Any, Dict, Optional, Sequence, Tuple
 
@@ -28,6 +29,8 @@ from ..parallel.mesh import ShardingRules, create_mesh
 from ..utils.dtypes import canonical_dtype
 from .config import ModelConfig, load_hf_config
 from . import hf_loader
+
+logger = logging.getLogger(__name__)
 from .params import (DEFAULT_TARGET_MODULES, init_lora_tree,
                      normalize_target_modules)
 
@@ -235,9 +238,18 @@ class FastLanguageModel:
 
         tokenizer = load_tokenizer(path)
         if tokenizer is not None:
-            from ..data.tokenizer_utils import fix_pad_token
+            # auto-repair loop (reference: tokenizer_utils.py:950-1343 —
+            # pad fixing, special-id range checks, chat-template
+            # render-validation/repair); unrepairable problems are
+            # warnings, not crashes, matching the reference's behavior
+            from ..data.tokenizer_utils import repair_tokenizer
 
-            tokenizer = fix_pad_token(tokenizer)
+            tokenizer, repairs, problems = repair_tokenizer(
+                tokenizer, model_config=cfg)
+            for msg in repairs:
+                logger.info("tokenizer repair: %s", msg)
+            for msg in problems:
+                logger.warning("tokenizer problem: %s", msg)
         model = LanguageModel(
             cfg=cfg, params=params, mesh=mesh,
             rules=rules or ShardingRules(),
