@@ -57,6 +57,41 @@ def test_latest_checkpoint_skips_incomplete(tmp_path):
     assert latest_checkpoint("/nonexistent") is None
 
 
+def test_restore_latest_falls_back_past_corrupt(rng, tmp_path):
+    """A corrupt newest checkpoint must not kill resume: restore_latest
+    walks back to the newest one that actually loads (reference:
+    resume.py:32-62 validate-before-resume; loader_utils.py:1183 retry
+    guard)."""
+    import shutil
+
+    import optax
+
+    from unsloth_tpu.trainer.checkpoint import restore_latest
+
+    model = _model(rng)
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(model.lora)
+    good = str(tmp_path / "checkpoint-3")
+    bad = str(tmp_path / "checkpoint-8")
+    save_train_state(good, 3, model.lora, opt_state)
+    save_train_state(bad, 8, model.lora, opt_state)
+    # corrupt the newest: truncate every data file under its state dir
+    for root, _, files in os.walk(os.path.join(bad, "state")):
+        for f in files:
+            p = os.path.join(root, f)
+            if os.path.getsize(p) > 0:
+                with open(p, "w") as fh:
+                    fh.write("corrupt")
+    out = restore_latest(str(tmp_path), model.lora, opt_state)
+    assert out is not None
+    path, step, lora2, _ = out
+    assert step == 3 and path.endswith("checkpoint-3")
+    np.testing.assert_array_equal(
+        np.asarray(model.lora["layers"][0]["q"].a),
+        np.asarray(lora2["layers"][0]["q"].a))
+    shutil.rmtree(bad)
+
+
 def test_trainer_resume_continues(rng, tmp_path):
     """Train 6 steps with save at 4; resume must continue from step 4 and
     end at the same final state as an uninterrupted run (same data order)."""

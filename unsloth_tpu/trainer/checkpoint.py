@@ -36,13 +36,18 @@ def save_train_state(ckpt_dir: str, step: int, trainables, opt_state):
     ckptr.close()
 
 
-def restore_train_state(ckpt_dir: str, trainables_like, opt_state_like
-                        ) -> Tuple[int, Any, Any]:
-    """Restore (step, trainables, opt_state) using templates for structure."""
+def restore_train_state(ckpt_dir: str, trainables_like, opt_state_like,
+                        retries: int = 1) -> Tuple[int, Any, Any]:
+    """Restore (step, trainables, opt_state) using templates for structure.
+
+    Transient I/O failures (NFS hiccup, fd exhaustion, a reader racing the
+    writer) are retried once after freeing the failed attempt's partial
+    state — the TPU-native analog of the reference's retry-once load guard
+    (reference: models/loader_utils.py:1183 _offline_aware_load, which
+    frees partial models between attempts for the same reason)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(ckpt_dir, "state"))
-    ckptr = _checkpointer()
     template = {
         "step": 0,
         "trainables": jax.tree_util.tree_map(
@@ -50,9 +55,48 @@ def restore_train_state(ckpt_dir: str, trainables_like, opt_state_like
         "opt_state": jax.tree_util.tree_map(
             ocp.utils.to_shape_dtype_struct, opt_state_like),
     }
-    state = ckptr.restore(path, template)
-    ckptr.close()
-    return int(state["step"]), state["trainables"], state["opt_state"]
+    last_err = None
+    for attempt in range(retries + 1):
+        ckptr = _checkpointer()
+        try:
+            state = ckptr.restore(path, template)
+            ckptr.close()
+            return (int(state["step"]), state["trainables"],
+                    state["opt_state"])
+        except OSError as e:  # transient I/O only; structure errors raise
+            last_err = e
+            try:
+                ckptr.close()
+            except Exception:
+                pass
+            import gc
+
+            gc.collect()  # free the partial restore before reallocating
+    raise last_err
+
+
+def restore_latest(output_dir: str, trainables_like, opt_state_like
+                   ) -> Optional[Tuple[str, int, Any, Any]]:
+    """Restore from the newest checkpoint that actually loads, walking
+    newest -> oldest past corrupt/truncated ones (reference:
+    studio core/training/resume.py:32-62 validates before resuming; here
+    the restore itself is the validation). Returns
+    (ckpt_dir, step, trainables, opt_state) or None."""
+    if not os.path.isdir(output_dir):
+        return None
+    steps = []
+    for name in os.listdir(output_dir):
+        m = _CKPT_RE.match(name)
+        if m and os.path.isdir(os.path.join(output_dir, name, "state")):
+            steps.append((int(m.group(1)), os.path.join(output_dir, name)))
+    for step, path in sorted(steps, reverse=True):
+        try:
+            s, t, o = restore_train_state(path, trainables_like,
+                                          opt_state_like)
+            return path, s, t, o
+        except Exception:
+            continue  # corrupt checkpoint: fall back to the previous one
+    return None
 
 
 _CKPT_RE = re.compile(r"^checkpoint-(\d+)$")
