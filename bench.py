@@ -416,7 +416,7 @@ def main():
     if bench_model == "gpt_oss":
         return main_gpt_oss(quick)
     if bench_model in ("grpo", "vision", "whisper", "tts", "decode",
-                       "spec", "cpu_lora"):
+                       "spec", "cpu_lora", "embed"):
         import bench_extra
 
         return getattr(bench_extra, f"main_{bench_model}")(quick)

@@ -761,3 +761,159 @@ def main_cpu_lora(quick: bool):
                 "baseline_loss": round(hf_loss, 3)},
             "backend": jax.default_backend()},
     }))
+
+
+def main_embed(quick: bool):
+    """BENCH_MODEL=embed: MiniLM-class sentence-embedding MNRL fine-tune
+    with a MEASURED HF baseline (reference claims 1.8-3.3x on embedding
+    fine-tunes, /root/reference/README.md:219).
+
+    Same-hardware methodology as main_cpu_lora: both paths run the
+    identical all-MiniLM-L6-v2-dim MNRL full-finetune step (mean-pool,
+    L2-normalize, in-batch-negatives CE at scale 20 — what
+    sentence-transformers' MultipleNegativesRankingLoss computes) on the
+    CPU backend of this host; torch eager transformers BertModel is the
+    baseline. vs_baseline is a true HF-vs-us ratio, not a model."""
+    import time as _time
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from unsloth_tpu.models.bert import BertConfig, bert_forward
+    from unsloth_tpu.models.sentence_transformer import (
+        mean_pool, multiple_negatives_ranking_loss)
+
+    num_layers = _env_int("BENCH_LAYERS", 2 if quick else 6)
+    seq = _env_int("BENCH_SEQ", 64 if quick else 128)
+    bsz = _env_int("BENCH_BATCH", 4 if quick else 16)
+    n_steps = _env_int("BENCH_STEPS", 2)
+    vocab = _env_int("BENCH_VOCAB", 30522)
+
+    cfg = BertConfig(vocab_size=vocab, num_layers=num_layers)
+    key = jax.random.PRNGKey(0)
+
+    def rand(*shape, scale=0.02):
+        nonlocal key
+        key, sub = jax.random.split(key)
+        return jax.random.normal(sub, shape, jnp.float32) * scale
+
+    def lin(o, i):
+        return {"kernel": rand(i, o), "bias": jnp.zeros((o,))}
+
+    def ln(d):
+        return {"w": jnp.ones((d,)), "b": jnp.zeros((d,))}
+
+    d, inter = cfg.hidden_size, cfg.intermediate_size
+    params = {
+        "word_embed": rand(vocab, d),
+        "pos_embed": rand(cfg.max_position_embeddings, d),
+        "type_embed": rand(cfg.type_vocab_size, d),
+        "embed_ln": ln(d),
+        "layers": [{
+            "q": lin(d, d), "k": lin(d, d), "v": lin(d, d),
+            "attn_out": lin(d, d), "attn_ln": ln(d),
+            "fc1": lin(inter, d), "fc2": lin(d, inter), "out_ln": ln(d),
+        } for _ in range(num_layers)],
+    }
+
+    rng = np.random.RandomState(0)
+    a_ids = rng.randint(0, vocab, (bsz, seq)).astype(np.int32)
+    p_ids = rng.randint(0, vocab, (bsz, seq)).astype(np.int32)
+    mask = np.ones((bsz, seq), np.int32)
+
+    def embed(params, ids, mask):
+        h = bert_forward(params, ids, mask, cfg)
+        e = mean_pool(h, mask)
+        return e / jnp.linalg.norm(e, axis=-1, keepdims=True)
+
+    def loss_fn(params, a, p, m):
+        return multiple_negatives_ranking_loss(
+            embed(params, a, m), embed(params, p, m), scale=20.0)
+
+    tx = optax.adamw(2e-5)
+    opt_state = tx.init(params)
+
+    def _step(params, opt_state, a, p, m):
+        loss, grads = jax.value_and_grad(loss_fn)(params, a, p, m)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    step = jax.jit(_step, donate_argnums=(0, 1))
+    ja, jp, jm = jnp.asarray(a_ids), jnp.asarray(p_ids), jnp.asarray(mask)
+    params, opt_state, loss = step(params, opt_state, ja, jp, jm)  # compile
+    _sync(params)
+    t0 = _time.perf_counter()
+    for _ in range(n_steps):
+        params, opt_state, loss = step(params, opt_state, ja, jp, jm)
+    _sync(params)
+    dt_ours = (_time.perf_counter() - t0) / n_steps
+    loss_ours = float(loss)
+    # 2 towers x bsz rows x seq tokens per step
+    tps_ours = 2 * bsz * seq / dt_ours
+    del params, opt_state
+
+    # ---- HF torch CPU eager baseline (same dims, same batch) ----
+    import torch
+    from transformers import BertConfig as HFBertConfig
+    from transformers import BertModel
+
+    torch.manual_seed(0)
+    hf = BertModel(HFBertConfig(
+        vocab_size=vocab, hidden_size=d, num_hidden_layers=num_layers,
+        num_attention_heads=cfg.num_heads, intermediate_size=inter,
+        max_position_embeddings=cfg.max_position_embeddings,
+        attn_implementation="eager")).float()
+    hf.train()
+    opt = torch.optim.AdamW(hf.parameters(), lr=2e-5)
+    t_a = torch.from_numpy(a_ids).long()
+    t_p = torch.from_numpy(p_ids).long()
+    t_m = torch.from_numpy(mask).long()
+
+    def hf_embed(ids):
+        h = hf(input_ids=ids, attention_mask=t_m).last_hidden_state
+        m = t_m.unsqueeze(-1).float()
+        e = (h * m).sum(1) / m.sum(1)
+        return torch.nn.functional.normalize(e, dim=-1)
+
+    def hf_step():
+        opt.zero_grad()
+        ea, ep = hf_embed(t_a), hf_embed(t_p)
+        logits = 20.0 * ea @ ep.T
+        loss = torch.nn.functional.cross_entropy(
+            logits, torch.arange(bsz))
+        loss.backward()
+        opt.step()
+        return float(loss.detach())
+
+    hf_loss = hf_step()  # warmup
+    t0 = _time.perf_counter()
+    for _ in range(n_steps):
+        hf_loss = hf_step()
+    dt_hf = (_time.perf_counter() - t0) / n_steps
+    tps_hf = 2 * bsz * seq / dt_hf
+
+    print(json.dumps({
+        "metric": "minilm_l6_mnrl_embed_tokens_per_sec"
+                  + ("" if num_layers == 6 else f"_layers{num_layers}"),
+        "value": round(tps_ours, 2),
+        "unit": "tokens/s (fp32, CPU)",
+        "vs_baseline": round(tps_ours / tps_hf, 3),
+        "detail": {
+            "layers": num_layers, "seq": seq, "batch_pairs": bsz,
+            "vocab": vocab, "step_time_s": round(dt_ours, 4),
+            "loss": round(loss_ours, 3),
+            "baseline": {
+                "definition": "HF transformers BertModel, torch CPU "
+                              "eager, identical MNRL full-FT step "
+                              "(mean-pool + normalize + in-batch-"
+                              "negatives CE) on the same host",
+                "baseline_tokens_per_sec": round(tps_hf, 2),
+                "baseline_step_time_s": round(dt_hf, 4),
+                "baseline_loss": round(hf_loss, 3)},
+            "backend": jax.default_backend()},
+    }))
