@@ -5,7 +5,8 @@ Pallas/XLA replacements for the reference Triton kernel layer
 """
 
 from .activations import geglu_approx, geglu_exact, glu_for, gpt_oss_glu, swiglu
-from .attention import attention, attention_ref
+from .attention import attention, attention_ref, packed_segment_bound
+from .packed_attention import packed_flash_attention, segment_block_metadata
 from .cross_entropy import (cross_entropy_per_row, cross_entropy_ref,
                             fast_cross_entropy_loss)
 from .fused_ce_linear import fused_ce_loss_mean, fused_linear_cross_entropy
@@ -16,7 +17,8 @@ from .rms_norm import layer_norm_ref, rms_norm, rms_norm_ref
 from .rope import apply_rope, apply_rope_qk, rope_inv_freq, rope_table
 
 __all__ = [
-    "attention", "attention_ref",
+    "attention", "attention_ref", "packed_segment_bound",
+    "packed_flash_attention", "segment_block_metadata",
     "cross_entropy_per_row", "cross_entropy_ref", "fast_cross_entropy_loss",
     "fused_ce_loss_mean", "fused_linear_cross_entropy",
     "LoRAWeights", "base_matmul", "init_lora", "lora_matmul", "merge_lora",

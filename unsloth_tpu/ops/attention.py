@@ -36,6 +36,40 @@ from ..utils import env
 
 
 _PREFIX_LAYOUT = None
+_SEGMENT_BOUND = None
+
+
+class packed_segment_bound:
+    """Context manager declaring the packer's max-segment-length cap for
+    every `attention()` call traced inside it. A declared bound routes
+    packed causal attention to the segment-block-sparse kernel
+    (ops/packed_attention.py) — O(sum len_i^2) instead of O(T^2).
+
+    TRACE-TIME constant, like `prefix_attention`: set it before building
+    the jitted train step (SFTTrainer does this from its packing config).
+    The bound must be >= the longest real segment the packer can emit —
+    a violated bound silently truncates that segment's attention span."""
+
+    def __init__(self, max_segment_len: Optional[int]):
+        self.bound = None if max_segment_len is None \
+            else int(max_segment_len)
+
+    def __enter__(self):
+        global _SEGMENT_BOUND
+        self._prev = _SEGMENT_BOUND
+        _SEGMENT_BOUND = self.bound
+        return self
+
+    def __exit__(self, *exc):
+        global _SEGMENT_BOUND
+        _SEGMENT_BOUND = self._prev
+        return False
+
+
+def current_segment_bound():
+    if _SEGMENT_BOUND is not None:
+        return _SEGMENT_BOUND
+    return env.env_int("UNSLOTH_SEGMENT_BOUND", 0) or None
 
 
 class prefix_attention:
@@ -631,6 +665,19 @@ def attention(
             q, k, v, causal=causal, segment_ids=segment_ids,
             window=window, softcap=softcap, scale=scale,
             positions=positions, image_spans=image_spans, sinks=sinks)
+    # Packed rows with a declared max-segment-length: the segment-block-
+    # sparse kernel skips kv blocks outside each query block's segment
+    # span — O(sum len_i^2), the TPU-native form of FA2 varlen (reference
+    # HF FA2 `flash_attn_varlen_func`); ~NxT/len_bar less attention work
+    # on short-segment SFT data.
+    seg_bound = current_segment_bound() if segment_ids is not None else None
+    if (seg_bound is not None and causal and plain and no_img
+            and on_tpu and aligned and dh % 128 == 0
+            and not env.env_flag("UNSLOTH_DISABLE_SPARSE_PACKED")):
+        from .packed_attention import packed_flash_attention
+
+        return packed_flash_attention(
+            q, k, v, segment_ids, max_segment_len=seg_bound, scale=scale)
     # Measured on v5e at 8K ctx: flash fwd+bwd 47 ms vs splash 183 ms for
     # the same causal+packed semantics — flash first; splash only where its
     # extra semantics (sliding window, softcap) are actually needed.

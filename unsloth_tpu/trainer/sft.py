@@ -187,6 +187,7 @@ class SFTTrainer:
         self.train_dataset = train_dataset
         self.eval_dataset = eval_dataset
         self._batches: Optional[List[PackedBatch]] = None
+        self._segment_bound: Optional[int] = None
         self.state_log: List[Dict[str, Any]] = []
         self.mesh = getattr(model, "mesh", None)
         # pipeline parallelism (parallel/pipeline.enable_pipeline): layers
@@ -290,6 +291,12 @@ class SFTTrainer:
             rows = pack_sequences(examples, args.max_seq_length, pad_id)
             self._batches = batch_packed_rows(
                 rows, bsz, args.max_seq_length, pad_id)
+            # dataset-level static: longest real segment any packed row
+            # can hold — routes attention to the segment-block-sparse
+            # kernel (ops/packed_attention.py) at trace time.
+            self._segment_bound = max(
+                (min(len(e["input_ids"]), args.max_seq_length)
+                 for e in examples), default=None)
         else:
             self._batches = [
                 pad_batch(examples[i:i + bsz], args.max_seq_length, pad_id)
@@ -475,6 +482,13 @@ class SFTTrainer:
             cp_ctx = lambda: context_parallel(self.mesh)  # noqa: E731
         else:
             cp_ctx = _nullcontext
+        seg_bound = getattr(self, "_segment_bound", None)
+        if seg_bound:
+            from ..ops.attention import packed_segment_bound
+
+            sb_ctx = lambda: packed_segment_bound(seg_bound)  # noqa: E731
+        else:
+            sb_ctx = _nullcontext
 
         losses = []
         t0 = time.time()
@@ -503,7 +517,7 @@ class SFTTrainer:
                 stacked = self._stack_accum(group)
                 tokens_seen += int(
                     (np.stack([b.segment_ids for b in group]) != 0).sum())
-                with mesh_ctx, cp_ctx():
+                with mesh_ctx, cp_ctx(), sb_ctx():
                     trainables, opt_state, loss = step_fn(
                         trainables, opt_state, base_params, stacked)
                 global_step += 1
