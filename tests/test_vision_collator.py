@@ -82,3 +82,64 @@ def test_collator_qwen_vl(qwen_vl_ckpt):
     assert n_img == gh // 2 * (gw // 2)
     loss = model.vision_loss_fn(None, batch, remat=False)
     assert np.isfinite(float(loss))
+
+
+# ---- video path validation (reference: models/vision.py:2435) ----
+
+def _video_rows(paths):
+    return [{"messages": [
+        {"role": "user", "content": [
+            {"type": "video", "video": p},
+            {"type": "text", "text": "describe"}]},
+        {"role": "assistant", "content": "a video"}]} for p in paths]
+
+
+def test_missing_video_raises(tmp_path):
+    from unsloth_tpu.data.vision_collator import (
+        check_dataset_for_missing_videos)
+
+    good = tmp_path / "clip.mp4"
+    good.write_bytes(b"\x00")
+    bad = str(tmp_path / "nope.mp4")
+    rows = _video_rows([str(good), bad])
+    try:
+        check_dataset_for_missing_videos(rows)
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError as e:
+        assert bad in str(e) and str(good) not in str(e)
+    # warn-only mode returns the list instead
+    missing = check_dataset_for_missing_videos(rows, raise_error=False)
+    assert missing == [bad]
+
+
+def test_video_check_skips_remote_and_caches(tmp_path):
+    from unsloth_tpu.data.vision_collator import (
+        check_dataset_for_missing_videos)
+
+    good = tmp_path / "ok.mp4"
+    good.write_bytes(b"\x00")
+    rows = _video_rows([
+        "https://example.com/v.mp4",          # remote: not checked
+        "data:video/mp4;base64,AAAA",          # inline: not checked
+        "file://remotehost/v.mp4",             # non-local file://
+        f"file://{good}",                      # local file:// exists
+        str(good),                             # plain path exists
+    ])
+    checked = set()
+    assert check_dataset_for_missing_videos(rows, checked=checked) == []
+    assert str(good) in checked
+    # cached paths short-circuit even after deletion
+    good.unlink()
+    assert check_dataset_for_missing_videos(rows, checked=checked) == []
+
+
+def test_collator_rejects_missing_video(tmp_path):
+    from unsloth_tpu.data.vision_collator import UnslothVisionDataCollator
+
+    coll = UnslothVisionDataCollator(model=None, tokenizer=None)
+    rows = _video_rows([str(tmp_path / "gone.mp4")])
+    try:
+        coll(rows)
+        raise AssertionError("expected FileNotFoundError")
+    except FileNotFoundError:
+        pass

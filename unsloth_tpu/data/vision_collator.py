@@ -101,6 +101,13 @@ class UnslothVisionDataCollator:
     def __call__(self, rows: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
         import jax.numpy as jnp
 
+        # Per-batch guard against silently-empty video inputs (reference:
+        # unsloth/trainer.py:81 runs the same check per collator call with
+        # a cross-call known-good cache).
+        if not hasattr(self, "_checked_videos"):
+            self._checked_videos = set()
+        check_dataset_for_missing_videos(rows, raise_error=True,
+                                         checked=self._checked_videos)
         tok = self.tokenizer
         family = self._family()
         all_ids, all_labels = [], []
@@ -173,3 +180,101 @@ class UnslothVisionDataCollator:
         vc = self.model.vision_cfg
         pixels = preprocess_gemma3(image, vc.image_size)
         return self.model.mm_tokens_per_image, pixels, None
+
+
+def _local_video_path(value: str):
+    """Resolve a message video value to a local filesystem path, or None
+    when it is not a local file (data: URI, http(s), non-local file://)."""
+    if value.startswith("data:"):
+        return None
+    if "://" not in value:
+        return value
+    if not value.startswith("file://"):
+        return None
+    from urllib.parse import urlparse
+    from urllib.request import url2pathname
+
+    parsed = urlparse(value)
+    if parsed.netloc and parsed.netloc != "localhost":
+        return None
+    return url2pathname(parsed.path) or None
+
+
+def check_dataset_for_missing_videos(dataset, column: str = "messages",
+                                     raise_error: bool = True,
+                                     checked: Optional[set] = None):
+    """Pre-training validation that every local video path referenced in a
+    chat dataset exists (reference: unsloth/models/vision.py:2435
+    check_dataset_for_missing_videos — a decoder given a missing path
+    yields an empty tensor and the model silently trains with no video
+    signal while loss still falls).
+
+    Accepts a map-style dataset / list of example dicts; scans `column`
+    plus the standard chat columns for message lists, collects `type:
+    "video"` content items, and checks their local paths. Returns the
+    list of missing paths; raises FileNotFoundError when `raise_error`.
+    `checked` is an optional cross-call cache of known-good paths."""
+    import os
+    import warnings
+
+    try:
+        from datasets import IterableDataset
+
+        if isinstance(dataset, IterableDataset):
+            warnings.warn(
+                "check_dataset_for_missing_videos: streaming "
+                "IterableDataset would be exhausted by validation; "
+                "skipping — pass a map-style Dataset.", stacklevel=2)
+            return []
+    except ImportError:
+        pass
+
+    def message_lists(example):
+        looks = lambda v: isinstance(v, (list, tuple)) and v and all(  # noqa: E731
+            isinstance(m, dict) and "role" in m for m in v)
+        if looks(example):
+            yield example
+            return
+        if not isinstance(example, dict):
+            return
+        for key in dict.fromkeys(
+                (column, "messages", "conversations", "prompt",
+                 "completion")):
+            if looks(example.get(key)):
+                yield example[key]
+
+    if checked is None:
+        checked = set()
+    missing, seen_missing = [], set()
+    for example in dataset:
+        for messages in message_lists(example):
+            for msg in messages:
+                content = msg.get("content", [])
+                if not isinstance(content, (list, tuple)):
+                    continue
+                for item in content:
+                    if not (isinstance(item, dict)
+                            and item.get("type") == "video"):
+                        continue
+                    value = item.get("video", "")
+                    if not isinstance(value, str) or not value:
+                        continue
+                    path = _local_video_path(value)
+                    if (path is None or path in checked
+                            or path in seen_missing):
+                        continue
+                    if os.path.isfile(path):
+                        checked.add(path)
+                    else:
+                        seen_missing.add(path)
+                        missing.append(path)
+    if missing:
+        msg = (f"{len(missing)} video file(s) referenced in the dataset "
+               "do not exist — training would silently receive empty "
+               "video tensors:\n" + "\n".join(f"  - {p}" for p in missing))
+        if raise_error:
+            raise FileNotFoundError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
+    return missing
