@@ -323,6 +323,8 @@ def main(argv=None) -> int:
     p_chat = sub.add_parser("chat", help="interactive chat")
     p_chat.add_argument("--model_name", required=True)
     p_chat.add_argument("--load_in_4bit", action="store_true", default=True)
+    p_chat.add_argument("--no_load_in_4bit", dest="load_in_4bit",
+                  action="store_false")
     p_chat.add_argument("--max_new_tokens", type=int, default=256)
     p_chat.add_argument("--temperature", type=float, default=0.7)
 
@@ -330,6 +332,8 @@ def main(argv=None) -> int:
     p_inf.add_argument("--model_name", required=True)
     p_inf.add_argument("--prompt", required=True)
     p_inf.add_argument("--load_in_4bit", action="store_true", default=True)
+    p_inf.add_argument("--no_load_in_4bit", dest="load_in_4bit",
+                 action="store_false")
     p_inf.add_argument("--max_new_tokens", type=int, default=256)
     p_inf.add_argument("--temperature", type=float, default=0.0)
     p_inf.add_argument("--chat", action="store_true",
@@ -350,6 +354,8 @@ def main(argv=None) -> int:
         "serve", help="OpenAI/Anthropic-compatible inference server")
     p_serve.add_argument("--model_name", required=True)
     p_serve.add_argument("--load_in_4bit", action="store_true", default=True)
+    p_serve.add_argument("--no_load_in_4bit", dest="load_in_4bit",
+                   action="store_false")
     p_serve.add_argument("--host", default="127.0.0.1")
     p_serve.add_argument("--port", type=int, default=8000)
     p_serve.add_argument("--speculative", action="store_true",
@@ -376,6 +382,8 @@ def main(argv=None) -> int:
     p_studio.add_argument("--model_name", default=None)
     p_studio.add_argument("--load_in_4bit", action="store_true",
                           default=True)
+    p_studio.add_argument("--no_load_in_4bit", dest="load_in_4bit",
+                    action="store_false")
     p_studio.add_argument("--host", default="127.0.0.1")
     p_studio.add_argument("--port", type=int, default=8800)
     p_studio.add_argument("--workdir", default="studio_jobs")
@@ -393,6 +401,8 @@ def main(argv=None) -> int:
                     "unsloth_generate/unsloth_chat tools")
     p_mcp.add_argument("--model_name", required=True)
     p_mcp.add_argument("--load_in_4bit", action="store_true", default=True)
+    p_mcp.add_argument("--no_load_in_4bit", dest="load_in_4bit",
+                 action="store_false")
 
     args = parser.parse_args(argv)
     return {
