@@ -261,6 +261,44 @@ def make_packed_batch(cfg, key, bsz, seq, packed=True, pad_frac=0.0):
     }
 
 
+def make_packed_measured_batch(cfg, key, bsz, seq, lengths):
+    """Pack REAL measured document lengths (bench_artifacts/pad_frac.json,
+    tokenized alpaca) into completely-full [B, T] rows: docs are laid
+    end-to-end cyclically, the row-straddling doc is truncated so every
+    token is real. Positions reset per doc, doc starts get label -100.
+    Returns (batch, max_doc_len) — max_doc_len is the static per-document
+    cap that routes attention to the segment-block-sparse kernel
+    (ops/packed_attention.py), the TPU form of FA2 varlen: this is the
+    same data distribution the measured HF-practice baseline runs, so the
+    two sides train identical documents."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    ids = jax.random.randint(key, (bsz, seq), 0, cfg.vocab_size)
+    labels = np.asarray(ids).copy()
+    segment_ids = np.zeros((bsz, seq), np.int32)
+    positions = np.zeros((bsz, seq), np.int32)
+    li = 0
+    for b in range(bsz):
+        pos, sid = 0, 1
+        while pos < seq:
+            n = min(int(lengths[li % len(lengths)]), seq - pos)
+            li += 1
+            segment_ids[b, pos:pos + n] = sid
+            positions[b, pos:pos + n] = np.arange(n)
+            labels[b, pos] = -100
+            pos += n
+            sid += 1
+    batch = {
+        "input_ids": ids,
+        "labels": jnp.asarray(labels),
+        "segment_ids": jnp.asarray(segment_ids),
+        "positions": jnp.asarray(positions),
+    }
+    return batch, int(max(lengths))
+
+
 def _sync(tree):
     """Force completion of the full step chain. On the axon platform
     jax.block_until_ready is a no-op AND the loss alone syncs too early
@@ -343,9 +381,14 @@ def measure(step_fn, lora, opt_state, params, batch, n_steps, warmup=2):
 
 def run_path(cfg, key, batch, n_steps, *, quantize, fused_ce,
              disable_fused_nf4=False, warmup=2, want_memory=False,
-             flash_block=None, remat_policy=None, flash_block_bwd=None):
+             flash_block=None, remat_policy=None, flash_block_bwd=None,
+             segment_bound=None):
     """Build params fresh, compile, measure. Returns (tok/s, step_s,
-    peak_hbm_gb or None, loss)."""
+    peak_hbm_gb or None, loss). segment_bound: trace the step under
+    ops.packed_segment_bound(bound) so packed causal attention takes the
+    segment-block-sparse kernel."""
+    import contextlib
+
     import jax
     import jax.numpy as jnp
     import optax
@@ -366,28 +409,36 @@ def run_path(cfg, key, batch, n_steps, *, quantize, fused_ce,
     # baseline with identical avals silently reuses the optimized
     # path's trace (measured: fused==unfused to 1% until cleared)
     jax.clear_caches()
+    if segment_bound:
+        from unsloth_tpu.ops import packed_segment_bound
+
+        bound_ctx = packed_segment_bound(int(segment_bound))
+    else:
+        bound_ctx = contextlib.nullcontext()
     try:
         params = build_model(cfg, key, quantize=quantize)
         lora = init_lora_tree(cfg, key, r=16, alpha=16, dtype=jnp.float32)
         tx = optax.adamw(1e-4)
         opt_state = tx.init(lora)
-        step = compile_step(cfg, tx, fused_ce, list(batch),
-                            remat_policy=remat_policy)
-        peak_gb = None
-        if want_memory:
-            try:
-                compiled = step.lower(lora, opt_state, params,
-                                      batch).compile()
-                ma = compiled.memory_analysis()
-                peak_gb = round(
-                    (ma.argument_size_in_bytes + ma.temp_size_in_bytes
-                     + ma.output_size_in_bytes) / 1e9, 2)
-                step = compiled  # reuse: no second compile
-            except Exception as e:
-                print(f"memory_analysis unavailable: {e}", file=sys.stderr)
-        tokens = batch["input_ids"].size
-        dt, loss = measure(step, lora, opt_state, params, batch, n_steps,
-                           warmup=warmup)
+        with bound_ctx:  # read at trace time only
+            step = compile_step(cfg, tx, fused_ce, list(batch),
+                                remat_policy=remat_policy)
+            peak_gb = None
+            if want_memory:
+                try:
+                    compiled = step.lower(lora, opt_state, params,
+                                          batch).compile()
+                    ma = compiled.memory_analysis()
+                    peak_gb = round(
+                        (ma.argument_size_in_bytes + ma.temp_size_in_bytes
+                         + ma.output_size_in_bytes) / 1e9, 2)
+                    step = compiled  # reuse: no second compile
+                except Exception as e:
+                    print(f"memory_analysis unavailable: {e}",
+                          file=sys.stderr)
+            tokens = batch["input_ids"].size
+            dt, loss = measure(step, lora, opt_state, params, batch,
+                               n_steps, warmup=warmup)
         del params
         return tokens / dt, dt, peak_gb, loss
     finally:
@@ -531,17 +582,34 @@ def main():
         batch_lens = [lens[j] for j in order[:b_hf]]
         t_hf = max(128, -(-max(batch_lens) // 128) * 128)
         realized_pf = 1.0 - sum(batch_lens) / (b_hf * t_hf)
+        # our side at the SAME data distribution: the measured doc lengths
+        # packed into full 8K rows, attention routed to the segment-block-
+        # sparse kernel (O(sum len_i^2) — the TPU form of FA2 varlen that
+        # HF's own packing path gets from flash_attn_varlen_func)
+        fast_m_tps = None
+        try:
+            packed_m, max_doc = make_packed_measured_batch(
+                cfg, key, bsz, seq, lens)
+            fast_m_tps, _, _, _ = run_path(
+                cfg, key, packed_m, ratio_steps, quantize=True,
+                fused_ce="auto", warmup=1, flash_block=headline_block,
+                segment_bound=max_doc)
+        except Exception as e:  # noqa: BLE001
+            print(f"measured-lengths packed run failed: {e}",
+                  file=sys.stderr)
         try:
             batch_hf = make_practice_batch(cfg, key, batch_lens, t_hf)
             _, hf_dt, _, _ = run_path(
                 cfg, key, batch_hf, max(4, n_steps * 2), quantize=True,
                 fused_ce=False, disable_fused_nf4=True, warmup=2)
             measured_tps = sum(batch_lens) / hf_dt
-            vs_measured = fast_tps / measured_tps
+            vs_measured = (fast_m_tps or fast_tps) / measured_tps
+            ours_source = ("packed_measured_lengths" if fast_m_tps
+                           else "headline_packed_fallback")
         except Exception as e:  # noqa: BLE001
             print(f"hf-practice measured baseline failed: {e}",
                   file=sys.stderr)
-            measured_tps = vs_measured = None
+            measured_tps = vs_measured = ours_source = None
         pol = pad_art["policies"]
         scaled = {
             name: {
@@ -553,26 +621,32 @@ def main():
             for name, p in pol.items()
         }
         hf_practice = {
-            "definition": "HF-QLoRA-equivalent baseline RUN at the "
-                          "dynamic-padded batch shape the measured "
-                          "shuffled_dynamic_b8 policy produces on a real "
-                          "tokenized instruction dataset (row lengths "
-                          "drawn from bench_artifacts/pad_frac.json; T "
-                          "rounded up to the flash kernel's 128 tile, as "
-                          "GPU practice pads to multiples of 8/64); "
-                          "real-token throughput measured directly. "
-                          "`scaled_policies` additionally scales the "
-                          "equal-token baseline by each MEASURED policy "
-                          "pad fraction (the r3 method, assumption "
-                          "replaced by measurement).",
+            "definition": "both sides train the SAME real tokenized "
+                          "instruction dataset (doc lengths from "
+                          "bench_artifacts/pad_frac.json). Ours: docs "
+                          "packed into full 8K rows, segment-block-sparse "
+                          "attention (FA2-varlen analog). Baseline: "
+                          "HF-QLoRA equivalent (unfused NF4, full-logits "
+                          "CE) RUN at the dynamic-padded batch shape the "
+                          "measured shuffled_dynamic_b8 policy produces "
+                          "(T rounded up to the flash kernel's 128 tile, "
+                          "as GPU practice pads to multiples of 8/64); "
+                          "real-token throughput measured directly on "
+                          "both sides. `scaled_policies` additionally "
+                          "scales the equal-token baseline by each "
+                          "MEASURED policy pad fraction (the r3 method, "
+                          "assumption replaced by measurement).",
             "dataset": pad_art["source"],
             "batch_shape": [b_hf, t_hf],
             "batch_real_tokens": sum(batch_lens),
             "pad_frac_realized": round(realized_pf, 4),
+            "ours_packed_measured_tokens_per_sec": round(fast_m_tps, 2)
+            if fast_m_tps else None,
             "baseline_real_tokens_per_sec": round(measured_tps, 2)
             if measured_tps else None,
             "vs_baseline_hf_practice": round(vs_measured, 3)
             if vs_measured else None,
+            "vs_numerator_source": ours_source,
             "scaled_policies": scaled,
         }
 
