@@ -32,6 +32,7 @@ def _parity(path, hf_model, cls_name, atol=3e-4, rtol=3e-3, t=16):
                                err_msg=cls_name)
 
 
+@pytest.mark.slow
 def test_granite_parity(tmp_path_factory):
     from transformers import GraniteConfig, GraniteForCausalLM
 
@@ -78,6 +79,7 @@ def test_mixtral_parity(tmp_path_factory):
     _parity(path, hf, "mixtral", atol=1e-3, rtol=1e-2)
 
 
+@pytest.mark.slow
 def test_gpt_oss_parity(tmp_path_factory):
     """gpt-oss: attention sinks, alternating sliding/full layers,
     interleaved gate_up experts with biases, top-k-then-softmax router
@@ -136,6 +138,7 @@ def _tiny_llama4_cfg(**kw):
     return Llama4TextConfig(**base)
 
 
+@pytest.mark.slow
 def test_llama4_text_parity(tmp_path_factory):
     """llama4 text: interleaved rope + NoPE layers, chunked attention,
     L2 qk-norm, temperature-tuned NoPE queries, sigmoid-input-scaled MoE
@@ -150,6 +153,7 @@ def test_llama4_text_parity(tmp_path_factory):
     _parity(path, hf, "llama4", atol=2e-3, rtol=1e-2, t=32)
 
 
+@pytest.mark.slow
 def test_falcon_h1_parity(tmp_path_factory):
     """falcon-h1 hybrid: every layer runs attention AND a mamba2 (SSD)
     mixer in parallel, with muP multipliers (VERDICT r1 missing #3;
@@ -192,6 +196,7 @@ def test_cohere_parity(tmp_path_factory):
     _parity(path, hf, "cohere")
 
 
+@pytest.mark.slow
 def test_cohere2_parity(tmp_path_factory):
     """cohere2: parallel residual + alternating sliding/global layers with
     rope only on the sliding layers (global = NoPE)."""
@@ -242,6 +247,7 @@ def test_olmo2_parity(tmp_path_factory):
     _parity(path, hf, "olmo2")
 
 
+@pytest.mark.slow
 def test_deepseek_v3_parity(tmp_path_factory):
     """DeepSeek-V3: MLA attention (low-rank q/kv, shared rope head,
     v_head_dim != qk_head_dim, interleaved rope), sigmoid router with
@@ -287,6 +293,7 @@ def test_glm4_moe_parity(tmp_path_factory):
     _parity(path, hf, "glm4_moe", atol=2e-3, rtol=1e-2, t=24)
 
 
+@pytest.mark.slow
 def test_qwen3_next_parity(tmp_path_factory):
     """Qwen3-Next: gated-DeltaNet linear-attention layers + output-gated
     full attention + qwen-MoE with a sigmoid-gated shared expert."""
@@ -308,6 +315,7 @@ def test_qwen3_next_parity(tmp_path_factory):
     _parity(path, hf, "qwen3_next", atol=2e-3, rtol=1e-2, t=24)
 
 
+@pytest.mark.slow
 def test_gemma3n_parity(tmp_path_factory):
     """gemma-3n text: AltUp 4-stream hiddens (predict/correct mixing),
     Laurel low-rank residual, per-layer input embeddings, gaussian-topk
@@ -335,6 +343,7 @@ def test_gemma3n_parity(tmp_path_factory):
     _parity(path, hf, "gemma3n", atol=2e-3, rtol=1e-2, t=24)
 
 
+@pytest.mark.slow
 def test_gemma3n_lora_train_step(tmp_path_factory):
     """LoRA grads flow through the AltUp stack and a few adamw steps
     reduce the loss (gemma-3n fine-tuning is the reference's headline
@@ -524,6 +533,7 @@ def test_lfm2_parity(tmp_path_factory):
     _parity(path, hf, "lfm2", atol=2e-3, rtol=1e-2, t=24)
 
 
+@pytest.mark.slow
 def test_bamba_parity(tmp_path_factory):
     """Bamba (IBM): SERIAL hybrid — each layer is a mamba2 SSD mixer OR
     partial-rotary attention (cf. falcon-h1's parallel layout); gated
@@ -649,6 +659,7 @@ def test_granitemoeshared_parity(tmp_path_factory):
     _parity(path, hf, "granitemoeshared", atol=2e-3, rtol=1e-2, t=24)
 
 
+@pytest.mark.slow
 def test_granitemoehybrid_parity(tmp_path_factory):
     """granite-4.0-h: serial mamba2/attention hybrid (layers_block_type)
     with granite multipliers, fused-expert MoE + always-on shared MLP,
@@ -676,6 +687,7 @@ def test_granitemoehybrid_parity(tmp_path_factory):
     _parity(path, hf, "granitemoehybrid", atol=2e-3, rtol=1e-2, t=24)
 
 
+@pytest.mark.slow
 def test_zamba2_parity(tmp_path_factory):
     """Zamba2: all-mamba2 stack + cycled SHARED transformer blocks on the
     hybrid layers (concat([h, embeddings]) input, per-hybrid-layer

@@ -196,6 +196,7 @@ def _make_bnb_checkpoint(path, hf_config, seed=0):
     return dense
 
 
+@pytest.mark.slow
 def test_load_bnb_checkpoint_end_to_end(tmp_path):
     """from_pretrained on a bnb-4bit dir: every linear arrives as an
     NF4Tensor whose dequant is bit-exact with bnb's, and the model runs."""
@@ -254,6 +255,7 @@ def test_mxfp4_dequant_matches_transformers():
     np.testing.assert_array_equal(ours.transpose(0, 2, 1), want)
 
 
+@pytest.mark.slow
 def test_gpt_oss_mxfp4_checkpoint_loads(tmp_path):
     """A gpt-oss checkpoint with MXFP4 expert tensors loads and matches a
     checkpoint with the equivalent dequantized bf16 experts."""

@@ -92,6 +92,7 @@ def test_restore_latest_falls_back_past_corrupt(rng, tmp_path):
     shutil.rmtree(bad)
 
 
+@pytest.mark.slow
 def test_trainer_resume_continues(rng, tmp_path):
     """Train 6 steps with save at 4; resume must continue from step 4 and
     end at the same final state as an uninterrupted run (same data order)."""

@@ -36,6 +36,7 @@ def csm_ckpt(tmp_path_factory):
     return path, model
 
 
+@pytest.mark.slow
 def test_csm_backbone_and_depth_parity(csm_ckpt):
     """Frame embedding (summed codebooks), backbone hidden states, and
     depth-decoder per-position codebook logits vs HF internals."""
@@ -80,6 +81,7 @@ def test_csm_backbone_and_depth_parity(csm_ckpt):
     np.testing.assert_allclose(np.asarray(d), d_hf, atol=5e-4, rtol=5e-3)
 
 
+@pytest.mark.slow
 def test_csm_loss_parity(csm_ckpt):
     """Composed loss == HF backbone CE + depth CE on the same batch."""
     from unsloth_tpu.models.csm import load_csm

@@ -22,6 +22,7 @@ def _inputs(rng, b=2, t=20, h=3, dk=8, dv=12):
     return q, k, v, g, beta
 
 
+@pytest.mark.slow
 def test_matches_hf_oracle(rng):
     from transformers.models.qwen3_next.modeling_qwen3_next import (
         torch_chunk_gated_delta_rule)
@@ -39,6 +40,7 @@ def test_matches_hf_oracle(rng):
                                atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("chunk", [4, 16, 64])
 def test_chunk_invariance(rng, chunk):
     q, k, v, g, beta = _inputs(rng, t=24)
@@ -61,6 +63,7 @@ def test_grads_flow(rng):
         assert float(jnp.abs(gr).max()) > 0
 
 
+@pytest.mark.slow
 def test_lightning_attention_chunked_matches_sequential():
     """The chunked lightning attention equals the sequential decayed
     recurrence (HF's decode path) — including with a partial last block."""

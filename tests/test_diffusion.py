@@ -79,6 +79,7 @@ def test_diffusion_mask_respects_prompt(rng):
     assert 0 < float(t[0]) <= 1.0
 
 
+@pytest.mark.slow
 def test_diffusion_training_denoises(rng):
     """Overfit one sequence: the denoising loss must drop and generation
     must reconstruct the memorized continuation."""

@@ -138,6 +138,7 @@ def test_dora_merge_matches_forward():
     np.testing.assert_allclose(y_merged, y_dora, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dora_e2e_train_and_save(rng, tmp_path):
     from unsloth_tpu.export.save import load_lora_tree, save_lora
     from unsloth_tpu.models.config import ModelConfig

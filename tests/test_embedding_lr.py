@@ -34,6 +34,7 @@ def test_modules_to_save_creates_trainable_copies(ckpt):
                                np.asarray(model.params["embed"]))
 
 
+@pytest.mark.slow
 def test_embeddings_train_and_shadow_base(ckpt):
     model, _ = FastLanguageModel.from_pretrained(ckpt, load_in_4bit=False,
                                                  dtype="float32")
@@ -52,6 +53,7 @@ def test_embeddings_train_and_shadow_base(ckpt):
                                   base_embed)
 
 
+@pytest.mark.slow
 def test_embedding_lr_is_smaller(ckpt):
     """With embedding_learning_rate << lr, embed moves much less than
     it would at full lr."""

@@ -54,6 +54,7 @@ def test_eval_loss_drops_after_training(rng, tmp_path):
     assert after < before - 0.1, (before, after)
 
 
+@pytest.mark.slow
 def test_train_and_merge_fact_retention(rng, tmp_path):
     """The reference's flagship QLoRA semantic test (reference:
     tests/qlora/test_unsloth_qlora_train_and_merge.py + README.md:24-35):

@@ -25,6 +25,7 @@ def model():
                         tokenizer=CharTokenizer())
 
 
+@pytest.mark.slow
 def test_sliding_window_ppl_matches_single_window(model):
     """For a text shorter than max_length the windowed PPL equals the
     plain full-context PPL."""

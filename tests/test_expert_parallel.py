@@ -26,6 +26,7 @@ def _setup(rng, n=64, d=128, f=256, e=8, k=2):
     return x, logits, experts
 
 
+@pytest.mark.slow
 @requires_8
 @pytest.mark.parametrize("norm_topk", [False, True])
 def test_ep_matches_dense(rng, norm_topk):
@@ -69,6 +70,7 @@ def test_ep_capacity_drops_are_bounded():
     assert float(jnp.abs(out).max()) > 0
 
 
+@pytest.mark.slow
 @requires_8
 def test_ep_grad_flows(rng):
     from jax.sharding import Mesh

@@ -37,6 +37,7 @@ def test_prefill_matches_forward(model):
                                np.asarray(logits_train), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_decode_matches_forward(model):
     """prefill 8 + decode 8 one-by-one == full forward on 16."""
     full = jnp.arange(1, 17, dtype=jnp.int32)[None]
@@ -56,6 +57,7 @@ def test_decode_matches_forward(model):
                                atol=5e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_generate_greedy_matches_manual(model):
     prompt = list(range(1, 9))
     out = generate(model, [prompt], SamplingParams(max_tokens=5),
@@ -140,6 +142,7 @@ def test_num_return_sequences_sampling_diverse(model):
     assert len({tuple(o) for o in outs}) > 1  # streams sample independently
 
 
+@pytest.mark.slow
 def test_gpt_oss_decode_matches_training_forward(rng):
     """Prefill+decode logits must equal the training forward for a
     gpt-oss-style config — sinks, alternating sliding windows, and MoE all
@@ -183,6 +186,7 @@ def test_gpt_oss_decode_matches_training_forward(rng):
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_deepseek_mla_decode_matches_training_forward(tmp_path_factory):
     """MLA compressed-KV decode: prefill+decode logits == training forward
     for a tiny DeepSeek-V3 checkpoint (cache holds kv_lora+rope per token)."""
@@ -230,6 +234,7 @@ def test_deepseek_mla_decode_matches_training_forward(tmp_path_factory):
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_falcon_h1_decode_matches_training_forward(tmp_path_factory):
     """falcon-h1 hybrid decode: the cache carries per-layer SSM recurrent
     state (conv window + state matrix) next to the attention KV; prefill
@@ -282,6 +287,7 @@ def test_falcon_h1_decode_matches_training_forward(tmp_path_factory):
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-2)
 
 
+@pytest.mark.slow
 def test_falcon_h1_generate_left_padded(tmp_path_factory):
     """Batched falcon-h1 generation with left-padded prompts matches the
     solo (unpadded) run — padded tokens must not pollute the SSM state."""
@@ -312,6 +318,7 @@ def test_falcon_h1_generate_left_padded(tmp_path_factory):
     assert both[0] == solo[0]
 
 
+@pytest.mark.slow
 def test_mla_absorbed_matches_expanded(tmp_path_factory):
     """The matrix-absorbed MLA decode (W_UK folded into q, W_UV into the
     output; attention computed directly over the latent cache) is
@@ -355,6 +362,7 @@ def test_mla_absorbed_matches_expanded(tmp_path_factory):
                                rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_gemma3n_decode_matches_training_forward(tmp_path_factory):
     """gemma-3n decode: AltUp streams are per-token, so the cache is a
     plain KV cache; prefill + stepwise decode must equal the training
@@ -401,6 +409,7 @@ def test_gemma3n_decode_matches_training_forward(tmp_path_factory):
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-2)
 
 
+@pytest.mark.slow
 def test_lfm2_decode_matches_training_forward(tmp_path_factory):
     """LFM2 decode: conv layers keep a rolling pre-conv window in the
     cache; prefill + stepwise decode must equal the training forward."""
@@ -443,6 +452,7 @@ def test_lfm2_decode_matches_training_forward(tmp_path_factory):
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-2)
 
 
+@pytest.mark.slow
 def test_minimax_decode_matches_training_forward(tmp_path_factory):
     """MiniMax decode: lightning layers carry a [B, H, Dh, Dh] decayed
     linear-attention state in cache.ssm (HF get_linear_cache); full
@@ -495,6 +505,7 @@ def test_minimax_decode_matches_training_forward(tmp_path_factory):
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_bamba_decode_matches_training_forward(tmp_path_factory):
     """bamba serial hybrid decode: mamba layers carry conv+SSM state in
     the cache (prefill: chunked SSD scan; decode: O(1) step); attention
@@ -541,6 +552,7 @@ def test_bamba_decode_matches_training_forward(tmp_path_factory):
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_granitemoehybrid_decode_matches_training_forward(
         tmp_path_factory):
     """granite-4.0-h decode: serial mamba/attention + granite residual
@@ -595,6 +607,7 @@ def test_granitemoehybrid_decode_matches_training_forward(
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_minimax_high_level_generate_greedy(tmp_path_factory):
     """model.generate (on-device while_loop) carries the lightning state
     through KVCache.ssm; greedy output == step-by-step argmax oracle."""
@@ -629,6 +642,7 @@ def test_minimax_high_level_generate_greedy(tmp_path_factory):
     np.testing.assert_array_equal(out[0][:6], cur[0, 8:14])
 
 
+@pytest.mark.slow
 def test_qwen3_next_decode_matches_training_forward(tmp_path_factory):
     """qwen3-next decode: GDN layers carry the pre-conv window + delta
     state in the cache (prefill: chunked delta rule; decode: O(1)

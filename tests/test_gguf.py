@@ -100,6 +100,7 @@ def test_bf16_round_to_nearest_even():
     np.testing.assert_array_equal(back, ref)
 
 
+@pytest.mark.slow
 def test_model_export_end_to_end(tmp_path):
     """Full pipeline: tiny HF checkpoint -> FastLanguageModel -> GGUF file
     parsed back with correct metadata, tensor set, and dequantized values
@@ -178,6 +179,7 @@ def test_q4_k_beats_q4_0():
         _rmse(q4k, x), _rmse(q40, x))
 
 
+@pytest.mark.slow
 def test_q4_k_m_mix_policy(tmp_path):
     """Q4_K_M export: use_more_bits layers get Q6_K attn_v/ffn_down,
     output.weight Q6_K, norms F32."""

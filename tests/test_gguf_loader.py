@@ -62,6 +62,7 @@ def exported(tmp_path_factory):
     return model, tokenizer, f32, q8
 
 
+@pytest.mark.slow
 def test_f32_round_trip_logits_exact(exported):
     import jax.numpy as jnp
 
@@ -104,6 +105,7 @@ def test_facade_routes_gguf_and_generates(exported):
     assert isinstance(out, list) and len(out) == 1
 
 
+@pytest.mark.slow
 def test_nf4_requantize_on_load(exported):
     """load_in_4bit=True re-quantizes 2-D projections to NF4 pytrees."""
     import jax.numpy as jnp
@@ -135,6 +137,7 @@ def test_tokenizer_rebuilt_from_gguf(exported):
     assert rebuilt.chat_template == tokenizer.chat_template
 
 
+@pytest.mark.slow
 def test_metadata_to_config_knobs(tmp_path):
     """Windowed/softcapped/yarn metadata survives the round trip."""
     import jax.numpy as jnp
@@ -168,6 +171,7 @@ def test_metadata_to_config_knobs(tmp_path):
     np.testing.assert_allclose(got, ref, atol=2e-2, rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_moe_gguf_round_trip(tmp_path):
     """qwen3-moe export/load: router + stacked expert tensors under
     llama.cpp MoE naming (ffn_gate_inp / ffn_*_exps), expert_count keys

@@ -41,6 +41,7 @@ def test_load_and_forward(llama_ckpt):
     ("llama_ckpt", "LlamaForCausalLM"),
     ("qwen3_ckpt", "Qwen3ForCausalLM"),
 ])
+@pytest.mark.slow
 def test_logit_parity_vs_transformers(request, ckpt_fixture, hf_cls):
     """Golden parity: our functional forward == HF transformers forward."""
     torch = pytest.importorskip("torch")
@@ -63,6 +64,7 @@ def test_logit_parity_vs_transformers(request, ckpt_fixture, hf_cls):
     np.testing.assert_allclose(ours, hf_logits, atol=2e-4, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_merged_save_roundtrip(llama_ckpt, tmp_path):
     model, _ = FastLanguageModel.from_pretrained(
         llama_ckpt, load_in_4bit=False, dtype="float32")
@@ -81,6 +83,7 @@ def test_merged_save_roundtrip(llama_ckpt, tmp_path):
                                atol=3e-2, rtol=3e-2)
 
 
+@pytest.mark.slow
 def test_lora_merge_changes_weights_correctly(llama_ckpt, tmp_path):
     """Trained-LoRA merge fidelity (reference: tests/qlora/ methodology —
     output of merged model must equal base+adapter output)."""
@@ -112,6 +115,7 @@ def test_lora_merge_changes_weights_correctly(llama_ckpt, tmp_path):
     assert float(jnp.max(jnp.abs(with_adapter - base_logits))) > 1e-3
 
 
+@pytest.mark.slow
 def test_lora_adapter_roundtrip(llama_ckpt, tmp_path):
     from unsloth_tpu.export.save import load_lora
 
@@ -157,6 +161,7 @@ def test_missing_model_errors_clearly():
         FastLanguageModel.from_pretrained("org/does-not-exist")
 
 
+@pytest.mark.slow
 def test_checkpoint_validation_catches_truncation(tmp_path):
     """Killable-child checkpoint validation (reference: killable snapshot
     prefetch _utils.py:1368 + studio resume validation resume.py:32-62):

@@ -33,6 +33,7 @@ def test_patchify_roundtrip(rng):
                                np.asarray(x))
 
 
+@pytest.mark.slow
 def test_forward_shapes_and_identity_init(rng):
     """adaLN-zero: zero-init modulation + head make the untrained model
     output exactly zero (each block starts as identity)."""

@@ -23,6 +23,7 @@ def _model(rng):
     return LanguageModel(cfg=cfg, params=init_params(cfg, rng))
 
 
+@pytest.mark.slow
 def test_collect_imatrix_shapes(rng):
     model = _model(rng)
     batches = [np.random.RandomState(i).randint(3, 120, (2, 16))

@@ -52,6 +52,7 @@ def test_text_only_parity(mllama_ckpt):
     np.testing.assert_allclose(ours, hf_logits, atol=3e-4, rtol=3e-3)
 
 
+@pytest.mark.slow
 def test_multimodal_parity(mllama_ckpt):
     from unsloth_tpu.models.mllama import load_mllama, mllama_forward
 
@@ -83,6 +84,7 @@ def test_multimodal_parity(mllama_ckpt):
     np.testing.assert_allclose(ours, hf_logits, atol=1e-3, rtol=1e-2)
 
 
+@pytest.mark.slow
 def test_mllama_loss_and_grads(mllama_ckpt):
     from unsloth_tpu.models.mllama import load_mllama, mllama_loss
 

@@ -39,6 +39,7 @@ def test_causality(rng, tiny_config):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_loss_fused_matches_unfused(rng, tiny_config):
     params = init_params(tiny_config, rng)
     batch = _batch(rng, tiny_config)
@@ -58,6 +59,7 @@ def test_lora_zero_init_is_identity(rng, tiny_config):
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_lora_gradients_flow(rng, tiny_config):
     params = init_params(tiny_config, rng)
     lora = init_lora_tree(tiny_config, rng, r=4, alpha=8)
@@ -166,6 +168,7 @@ def test_packed_segments_match_separate(rng, tiny_config):
                                atol=2e-5)
 
 
+@pytest.mark.slow
 def test_tiled_mlp_matches_dense(rng, tiny_config, monkeypatch):
     """UNSLOTH_TILED_MLP chunking must be numerically identical."""
     from unsloth_tpu.models.decoder import forward as fwd

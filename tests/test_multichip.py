@@ -31,6 +31,7 @@ def _cfg():
 @requires_8
 @pytest.mark.parametrize("dp,fsdp,tp", [(2, 2, 2), (1, 8, 1), (8, 1, 1),
                                         (1, 1, 8)])
+@pytest.mark.slow
 def test_sharded_loss_matches_single_device(dp, fsdp, tp, rng):
     """The same loss must come out regardless of mesh factorization."""
     cfg = _cfg()
@@ -61,6 +62,7 @@ def test_sharded_loss_matches_single_device(dp, fsdp, tp, rng):
     np.testing.assert_allclose(float(loss), ref_loss, rtol=2e-5)
 
 
+@pytest.mark.slow
 @requires_8
 def test_sharded_grads_match_single_device(rng):
     cfg = _cfg()
@@ -86,6 +88,7 @@ def test_sharded_grads_match_single_device(rng):
     np.testing.assert_allclose(a1, a2, atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 @requires_8
 def test_qlora_sharded_step(rng):
     """NF4 pytrees shard and train under a mesh (packed rows over fsdp)."""
@@ -124,6 +127,7 @@ def test_qlora_sharded_step(rng):
     assert float(l2) < float(l1)
 
 
+@pytest.mark.slow
 @requires_8
 def test_dryrun_multichip_entry():
     """The driver-facing dryrun must pass on 8 virtual devices."""
@@ -136,6 +140,7 @@ def test_dryrun_multichip_entry():
     mod.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 @requires_8
 @pytest.mark.parametrize("dp,fsdp,tp", [(2, 4, 1), (1, 8, 1)])
 def test_sft_trainer_trains_on_mesh(dp, fsdp, tp, rng):
@@ -187,6 +192,7 @@ def test_sft_trainer_trains_on_mesh(dp, fsdp, tp, rng):
     np.testing.assert_allclose(got, ref, rtol=2e-4)
 
 
+@pytest.mark.slow
 @requires_8
 def test_grpo_trainer_trains_on_mesh(rng):
     """GRPOTrainer places rollout batches on the mesh and steps (smoke)."""
@@ -235,6 +241,7 @@ def _clean_env():
     return env
 
 
+@pytest.mark.slow
 def test_dryrun_driver_env_fresh_process():
     """Round-1 regression: the dryrun must work in a process where no jax
     backend is initialized and NO env var forces CPU (the driver's exact
@@ -251,6 +258,7 @@ def test_dryrun_driver_env_fresh_process():
     assert "OK" in r.stdout
 
 
+@pytest.mark.slow
 def test_dryrun_after_backend_already_initialized():
     """If a too-small backend is already live (e.g. the single tunneled TPU
     chip after the driver's entry() compile check), the dryrun must still

@@ -51,6 +51,7 @@ def _gmh_ckpt(tmp_path_factory):
     return path
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("maker", [_minimax_ckpt, _gmh_ckpt])
 def test_new_arch_loss_matches_on_mesh(tmp_path_factory, maker):
     path = maker(tmp_path_factory)

@@ -26,6 +26,7 @@ def _make(e=4, n=320, k=256, m=50, seed=0):
 
 @pytest.mark.parametrize("shape", [(4, 320, 256, 50), (3, 128, 384, 17),
                                    (2, 256, 128, 200)])
+@pytest.mark.slow
 def test_fwd_matches_ref(shape):
     e, n, k, m = shape
     q, x, sizes = _make(e, n, k, m, seed=e)
@@ -53,6 +54,7 @@ def test_bwd_matches_dense_autodiff():
     del w
 
 
+@pytest.mark.slow
 def test_custom_vjp_wiring():
     q, x, sizes = _make(e=2, n=128, k=128, m=24, seed=7)
 
@@ -66,6 +68,7 @@ def test_custom_vjp_wiring():
     assert float(jnp.abs(grad).max()) > 0
 
 
+@pytest.mark.slow
 def test_fwd_bias_epilogue():
     """Per-expert bias added in the kernel's store epilogue equals
     dequantize + matmul + bias[expert] per row."""

@@ -127,6 +127,7 @@ def test_yarn_rope_scaling():
     assert float(inv[-1]) <= float(inv_plain[-1])
 
 
+@pytest.mark.slow
 def test_sinks_lse_rescale_matches_ref(rng):
     """The TPU sinks path is out_nosink * sigmoid(lse - sink); must equal
     the reference's augmented-softmax formulation (values + grads)."""
@@ -172,6 +173,7 @@ def test_sinks_lse_rescale_matches_ref(rng):
                                    atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_sinks_with_window_matches_ref(rng):
     """Sliding-window + sinks (the gpt-oss sliding layers)."""
     import jax

@@ -34,6 +34,7 @@ def test_ce_matches_ref(rng, softcap, logit_scale):
 
 @pytest.mark.parametrize("softcap,logit_scale", [
     (None, None), (30.0, None), (None, 0.0625)])
+@pytest.mark.slow
 def test_ce_grad_matches_autodiff(rng, softcap, logit_scale):
     k1, k2 = jax.random.split(rng)
     n, v = 32, 500
@@ -72,6 +73,7 @@ def test_fast_ce_n_items_scaling(rng):
 # Fused linear + CE (logits never materialized)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 @pytest.mark.parametrize("softcap", [None, 30.0])
 @pytest.mark.parametrize("chunk", [16, 64, 1000])
 def test_fused_linear_ce_matches_unfused(rng, softcap, chunk):
@@ -87,6 +89,7 @@ def test_fused_linear_ce_matches_unfused(rng, softcap, chunk):
     np.testing.assert_allclose(float(loss), float(ref), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_linear_ce_grads(rng):
     k1, k2, k3 = jax.random.split(rng, 3)
     n, d, v = 40, 16, 64

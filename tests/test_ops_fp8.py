@@ -63,6 +63,7 @@ def test_is_pytree(rng):
     assert isinstance(q2, FP8Tensor)
 
 
+@pytest.mark.slow
 def test_fp8_base_model_trains(rng):
     """An FP8-quantized base trains with LoRA end-to-end (round-1 VERDICT
     weak #7: no training-path test existed)."""
@@ -125,6 +126,7 @@ def test_fused_fp8_matmul_fwd_matches_ref():
                                atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_fused_fp8_matmul_bwd_matches_autodiff():
     import jax
     import jax.numpy as jnp

@@ -22,6 +22,7 @@ def _setup(rng, n=32, d=64, f=32, e=4, k=2):
     return x, router, experts, k
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("norm_topk", [False, True])
 def test_grouped_matches_dense(rng, norm_topk):
     x, router, experts, k = _setup(rng)
@@ -32,6 +33,7 @@ def test_grouped_matches_dense(rng, norm_topk):
                                atol=2e-5, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_grouped_grad_matches_dense(rng):
     x, router, experts, k = _setup(rng, n=16)
 
@@ -80,6 +82,7 @@ def test_nf4_stacked_experts_round_trip(rng):
     assert nbytes < w.size * 0.6
 
 
+@pytest.mark.slow
 def test_moe_qlora_trains(rng):
     """A MoE model with NF4-quantized experts trains (LoRA on attention;
     experts frozen NF4) — the gpt-oss MoE QLoRA shape (BASELINE.md:36)."""

@@ -39,6 +39,7 @@ def test_double_quant_close_to_plain(rng):
     assert extra < 0.02 * float(jnp.max(jnp.abs(w))), extra
 
 
+@pytest.mark.slow
 def test_memory_footprint(rng):
     w = jax.random.normal(rng, (1024, 1024), jnp.float32)
     q = quantize_nf4(w, double_quant=True)

@@ -10,6 +10,7 @@ import pytest
 from unsloth_tpu.ops.rms_norm import rms_norm, rms_norm_ref, layer_norm_ref
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("gemma", [False, True])
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 def test_rms_norm_forward(rng, gemma, dtype):
@@ -23,6 +24,7 @@ def test_rms_norm_forward(rng, gemma, dtype):
                                np.asarray(ref, np.float32), atol=tol, rtol=tol)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("gemma", [False, True])
 def test_rms_norm_grad_matches_autodiff(rng, gemma):
     k1, k2 = jax.random.split(rng)
@@ -61,6 +63,7 @@ def test_layer_norm_ref(rng):
     np.testing.assert_allclose(np.std(np.asarray(out), -1), 1.0, atol=1e-2)
 
 
+@pytest.mark.slow
 def test_layer_norm_pallas_matches_ref(rng):
     """Fused LayerNorm (BERT/whisper hot path): fwd + grads vs reference,
     interpret mode on CPU."""

@@ -20,6 +20,7 @@ def _qkv(rng, b=1, t=256, hq=4, hkv=2, dh=128):
 
 @pytest.mark.parametrize("window,softcap", [
     (None, None), (64, None), (None, 20.0), (64, 20.0)])
+@pytest.mark.slow
 def test_splash_matches_ref(rng, window, softcap):
     q, k, v = _qkv(rng)
     scale = q.shape[-1] ** -0.5
@@ -45,6 +46,7 @@ def test_splash_segment_ids(rng):
                                atol=2e-3, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_splash_grads(rng):
     q, k, v = _qkv(rng, t=128)
     scale = q.shape[-1] ** -0.5
@@ -65,6 +67,7 @@ def test_splash_grads(rng):
                                    atol=5e-3, rtol=5e-3)
 
 
+@pytest.mark.slow
 def test_splash_prefix_layout_matches_ref(rng):
     """Shared-prefix GRPO mask (training-side PrefixGrouper): the splash
     kernel with the static prefix mask must match the masked-SDPA

@@ -42,6 +42,7 @@ def test_ssd_matches_sequential_oracle(rng):
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("chunk", [4, 6, 24, 64])
 def test_ssd_chunk_invariance(rng, chunk):
     xd, Ad, B, C = _inputs(rng)
@@ -50,6 +51,7 @@ def test_ssd_chunk_invariance(rng, chunk):
     np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_ssd_grads_flow(rng):
     xd, Ad, B, C = _inputs(rng, t=16)
 
@@ -79,6 +81,7 @@ def test_causal_conv1d_matches_numpy(rng):
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_mixer_padding_mask_ignores_pad(rng):
     """Padded (segment 0) tokens must not change real tokens' outputs."""
     b, t, d = 1, 12, 16

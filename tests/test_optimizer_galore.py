@@ -82,6 +82,7 @@ def test_full_finetune_tiny_model_with_galore(rng):
     assert losses[-1] < losses[0] - 0.5, (losses[0], losses[-1])
 
 
+@pytest.mark.slow
 def test_q_galore_int8_state_and_convergence(rng):
     """Q-GaLore (int8 moments + int8 projector — the 'Q' from
     q_galore_adamw.py:264-290): state leaves are int8, quantized round

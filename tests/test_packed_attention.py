@@ -70,14 +70,17 @@ def _run(B, T, Hq, Hkv, D, max_len, dtype, seed, block):
         assert e < gtol, (name, e)
 
 
+@pytest.mark.slow
 def test_fwd_bwd_parity_f32():
     _run(2, 512, 4, 4, 128, 100, jnp.float32, 0, block=128)
 
 
+@pytest.mark.slow
 def test_fwd_bwd_parity_gqa():
     _run(1, 512, 8, 2, 128, 120, jnp.float32, 1, block=128)
 
 
+@pytest.mark.slow
 def test_fwd_bwd_parity_bf16():
     _run(1, 1024, 4, 2, 128, 200, jnp.bfloat16, 2, block=256)
 

@@ -37,6 +37,7 @@ def test_allocator_reuse():
     assert set(p3) == set(p1)  # pages recycled
 
 
+@pytest.mark.slow
 def test_paged_matches_dense_decode(rng):
     """Prefill + 3 decode steps: paged logits == dense-cache logits, with
     a shuffled page table proving the indirection is real."""

@@ -40,6 +40,7 @@ def _setup(rng, num_layers=8, batch=8, quantized=False):
     return cfg, params, lora, batch_d
 
 
+@pytest.mark.slow
 @requires_8
 @pytest.mark.parametrize("pp,dp,M", [(4, 1, 4), (8, 1, 2), (4, 2, 2)])
 def test_pipeline_loss_matches_single_device(pp, dp, M, rng):
@@ -58,6 +59,7 @@ def test_pipeline_loss_matches_single_device(pp, dp, M, rng):
         (float(loss), ref)
 
 
+@pytest.mark.slow
 @requires_8
 def test_pipeline_grads_match_single_device(rng):
     cfg, params, lora, batch = _setup(rng)
@@ -83,6 +85,7 @@ def test_pipeline_grads_match_single_device(rng):
                                    rtol=5e-4, atol=5e-5)
 
 
+@pytest.mark.slow
 @requires_8
 def test_pipeline_train_step_nf4(rng):
     """One full pp=4 train step over an NF4-quantized base (the QLoRA
@@ -110,6 +113,7 @@ def test_pipeline_train_step_nf4(rng):
     assert float(loss2) < float(loss1)
 
 
+@pytest.mark.slow
 @requires_8
 def test_pipeline_remat_matches_no_remat(rng):
     cfg, params, lora, batch = _setup(rng)
@@ -129,6 +133,7 @@ def test_pipeline_remat_matches_no_remat(rng):
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 @requires_8
 def test_sft_trainer_with_pipeline(rng):
     """SFTTrainer routes through the pp schedule when enable_pipeline was

@@ -34,6 +34,7 @@ def test_trace_writes_artifacts(tmp_path):
     assert files, "profiler produced no artifacts"
 
 
+@pytest.mark.slow
 def test_import_latency_gate():
     """Cold import of the package must stay snappy (the facade is lazy;
     heavy deps load on first use). Threshold is generous for CI noise."""

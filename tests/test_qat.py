@@ -93,6 +93,7 @@ def test_qat_lora_end_to_end():
     assert losses[-1] < losses[0] - 0.12, losses[::12]
 
 
+@pytest.mark.slow
 def test_from_pretrained_qat_requires_full_ft(tmp_path):
     from tests.helpers import TINY_LLAMA, make_hf_checkpoint
     from unsloth_tpu.models.loader import FastLanguageModel

@@ -38,6 +38,7 @@ def test_bwd_kernel_matches_dequant_matmul(q_and_w, rng):
                                atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_custom_vjp_grad(q_and_w, rng):
     q, wd = q_and_w
     x = jax.random.normal(rng, (16, 512), jnp.float32)

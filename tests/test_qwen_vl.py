@@ -56,6 +56,7 @@ def _inputs(n_text_pre=3, n_text_post=2):
     return np.asarray([ids], np.int64), pixel, grid
 
 
+@pytest.mark.slow
 def test_multimodal_logit_parity(qwen_vl_ckpt):
     from unsloth_tpu.models.vision import FastVisionModel
 
@@ -104,6 +105,7 @@ def test_mrope_positions(qwen_vl_ckpt):
     assert (pos[:, 19] == 7).all()
 
 
+@pytest.mark.slow
 def test_qwen_vl_lora_training_step(qwen_vl_ckpt):
     import optax
 
@@ -199,6 +201,7 @@ def test_qwen2_vl_multimodal_logit_parity(qwen2_vl_ckpt):
                                atol=2e-3, rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_qwen3_vl_multimodal_logit_parity(tmp_path_factory):
     """Qwen3-VL: interpolated-position-embedding ViT (biased LayerNorms,
     fused qkv, per-frame attention), patch mergers incl. DeepStack

@@ -75,6 +75,7 @@ def test_qwen_vl_generate_text_only_route(qwen_vl):
     assert len(out) == 1 and len(out[0]) <= 4
 
 
+@pytest.mark.slow
 def test_server_qwen_vl_chat_with_image(qwen_vl):
     """Live HTTP: an image content block routes through the Qwen image
     processor into the M-RoPE cached decode."""

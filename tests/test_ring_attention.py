@@ -22,6 +22,7 @@ def _qkv(rng, b=2, t=64, h=4, d=16):
             jax.random.normal(k3, (b, t, h, d), jnp.float32))
 
 
+@pytest.mark.slow
 @requires_8
 @pytest.mark.parametrize("causal", [True, False])
 def test_ring_matches_reference(rng, causal):
@@ -38,6 +39,7 @@ def test_ring_matches_reference(rng, causal):
                                atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 @requires_8
 def test_ring_grads_match_reference(rng):
     import numpy as np
@@ -61,6 +63,7 @@ def test_ring_grads_match_reference(rng):
                                    atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 @requires_8
 def test_ring_packed_segments_matches_reference(rng):
     """Segment ids (packing) + GQA travel the ring correctly."""
@@ -107,6 +110,7 @@ def test_attention_dispatch_routes_to_ring(rng):
                                atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 @requires_8
 def test_sft_trainer_context_parallel(rng):
     """End-to-end: SFTTrainer on an sp=4 mesh matches single-device loss
@@ -145,6 +149,7 @@ def test_sft_trainer_context_parallel(rng):
 @requires_8
 @pytest.mark.parametrize("window,softcap", [
     (16, None), (16, 20.0), (None, 20.0)])
+@pytest.mark.slow
 def test_ring_window_softcap_matches_reference(rng, window, softcap):
     """Sliding-window + softcap under sp-axis context parallelism
     (mistral window / gemma-2 softcap+window class models; r2 VERDICT
@@ -183,6 +188,7 @@ def test_ring_windowed_packed_segments(rng):
                                atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 @requires_8
 def test_attention_dispatch_routes_windowed_to_ring(rng):
     """attention() inside an sp context no longer excludes windowed
@@ -205,6 +211,7 @@ def test_attention_dispatch_routes_windowed_to_ring(rng):
                                atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 @requires_8
 def test_ring_sinks_matches_reference(rng):
     """gpt-oss attention sinks under the sp axis: the running (m, l)
@@ -232,6 +239,7 @@ def test_ring_sinks_matches_reference(rng):
                                atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 @requires_8
 def test_attention_dispatch_ring_sinks(rng):
     """The attention dispatcher routes sink models through ring

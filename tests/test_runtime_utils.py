@@ -1,5 +1,6 @@
 """Runtime utils tests (reference: dataset_num_proc.py, memory stats)."""
 
+import pytest
 import os
 
 from unsloth_tpu.utils.runtime import (get_dataset_num_proc,
@@ -46,6 +47,7 @@ def test_metrics_logger_jsonl_and_callbacks(tmp_path):
     assert len(seen) == 2 and seen[1]["step"] == 2
 
 
+@pytest.mark.slow
 def test_trainer_writes_metrics_jsonl(tmp_path):
     import jax
     import numpy as np
@@ -70,6 +72,7 @@ def test_trainer_writes_metrics_jsonl(tmp_path):
     assert (tmp_path / "metrics.jsonl").exists()
 
 
+@pytest.mark.slow
 def test_compile_cache_enabled_on_import():
     """Importing the package turns on jax's persistent compilation cache
     (measured on the tunneled TPU: repeat compiles 1.85s -> 0.27s);

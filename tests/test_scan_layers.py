@@ -32,6 +32,7 @@ def test_scan_matches_loop_forward(setup):
                                atol=2e-5)
 
 
+@pytest.mark.slow
 def test_scan_matches_loop_grads(setup):
     cfg, params, lora, ids = setup
     batch = {"input_ids": ids, "labels": ids}
@@ -75,6 +76,7 @@ def test_lora_stack_roundtrip(setup):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_stacked_end_to_end_facade(rng, tmp_path):
     """from_pretrained(stack_layers=True) -> train -> generate -> save."""
     import sys

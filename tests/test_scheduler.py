@@ -31,6 +31,7 @@ def _greedy_reference(model, prompt, n):
     return ids[len(prompt):]
 
 
+@pytest.mark.slow
 def test_single_request_matches_full_forward(model):
     prompt = [3, 14, 15, 92, 65, 35]
     ref = _greedy_reference(model, prompt, 6)
@@ -40,6 +41,7 @@ def test_single_request_matches_full_forward(model):
     assert out[rid] == ref, (out[rid], ref)
 
 
+@pytest.mark.slow
 def test_concurrent_and_staggered_requests(model):
     p1 = [3, 14, 15, 92]
     p2 = [27, 18, 28, 18, 28, 45, 90, 45]
@@ -170,6 +172,7 @@ def test_server_streaming_continuous_batching(model):
 # Automatic prefix caching (the vLLM APC analog)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_prefix_cache_reuses_pages_and_matches(model):
     """Second request with the same long prompt reuses cached KV pages
     (cached_tokens > 0, fewer fresh allocations) and its output is
@@ -193,6 +196,7 @@ def test_prefix_cache_reuses_pages_and_matches(model):
     assert cb.alloc.pages_in_use() == used_before  # nothing leaked
 
 
+@pytest.mark.slow
 def test_prefix_cache_partial_prefix(model):
     """A request sharing only a prefix reuses the common full pages and
     still decodes exactly."""
@@ -214,6 +218,7 @@ def test_prefix_cache_partial_prefix(model):
     assert cb.requests[rb].cached_tokens == 64  # the two common pages
 
 
+@pytest.mark.slow
 def test_prefix_cache_eviction_under_pressure(model):
     """When the pool runs dry, unreferenced cached pages are evicted and
     admission succeeds."""
@@ -234,6 +239,7 @@ def test_prefix_cache_eviction_under_pressure(model):
 # Speculative decoding inside the shared loop
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_spec_batcher_matches_plain(model):
     """speculative=True produces the same greedy outputs as the plain
     loop for a mixed batch, with per-slot acceptance/rewind."""
@@ -253,6 +259,7 @@ def test_spec_batcher_matches_plain(model):
         assert out[rid] == want, (out[rid], want)
 
 
+@pytest.mark.slow
 def test_spec_batcher_takes_fewer_steps(model):
     """On a self-similar prompt the spec loop uses measurably fewer
     decode steps than tokens generated."""
@@ -283,6 +290,7 @@ def test_spec_batcher_eos_and_reclaim(model):
     assert cb.alloc.pages_in_use() == used0
 
 
+@pytest.mark.slow
 def test_spec_plus_prefix_caching_compose(model):
     """Both serving features on at once: cached prefix pages + block
     verify + per-slot rewind still produce exact greedy outputs."""

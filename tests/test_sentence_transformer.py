@@ -29,6 +29,7 @@ def st_model():
     return SentenceTransformerModel(lm=lm, pooling="mean")
 
 
+@pytest.mark.slow
 def test_encode_shapes_and_norm(st_model):
     embs = st_model.encode(["hello world", "hi", "something longer here"])
     assert embs.shape == (3, 32)
@@ -60,6 +61,7 @@ def test_mean_pool_ignores_padding():
                            np.asarray(p_half))
 
 
+@pytest.mark.slow
 def test_bidirectional_changes_embeddings(st_model):
     e_bi = st_model.encode(["hello world"])
     st_model.bidirectional = False
@@ -67,6 +69,7 @@ def test_bidirectional_changes_embeddings(st_model):
     assert not np.allclose(e_bi, e_causal)
 
 
+@pytest.mark.slow
 def test_contrastive_training_separates_pairs(st_model):
     ds = [
         {"anchor": "aaaa bbbb", "positive": "aaab bbba"},
@@ -141,6 +144,7 @@ def test_st_save_pretrained_gguf(st_model, tmp_path):
     assert os.path.exists(str(tmp_path / "modules.json"))
 
 
+@pytest.mark.slow
 def test_trainer_with_hard_negatives(st_model):
     args = EmbeddingTrainerConfig(max_steps=3,
                                   per_device_train_batch_size=2,
@@ -154,6 +158,7 @@ def test_trainer_with_hard_negatives(st_model):
     assert len(log) == 3 and np.isfinite(log[-1]["loss"])
 
 
+@pytest.mark.slow
 def test_bert_backed_st_from_pretrained(tmp_path):
     """A sentence-transformers BERT checkpoint (modules.json + pooling
     config) loads through FastSentenceTransformer and encodes."""

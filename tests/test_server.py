@@ -54,6 +54,7 @@ def test_health_and_models(server):
     assert body["data"][0]["id"] == "tiny-test"
 
 
+@pytest.mark.slow
 def test_chat_completions(server):
     code, body = _post(server, "/v1/chat/completions", {
         "model": "tiny-test",
@@ -67,6 +68,7 @@ def test_chat_completions(server):
     assert body["usage"]["total_tokens"] > 0
 
 
+@pytest.mark.slow
 def test_anthropic_messages(server):
     code, body = _post(server, "/v1/messages", {
         "model": "tiny-test",
@@ -118,6 +120,7 @@ def test_responses_endpoint(server):
         chat["choices"][0]["message"]["content"]
 
 
+@pytest.mark.slow
 def test_responses_streaming(server):
     events = _post_sse(server, "/v1/responses",
                        {"input": "hi", "max_output_tokens": 16,
@@ -157,6 +160,7 @@ def test_cli_start_agent_env():
         agent_env("unknown", "x")
 
 
+@pytest.mark.slow
 def test_cli_start_print_env(tmp_path, capsys):
     """start --print-env against a live server prints exports, rc 0."""
     import threading
@@ -202,6 +206,7 @@ def _post_sse(url, path, body):
     return events
 
 
+@pytest.mark.slow
 def test_chat_completions_streaming(server):
     body = {"messages": [{"role": "user", "content": "hi"}],
             "max_tokens": 24, "temperature": 0.0, "seed": 0}
@@ -287,6 +292,7 @@ def test_adapters_listed(adapter_server):
     assert {"tiny-base", "tuned-a", "tuned-b"} <= ids
 
 
+@pytest.mark.slow
 def test_adapter_selection_changes_output(adapter_server):
     def ask(model_name):
         code, body = _post(adapter_server, "/v1/chat/completions", {
@@ -324,6 +330,7 @@ def test_stop_sequences(server):
     assert got == text.split(stop)[0]
 
 
+@pytest.mark.slow
 def test_embeddings_endpoint():
     """/v1/embeddings backed by a FastSentenceTransformer handle."""
     from unsloth_tpu.models.sentence_transformer import (
@@ -357,6 +364,7 @@ def test_embeddings_endpoint():
         httpd.shutdown()
 
 
+@pytest.mark.slow
 def test_cli_inference_one_shot(tmp_path, capsys):
     """`unsloth inference` (reference CLI subcommand roster): one-shot
     prompt -> completion on stdout, rc 0."""

@@ -55,6 +55,7 @@ def _mask_after_eos(out, eos_set):
     return out
 
 
+@pytest.mark.slow
 def test_spec_matches_plain_greedy_no_eos(model):
     rng = np.random.RandomState(0)
     b, t = 3, 16
@@ -69,6 +70,7 @@ def test_spec_matches_plain_greedy_no_eos(model):
     assert iters <= 24
 
 
+@pytest.mark.slow
 def test_spec_matches_plain_greedy_with_eos(model):
     """EOS semantics: identical emitted prefix, decode stops."""
     rng = np.random.RandomState(1)
@@ -86,6 +88,7 @@ def test_spec_matches_plain_greedy_with_eos(model):
                                   _mask_after_eos(ref, es))
 
 
+@pytest.mark.slow
 def test_spec_accepts_on_repetitive_context(model):
     """A context that is one repeated phrase must accept drafts: the
     loop takes measurably fewer forwards than tokens generated."""
@@ -102,6 +105,7 @@ def test_spec_accepts_on_repetitive_context(model):
     assert iters < n, iters
 
 
+@pytest.mark.slow
 def test_generate_api_speculative_flag(model):
     class Tok:
         eos_token_id = None
@@ -135,6 +139,7 @@ def test_supports_gate():
 # Quantized KV cache (kv_cache_dtype) — llama.cpp --cache-type-k/v analog
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_fp8_kv_cache_generates_close(model):
     """fp8 KV storage must track bf16-KV greedy decode closely (identical
     for the vast majority of tokens on this tiny model) and never nan."""
@@ -156,6 +161,7 @@ def test_fp8_kv_cache_generates_close(model):
     assert np.all(got < model.cfg.vocab_size)
 
 
+@pytest.mark.slow
 def test_kv_cache_dtype_generate_api(model):
     class Tok:
         eos_token_id = None

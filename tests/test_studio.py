@@ -95,6 +95,7 @@ def test_chat_without_model_is_503(studio):
     assert code == 503
 
 
+@pytest.mark.slow
 def test_training_job_lifecycle(studio):
     url, srv, tmp = studio
     data_dir = str(tmp.mktemp("data"))
@@ -134,6 +135,7 @@ def test_training_job_lifecycle(studio):
     assert code == 200 and len(jobs["jobs"]) >= 1
 
 
+@pytest.mark.slow
 def test_train_stream_sse_live(studio):
     """/api/train/stream pushes per-step metric events WHILE the job is
     running — the SSE replacement for polling (reference: the WS progress

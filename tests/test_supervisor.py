@@ -30,6 +30,7 @@ def _wait(proc, timeout):
         raise
 
 
+@pytest.mark.slow
 def test_crash_restart_then_success(binary, tmp_path):
     """A child that crashes twice and then exits 0 is restarted twice;
     the supervisor then exits cleanly."""
@@ -53,6 +54,7 @@ def test_crash_restart_then_success(binary, tmp_path):
     assert "supervisor done" in text
 
 
+@pytest.mark.slow
 def test_restart_budget_exhausted(binary, tmp_path):
     proc = subprocess.Popen(
         [binary, "--max-restarts", "1", "--log",

@@ -45,6 +45,7 @@ def test_ipo_loss_form():
     np.testing.assert_allclose(float(loss), (1.0 / 0.2) ** 2, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_dpo_end_to_end_learns_preference(model):
     """Chosen completions use high-ordinal chars, rejected low; after
     training, chosen sequences must have higher logprob margin."""
@@ -87,6 +88,7 @@ def test_orpo_loss_math():
     assert float(loss) > 0
 
 
+@pytest.mark.slow
 def test_orpo_end_to_end(model):
     from unsloth_tpu.trainer.dpo import ORPOConfig, ORPOTrainer
 
@@ -118,6 +120,7 @@ def test_kto_loss_math():
     assert float(loss) < float(bad_loss)
 
 
+@pytest.mark.slow
 def test_kto_end_to_end(model):
     from unsloth_tpu.trainer.dpo import KTOConfig, KTOTrainer
 
@@ -140,6 +143,7 @@ def test_kto_end_to_end(model):
     assert last["rewards/chosen"] > last["rewards/rejected"]
 
 
+@pytest.mark.slow
 def test_cpo_end_to_end(model):
     from unsloth_tpu.trainer.dpo import CPOConfig, CPOTrainer
 

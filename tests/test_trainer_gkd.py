@@ -72,6 +72,7 @@ def _mk(seed):
     return m
 
 
+@pytest.mark.slow
 def test_gkd_distills_toward_teacher():
     student = _mk(0)
     student.lora = init_lora_tree(student.cfg, jax.random.PRNGKey(1),

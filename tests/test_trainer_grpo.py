@@ -92,6 +92,7 @@ def test_kl_term_nonnegative_and_zero_at_ref():
     assert float(other) > 0.0
 
 
+@pytest.mark.slow
 def test_selective_log_softmax_matches_dense(rng):
     k1, k2, k3 = jax.random.split(rng, 3)
     n, d, v = 24, 16, 64
@@ -117,6 +118,7 @@ def test_selective_log_softmax_matches_dense(rng):
                                atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_per_token_logps_shift_alignment(model):
     """grpo_per_token_logps(targets shifted) equals log-softmax of the
     model's own next-token distribution."""
@@ -134,6 +136,7 @@ def test_per_token_logps_shift_alignment(model):
                                np.asarray(expect), atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_grpo_end_to_end_reward_shifts_policy(model):
     """Dense reward favoring high-ordinal tokens; the policy's expected
     next-token ordinal after the prompt must rise."""
@@ -176,6 +179,7 @@ def test_grpo_end_to_end_reward_shifts_policy(model):
     assert after > before, (before, after)
 
 
+@pytest.mark.slow
 def test_grpo_packed_loss_matches_unpacked(model):
     """Sequence packing (reference: rl_replacements.py:55-61,1010-1281):
     the packed-layout loss must equal the unpacked one for the same
@@ -226,6 +230,7 @@ def test_grpo_packed_loss_matches_unpacked(model):
         assert pb.input_ids.shape[0] <= ub.input_ids.shape[0]
 
 
+@pytest.mark.slow
 def test_grpo_train_with_packing(model):
     """End-to-end smoke: GRPOTrainer with packing=True runs and logs."""
     args = GRPOConfig(per_device_train_batch_size=2, num_generations=2,
@@ -241,6 +246,7 @@ def test_grpo_train_with_packing(model):
     assert np.isfinite(out.training_loss)
 
 
+@pytest.mark.slow
 def test_grpo_grouped_loss_matches_unpacked(model):
     """Training-side PrefixGrouper (reference: utils/prefix_grouper.py:218
     + prefix_grouper_kernel.py:384): the shared-prefix grouped layout must
@@ -288,6 +294,7 @@ def test_grpo_grouped_loss_matches_unpacked(model):
                                    err_msg=loss_type)
 
 
+@pytest.mark.slow
 def test_grpo_train_with_prefix_grouping(model):
     """End-to-end smoke: GRPOTrainer with prefix_grouping=True runs and
     reward-guided training still logs sane losses."""
@@ -363,6 +370,7 @@ def test_gspo_sequence_token_gradient_is_tokenwise():
     assert np.all(np.isfinite(np.asarray(g_tok)))
 
 
+@pytest.mark.slow
 def test_gspo_end_to_end_train(model):
     """GRPOTrainer(importance_sampling_level="sequence") runs; packing is
     forced off for sequence-level ratios."""
@@ -396,6 +404,7 @@ def test_loo_advantages_math():
     np.testing.assert_allclose(adv3, [3.0, -1.5, -1.5])
 
 
+@pytest.mark.slow
 def test_rloo_end_to_end(model):
     from unsloth_tpu.trainer.grpo import RLOOConfig, RLOOTrainer
 
@@ -436,6 +445,7 @@ def test_bco_loss_math():
     assert not np.isclose(float(loss_hi), float(loss))
 
 
+@pytest.mark.slow
 def test_bco_end_to_end(model):
     from unsloth_tpu.trainer.dpo import BCOConfig, BCOTrainer
 

@@ -26,6 +26,7 @@ def model():
     return m
 
 
+@pytest.mark.slow
 def test_online_dpo_with_reward_funcs(model):
     args = OnlineDPOConfig(per_device_train_batch_size=2,
                            max_prompt_length=8, max_completion_length=8,

@@ -91,6 +91,7 @@ def model():
     return m
 
 
+@pytest.mark.slow
 def test_ppo_end_to_end_reward_shifts_policy(model):
     ds = [{"prompt": "Q:"}] * 8
 

@@ -57,6 +57,7 @@ def test_step_label_positions(model):
     assert np.asarray(ids[0])[marked[0]] == sep_id
 
 
+@pytest.mark.slow
 def test_prm_learns_step_quality(model):
     """good steps contain 'z', bad steps contain 'a': the head must
     separate fresh examples after training."""

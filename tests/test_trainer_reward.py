@@ -44,6 +44,7 @@ def test_reward_loss_math():
         float(loss) + 0.1 * np.mean(np.array([2.0, 4.0]) ** 2), rel=1e-5)
 
 
+@pytest.mark.slow
 def test_reward_trainer_learns_preference(model):
     """chosen = runs of 'z', rejected = runs of 'a': after training the
     score head must rank fresh 'z' strings above fresh 'a' strings."""
@@ -64,6 +65,7 @@ def test_reward_trainer_learns_preference(model):
     assert tr.state_log[-1]["rewards/accuracies"] == 1.0
 
 
+@pytest.mark.slow
 def test_reward_trainer_margin_column(model):
     """Rows may carry a per-pair margin (TRL margin support)."""
     ds = [{"chosen": "zzzz", "rejected": "aaaa", "margin": 0.5}]

@@ -195,6 +195,7 @@ def test_hf_dataset_parallel_tokenize(rng):
     assert out.global_step == 2
 
 
+@pytest.mark.slow
 def test_sft_trainer_hybrid_family_end_to_end(tmp_path_factory):
     """SFTTrainer on a granitemoehybrid checkpoint: packing="auto" must
     disable packing (recurrent mamba state crosses documents) and a few

@@ -92,6 +92,7 @@ def test_prepare_tts_dataset_paths():
         assert ex["labels"] == ex["input_ids"]
 
 
+@pytest.mark.slow
 def test_tts_sft_end_to_end(rng):
     """A tiny llama-style model overfits Orpheus-formatted examples (the
     driver's Whisper+Orpheus bench family, BASELINE.md:35)."""

@@ -52,6 +52,7 @@ def test_text_only_parity(gemma3_ckpt):
     np.testing.assert_allclose(ours, hf_logits, atol=3e-4, rtol=3e-3)
 
 
+@pytest.mark.slow
 def test_multimodal_parity(gemma3_ckpt):
     from unsloth_tpu.models.vision import FastVisionModel
     from unsloth_tpu.models.decoder import forward as text_forward
@@ -93,6 +94,7 @@ def test_multimodal_parity(gemma3_ckpt):
                                atol=5e-4, rtol=5e-3)
 
 
+@pytest.mark.slow
 def test_vision_lora_training_step(gemma3_ckpt):
     import optax
 
@@ -192,6 +194,7 @@ def test_llava_multimodal_parity(llava_ckpt):
                                atol=5e-4, rtol=5e-3)
 
 
+@pytest.mark.slow
 def test_llava_lora_training_step(llava_ckpt):
     import optax
 
@@ -229,6 +232,7 @@ def test_llava_lora_training_step(llava_ckpt):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_pixtral_llava_multimodal_parity(tmp_path_factory):
     """Pixtral-in-llava (mistral-community/pixtral-12b layout): pixtral
     ViT (biasless patch conv, RMSNorms, 2-D rope, gated-gelu MLP) +
@@ -389,6 +393,7 @@ def test_aya_vision_multimodal_parity(tmp_path_factory):
                                atol=2e-3, rtol=1e-2)
 
 
+@pytest.mark.slow
 def test_llava_next_multimodal_parity(tmp_path_factory):
     """llava-1.6 (llava-next) anyres: base crop + grid tiles reassembled
     spatially, unpadded to the original aspect ratio, image_newline per
@@ -503,6 +508,7 @@ def test_granite_vision_multimodal_parity(tmp_path_factory):
                                atol=5e-4, rtol=5e-3)
 
 
+@pytest.mark.slow
 def test_vision_dpo(gemma3_ckpt):
     """Vision DPO (reference: rl_replacements.py:204-437 vision rows in
     DPO): image rows train end-to-end, rewards margin grows."""

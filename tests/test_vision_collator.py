@@ -47,6 +47,7 @@ def test_preprocess_shapes():
     assert gh % 2 == 0 and gw % 2 == 0
 
 
+@pytest.mark.slow
 def test_collator_gemma3(gemma3_ckpt):
     from unsloth_tpu.models.vision import FastVisionModel
 
@@ -67,6 +68,7 @@ def test_collator_gemma3(gemma3_ckpt):
     assert np.isfinite(float(loss))
 
 
+@pytest.mark.slow
 def test_collator_qwen_vl(qwen_vl_ckpt):
     from unsloth_tpu.models.vision import FastVisionModel
 

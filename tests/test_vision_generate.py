@@ -43,6 +43,7 @@ def gemma3(tmp_path_factory):
     return model, hf
 
 
+@pytest.mark.slow
 def test_vlm_generate_matches_hf(gemma3):
     model, hf = gemma3
     rng = np.random.RandomState(0)
@@ -64,6 +65,7 @@ def test_vlm_generate_matches_hf(gemma3):
     assert got[0] == want, (got[0], want)
 
 
+@pytest.mark.slow
 def test_vlm_generate_batch_and_textonly(gemma3):
     model, _ = gemma3
     rng = np.random.RandomState(1)
@@ -89,6 +91,7 @@ def test_vlm_generate_batch_and_textonly(gemma3):
     assert len(text) == 1 and len(text[0]) <= 4
 
 
+@pytest.mark.slow
 def test_vlm_generate_prepends_placeholders(gemma3):
     """Prompts without the image token get llava-style prepended spans
     (mirrors trainer/dpo.py vision rows)."""

@@ -31,6 +31,7 @@ def whisper_ckpt(tmp_path_factory):
     return path, model
 
 
+@pytest.mark.slow
 def test_log_mel_matches_transformers():
     from transformers import WhisperFeatureExtractor
 
@@ -46,6 +47,7 @@ def test_log_mel_matches_transformers():
     np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_whisper_logit_parity(whisper_ckpt):
     from unsloth_tpu.models.whisper import (load_whisper, whisper_decode,
                                             whisper_encode)
@@ -69,6 +71,7 @@ def test_whisper_logit_parity(whisper_ckpt):
                                atol=2e-3, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_whisper_loss_and_grads(whisper_ckpt):
     from unsloth_tpu.models.whisper import load_whisper, whisper_loss
 
@@ -86,6 +89,7 @@ def test_whisper_loss_and_grads(whisper_ckpt):
     assert float(jnp.max(jnp.abs(g))) > 0
 
 
+@pytest.mark.slow
 def test_whisper_lora(whisper_ckpt):
     """LoRA path: zero-init B makes lora a no-op at init (logit parity
     with the base model), grads flow only to adapters, and the trainer's
@@ -139,6 +143,7 @@ def test_whisper_lora(whisper_ckpt):
     np.testing.assert_array_equal(np.asarray(k0), np.asarray(k1))
 
 
+@pytest.mark.slow
 def test_whisper_greedy_matches_hf_generate(whisper_ckpt):
     """Jitted lax.while_loop greedy decode == transformers generate
     (greedy, no sampling) on the tiny fixture."""
@@ -189,6 +194,7 @@ def test_audio_wav_roundtrip_and_resample():
     np.testing.assert_allclose(down[100:-100], audio[100:-100], atol=0.05)
 
 
+@pytest.mark.slow
 def test_whisper_transcribe_http(whisper_ckpt, tmp_path):
     """Studio /api/whisper/transcribe + OpenAI /v1/audio/transcriptions
     (JSON and multipart WAV) serve the native whisper model."""
@@ -258,6 +264,7 @@ def test_whisper_transcribe_http(whisper_ckpt, tmp_path):
         httpd.shutdown()
 
 
+@pytest.mark.slow
 def test_whisper_trainer_overfits(whisper_ckpt):
     """ASR fine-tuning loop: a tiny whisper overfits one (features,
     transcript) pair (the driver's Whisper bench family, BASELINE.md:35)."""

@@ -40,6 +40,7 @@ def zamba2_path(tmp_path_factory):
     return path
 
 
+@pytest.mark.slow
 def test_zamba2_lora_trains(zamba2_path):
     """LoRA lands on the SHARED blocks; a few adamw steps reduce the
     loss and only block LoRA updates."""
@@ -85,6 +86,7 @@ def test_zamba2_packing_auto_off(zamba2_path):
     assert cfg.mamba is not None  # the auto-off gate keys on this
 
 
+@pytest.mark.slow
 def test_zamba2_decode_matches_training_forward(zamba2_path):
     """Zamba2 decode: mamba conv+SSM state in cache.conv/ssm, hybrid
     layers' shared-attention K/V (concat width) in cache.k/v; prefill +
