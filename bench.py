@@ -579,9 +579,26 @@ def main():
         order = list(range(len(lens)))
         random.Random(0).shuffle(order)
         b_hf = 8
-        batch_lens = [lens[j] for j in order[:b_hf]]
-        t_hf = max(128, -(-max(batch_lens) // 128) * 128)
-        realized_pf = 1.0 - sum(batch_lens) / (b_hf * t_hf)
+        # the FULL shuffled epoch's batch shapes, not one lucky batch: a
+        # dynamic-padding collator pads each batch to its own max length
+        # (rounded up to the flash kernel's 128 tile). With alpaca-class
+        # lengths (p90=127, max=144) over half the b8 batches contain a
+        # >127-token doc and pad to [8, 256] at ~2x the padding — one
+        # batch under-states HF practice's true cost.
+        epoch = [order[i:i + b_hf] for i in range(0, len(order), b_hf)
+                 if len(order[i:i + b_hf]) == b_hf]
+        shapes = {}  # t_hf -> {count, real_tokens, first_batch_lens}
+        for idxs in epoch:
+            bl = [lens[j] for j in idxs]
+            t = max(128, -(-max(bl) // 128) * 128)
+            s = shapes.setdefault(t, {"count": 0, "real_tokens": 0,
+                                      "batch_lens": bl})
+            s["count"] += 1
+            s["real_tokens"] += sum(bl)
+        epoch_real = sum(s["real_tokens"] for s in shapes.values())
+        epoch_padded = sum(s["count"] * b_hf * t
+                           for t, s in shapes.items())
+        realized_pf = 1.0 - epoch_real / epoch_padded
         # our side at the SAME data distribution: the measured doc lengths
         # packed into full 8K rows, attention routed to the segment-block-
         # sparse kernel (O(sum len_i^2) — the TPU form of FA2 varlen that
@@ -597,12 +614,22 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"measured-lengths packed run failed: {e}",
                   file=sys.stderr)
+        shape_detail = {}
         try:
-            batch_hf = make_practice_batch(cfg, key, batch_lens, t_hf)
-            _, hf_dt, _, _ = run_path(
-                cfg, key, batch_hf, max(4, n_steps * 2), quantize=True,
-                fused_ce=False, disable_fused_nf4=True, warmup=2)
-            measured_tps = sum(batch_lens) / hf_dt
+            epoch_time = 0.0
+            for t_hf, s in sorted(shapes.items()):
+                batch_hf = make_practice_batch(cfg, key, s["batch_lens"],
+                                               t_hf)
+                _, hf_dt, _, _ = run_path(
+                    cfg, key, batch_hf, max(4, n_steps * 2),
+                    quantize=True, fused_ce=False,
+                    disable_fused_nf4=True, warmup=2)
+                epoch_time += s["count"] * hf_dt
+                shape_detail[str([b_hf, t_hf])] = {
+                    "batches": s["count"],
+                    "step_time_s": round(hf_dt, 4),
+                    "real_tokens": s["real_tokens"]}
+            measured_tps = epoch_real / epoch_time
             vs_measured = (fast_m_tps or fast_tps) / measured_tps
             ours_source = ("packed_measured_lengths" if fast_m_tps
                            else "headline_packed_fallback")
@@ -627,18 +654,21 @@ def main():
                           "packed into full 8K rows, segment-block-sparse "
                           "attention (FA2-varlen analog). Baseline: "
                           "HF-QLoRA equivalent (unfused NF4, full-logits "
-                          "CE) RUN at the dynamic-padded batch shape the "
-                          "measured shuffled_dynamic_b8 policy produces "
-                          "(T rounded up to the flash kernel's 128 tile, "
-                          "as GPU practice pads to multiples of 8/64); "
+                          "CE) RUN at every dynamic-padded batch shape "
+                          "the measured shuffled_dynamic_b8 policy "
+                          "produces over one full epoch (T per batch "
+                          "rounded up to the flash kernel's 128 tile, "
+                          "as GPU practice pads to multiples of 8/64), "
+                          "weighted by each shape's batch count; "
                           "real-token throughput measured directly on "
                           "both sides. `scaled_policies` additionally "
                           "scales the equal-token baseline by each "
                           "MEASURED policy pad fraction (the r3 method, "
                           "assumption replaced by measurement).",
             "dataset": pad_art["source"],
-            "batch_shape": [b_hf, t_hf],
-            "batch_real_tokens": sum(batch_lens),
+            "epoch_batches": len(epoch),
+            "epoch_real_tokens": epoch_real,
+            "epoch_batch_shapes": shape_detail,
             "pad_frac_realized": round(realized_pf, 4),
             "ours_packed_measured_tokens_per_sec": round(fast_m_tps, 2)
             if fast_m_tps else None,
@@ -715,13 +745,13 @@ def main_gpt_oss(quick: bool):
     bsz = _env_int("BENCH_BATCH", 1)
     n_steps = _env_int("BENCH_STEPS", 2 if quick else 4)
 
-    cfg = gpt_oss_20b_config(num_layers)
     key = jax.random.PRNGKey(0)
 
-    def run_once(n, warmup=2):
+    def run_once(layers, n, warmup=2):
         # bust the remat trace cache so UNSLOTH_DISABLE_FUSED_NF4 /
         # UNSLOTH_MOE_IMPL flips are honored (see run_path)
         jax.clear_caches()
+        cfg = gpt_oss_20b_config(layers)
         params = build_moe_model(cfg, key)
         lora = init_lora_tree(cfg, key, r=16, alpha=16, dtype=jnp.float32)
         batch = make_packed_batch(cfg, key, bsz, seq, packed=True)
@@ -738,6 +768,13 @@ def main_gpt_oss(quick: bool):
                              + ma.output_size_in_bytes) / 1e9, 2)
             step = compiled
         except Exception as e:
+            msg = str(e)
+            # axon surfaces compile-time OOM as a remote_compile HTTP 500
+            # INTERNAL error; re-raise so the depth ladder descends
+            # instead of re-compiling in measure() and failing again
+            if ("Ran out of memory" in msg or "RESOURCE_EXHAUSTED" in msg
+                    or "remote_compile" in msg):
+                raise
             print(f"memory_analysis unavailable: {e}", file=sys.stderr)
         tokens = batch["input_ids"].size
         dt, loss = measure(step, lora, opt_state, params, batch, n,
@@ -745,50 +782,91 @@ def main_gpt_oss(quick: bool):
         del params
         return tokens / dt, dt, peak_gb, loss
 
-    tps, dt, peak_gb, loss = run_once(n_steps)
+    tps, dt, peak_gb, loss = run_once(num_layers, n_steps)
+    cfg = gpt_oss_20b_config(num_layers)
     mfu = 3 * flops_per_token(cfg, seq) * bsz * seq / dt \
         / V5E_BF16_PEAK_FLOPS
 
-    # Baseline: dequantize+gmm (the unfused MoE QLoRA path — what an
+    def _oom_gb(e):
+        """Pull 'Used X of Y hbm' out of an XLA OOM message."""
+        import re as _re
+
+        m = _re.search(r"Used ([0-9.]+)G of", str(e))
+        return float(m.group(1)) if m else None
+
+    def run_baseline_ladder(env, label):
+        """Run a baseline config at full depth; on OOM, descend a depth
+        ladder until it fits, and measure OUR step at that same common
+        depth so the ratio compares like with like (the dense_lora
+        common-depth method, bench.py llama mode). Returns a dict for
+        the artifact."""
+        ladder = [num_layers] + [d for d in (16, 12, 8, 4, 2)
+                                 if d < num_layers]
+        saved = {k: os.environ.get(k) for k in env}
+        out = {"oom_at_full_depth": False,
+               "oom_attempted_hbm_gb": None,
+               "common_depth_layers": None,
+               "baseline_tokens_per_sec": None,
+               "baseline_peak_hbm_gb": None,
+               "ours_at_common_depth_tokens_per_sec": None,
+               "vs_baseline": None}
+        try:
+            for depth in ladder:
+                os.environ.update(env)
+                try:
+                    b_tps, _, b_gb, _ = run_once(depth, max(2, n_steps // 2),
+                                                 warmup=1)
+                except Exception as e:  # noqa: BLE001
+                    print(f"{label} baseline failed at {depth} layers: "
+                          f"{str(e)[:200]}", file=sys.stderr)
+                    if depth == num_layers:
+                        out["oom_at_full_depth"] = True
+                        out["oom_attempted_hbm_gb"] = _oom_gb(e)
+                    continue
+                finally:
+                    for k, v in saved.items():
+                        if v is None:
+                            os.environ.pop(k, None)
+                        else:
+                            os.environ[k] = v
+                out["common_depth_layers"] = depth
+                out["baseline_tokens_per_sec"] = round(b_tps, 2)
+                out["baseline_peak_hbm_gb"] = b_gb
+                if depth == num_layers:
+                    ours_cd = tps
+                else:
+                    ours_cd, _, _, _ = run_once(depth, max(2, n_steps // 2),
+                                                warmup=1)
+                out["ours_at_common_depth_tokens_per_sec"] = round(
+                    ours_cd, 2)
+                out["vs_baseline"] = round(ours_cd / b_tps, 3)
+                break
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+        return out
+
+    # Baseline 1: dequantize+gmm (the unfused MoE QLoRA path — what an
     # HF-equivalent would do: materialize each expert's dense weights,
     # then grouped-matmul). The reference's loudest MoE number is "12x
     # faster" (README.md:58); this gives the driver artifact a measured
-    # counterpart.
-    prev = os.environ.get("UNSLOTH_DISABLE_FUSED_NF4")
-    os.environ["UNSLOTH_DISABLE_FUSED_NF4"] = "1"
-    try:
-        base_tps, _, base_gb, _ = run_once(max(2, n_steps // 2),
-                                           warmup=1)
-        vs_baseline = tps / base_tps
-    except Exception as e:
-        print(f"dequant+gmm baseline failed: {str(e)[:300]}",
-              file=sys.stderr)
-        base_tps, base_gb, vs_baseline = 0.0, None, None
-    finally:
-        if prev is None:
-            os.environ.pop("UNSLOTH_DISABLE_FUSED_NF4", None)
-        else:
-            os.environ["UNSLOTH_DISABLE_FUSED_NF4"] = prev
+    # counterpart. At full depth this OOMs (18.5 GB > 15.75) — itself
+    # the memory result — so the ratio comes from the deepest common
+    # depth both paths fit.
+    dq = run_baseline_ladder({"UNSLOTH_DISABLE_FUSED_NF4": "1"},
+                             "dequant+gmm")
 
-    # HF-style loop-over-experts baseline (UNSLOTH_MOE_IMPL=eloop):
+    # Baseline 2: HF-style loop-over-experts (UNSLOTH_MOE_IMPL=eloop):
     # every expert runs a full dense matmul over all tokens — the naive
     # transformers MoE shape the reference's "12x faster MoE"
     # (README.md:58, kernels/moe/README.md) is measured against.
-    os.environ["UNSLOTH_MOE_IMPL"] = "eloop"
-    os.environ["UNSLOTH_DISABLE_FUSED_NF4"] = "1"
-    try:
-        loop_tps, _, loop_gb, _ = run_once(2, warmup=1)
-        vs_hf_loop = tps / loop_tps
-    except Exception as e:
-        print(f"hf-loop baseline failed: {str(e)[:300]}",
-              file=sys.stderr)
-        loop_tps, loop_gb, vs_hf_loop = 0.0, None, None
-    finally:
-        os.environ.pop("UNSLOTH_MOE_IMPL", None)
-        if prev is None:
-            os.environ.pop("UNSLOTH_DISABLE_FUSED_NF4", None)
-        else:
-            os.environ["UNSLOTH_DISABLE_FUSED_NF4"] = prev
+    loop = run_baseline_ladder({"UNSLOTH_MOE_IMPL": "eloop",
+                                "UNSLOTH_DISABLE_FUSED_NF4": "1"},
+                               "hf-loop")
+    vs_baseline = dq["vs_baseline"]
 
     print(json.dumps({
         "metric": "gpt_oss_20b_moe_qlora_sft_tokens_per_sec_per_chip"
@@ -801,25 +879,24 @@ def main_gpt_oss(quick: bool):
                    "peak_hbm_gb": peak_gb, "mfu": round(mfu, 4),
                    "loss": round(loss, 3),
                    "backend": jax.default_backend(),
-                   "baseline": {
-                       "definition": "dequantize+gmm MoE QLoRA "
-                                     "(UNSLOTH_DISABLE_FUSED_NF4=1): "
-                                     "dense expert weights materialized "
-                                     "per use, same step otherwise",
-                       "baseline_tokens_per_sec": round(base_tps, 2),
-                       "baseline_peak_hbm_gb": base_gb},
-                   "hf_loop_baseline": {
-                       "definition": "loop-over-experts with static "
-                                     "shapes (UNSLOTH_MOE_IMPL=eloop): "
-                                     "every expert computes all tokens, "
-                                     "masked by routing weight — the "
-                                     "naive transformers MoE shape the "
-                                     "reference's 12x claim compares "
-                                     "against",
-                       "baseline_tokens_per_sec": round(loop_tps, 2),
-                       "baseline_peak_hbm_gb": loop_gb,
-                       "vs_hf_loop": (round(vs_hf_loop, 3)
-                                      if vs_hf_loop else None)},
+                   "baseline": dict(
+                       definition="dequantize+gmm MoE QLoRA "
+                                  "(UNSLOTH_DISABLE_FUSED_NF4=1): dense "
+                                  "expert weights materialized per use, "
+                                  "same step otherwise; OOM at full "
+                                  "depth -> ratio at deepest common "
+                                  "depth both paths fit",
+                       **dq),
+                   "hf_loop_baseline": dict(
+                       definition="loop-over-experts with static shapes "
+                                  "(UNSLOTH_MOE_IMPL=eloop): every "
+                                  "expert computes all tokens, masked "
+                                  "by routing weight — the naive "
+                                  "transformers MoE shape the "
+                                  "reference's 12x claim compares "
+                                  "against; OOM at full depth -> ratio "
+                                  "at deepest common depth",
+                       **loop),
                    "note": "MoE QLoRA: NF4 attention + stacked-NF4 "
                            "experts via the fused NF4-dequant-inside-gmm "
                            "Pallas kernel; sinks via single-pass "

@@ -235,53 +235,103 @@ def main_vision(quick: bool):
     labels_j = jnp.asarray(labels)
     mpos_j = jnp.asarray(mpos)
 
-    def loss_fn(lora, params, vision, ids, labels, pixels, mpos):
-        x = jnp.take(params["embed"], ids, axis=0)
-        feats = qwen_vision_forward(vision, pixels, grid, vcfg)
-        feats = feats.astype(x.dtype)
-        is_img = ids == image_token
-        flat = feats.reshape(-1, feats.shape[-1])
-        order = jnp.clip(
-            jnp.cumsum(is_img.reshape(-1).astype(jnp.int32)) - 1, 0,
-            flat.shape[0] - 1)
-        gathered = jnp.take(flat, order, axis=0).reshape(*ids.shape, -1)
-        x = jnp.where(is_img[..., None], gathered, x)
-        h = text_forward(params, lora, ids, cfg, inputs_embeds=x,
-                         mrope_positions=mpos, remat=True)
-        wd = params["lm_head"].T.astype(h.dtype)
-        return fused_ce_loss_mean(h[:, :-1].reshape(-1, h.shape[-1]), wd,
-                                  labels[:, 1:].reshape(-1))
+    def make_loss_fn(use_fused_ce):
+        def loss_fn(lora, params, vision, ids, labels, pixels, mpos):
+            x = jnp.take(params["embed"], ids, axis=0)
+            feats = qwen_vision_forward(vision, pixels, grid, vcfg)
+            feats = feats.astype(x.dtype)
+            is_img = ids == image_token
+            flat = feats.reshape(-1, feats.shape[-1])
+            order = jnp.clip(
+                jnp.cumsum(is_img.reshape(-1).astype(jnp.int32)) - 1, 0,
+                flat.shape[0] - 1)
+            gathered = jnp.take(flat, order,
+                                axis=0).reshape(*ids.shape, -1)
+            x = jnp.where(is_img[..., None], gathered, x)
+            h = text_forward(params, lora, ids, cfg, inputs_embeds=x,
+                             mrope_positions=mpos, remat=True)
+            hN = h[:, :-1].reshape(-1, h.shape[-1])
+            lab = labels[:, 1:].reshape(-1)
+            wd = params["lm_head"].T.astype(h.dtype)
+            if use_fused_ce:
+                return fused_ce_loss_mean(hN, wd, lab)
+            logits = (hN @ wd).astype(jnp.float32)
+            logz = jax.nn.logsumexp(logits, axis=-1)
+            gold = jnp.take_along_axis(
+                logits, jnp.clip(lab, 0)[:, None], axis=-1)[:, 0]
+            valid = lab != -100
+            return jnp.sum(jnp.where(valid, logz - gold, 0.0)) \
+                / jnp.maximum(jnp.sum(valid), 1)
+        return loss_fn
 
     tx = optax.adamw(1e-4)
-    opt_state = tx.init(lora)
 
-    def step(lora, opt_state, params, vision, ids, labels, pixels, mpos):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            lora, params, vision, ids, labels, pixels, mpos)
-        updates, opt_state = tx.update(grads, opt_state, lora)
-        return optax.apply_updates(lora, updates), opt_state, loss
+    def run_variant(use_fused_ce):
+        # fresh caches per variant: the NF4-dispatch env flag is read at
+        # trace time inside remat'd code (CLAUDE.md remat-cache gotcha)
+        jax.clear_caches()
+        lora_v = init_lora_tree(cfg, key, r=16, alpha=16,
+                                dtype=jnp.float32)
+        opt_v = tx.init(lora_v)
+        loss_fn = make_loss_fn(use_fused_ce)
 
-    jstep = jax.jit(step, donate_argnums=(0, 1))
-    for _ in range(2):
-        lora, opt_state, loss = jstep(lora, opt_state, params, vision,
-                                      ids_j, labels_j, pixels, mpos_j)
-    _sync(lora)
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        lora, opt_state, loss = jstep(lora, opt_state, params, vision,
-                                      ids_j, labels_j, pixels, mpos_j)
-    _sync(lora)
-    dt = (time.perf_counter() - t0) / n_steps
+        def step(lora, opt_state, params, vision, ids, labels, pixels,
+                 mpos):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                lora, params, vision, ids, labels, pixels, mpos)
+            updates, opt_state = tx.update(grads, opt_state, lora)
+            return optax.apply_updates(lora, updates), opt_state, loss
+
+        jstep = jax.jit(step, donate_argnums=(0, 1))
+        for _ in range(2):
+            lora_v, opt_v, loss = jstep(lora_v, opt_v, params, vision,
+                                        ids_j, labels_j, pixels, mpos_j)
+        _sync(lora_v)
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            lora_v, opt_v, loss = jstep(lora_v, opt_v, params, vision,
+                                        ids_j, labels_j, pixels, mpos_j)
+        _sync(lora_v)
+        return (time.perf_counter() - t0) / n_steps, float(loss)
+
+    dt, loss = run_variant(use_fused_ce=True)
+
+    # HF-equivalent baseline: NF4 dequantize-per-use (unfused) +
+    # full-logits CE, same batch/model — the vision analog of the llama
+    # mode's equal-token baseline (reference claim: 1.5x faster vision,
+    # /root/reference/README.md:188).
+    base_dt = vs_baseline = None
+    prev = os.environ.get("UNSLOTH_DISABLE_FUSED_NF4")
+    os.environ["UNSLOTH_DISABLE_FUSED_NF4"] = "1"
+    try:
+        base_dt, _ = run_variant(use_fused_ce=False)
+        vs_baseline = base_dt / dt
+    except Exception as e:  # noqa: BLE001
+        print(f"vision baseline failed: {str(e)[:300]}", file=sys.stderr)
+    finally:
+        if prev is None:
+            os.environ.pop("UNSLOTH_DISABLE_FUSED_NF4", None)
+        else:
+            os.environ["UNSLOTH_DISABLE_FUSED_NF4"] = prev
+
     print(json.dumps({
         "metric": "qwen25_vl_7b_vision_sft_tokens_per_sec_per_chip"
                   + ("" if num_layers == 28 else f"_layers{num_layers}"),
         "value": round(seq / dt, 2),
         "unit": "tokens/s/chip",
-        "vs_baseline": None,
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
         "detail": {"seq": seq, "layers": num_layers,
                    "vit_layers": vdepth, "image_tokens": n_img_tokens,
                    "step_time_s": round(dt, 4),
-                   "loss": round(float(loss), 3),
+                   "loss": round(loss, 3),
+                   "baseline": {
+                       "definition": "HF-equivalent on the same batch: "
+                                     "NF4 dequantize-per-use (unfused) "
+                                     "+ full-logits CE; equal real "
+                                     "tokens (no padding differences "
+                                     "at this fixed-shape config)",
+                       "baseline_step_time_s": (round(base_dt, 4)
+                                                if base_dt else None)},
                    "backend": jax.default_backend()}}))
 
 
@@ -397,6 +447,10 @@ def main_whisper(quick: bool):
                    "mel_frames": frames, "enc_dec_layers": enc_layers,
                    "step_time_s": round(dt, 4),
                    "loss": round(float(loss), 3),
+                   "note": "vs_baseline null by design: the reference "
+                           "publishes no Whisper speed claim "
+                           "(BASELINE.md has no Whisper row); absolute "
+                           "throughput recorded for regression tracking",
                    "backend": jax.default_backend()}}))
 
 
@@ -426,12 +480,8 @@ def main_tts(quick: bool):
     (reference: Orpheus notebook semantics; data/tts.py builds the
     interleave)."""
     import jax
-    import jax.numpy as jnp
-    import optax
 
-    from bench import (build_model, compile_step, make_packed_batch,
-                       measure, flops_per_token)
-    from unsloth_tpu.models.params import init_lora_tree
+    from bench import (flops_per_token, make_packed_batch, run_path)
 
     num_layers = _env_int("BENCH_LAYERS", 2 if quick else 28)
     seq = _env_int("BENCH_SEQ", 512 if quick else 2048)
@@ -440,25 +490,42 @@ def main_tts(quick: bool):
 
     cfg = orpheus_3b_config(num_layers)
     key = jax.random.PRNGKey(0)
-    params = build_model(cfg, key, quantize=True)
-    lora = init_lora_tree(cfg, key, r=16, alpha=16, dtype=jnp.float32)
     batch = make_packed_batch(cfg, key, bsz, seq, packed=True)
-    tx = optax.adamw(1e-4)
-    opt_state = tx.init(lora)
-    step = compile_step(cfg, tx, "auto", list(batch))
-    dt, loss = measure(step, lora, opt_state, params, batch, n_steps)
+    tps, dt, _, loss = run_path(cfg, key, batch, n_steps, quantize=True,
+                                fused_ce="auto")
     tokens = batch["input_ids"].size
     mfu = 3 * flops_per_token(cfg, seq) * tokens / dt / V5E_BF16_PEAK_FLOPS
+
+    # HF-equivalent baseline on the same rows: unfused NF4 + full-logits
+    # CE (reference claim: Orpheus-TTS 1.5x faster,
+    # /root/reference/README.md:197). run_path clears trace caches per
+    # variant so the NF4-dispatch flag is honored.
+    base_tps = vs_baseline = None
+    try:
+        base_tps, _, _, _ = run_path(cfg, key, batch,
+                                     max(2, n_steps // 2),
+                                     quantize=True, fused_ce=False,
+                                     disable_fused_nf4=True, warmup=1)
+        vs_baseline = tps / base_tps
+    except Exception as e:  # noqa: BLE001
+        print(f"tts baseline failed: {str(e)[:300]}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "orpheus_3b_tts_qlora_sft_tokens_per_sec_per_chip"
                   + ("" if num_layers == 28 else f"_layers{num_layers}"),
         "value": round(tokens / dt, 2),
         "unit": "tokens/s/chip",
-        "vs_baseline": None,
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
         "detail": {"seq": seq, "batch": bsz, "layers": num_layers,
                    "step_time_s": round(dt, 4), "mfu": round(mfu, 4),
                    "loss": round(loss, 3),
                    "backend": jax.default_backend(),
+                   "baseline": {
+                       "definition": "HF-equivalent on the same rows: "
+                                     "NF4 dequantize-per-use (unfused) "
+                                     "+ full-logits CE",
+                       "baseline_tokens_per_sec": (round(base_tps, 2)
+                                                   if base_tps else None)},
                    "note": "SNAC-token LM over the llama backbone; "
                            "codec interleave in data/tts.py"}}))
 

@@ -65,6 +65,22 @@ def main():
         ("dense_fullce_packed", packed,
          dict(quantize=False, fused_ce=False, flash_block=1024)),
     ]
+    if os.environ.get("EXP_PACKED_BLOCK_SWEEP"):
+        # segment-block-sparse block sweep on the MEASURED-lengths batch
+        # (alpaca max doc 144): work per q block is (ceil(144/blk)+1)*blk
+        # keys -> 1024 @ blk512, 512 @ blk256, 384 @ blk128. Sets the
+        # kernel's default block for short-doc packing.
+        pad = json.load(open(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "bench_artifacts", "pad_frac.json")))
+        packed_m, max_doc = bench.make_packed_measured_batch(
+            cfg, key, bsz, seq, pad["lengths"])
+        for blk in (512, 256, 128):
+            variants.append((f"ours_measured_pblk{blk}", packed_m,
+                             dict(quantize=True, fused_ce="auto",
+                                  flash_block=1024,
+                                  segment_bound=max_doc,
+                                  _env={"UNSLOTH_PACKED_BLOCK": str(blk)})))
     if os.environ.get("EXP_SEGMENT_SPARSE"):
         # headline-shape packed batch routed through the segment-block-
         # sparse kernel: bound = the batch's true max segment length
@@ -80,8 +96,16 @@ def main():
                             dict(quantize=True, fused_ce="auto",
                                  flash_block=1024,
                                  segment_bound=max_seg)))
+    only = os.environ.get("EXP_ONLY")
+    if only:
+        import re as _re
+
+        variants = [v for v in variants if _re.search(only, v[0])]
     for name, batch, kw in variants:
         t0 = time.time()
+        env_extra = kw.pop("_env", {})
+        saved = {k: os.environ.get(k) for k in env_extra}
+        os.environ.update(env_extra)
         try:
             tps, dt, gb, loss = bench.run_path(
                 cfg, key, batch, n_steps, want_memory=True, warmup=2, **kw)
@@ -99,6 +123,12 @@ def main():
                 "error": f"{type(e).__name__}: {str(e)[:300]}",
                 "wall_s": round(time.time() - t0, 1)}), flush=True)
             print(f"variant {name} failed", file=sys.stderr)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
 
 
 if __name__ == "__main__":
