@@ -117,6 +117,14 @@ def main_grpo(quick: bool):
 
     gen_tokens = n_prompts * G * c_len
     dt = results[True]
+    from bench import weight_gb
+
+    ours_w_gb = sum(
+        x.size * x.dtype.itemsize
+        for x in jax.tree_util.tree_leaves(model.params)
+        if hasattr(x, "dtype")) / 1e9
+    bf16_replica_gb = weight_gb(cfg, 2)
+    trl_w_gb = ours_w_gb + bf16_replica_gb
     print(json.dumps({
         "metric": "grpo_llama8b_completion_tokens_per_sec_per_chip"
                   + ("" if num_layers == 32 else f"_layers{num_layers}"),
@@ -132,6 +140,19 @@ def main_grpo(quick: bool):
                               "grouped loss pass (prompt replicated per "
                               "completion, TRL layout)",
                 "round_time_s": round(results[False], 3)},
+            "memory": {
+                "definition": "rollout and training share ONE quantized "
+                              "policy copy on-chip (the reference's GRPO "
+                              "memory story, README.md:61 '80% less "
+                              "VRAM': TRL+vLLM keeps the bnb-4bit "
+                              "training copy PLUS vLLM's bf16 serving "
+                              "copy; ours_weights_gb is measured from "
+                              "the live pytree, the TRL figure models "
+                              "that same measured copy + a bf16 replica)",
+                "ours_weights_gb": round(ours_w_gb, 2),
+                "trl_vllm_weights_gb": round(trl_w_gb, 2),
+                "weights_saving_frac": round(1 - ours_w_gb / trl_w_gb,
+                                             3)},
             "backend": jax.default_backend(),
         }}))
 

@@ -951,14 +951,86 @@ def loss_fn(
     (next-token prediction)."""
     input_ids = batch["input_ids"]
     labels = batch["labels"]
-    h = forward(params, lora, input_ids, cfg,
-                positions=batch.get("positions"),
-                segment_ids=batch.get("segment_ids"),
-                remat=remat, remat_policy=remat_policy)
-    return _loss_from_hidden(params, lora, h, labels, cfg,
-                             n_items=n_items,
-                             lm_head_trainable=lm_head_trainable,
-                             fused_ce=fused_ce, chunk_size=chunk_size)
+    n_tokens = input_ids.shape[0] * input_ids.shape[1]
+    nf4_mode = resolve_nf4_mode(params, cfg, n_tokens,
+                                fused_ce=fused_ce)
+    from ..ops.qlora_matmul import nf4_dispatch_mode
+
+    with nf4_dispatch_mode(nf4_mode):
+        h = forward(params, lora, input_ids, cfg,
+                    positions=batch.get("positions"),
+                    segment_ids=batch.get("segment_ids"),
+                    remat=remat, remat_policy=remat_policy)
+        return _loss_from_hidden(params, lora, h, labels, cfg,
+                                 n_items=n_items,
+                                 lm_head_trainable=lm_head_trainable,
+                                 fused_ce=fused_ce,
+                                 chunk_size=chunk_size)
+
+
+def resolve_nf4_mode(params, cfg: ModelConfig, n_tokens: int,
+                     fused_ce: Any = "auto"):
+    """Trace-time choice between the fused NF4 Pallas matmul and XLA's
+    dequantize+dot, from the same HBM-budget style of reasoning as the
+    fused-CE auto gate below.
+
+    Measured (bench_artifacts/r4/dense_gap.jsonl, 8 layers/8K): unfused
+    is ~6% faster — XLA's dequant fusion beats the in-kernel decode —
+    but its per-use dequantized weights live as HLO temps (~one bf16
+    MLP matrix per layer scheduled live), which OOMs the full-depth 8B
+    config (CLAUDE.md). So: unfused when params + remat residuals + CE
+    temps + a per-layer dequant margin fit the budget; fused otherwise.
+    UNSLOTH_NF4_FUSED=1/0 forces. Deterministic given (avals, cfg), so
+    remat's aval-keyed trace cache stays correct. Returns "fused" /
+    "unfused" / None (None = nothing quantized).
+
+    Reference basis: unsloth picks its QLoRA kernel path once per model
+    at patch time (kernels/fast_lora.py dispatch); the TPU-native analog
+    is this static trace-time resolution."""
+    import os
+
+    from ..ops.nf4 import NF4Tensor
+
+    leaves = jax.tree_util.tree_leaves(
+        params, is_leaf=lambda x: isinstance(x, NF4Tensor))
+    if not any(isinstance(x, NF4Tensor) for x in leaves):
+        return None
+    raw = os.environ.get("UNSLOTH_NF4_FUSED", "auto").lower()
+    if raw in ("1", "true", "fused"):
+        return "fused"
+    if raw in ("0", "false", "unfused"):
+        return "unfused"
+    if jax.default_backend() != "tpu":
+        return None  # CPU path never takes the Pallas kernel anyway
+    param_bytes = 0
+    for x in jax.tree_util.tree_leaves(params):
+        if hasattr(x, "dtype"):
+            param_bytes += x.size * x.dtype.itemsize
+    d = cfg.hidden_size
+    resid_bytes = cfg.num_layers * n_tokens * d * 2
+    logits_bytes = n_tokens * cfg.vocab_size * 4
+    budget_gb = float(os.environ.get(
+        "UNSLOTH_CE_HBM_BUDGET_GB", "13.5"))
+    budget = budget_gb * (1 << 30)
+    if fused_ce == "auto":
+        # replicate the fused-CE gate below so the estimate matches what
+        # the loss will actually materialize
+        ce_full = (logits_bytes <= 1536 * 1024 * 1024
+                   or param_bytes + resid_bytes + 2 * logits_bytes
+                   <= budget)
+    else:
+        ce_full = not fused_ce
+    # full CE holds ~2 live [N, V] f32 buffers; the fused path still
+    # recomputes ~2 GiB chunk logits in fwd+bwd (the default chunk in
+    # _loss_from_hidden), which is what closes the full-depth 8B budget
+    # (measured 14.65 GB fused peak, CLAUDE.md)
+    ce_bytes = (2 * logits_bytes if ce_full
+                else min(2 * logits_bytes, 4 << 30))
+    # one dequantized bf16 MLP matrix per layer held live by XLA's
+    # schedule (measured +0.08-0.12 GB/layer at llama-8B dims)
+    margin_bytes = cfg.num_layers * d * cfg.intermediate_size * 2
+    total = param_bytes + resid_bytes + ce_bytes + margin_bytes
+    return "unfused" if total <= budget else "fused"
 
 
 def _loss_from_hidden(

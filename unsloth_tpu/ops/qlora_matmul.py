@@ -40,6 +40,7 @@ no dW, matching QLoRA).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 
@@ -399,7 +400,34 @@ def _nf4_vjp_bwd(res, g):
 nf4_matmul.defvjp(_nf4_vjp_fwd, _nf4_vjp_bwd)
 
 
+#: trace-time dispatch override set by the model layer (decoder.py's
+#: UNSLOTH_NF4_FUSED=auto resolution): None = env default, "fused" /
+#: "unfused" force a path. Deterministic given (param avals, cfg,
+#: token count), so jax.checkpoint's aval-keyed trace cache stays
+#: correct — unlike a bare env flag (CLAUDE.md remat-cache gotcha).
+_NF4_MODE = None
+
+
+@contextlib.contextmanager
+def nf4_dispatch_mode(mode):
+    """Force NF4 matmul dispatch for ops traced inside: "fused" (Pallas
+    dequant-inside-matmul, the memory lever) or "unfused" (XLA
+    dequantize+dot, measured ~6% faster when its HLO temps fit —
+    bench_artifacts/r4/dense_gap.jsonl). None = no-op."""
+    global _NF4_MODE
+    if mode not in (None, "fused", "unfused"):
+        raise ValueError(f"nf4_dispatch_mode: bad mode {mode!r}")
+    prev = _NF4_MODE
+    _NF4_MODE = mode
+    try:
+        yield
+    finally:
+        _NF4_MODE = prev
+
+
 def use_fused_nf4(q) -> bool:
+    if _NF4_MODE == "unfused":
+        return False
     return (isinstance(q, NF4Tensor)
             and not env.disable_pallas()
             and not env.env_flag("UNSLOTH_DISABLE_FUSED_NF4")
