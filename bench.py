@@ -434,6 +434,14 @@ def run_path(cfg, key, batch, n_steps, *, quantize, fused_ce,
                          + ma.output_size_in_bytes) / 1e9, 2)
                     step = compiled  # reuse: no second compile
                 except Exception as e:
+                    msg = str(e)
+                    # compile-time OOM (axon wraps it in a remote_compile
+                    # HTTP 500): re-raise so seq/depth ladders descend
+                    # instead of re-compiling in measure()
+                    if ("Ran out of memory" in msg
+                            or "RESOURCE_EXHAUSTED" in msg
+                            or "remote_compile" in msg):
+                        raise
                     print(f"memory_analysis unavailable: {e}",
                           file=sys.stderr)
             tokens = batch["input_ids"].size
@@ -467,7 +475,7 @@ def main():
     if bench_model == "gpt_oss":
         return main_gpt_oss(quick)
     if bench_model in ("grpo", "vision", "whisper", "tts", "decode",
-                       "spec", "cpu_lora", "embed"):
+                       "spec", "cpu_lora", "embed", "longctx"):
         import bench_extra
 
         return getattr(bench_extra, f"main_{bench_model}")(quick)

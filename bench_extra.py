@@ -552,6 +552,75 @@ def main_tts(quick: bool):
 
 
 # ---------------------------------------------------------------------------
+# Long context — max trainable context on one chip
+# ---------------------------------------------------------------------------
+
+def main_longctx(quick: bool):
+    """BENCH_MODEL=longctx: the reference's long-context claims (README
+    3x faster / 30% less VRAM via packing+kernels, GRPO '7x longer
+    context', README.md:61-62,221-222) measured as MAX TRAINABLE CONTEXT
+    at FULL depth on one 16 GB v5e: descend a seq ladder until the 8B
+    QLoRA step fits, for (a) ours (fused NF4 + fused CE + remat) and
+    (b) the HF-equivalent baseline (unfused NF4 + full-logits CE — its
+    8K step already needs 17.45 GB, bench_artifacts/r4/llama.json).
+    vs_baseline = ours_max_ctx / baseline_max_ctx."""
+    import jax
+
+    from bench import llama31_8b_config, make_packed_batch, run_path
+
+    num_layers = _env_int("BENCH_LAYERS", 2 if quick else 32)
+    n_steps = _env_int("BENCH_STEPS", 2)
+    ours_ladder = [int(x) for x in os.environ.get(
+        "BENCH_LADDER", "12288,10240,8192" if not quick
+        else "1024,512").split(",")]
+    base_ladder = [int(x) for x in os.environ.get(
+        "BENCH_BASE_LADDER", "6144,4096,2048" if not quick
+        else "1024,512").split(",")]
+
+    cfg = llama31_8b_config(num_layers)
+    key = jax.random.PRNGKey(0)
+
+    def ladder(seqs, label, **kw):
+        for seq in seqs:
+            batch = make_packed_batch(cfg, key, 1, seq, packed=True)
+            try:
+                tps, dt, gb, _ = run_path(cfg, key, batch, n_steps,
+                                          warmup=1, want_memory=True,
+                                          **kw)
+            except Exception as e:  # noqa: BLE001
+                print(f"{label} seq {seq} failed: {str(e)[:200]}",
+                      file=sys.stderr)
+                continue
+            return {"max_context": seq,
+                    "tokens_per_sec": round(tps, 2),
+                    "step_time_s": round(dt, 4),
+                    "peak_hbm_gb": gb}
+        return {"max_context": 0}
+
+    ours = ladder(ours_ladder, "ours", quantize=True, fused_ce="auto",
+                  flash_block=1024)
+    base = ladder(base_ladder, "baseline", quantize=True, fused_ce=False,
+                  disable_fused_nf4=True)
+    ratio = (ours["max_context"] / base["max_context"]
+             if base["max_context"] else None)
+    print(json.dumps({
+        "metric": "llama31_8b_qlora_max_context_one_chip"
+                  + ("" if num_layers == 32 else f"_layers{num_layers}"),
+        "value": ours["max_context"],
+        "unit": "tokens of trainable context (b1, full depth)",
+        "vs_baseline": round(ratio, 2) if ratio else None,
+        "detail": {"layers": num_layers, "ours": ours,
+                   "baseline": dict(
+                       definition="HF-QLoRA equivalent: NF4 "
+                                  "dequantize-per-use + full-logits CE, "
+                                  "same ladder method",
+                       **base),
+                   "ladders": {"ours": ours_ladder,
+                               "baseline": base_ladder},
+                   "backend": jax.default_backend()}}))
+
+
+# ---------------------------------------------------------------------------
 # Decode / serving — Llama-3.1-8B class
 # ---------------------------------------------------------------------------
 
