@@ -233,6 +233,12 @@ def test_spa_served_and_new_routes(studio):
     code, out = _req(url, "/api/jobs/../../etc/metrics")
     assert code == 400
 
+    # recipe pipeline builder (reference frontend's data-recipe node
+    # editor): step list + op palette with every engine op wired up
+    for marker in ("rc_steps", "rc_addop", "OPDEFS", "llm_generate",
+                   "train_fraction"):
+        assert marker in html, marker
+
 
 def test_estimate_with_model_name(studio):
     """model_name resolution: a local checkpoint dir feeds
