@@ -1004,11 +1004,18 @@ def main_embed(quick: bool):
     ja, jp, jm = jnp.asarray(a_ids), jnp.asarray(p_ids), jnp.asarray(mask)
     params, opt_state, loss = step(params, opt_state, ja, jp, jm)  # compile
     _sync(params)
-    t0 = _time.perf_counter()
-    for _ in range(n_steps):
-        params, opt_state, loss = step(params, opt_state, ja, jp, jm)
-    _sync(params)
-    dt_ours = (_time.perf_counter() - t0) / n_steps
+    # min over timing rounds: this single-core host also serves the TPU
+    # tunnel, so any avg can absorb a contention burst (the r4a artifact
+    # measured 18.5 s/step for a 4.6 s step that way); the fastest round
+    # is the least-contended estimate on BOTH sides symmetrically
+    rounds = _env_int("BENCH_ROUNDS", 3)
+    dt_ours = float("inf")
+    for _ in range(rounds):
+        t0 = _time.perf_counter()
+        for _ in range(n_steps):
+            params, opt_state, loss = step(params, opt_state, ja, jp, jm)
+        _sync(params)
+        dt_ours = min(dt_ours, (_time.perf_counter() - t0) / n_steps)
     loss_ours = float(loss)
     # 2 towers x bsz rows x seq tokens per step
     tps_ours = 2 * bsz * seq / dt_ours
@@ -1048,10 +1055,12 @@ def main_embed(quick: bool):
         return float(loss.detach())
 
     hf_loss = hf_step()  # warmup
-    t0 = _time.perf_counter()
-    for _ in range(n_steps):
-        hf_loss = hf_step()
-    dt_hf = (_time.perf_counter() - t0) / n_steps
+    dt_hf = float("inf")
+    for _ in range(rounds):
+        t0 = _time.perf_counter()
+        for _ in range(n_steps):
+            hf_loss = hf_step()
+        dt_hf = min(dt_hf, (_time.perf_counter() - t0) / n_steps)
     tps_hf = 2 * bsz * seq / dt_hf
 
     print(json.dumps({
@@ -1063,6 +1072,9 @@ def main_embed(quick: bool):
         "detail": {
             "layers": num_layers, "seq": seq, "batch_pairs": bsz,
             "vocab": vocab, "step_time_s": round(dt_ours, 4),
+            "timing": f"min over {rounds} rounds of {n_steps} steps "
+                      f"(contention-robust; host has {os.cpu_count()} "
+                      "CPU core(s))",
             "loss": round(loss_ours, 3),
             "baseline": {
                 "definition": "HF transformers BertModel, torch CPU "
