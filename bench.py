@@ -475,7 +475,8 @@ def main():
     if bench_model == "gpt_oss":
         return main_gpt_oss(quick)
     if bench_model in ("grpo", "vision", "whisper", "tts", "decode",
-                       "spec", "cpu_lora", "embed", "longctx"):
+                       "spec", "cpu_lora", "embed", "embed_tpu",
+                       "longctx"):
         import bench_extra
 
         return getattr(bench_extra, f"main_{bench_model}")(quick)

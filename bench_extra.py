@@ -920,6 +920,121 @@ def main_cpu_lora(quick: bool):
     }))
 
 
+def _embed_problem(cfg, vocab, bsz, seq, dtype):
+    """Shared MNRL problem builder for the embed benches: params (given
+    dtype), anchor/positive token ids, mask, and the jitted train step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from unsloth_tpu.models.bert import bert_forward
+    from unsloth_tpu.models.sentence_transformer import (
+        mean_pool, multiple_negatives_ranking_loss)
+
+    key = jax.random.PRNGKey(0)
+
+    def rand(*shape, scale=0.02):
+        nonlocal key
+        key, sub = jax.random.split(key)
+        return jax.random.normal(sub, shape, jnp.float32).astype(dtype) \
+            * jnp.asarray(scale, dtype)
+
+    def lin(o, i):
+        return {"kernel": rand(i, o), "bias": jnp.zeros((o,), dtype)}
+
+    def ln(d):
+        return {"w": jnp.ones((d,), dtype), "b": jnp.zeros((d,), dtype)}
+
+    d, inter = cfg.hidden_size, cfg.intermediate_size
+    params = {
+        "word_embed": rand(vocab, d),
+        "pos_embed": rand(cfg.max_position_embeddings, d),
+        "type_embed": rand(cfg.type_vocab_size, d),
+        "embed_ln": ln(d),
+        "layers": [{
+            "q": lin(d, d), "k": lin(d, d), "v": lin(d, d),
+            "attn_out": lin(d, d), "attn_ln": ln(d),
+            "fc1": lin(inter, d), "fc2": lin(d, inter), "out_ln": ln(d),
+        } for _ in range(cfg.num_layers)],
+    }
+
+    rng = np.random.RandomState(0)
+    a_ids = rng.randint(0, vocab, (bsz, seq)).astype(np.int32)
+    p_ids = rng.randint(0, vocab, (bsz, seq)).astype(np.int32)
+    mask = np.ones((bsz, seq), np.int32)
+
+    def embed(params, ids, mask):
+        h = bert_forward(params, ids, mask, cfg)
+        e = mean_pool(h, mask).astype(jnp.float32)
+        return e / jnp.linalg.norm(e, axis=-1, keepdims=True)
+
+    def loss_fn(params, a, p, m):
+        return multiple_negatives_ranking_loss(
+            embed(params, a, m), embed(params, p, m), scale=20.0)
+
+    tx = optax.adamw(2e-5)
+    opt_state = tx.init(params)
+
+    def _step(params, opt_state, a, p, m):
+        loss, grads = jax.value_and_grad(loss_fn)(params, a, p, m)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    step = jax.jit(_step, donate_argnums=(0, 1))
+    return params, opt_state, a_ids, p_ids, mask, step
+
+
+def main_embed_tpu(quick: bool):
+    """BENCH_MODEL=embed_tpu: the same MiniLM-class MNRL fine-tune step
+    on the DEFAULT backend (the real chip, bf16 — what this framework
+    actually delivers for embedding fine-tunes). No torch baseline can
+    run there, so vs_baseline is null; the same-host CPU ratio lives in
+    the `embed` artifact (reference claim: 1.8-3.3x embedding
+    fine-tunes, /root/reference/README.md:219)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from unsloth_tpu.models.bert import BertConfig
+
+    num_layers = _env_int("BENCH_LAYERS", 2 if quick else 6)
+    seq = _env_int("BENCH_SEQ", 64 if quick else 128)
+    bsz = _env_int("BENCH_BATCH", 4 if quick else 256)
+    n_steps = _env_int("BENCH_STEPS", 2 if quick else 8)
+    vocab = _env_int("BENCH_VOCAB", 30522)
+
+    cfg = BertConfig(vocab_size=vocab, num_layers=num_layers)
+    params, opt_state, a_ids, p_ids, mask, step = _embed_problem(
+        cfg, vocab, bsz, seq, jnp.bfloat16)
+    ja, jp, jm = (jnp.asarray(a_ids), jnp.asarray(p_ids),
+                  jnp.asarray(mask))
+    params, opt_state, loss = step(params, opt_state, ja, jp, jm)
+    _sync(params)
+    t0 = _time.perf_counter()
+    for _ in range(n_steps):
+        params, opt_state, loss = step(params, opt_state, ja, jp, jm)
+    _sync(params)
+    dt = (_time.perf_counter() - t0) / n_steps
+    tps = 2 * bsz * seq / dt
+    print(json.dumps({
+        "metric": "minilm_l6_mnrl_embed_tpu_tokens_per_sec_per_chip"
+                  + ("" if num_layers == 6 else f"_layers{num_layers}"),
+        "value": round(tps, 2),
+        "unit": "tokens/s/chip (bf16)",
+        "vs_baseline": None,
+        "detail": {
+            "layers": num_layers, "seq": seq, "batch_pairs": bsz,
+            "vocab": vocab, "step_time_s": round(dt, 4),
+            "loss": round(float(loss), 3),
+            "note": "no eager-torch baseline exists on TPU; the "
+                    "same-host CPU-vs-CPU ratio is the `embed` "
+                    "artifact",
+            "backend": jax.default_backend()},
+    }))
+
+
 def main_embed(quick: bool):
     """BENCH_MODEL=embed: MiniLM-class sentence-embedding MNRL fine-tune
     with a MEASURED HF baseline (reference claims 1.8-3.3x on embedding
@@ -938,12 +1053,8 @@ def main_embed(quick: bool):
     jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
-    import numpy as np
-    import optax
 
-    from unsloth_tpu.models.bert import BertConfig, bert_forward
-    from unsloth_tpu.models.sentence_transformer import (
-        mean_pool, multiple_negatives_ranking_loss)
+    from unsloth_tpu.models.bert import BertConfig
 
     num_layers = _env_int("BENCH_LAYERS", 2 if quick else 6)
     seq = _env_int("BENCH_SEQ", 64 if quick else 128)
@@ -952,55 +1063,9 @@ def main_embed(quick: bool):
     vocab = _env_int("BENCH_VOCAB", 30522)
 
     cfg = BertConfig(vocab_size=vocab, num_layers=num_layers)
-    key = jax.random.PRNGKey(0)
-
-    def rand(*shape, scale=0.02):
-        nonlocal key
-        key, sub = jax.random.split(key)
-        return jax.random.normal(sub, shape, jnp.float32) * scale
-
-    def lin(o, i):
-        return {"kernel": rand(i, o), "bias": jnp.zeros((o,))}
-
-    def ln(d):
-        return {"w": jnp.ones((d,)), "b": jnp.zeros((d,))}
-
     d, inter = cfg.hidden_size, cfg.intermediate_size
-    params = {
-        "word_embed": rand(vocab, d),
-        "pos_embed": rand(cfg.max_position_embeddings, d),
-        "type_embed": rand(cfg.type_vocab_size, d),
-        "embed_ln": ln(d),
-        "layers": [{
-            "q": lin(d, d), "k": lin(d, d), "v": lin(d, d),
-            "attn_out": lin(d, d), "attn_ln": ln(d),
-            "fc1": lin(inter, d), "fc2": lin(d, inter), "out_ln": ln(d),
-        } for _ in range(num_layers)],
-    }
-
-    rng = np.random.RandomState(0)
-    a_ids = rng.randint(0, vocab, (bsz, seq)).astype(np.int32)
-    p_ids = rng.randint(0, vocab, (bsz, seq)).astype(np.int32)
-    mask = np.ones((bsz, seq), np.int32)
-
-    def embed(params, ids, mask):
-        h = bert_forward(params, ids, mask, cfg)
-        e = mean_pool(h, mask)
-        return e / jnp.linalg.norm(e, axis=-1, keepdims=True)
-
-    def loss_fn(params, a, p, m):
-        return multiple_negatives_ranking_loss(
-            embed(params, a, m), embed(params, p, m), scale=20.0)
-
-    tx = optax.adamw(2e-5)
-    opt_state = tx.init(params)
-
-    def _step(params, opt_state, a, p, m):
-        loss, grads = jax.value_and_grad(loss_fn)(params, a, p, m)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
-
-    step = jax.jit(_step, donate_argnums=(0, 1))
+    params, opt_state, a_ids, p_ids, mask, step = _embed_problem(
+        cfg, vocab, bsz, seq, jnp.float32)
     ja, jp, jm = jnp.asarray(a_ids), jnp.asarray(p_ids), jnp.asarray(mask)
     params, opt_state, loss = step(params, opt_state, ja, jp, jm)  # compile
     _sync(params)
