@@ -20,6 +20,21 @@ run_mode() {
     fi
 }
 
+# llama first and UNCONDITIONALLY: the restart wiped the persistent
+# compile cache, and the driver's end-of-round bench run (which writes
+# BENCH_r04.json) would otherwise pay 10-25 min cold flash compiles and
+# risk its timeout. This run re-warms the cache; the artifact is only
+# replaced if the fresh run succeeds.
+BENCH_MODEL=llama timeout 7200 python bench.py \
+    > "$OUT/llama.json.new" 2> "$OUT/llama.err.new"
+if grep -q '"metric"' "$OUT/llama.json.new" 2>/dev/null \
+    && ! grep -q '"value": null' "$OUT/llama.json.new"; then
+    mv "$OUT/llama.json.new" "$OUT/llama.json"
+    mv "$OUT/llama.err.new" "$OUT/llama.err"
+else
+    rm -f "$OUT/llama.json.new"
+fi
+
 run_mode embed_tpu embed_tpu 2400
 run_mode vision    vision    4200
 run_mode tts       tts       4200
