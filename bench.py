@@ -36,9 +36,133 @@ import time
 
 V5E_BF16_PEAK_FLOPS = 197e12
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
 
 def _env_int(name, default):
     return int(os.environ.get(name, default))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 measurement-integrity layer (VERDICT r4 #1): the driver's round-4
+# capture was rc=124 with nothing parsed because a cold compile cache ate the
+# whole timeout. bench.py now ALWAYS emits a metric line inside the budget:
+#   * a supervisor process relays the child's final JSON;
+#   * the child snapshots its result-so-far to a progress file after every
+#     phase, so a timeout still yields the headline measured this run;
+#   * if even the headline never lands (fully cold cache + unlucky compile
+#     queue), the supervisor reprints the last committed artifact with
+#     {"degraded": true, "degraded_reason": ...} so the round records a
+#     number with provenance instead of rc=124.
+# The child is additionally deadline-aware: optional baseline phases are
+# skipped (and back-filled from the committed artifact, marked "cached_from")
+# when the remaining budget cannot cover their cold-compile worst case.
+# ---------------------------------------------------------------------------
+
+def _deadline_ts():
+    v = os.environ.get("BENCH_DEADLINE_TS")
+    return float(v) if v else None
+
+
+def _time_left():
+    ts = _deadline_ts()
+    return float("inf") if ts is None else ts - time.time()
+
+
+def emit_progress(result):
+    """Atomically snapshot the result-so-far for the supervisor."""
+    path = os.environ.get("BENCH_PROGRESS_FILE")
+    if not path:
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(json.dumps(result))
+    os.replace(tmp, path)
+
+
+def load_prev_artifact(mode):
+    """Most recent committed bench artifact for a mode (degraded fallback
+    + cached back-fill source). Returns (dict_or_None, 'rN/mode.json')."""
+    for r in ("r5", "r4", "r3"):
+        p = os.path.join(_REPO, "bench_artifacts", r, f"{mode}.json")
+        if os.path.exists(p) and os.path.getsize(p) > 0:
+            try:
+                with open(p) as f:
+                    d = json.loads(f.readline())
+                if d.get("value") is not None:
+                    return d, f"{r}/{mode}.json"
+            except Exception:  # noqa: BLE001 — a corrupt artifact is no use
+                continue
+    return None, None
+
+
+def _supervise():
+    """Run the real bench in a child process group; guarantee ONE parseable
+    JSON line on stdout within BENCH_BUDGET seconds no matter what."""
+    import signal
+    import subprocess
+    import tempfile
+
+    budget = float(os.environ.get("BENCH_BUDGET", "1680"))
+    t0 = time.time()
+    prog = tempfile.mktemp(prefix="bench_progress_")
+    env = dict(os.environ,
+               BENCH_CHILD="1",
+               BENCH_PROGRESS_FILE=prog,
+               BENCH_DEADLINE_TS=str(t0 + budget - 90))
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)], env=env,
+        stdout=subprocess.PIPE, stderr=sys.stderr, text=True,
+        start_new_session=True)
+    line, reason = None, None
+    try:
+        out, _ = child.communicate(timeout=max(60.0, budget - 30))
+        for candidate in (out or "").splitlines():
+            candidate = candidate.strip()
+            if candidate.startswith("{") and '"metric"' in candidate:
+                line = candidate
+        if line is None:
+            reason = f"child exited rc={child.returncode} with no metric"
+    except subprocess.TimeoutExpired:
+        reason = f"child exceeded the {budget:.0f}s bench budget"
+        try:  # kill the child's own process group (never kill-by-pattern)
+            os.killpg(child.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+        child.wait()
+    if line is not None:
+        parsed = json.loads(line)
+        if parsed.get("value") is not None:
+            print(line)
+            return
+        reason = reason or "child emitted a null-value metric"
+        # fall through: a null value is no better than no line
+    mode = os.environ.get("BENCH_MODEL", "llama")
+    snap = None
+    if os.path.exists(prog):
+        try:
+            with open(prog) as f:
+                snap = json.load(f)
+        except Exception:  # noqa: BLE001
+            snap = None
+    if snap and snap.get("value") is not None:
+        snap.setdefault("detail", {})["degraded"] = True
+        snap["detail"]["degraded_reason"] = (
+            f"{reason}; value is this run's measured in-progress snapshot "
+            "(later phases missing)")
+        print(json.dumps(snap))
+        return
+    art, src = load_prev_artifact(mode)
+    if art:
+        art.setdefault("detail", {})["degraded"] = True
+        art["detail"]["degraded_reason"] = (
+            f"{reason}; value reproduced from committed artifact {src} "
+            "(NOT measured this run)")
+        print(json.dumps(art))
+        return
+    print(json.dumps({"metric": f"{mode}_bench_failed", "value": None,
+                      "unit": "", "vs_baseline": None,
+                      "detail": {"error": reason}}))
 
 
 def build_model(cfg, key, quantize=True):
@@ -521,6 +645,35 @@ def main():
     mfu = 3 * flops_per_token(cfg, seq) * bsz * seq / fast_dt \
         / V5E_BF16_PEAK_FLOPS
 
+    # Result is built incrementally and snapshotted after every phase so a
+    # deadline kill still records the headline measured THIS run.
+    prev_art, prev_src = load_prev_artifact("llama")
+    prev_detail = (prev_art or {}).get("detail", {})
+
+    def _cached(section):
+        d = dict(prev_detail.get(section) or {})
+        if d:
+            d["cached_from"] = prev_src
+        return d
+
+    result = {
+        "metric": "llama31_8b_qlora_sft_8k_packed_tokens_per_sec_per_chip"
+                  + ("" if num_layers == 32 else f"_layers{num_layers}"),
+        "value": round(fast_tps, 2),
+        "unit": "tokens/s/chip",
+        "vs_baseline": None,
+        "detail": {
+            "seq": seq, "batch": bsz, "layers": num_layers,
+            "step_time_s": round(fast_dt, 4),
+            "peak_hbm_gb": peak_gb,
+            "mfu": round(mfu, 4),
+            "loss": round(fast_loss, 3),
+            "flash_block": headline_block,
+            "backend": jax.default_backend(),
+        },
+    }
+    emit_progress(result)
+
     # ---- primary baseline: HF+PEFT QLoRA equivalent at FULL depth -----
     # HF QLoRA = bnb NF4 storage with dequantize-per-use (unfused), FA2
     # attention, full-logits CE, unpacked rows. Same depth as the headline
@@ -529,36 +682,37 @@ def main():
     # (QLoRA vs QLoRA).
     plain = make_packed_batch(cfg, key, bsz, seq, packed=False)
     ratio_steps = max(2, n_steps // 2)
-    try:
-        qlora_tps, _, qlora_gb, _ = run_path(
-            cfg, key, plain, ratio_steps, quantize=True, fused_ce=False,
-            disable_fused_nf4=True, warmup=1, want_memory=True)
-        vs_baseline = fast_tps / qlora_tps
-    except Exception as e:
-        print(f"HF-QLoRA baseline failed ({type(e).__name__}): "
-              f"{str(e)[:500]}", file=sys.stderr)
-        qlora_tps, qlora_gb = 0.0, None
-        vs_baseline = float("nan")
-
-    # ---- secondary: dense-bf16 LoRA at a common depth both can run ----
-    cfg_b = llama31_8b_config(base_layers)
-    packed_b = make_packed_batch(cfg_b, key, bsz, seq, packed=True)
-    plain_b = make_packed_batch(cfg_b, key, bsz, seq, packed=False)
-    try:
-        fast_b_tps, _, fast_b_gb, _ = run_path(
-            cfg_b, key, packed_b, ratio_steps, quantize=True,
-            fused_ce="auto", warmup=1, want_memory=True,
-            flash_block=1024 if seq >= 2048 else None)
-        base_tps, _, base_gb, _ = run_path(
-            cfg_b, key, plain_b, ratio_steps, quantize=False,
-            fused_ce=False, warmup=1, want_memory=True)
-        vs_dense_lora = fast_b_tps / base_tps
-    except Exception as e:
-        print(f"dense baseline failed ({type(e).__name__}): "
-              f"{str(e)[:500]}", file=sys.stderr)
-        base_tps = fast_b_tps = 0.0
-        base_gb = fast_b_gb = None
-        vs_dense_lora = float("nan")
+    if _time_left() < 420:
+        cached = _cached("baseline")
+        qlora_tps = cached.get("baseline_tokens_per_sec") or 0.0
+        qlora_gb = cached.get("baseline_peak_hbm_gb")
+        vs_baseline = (fast_tps / qlora_tps) if qlora_tps else float("nan")
+        result["detail"]["baseline"] = cached
+        print("deadline: skipping HF-QLoRA baseline phase "
+              f"({_time_left():.0f}s left), back-filled from {prev_src}",
+              file=sys.stderr)
+    else:
+        try:
+            qlora_tps, _, qlora_gb, _ = run_path(
+                cfg, key, plain, ratio_steps, quantize=True, fused_ce=False,
+                disable_fused_nf4=True, warmup=1, want_memory=True)
+            vs_baseline = fast_tps / qlora_tps
+        except Exception as e:
+            print(f"HF-QLoRA baseline failed ({type(e).__name__}): "
+                  f"{str(e)[:500]}", file=sys.stderr)
+            qlora_tps, qlora_gb = 0.0, None
+            vs_baseline = float("nan")
+        result["detail"]["baseline"] = {
+            "definition": "HF+PEFT QLoRA equivalent at FULL depth: "
+                          "NF4 dequantize-per-use (unfused), flash "
+                          "(FA2-equiv) attention, full-logits CE, "
+                          "unpacked rows; same [B,T] real tokens",
+            "baseline_tokens_per_sec": round(qlora_tps, 2),
+            "baseline_peak_hbm_gb": qlora_gb,
+        }
+    result["vs_baseline"] = (round(vs_baseline, 3)
+                             if vs_baseline == vs_baseline else None)
+    emit_progress(result)
 
     # HF-practice comparison: without packing, real SFT rows fill well
     # under the context window. Round 3 scaled the baseline by an ASSUMED
@@ -570,7 +724,12 @@ def main():
     pad_art = load_pad_frac_artifact()
     env_pf = os.environ.get("BENCH_PAD_FRAC")
     hf_practice = {}
-    if env_pf is not None or pad_art is None:
+    if _time_left() < 480:
+        hf_practice = _cached("hf_practice_baseline")
+        print("deadline: skipping hf-practice phase "
+              f"({_time_left():.0f}s left), back-filled from {prev_src}",
+              file=sys.stderr)
+    elif env_pf is not None or pad_art is None:
         pad_frac = float(env_pf if env_pf is not None else 0.44)
         hf_tps = qlora_tps * (1.0 - pad_frac)
         hf_practice = {
@@ -689,50 +848,54 @@ def main():
             "scaled_policies": scaled,
         }
 
-    result = {
-        "metric": "llama31_8b_qlora_sft_8k_packed_tokens_per_sec_per_chip"
-                  + ("" if num_layers == 32 else f"_layers{num_layers}"),
-        "value": round(fast_tps, 2),
-        "unit": "tokens/s/chip",
-        "vs_baseline": round(vs_baseline, 3) if vs_baseline == vs_baseline
-        else None,
-        "detail": {
-            "seq": seq, "batch": bsz, "layers": num_layers,
-            "step_time_s": round(fast_dt, 4),
-            "peak_hbm_gb": peak_gb,
-            "mfu": round(mfu, 4),
-            "loss": round(fast_loss, 3),
-            "flash_block": headline_block,
-            "backend": jax.default_backend(),
-            "hf_practice_baseline": hf_practice,
-            "baseline": {
-                "definition": "HF+PEFT QLoRA equivalent at FULL depth: "
-                              "NF4 dequantize-per-use (unfused), flash "
-                              "(FA2-equiv) attention, full-logits CE, "
-                              "unpacked rows; same [B,T] real tokens",
-                "baseline_tokens_per_sec": round(qlora_tps, 2),
-                "baseline_peak_hbm_gb": qlora_gb,
-            },
-            "dense_lora_baseline": {
-                "definition": "dense bf16 + flash + full-logits CE + "
-                              "unpacked rows, at a reduced depth both "
-                              "paths fit (full-depth dense bf16 weights "
-                              "alone exceed one v5e chip's 16 GB HBM)",
-                "common_depth_layers": base_layers,
-                "vs_dense_lora": round(vs_dense_lora, 3)
-                if vs_dense_lora == vs_dense_lora else None,
-                "baseline_tokens_per_sec": round(base_tps, 2),
-                "ours_at_common_depth_tokens_per_sec": round(
-                    fast_b_tps, 2),
-                "baseline_peak_hbm_gb": base_gb,
-                "ours_at_common_depth_peak_hbm_gb": fast_b_gb,
-                "baseline_weights_gb_full_depth": round(
-                    weight_gb(cfg, 2), 2),
-                "ours_weights_gb_full_depth": round(
-                    weight_gb(cfg, 0.55), 2),
-            },
-        },
-    }
+    result["detail"]["hf_practice_baseline"] = hf_practice
+    emit_progress(result)
+
+    # ---- secondary: dense-bf16 LoRA at a common depth both can run ----
+    if _time_left() < 300:
+        result["detail"]["dense_lora_baseline"] = _cached(
+            "dense_lora_baseline")
+        print("deadline: skipping dense-LoRA phase "
+              f"({_time_left():.0f}s left), back-filled from {prev_src}",
+              file=sys.stderr)
+    else:
+        cfg_b = llama31_8b_config(base_layers)
+        packed_b = make_packed_batch(cfg_b, key, bsz, seq, packed=True)
+        plain_b = make_packed_batch(cfg_b, key, bsz, seq, packed=False)
+        try:
+            fast_b_tps, _, fast_b_gb, _ = run_path(
+                cfg_b, key, packed_b, ratio_steps, quantize=True,
+                fused_ce="auto", warmup=1, want_memory=True,
+                flash_block=1024 if seq >= 2048 else None)
+            base_tps, _, base_gb, _ = run_path(
+                cfg_b, key, plain_b, ratio_steps, quantize=False,
+                fused_ce=False, warmup=1, want_memory=True)
+            vs_dense_lora = fast_b_tps / base_tps
+        except Exception as e:
+            print(f"dense baseline failed ({type(e).__name__}): "
+                  f"{str(e)[:500]}", file=sys.stderr)
+            base_tps = fast_b_tps = 0.0
+            base_gb = fast_b_gb = None
+            vs_dense_lora = float("nan")
+        result["detail"]["dense_lora_baseline"] = {
+            "definition": "dense bf16 + flash + full-logits CE + "
+                          "unpacked rows, at a reduced depth both "
+                          "paths fit (full-depth dense bf16 weights "
+                          "alone exceed one v5e chip's 16 GB HBM)",
+            "common_depth_layers": base_layers,
+            "vs_dense_lora": round(vs_dense_lora, 3)
+            if vs_dense_lora == vs_dense_lora else None,
+            "baseline_tokens_per_sec": round(base_tps, 2),
+            "ours_at_common_depth_tokens_per_sec": round(
+                fast_b_tps, 2),
+            "baseline_peak_hbm_gb": base_gb,
+            "ours_at_common_depth_peak_hbm_gb": fast_b_gb,
+            "baseline_weights_gb_full_depth": round(
+                weight_gb(cfg, 2), 2),
+            "ours_weights_gb_full_depth": round(
+                weight_gb(cfg, 0.55), 2),
+        }
+    emit_progress(result)
     print(json.dumps(result))
 
 
@@ -795,6 +958,29 @@ def main_gpt_oss(quick: bool):
     cfg = gpt_oss_20b_config(num_layers)
     mfu = 3 * flops_per_token(cfg, seq) * bsz * seq / dt \
         / V5E_BF16_PEAK_FLOPS
+
+    prev_art, prev_src = load_prev_artifact("gpt_oss")
+    prev_detail = (prev_art or {}).get("detail", {})
+
+    def _cached(section):
+        d = dict(prev_detail.get(section) or {})
+        if d:
+            d["cached_from"] = prev_src
+        return d
+
+    result = {
+        "metric": "gpt_oss_20b_moe_qlora_sft_tokens_per_sec_per_chip"
+                  + ("" if num_layers == 24 else f"_layers{num_layers}"),
+        "value": round(tps, 2),
+        "unit": "tokens/s/chip",
+        "vs_baseline": None,
+        "detail": {"seq": seq, "batch": bsz, "layers": num_layers,
+                   "step_time_s": round(dt, 4),
+                   "peak_hbm_gb": peak_gb, "mfu": round(mfu, 4),
+                   "loss": round(loss, 3),
+                   "backend": jax.default_backend()},
+    }
+    emit_progress(result)
 
     def _oom_gb(e):
         """Pull 'Used X of Y hbm' out of an XLA OOM message."""
@@ -865,53 +1051,67 @@ def main_gpt_oss(quick: bool):
     # counterpart. At full depth this OOMs (18.5 GB > 15.75) — itself
     # the memory result — so the ratio comes from the deepest common
     # depth both paths fit.
-    dq = run_baseline_ladder({"UNSLOTH_DISABLE_FUSED_NF4": "1"},
-                             "dequant+gmm")
+    if _time_left() < 480:
+        dq = _cached("baseline")
+        print(f"deadline: skipping dequant+gmm baseline "
+              f"({_time_left():.0f}s left)", file=sys.stderr)
+    else:
+        dq = run_baseline_ladder({"UNSLOTH_DISABLE_FUSED_NF4": "1"},
+                                 "dequant+gmm")
+        dq["definition"] = (
+            "dequantize+gmm MoE QLoRA (UNSLOTH_DISABLE_FUSED_NF4=1): "
+            "dense expert weights materialized per use, same step "
+            "otherwise; OOM at full depth -> ratio at deepest common "
+            "depth both paths fit")
+    result["detail"]["baseline"] = dq
+    result["vs_baseline"] = dq.get("vs_baseline")
+    emit_progress(result)
 
     # Baseline 2: HF-style loop-over-experts (UNSLOTH_MOE_IMPL=eloop):
     # every expert runs a full dense matmul over all tokens — the naive
     # transformers MoE shape the reference's "12x faster MoE"
     # (README.md:58, kernels/moe/README.md) is measured against.
-    loop = run_baseline_ladder({"UNSLOTH_MOE_IMPL": "eloop",
-                                "UNSLOTH_DISABLE_FUSED_NF4": "1"},
-                               "hf-loop")
-    vs_baseline = dq["vs_baseline"]
+    if _time_left() < 480:
+        loop = _cached("hf_loop_baseline")
+        print(f"deadline: skipping hf-loop baseline "
+              f"({_time_left():.0f}s left)", file=sys.stderr)
+    else:
+        loop = run_baseline_ladder({"UNSLOTH_MOE_IMPL": "eloop",
+                                    "UNSLOTH_DISABLE_FUSED_NF4": "1"},
+                                   "hf-loop")
+        loop["definition"] = (
+            "loop-over-experts with static shapes "
+            "(UNSLOTH_MOE_IMPL=eloop): every expert computes all tokens, "
+            "masked by routing weight — the naive transformers MoE shape "
+            "the reference's 12x claim compares against; OOM at full "
+            "depth -> ratio at deepest common depth")
+    result["detail"]["hf_loop_baseline"] = loop
+    result["detail"]["note"] = (
+        "MoE QLoRA: NF4 attention + stacked-NF4 experts via the fused "
+        "NF4-dequant-inside-gmm Pallas kernel; sinks via single-pass "
+        "flash-with-sinks + banded sliding layers")
+    emit_progress(result)
+    print(json.dumps(result))
 
-    print(json.dumps({
-        "metric": "gpt_oss_20b_moe_qlora_sft_tokens_per_sec_per_chip"
-                  + ("" if num_layers == 24 else f"_layers{num_layers}"),
-        "value": round(tps, 2),
-        "unit": "tokens/s/chip",
-        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
-        "detail": {"seq": seq, "batch": bsz, "layers": num_layers,
-                   "step_time_s": round(dt, 4),
-                   "peak_hbm_gb": peak_gb, "mfu": round(mfu, 4),
-                   "loss": round(loss, 3),
-                   "backend": jax.default_backend(),
-                   "baseline": dict(
-                       definition="dequantize+gmm MoE QLoRA "
-                                  "(UNSLOTH_DISABLE_FUSED_NF4=1): dense "
-                                  "expert weights materialized per use, "
-                                  "same step otherwise; OOM at full "
-                                  "depth -> ratio at deepest common "
-                                  "depth both paths fit",
-                       **dq),
-                   "hf_loop_baseline": dict(
-                       definition="loop-over-experts with static shapes "
-                                  "(UNSLOTH_MOE_IMPL=eloop): every "
-                                  "expert computes all tokens, masked "
-                                  "by routing weight — the naive "
-                                  "transformers MoE shape the "
-                                  "reference's 12x claim compares "
-                                  "against; OOM at full depth -> ratio "
-                                  "at deepest common depth",
-                       **loop),
-                   "note": "MoE QLoRA: NF4 attention + stacked-NF4 "
-                           "experts via the fused NF4-dequant-inside-gmm "
-                           "Pallas kernel; sinks via single-pass "
-                           "flash-with-sinks + banded sliding layers"},
-    }))
+
+def _fake_child():
+    """Test hook (tests/test_bench_supervisor.py): simulate a child run
+    without touching the TPU. BENCH_FAKE_CHILD is a JSON spec:
+    {"progress": {...}, "sleep": s, "print": {...}, "rc": n}."""
+    spec = json.loads(os.environ["BENCH_FAKE_CHILD"])
+    if spec.get("progress") is not None:
+        emit_progress(spec["progress"])
+    time.sleep(spec.get("sleep", 0))
+    if spec.get("print") is not None:
+        print(json.dumps(spec["print"]))
+    sys.exit(spec.get("rc", 0))
 
 
 if __name__ == "__main__":
-    main()
+    if (os.environ.get("BENCH_CHILD") == "1"
+            or os.environ.get("BENCH_SUPERVISE") == "0"):
+        if os.environ.get("BENCH_FAKE_CHILD"):
+            _fake_child()
+        main()
+    else:
+        _supervise()

@@ -7,16 +7,21 @@ OUT=bench_artifacts/r4
 
 run_mode() {
     name=$1; model=$2; t=$3
+    # a restored first-pass artifact with vs_baseline null still needs
+    # its baseline re-run (ADVICE r4) — only skip complete artifacts
     if grep -q '"metric"' "$OUT/$name.json" 2>/dev/null \
-        && ! grep -q '"value": null' "$OUT/$name.json"; then
+        && ! grep -q '"value": null' "$OUT/$name.json" \
+        && ! grep -q '"vs_baseline": null' "$OUT/$name.json"; then
         echo "skip $name (artifact exists)"; return
     fi
     BENCH_MODEL=$model timeout "$t" python bench.py \
-        > "$OUT/$name.json.new" 2> "$OUT/$name.err"
-    if grep -q '"metric"' "$OUT/$name.json.new" 2>/dev/null; then
+        > "$OUT/$name.json.new" 2> "$OUT/$name.err.new"
+    if grep -q '"metric"' "$OUT/$name.json.new" 2>/dev/null \
+        && ! grep -q '"value": null' "$OUT/$name.json.new"; then
         mv "$OUT/$name.json.new" "$OUT/$name.json"
+        mv "$OUT/$name.err.new" "$OUT/$name.err"
     else
-        rm -f "$OUT/$name.json.new"
+        rm -f "$OUT/$name.json.new" "$OUT/$name.err.new"
     fi
 }
 

@@ -1,0 +1,94 @@
+"""The bench.py measurement-integrity supervisor (VERDICT r4 #1).
+
+Round 4's driver capture recorded rc=124 and parsed=null because a cold
+compile cache ate the whole timeout. These tests prove bench.py now emits
+exactly one parseable metric line in every failure shape — child success,
+child timeout with a progress snapshot, child crash with a committed
+artifact, and total failure — without touching any accelerator (the child
+is replaced by the BENCH_FAKE_CHILD hook).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench.py")
+
+
+def run_supervisor(fake_spec, budget="8", mode=None, extra_env=None):
+    env = dict(os.environ)
+    env.pop("BENCH_CHILD", None)
+    env.pop("BENCH_SUPERVISE", None)
+    env["BENCH_FAKE_CHILD"] = json.dumps(fake_spec)
+    env["BENCH_BUDGET"] = budget
+    if mode:
+        env["BENCH_MODEL"] = mode
+    env.update(extra_env or {})
+    out = subprocess.run([sys.executable, BENCH], env=env,
+                         capture_output=True, text=True, timeout=120)
+    lines = [ln for ln in out.stdout.splitlines()
+             if ln.strip().startswith("{")]
+    assert len(lines) == 1, (
+        f"expected exactly one JSON line, got {out.stdout!r} "
+        f"(stderr: {out.stderr[-500:]!r})")
+    return json.loads(lines[0])
+
+
+GOOD = {"metric": "m", "value": 123.0, "unit": "tok/s",
+        "vs_baseline": 2.0, "detail": {}}
+
+
+def test_relays_child_success():
+    got = run_supervisor({"print": GOOD})
+    assert got == GOOD
+
+
+def test_timeout_falls_back_to_progress_snapshot():
+    snap = {"metric": "m", "value": 55.0, "unit": "tok/s",
+            "vs_baseline": None, "detail": {"phase": "headline"}}
+    # budget 8s => child killed at ~5s wall (budget-30 clamped to 60?) —
+    # the supervisor waits max(60, budget-30); use a crash instead of a
+    # sleep to keep the test fast, exercising the same fallback ordering.
+    got = run_supervisor({"progress": snap, "rc": 3})
+    assert got["value"] == 55.0
+    assert got["detail"]["degraded"] is True
+    assert "rc=3" in got["detail"]["degraded_reason"]
+
+
+def test_crash_falls_back_to_committed_artifact():
+    # llama has committed artifacts in bench_artifacts/r4
+    got = run_supervisor({"rc": 1}, mode="llama")
+    assert got["value"] is not None
+    assert got["detail"]["degraded"] is True
+    assert "committed artifact" in got["detail"]["degraded_reason"]
+
+
+def test_null_value_line_is_treated_as_failure():
+    bad = dict(GOOD, value=None)
+    got = run_supervisor({"print": bad}, mode="llama")
+    assert got["value"] is not None  # fell back to committed artifact
+    assert got["detail"]["degraded"] is True
+
+
+def test_total_failure_still_emits_parseable_line():
+    got = run_supervisor({"rc": 1}, mode="no_such_mode")
+    assert got["value"] is None
+    assert "metric" in got
+
+
+@pytest.mark.slow
+def test_real_timeout_kills_child_group():
+    """A child that sleeps past the budget is killed and the progress
+    snapshot is relayed. Budget 8s -> supervisor waits max(60, -22)=60s?
+    No: max(60.0, budget-30) keeps a 60s floor so tiny test budgets don't
+    go negative — this test therefore runs ~60s and is marked slow."""
+    snap = {"metric": "m", "value": 9.0, "unit": "u",
+            "vs_baseline": None, "detail": {}}
+    got = run_supervisor({"progress": snap, "sleep": 120, "print": GOOD},
+                         budget="8")
+    assert got["value"] == 9.0
+    assert got["detail"]["degraded"] is True
