@@ -20,9 +20,13 @@ def _enable_compile_cache():
     the tunneled platform vary 19-614 s and the cache turns repeat
     programs into millisecond loads, measured 1.85 s -> 0.27 s).
 
-    UNSLOTH_COMPILE_CACHE: unset/"1" = on at ~/.cache/unsloth_tpu/jax,
-    a path = on there, "0"/"off" = disabled. Must run before any jax
-    backend initializes — package import time is early enough.
+    UNSLOTH_COMPILE_CACHE: unset/"1" = on at the repo-local
+    .jax_cache/ (gitignored — the round-4 host restart wiped ~/.cache
+    but the repo tree survived, and a cold cache cost that round its
+    official bench capture; falls back to ~/.cache/unsloth_tpu/jax_cache
+    when the package is installed somewhere read-only), a path = on
+    there, "0"/"off" = disabled. Must run before any jax backend
+    initializes — package import time is early enough.
 
     The cache directory is suffixed with a host fingerprint (machine type
     + CPU feature flags): XLA:CPU entries are AOT results compiled for the
@@ -36,8 +40,21 @@ def _enable_compile_cache():
     raw = os.environ.get("UNSLOTH_COMPILE_CACHE", "1")
     if raw.lower() in ("0", "false", "off"):
         return
-    path = raw if raw.lower() not in ("1", "true", "on") else \
-        os.path.expanduser("~/.cache/unsloth_tpu/jax_cache")
+    if raw.lower() in ("1", "true", "on"):
+        repo_local = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache")
+        try:
+            os.makedirs(repo_local, exist_ok=True)
+            probe = os.path.join(repo_local, ".writable")
+            with open(probe, "w"):
+                pass
+            os.remove(probe)
+            path = repo_local
+        except OSError:
+            path = os.path.expanduser("~/.cache/unsloth_tpu/jax_cache")
+    else:
+        path = raw
     try:
         import hashlib
         import platform
