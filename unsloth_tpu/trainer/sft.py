@@ -297,6 +297,12 @@ class SFTTrainer:
             self._segment_bound = max(
                 (min(len(e["input_ids"]), args.max_seq_length)
                  for e in examples), default=None)
+            if self._segment_bound:
+                # fail fast instead of silently-truncated attention if the
+                # packer ever emits a segment above the declared cap
+                from ..data.packing import validate_segment_bound
+
+                validate_segment_bound(self._batches, self._segment_bound)
         else:
             self._batches = [
                 pad_batch(examples[i:i + bsz], args.max_seq_length, pad_id)
