@@ -98,6 +98,7 @@ def main_grpo(quick: bool):
         return time.perf_counter() - t0, opt_state
 
     results = {}
+    step_hbm = {}
     for grouped in (True, False):
         args = GRPOConfig(num_generations=G, max_prompt_length=p_len,
                           max_completion_length=c_len, beta=0.0,
@@ -115,6 +116,102 @@ def main_grpo(quick: bool):
             times.append(dt)
         results[grouped] = sum(times) / len(times)
 
+    # ---- TRL-practice baseline (VERDICT r4 #4): the round as a TRL
+    # user runs it — per-completion replicated prompts in padded [N, T]
+    # rows, FULL-logits log-softmax (TRL materializes [N, T, V] logits in
+    # _get_per_token_logps), bnb-style dequantize-per-use NF4 — against
+    # the reference's own comparison basis (README.md:61,220: 2x faster,
+    # 80% less VRAM than TRL+FA2). Rollout is IDENTICAL on both sides
+    # (shared on-device generate — conservative: TRL without vLLM is far
+    # slower here). Peak HBM comes from compiled-program memory analysis
+    # of each step.
+    from unsloth_tpu.models.decoder import logits_fn as _logits_fn
+    from unsloth_tpu.trainer.grpo import grpo_loss
+
+    args = GRPOConfig(num_generations=G, max_prompt_length=p_len,
+                      max_completion_length=c_len, beta=0.0,
+                      prefix_grouping=False, report_to="none")
+    tr_trl = GRPOTrainer(model, reward_funcs=[lambda **kw: [0.0]],
+                         args=args, train_dataset=[])
+
+    def trl_loss(lora, params, batch):
+        logits = _logits_fn(params, lora, batch.input_ids, cfg)
+        logz = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        tgt = jnp.maximum(batch.logp_targets, 0)
+        logps = jnp.take_along_axis(logz, tgt[..., None],
+                                    axis=-1)[..., 0]
+        logps = jnp.where(batch.logp_targets >= 0, logps, 0.0)
+        old = jax.lax.stop_gradient(logps)
+        return grpo_loss(logps, old, None, batch.advantages,
+                         batch.completion_mask, beta=0.0,
+                         epsilon=args.epsilon,
+                         epsilon_high=args.epsilon_high,
+                         loss_type=args.loss_type,
+                         max_completion_length=c_len)
+
+    def trl_step(lora, opt_state, params, batch, _old, _ref):
+        tx = optax.adamw(1e-5)
+        loss, grads = jax.value_and_grad(trl_loss)(lora, params, batch)
+        updates, opt_state = tx.update(grads, opt_state, lora)
+        return optax.apply_updates(lora, updates), opt_state, loss
+
+    trl_time = None
+    try:
+        os.environ["UNSLOTH_DISABLE_FUSED_NF4"] = "1"
+        jax.clear_caches()
+        tx = optax.adamw(1e-5)
+        opt_state = tx.init(model.lora)
+        jstep = jax.jit(trl_step, donate_argnums=(0, 1))
+        # peak HBM of the baseline step program
+        expanded, comps = rollout()
+        adv = rng.randn(len(expanded)).astype(np.float32)
+        batch0 = tr_trl._build_batch(expanded, comps, adv)
+        try:
+            comp = jstep.lower(model.lora, opt_state, model.params,
+                               batch0, None, None).compile()
+            ma = comp.memory_analysis()
+            step_hbm["trl_practice"] = round(
+                (ma.argument_size_in_bytes + ma.temp_size_in_bytes
+                 + ma.output_size_in_bytes) / 1e9, 2)
+        except Exception as e:  # noqa: BLE001
+            print(f"trl step memory_analysis failed: {str(e)[:200]}",
+                  file=sys.stderr)
+        _, opt_state = one_round(tr_trl, jstep, False, opt_state)
+        times = []
+        for _ in range(n_rounds):
+            dt, opt_state = one_round(tr_trl, jstep, False, opt_state)
+            times.append(dt)
+        trl_time = sum(times) / len(times)
+    except Exception as e:  # noqa: BLE001
+        print(f"TRL-practice baseline failed: {str(e)[:400]}",
+              file=sys.stderr)
+    finally:
+        os.environ.pop("UNSLOTH_DISABLE_FUSED_NF4", None)
+        jax.clear_caches()
+
+    # ours: peak HBM of the grouped step program
+    try:
+        args_g = GRPOConfig(num_generations=G, max_prompt_length=p_len,
+                            max_completion_length=c_len, beta=0.0,
+                            prefix_grouping=True, report_to="none")
+        tr_g = GRPOTrainer(model, reward_funcs=[lambda **kw: [0.0]],
+                           args=args_g, train_dataset=[])
+        tx = optax.adamw(1e-5)
+        opt_state_g = tx.init(model.lora)
+        step_g = tr_g._make_step(tx)
+        expanded, comps = rollout()
+        adv = rng.randn(len(expanded)).astype(np.float32)
+        batch_g = tr_g._build_grouped_batch(expanded, comps, adv)
+        comp = step_g.lower(model.lora, opt_state_g, model.params,
+                            batch_g, None, None).compile()
+        ma = comp.memory_analysis()
+        step_hbm["ours"] = round(
+            (ma.argument_size_in_bytes + ma.temp_size_in_bytes
+             + ma.output_size_in_bytes) / 1e9, 2)
+    except Exception as e:  # noqa: BLE001
+        print(f"ours step memory_analysis failed: {str(e)[:200]}",
+              file=sys.stderr)
+
     gen_tokens = n_prompts * G * c_len
     dt = results[True]
     from bench import weight_gb
@@ -130,15 +227,31 @@ def main_grpo(quick: bool):
                   + ("" if num_layers == 32 else f"_layers{num_layers}"),
         "value": round(gen_tokens / dt, 2),
         "unit": "completion tokens/s/chip (rollout + step)",
-        "vs_baseline": round(results[False] / dt, 3),
+        "vs_baseline": (round(trl_time / dt, 3) if trl_time
+                        else round(results[False] / dt, 3)),
         "detail": {
             "layers": num_layers, "prompts": n_prompts, "generations": G,
             "prompt_len": p_len, "completion_len": c_len,
             "round_time_s": round(dt, 3),
-            "baseline": {
+            "trl_practice_baseline": {
+                "definition": "the round as a TRL user runs it "
+                              "(reference comparison basis, README.md:"
+                              "61,220): per-completion replicated "
+                              "prompts in padded [N,T] rows, FULL-"
+                              "logits [N,T,V] log-softmax logps, NF4 "
+                              "dequantize-per-use; identical on-device "
+                              "rollout on both sides (conservative — "
+                              "TRL without vLLM generates far slower)",
+                "round_time_s": (round(trl_time, 3) if trl_time
+                                 else None),
+                "vs_baseline_trl_practice": (round(trl_time / dt, 3)
+                                             if trl_time else None),
+                "step_peak_hbm_gb": step_hbm or None},
+            "prefix_grouping_ablation": {
                 "definition": "identical round without the shared-prefix "
                               "grouped loss pass (prompt replicated per "
-                              "completion, TRL layout)",
+                              "completion) but WITH our fused selective "
+                              "logps — isolates PrefixGrouper",
                 "round_time_s": round(results[False], 3)},
             "memory": {
                 "definition": "rollout and training share ONE quantized "
@@ -447,31 +560,59 @@ def main_whisper(quick: bool):
         updates, opt_state = tx.update(grads, opt_state, lora)
         return optax.apply_updates(lora, updates), opt_state, loss
 
-    jstep = jax.jit(step, donate_argnums=(0, 1))
-    for _ in range(2):
-        lora, opt_state, loss = jstep(lora, opt_state, params, feats,
-                                      dec_in, labels)
-    _sync(lora)
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        lora, opt_state, loss = jstep(lora, opt_state, params, feats,
-                                      dec_in, labels)
-    _sync(lora)
-    dt = (time.perf_counter() - t0) / n_steps
+    def run_steps():
+        nonlocal lora, opt_state
+        jstep = jax.jit(step, donate_argnums=(0, 1))
+        loss = None
+        for _ in range(2):
+            lora, opt_state, loss = jstep(lora, opt_state, params, feats,
+                                          dec_in, labels)
+        _sync(lora)
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            lora, opt_state, loss = jstep(lora, opt_state, params, feats,
+                                          dec_in, labels)
+        _sync(lora)
+        return (time.perf_counter() - t0) / n_steps, loss
+
+    dt, loss = run_steps()
+
+    # HF-equivalent same-device baseline (VERDICT r4 #3): the same step
+    # through the pure-jnp reference ops (XLA SDPA attention, jnp
+    # layernorm — what a straight JAX port of HF whisper would run).
+    base_dt = vs_baseline = None
+    try:
+        os.environ["UNSLOTH_DISABLE_PALLAS"] = "1"
+        jax.clear_caches()  # remat trace cache keys on avals, not env
+        base_dt, _ = run_steps()
+        vs_baseline = base_dt / dt
+    except Exception as e:  # noqa: BLE001
+        print(f"whisper baseline failed: {str(e)[:300]}", file=sys.stderr)
+    finally:
+        os.environ.pop("UNSLOTH_DISABLE_PALLAS", None)
+        jax.clear_caches()
+
     print(json.dumps({
         "metric": "whisper_large_v3_asr_lora_decoder_tokens_per_sec_per_chip"
                   + ("" if enc_layers == 32 else f"_layers{enc_layers}"),
         "value": round(bsz * label_len / dt, 2),
         "unit": "decoder tokens/s/chip",
-        "vs_baseline": None,
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
         "detail": {"batch": bsz, "label_len": label_len,
                    "mel_frames": frames, "enc_dec_layers": enc_layers,
                    "step_time_s": round(dt, 4),
                    "loss": round(float(loss), 3),
-                   "note": "vs_baseline null by design: the reference "
-                           "publishes no Whisper speed claim "
-                           "(BASELINE.md has no Whisper row); absolute "
-                           "throughput recorded for regression tracking",
+                   "baseline": {
+                       "definition": "same LoRA step through the pure-"
+                                     "jnp reference ops (UNSLOTH_DISABLE"
+                                     "_PALLAS=1: XLA SDPA attention, jnp "
+                                     "layernorm) — the straight-JAX-port-"
+                                     "of-HF-whisper equivalent; the "
+                                     "reference publishes no Whisper "
+                                     "multiple (BASELINE.md has no "
+                                     "Whisper row)",
+                       "baseline_step_time_s": (round(base_dt, 4)
+                                                if base_dt else None)},
                    "backend": jax.default_backend()}}))
 
 
@@ -655,8 +796,15 @@ def main_decode(quick: bool):
     sp = SamplingParams(max_tokens=new_toks, temperature=0.0)
     eos_ids = jnp.asarray([], jnp.int32)  # never stop early
 
-    def run(cfg, quantize):
+    def run(cfg, quantize, decode_cache=None):
         params = build_model(cfg, key, quantize=quantize)
+        cache_stats = None
+        if decode_cache is not None:
+            from unsloth_tpu.inference.decode_cache import \
+                apply_decode_cache
+
+            params, cache_stats = apply_decode_cache(
+                params, hbm_budget_gb=decode_cache)
         pid = jax.random.randint(key, (bsz, p_len), 10,
                                  cfg.vocab_size - 10)
         pmask = jnp.ones((bsz, p_len), jnp.int32)
@@ -670,14 +818,31 @@ def main_decode(quick: bool):
         t0 = time.perf_counter()
         float(jnp.sum(once()))
         dt = time.perf_counter() - t0
-        return bsz * new_toks / dt, dt
+        return (bsz * new_toks / dt, dt) + (
+            (cache_stats,) if decode_cache is not None else ())
 
     cfg_full = llama31_8b_config(num_layers)
     tps_full, dt_full = run(cfg_full, True)
+    # decode-cache arm (inference/decode_cache.py — the fast_gemv-analog
+    # lever): spare HBM spent on persistent dense copies; at full depth
+    # only some layers fit, at common depth all do (== dense speed).
+    try:
+        tps_cache_full, _, cache_stats = run(cfg_full, True,
+                                             decode_cache="auto")
+    except Exception as e:  # noqa: BLE001
+        print(f"decode-cache full-depth arm failed: {str(e)[:300]}",
+              file=sys.stderr)
+        tps_cache_full, cache_stats = None, None
 
     cfg_c = llama31_8b_config(base_layers)
     tps_nf4_c, _ = run(cfg_c, True)
     tps_dense_c, _ = run(cfg_c, False)
+    try:
+        tps_cache_c, _, _ = run(cfg_c, True, decode_cache="auto")
+    except Exception as e:  # noqa: BLE001
+        print(f"decode-cache common-depth arm failed: {str(e)[:300]}",
+              file=sys.stderr)
+        tps_cache_c = None
 
     # Achieved weight-stream bandwidth at full depth (all rows of a batch
     # share one weight read per step; prefill amortized into dt).
@@ -690,22 +855,50 @@ def main_decode(quick: bool):
                   + ("" if num_layers == 32 else f"_layers{num_layers}"),
         "value": round(tps_full, 2),
         "unit": "generated tokens/s/chip",
-        "vs_baseline": round(tps_nf4_c / tps_dense_c, 3),
+        "vs_baseline": (round(tps_cache_c / tps_dense_c, 3)
+                        if tps_cache_c else
+                        round(tps_nf4_c / tps_dense_c, 3)),
         "detail": {
             "layers": num_layers, "batch": bsz, "prompt_len": p_len,
             "new_tokens": new_toks,
             "generate_time_s": round(dt_full, 3),
             "hbm_weight_bw_utilization": round(bw_util, 3),
+            "decode_cache": {
+                "definition": "for_inference(decode_cache='auto'): NF4 "
+                              "weights dequantized ONCE to persistent "
+                              "dense bf16 under the spare-HBM budget "
+                              "(inference/decode_cache.py, the "
+                              "fast_gemv-analog); vs_baseline is the "
+                              "cached NF4 model vs dense at common "
+                              "depth",
+                "full_depth_tokens_per_sec": (round(tps_cache_full, 2)
+                                              if tps_cache_full else None),
+                "full_depth_speedup_vs_plain_nf4": (
+                    round(tps_cache_full / tps_full, 3)
+                    if tps_cache_full else None),
+                "weights_converted": (cache_stats or {}).get("converted"),
+                "weights_kept_nf4": (cache_stats or {}).get("skipped"),
+                "cache_extra_gb": (round(
+                    cache_stats["extra_bytes"] / 1e9, 2)
+                    if cache_stats else None),
+                "common_depth_tokens_per_sec": (round(tps_cache_c, 2)
+                                                if tps_cache_c else None),
+            },
             "baseline": {
                 "definition": "dense bf16 decode at a reduced depth both"
                               " paths fit (full-depth dense 8B weights "
                               "exceed one v5e chip's HBM); same batch, "
-                              "same greedy loop. Expect < 1: on v5e the "
+                              "same greedy loop. vs_baseline uses the "
+                              "decode-cache arm when it ran (at common "
+                              "depth the whole model fits the budget so "
+                              "it should approach 1.0); the kernel-only "
+                              "plain-NF4 ratio stays < 1 — on v5e the "
                               "VPU nibble decode costs more than the "
-                              "bytes it saves — NF4's decode win is "
-                              "fitting the model at all",
+                              "bytes it saves (roofline: "
+                              "scripts/decode_roofline.py)",
                 "common_depth_layers": base_layers,
                 "nf4_tokens_per_sec": round(tps_nf4_c, 2),
+                "plain_nf4_vs_dense": round(tps_nf4_c / tps_dense_c, 3),
                 "dense_tokens_per_sec": round(tps_dense_c, 2)},
             "backend": jax.default_backend(),
         }}))
@@ -1006,31 +1199,59 @@ def main_embed_tpu(quick: bool):
     vocab = _env_int("BENCH_VOCAB", 30522)
 
     cfg = BertConfig(vocab_size=vocab, num_layers=num_layers)
-    params, opt_state, a_ids, p_ids, mask, step = _embed_problem(
-        cfg, vocab, bsz, seq, jnp.bfloat16)
-    ja, jp, jm = (jnp.asarray(a_ids), jnp.asarray(p_ids),
-                  jnp.asarray(mask))
-    params, opt_state, loss = step(params, opt_state, ja, jp, jm)
-    _sync(params)
-    t0 = _time.perf_counter()
-    for _ in range(n_steps):
+
+    def run_variant(dtype):
+        params, opt_state, a_ids, p_ids, mask, step = _embed_problem(
+            cfg, vocab, bsz, seq, dtype)
+        ja, jp, jm = (jnp.asarray(a_ids), jnp.asarray(p_ids),
+                      jnp.asarray(mask))
         params, opt_state, loss = step(params, opt_state, ja, jp, jm)
-    _sync(params)
-    dt = (_time.perf_counter() - t0) / n_steps
+        _sync(params)
+        t0 = _time.perf_counter()
+        for _ in range(n_steps):
+            params, opt_state, loss = step(params, opt_state, ja, jp, jm)
+        _sync(params)
+        return (_time.perf_counter() - t0) / n_steps, loss
+
+    dt, loss = run_variant(jnp.bfloat16)
     tps = 2 * bsz * seq / dt
+
+    # Same-device HF-equivalent baseline (VERDICT r4 #3): transformers /
+    # sentence-transformers trains MiniLM in fp32 with SDPA attention —
+    # the straight-JAX-port equivalent is the same step in fp32 through
+    # the pure-jnp reference ops.
+    base_dt = vs_baseline = None
+    try:
+        os.environ["UNSLOTH_DISABLE_PALLAS"] = "1"
+        jax.clear_caches()
+        base_dt, _ = run_variant(jnp.float32)
+        vs_baseline = base_dt / dt
+    except Exception as e:  # noqa: BLE001
+        print(f"embed_tpu baseline failed: {str(e)[:300]}",
+              file=sys.stderr)
+    finally:
+        os.environ.pop("UNSLOTH_DISABLE_PALLAS", None)
+        jax.clear_caches()
+
     print(json.dumps({
         "metric": "minilm_l6_mnrl_embed_tpu_tokens_per_sec_per_chip"
                   + ("" if num_layers == 6 else f"_layers{num_layers}"),
         "value": round(tps, 2),
         "unit": "tokens/s/chip (bf16)",
-        "vs_baseline": None,
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
         "detail": {
             "layers": num_layers, "seq": seq, "batch_pairs": bsz,
             "vocab": vocab, "step_time_s": round(dt, 4),
             "loss": round(float(loss), 3),
-            "note": "no eager-torch baseline exists on TPU; the "
-                    "same-host CPU-vs-CPU ratio is the `embed` "
-                    "artifact",
+            "baseline": {
+                "definition": "same MNRL step, fp32 params + pure-jnp "
+                              "reference ops (UNSLOTH_DISABLE_PALLAS=1) "
+                              "— the straight-JAX-port of how "
+                              "sentence-transformers trains MiniLM "
+                              "(fp32, SDPA); same device. The same-host "
+                              "torch-CPU ratio is the `embed` artifact",
+                "baseline_step_time_s": (round(base_dt, 4)
+                                         if base_dt else None)},
             "backend": jax.default_backend()},
     }))
 

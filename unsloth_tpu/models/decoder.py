@@ -681,7 +681,29 @@ def _rope_tables(cfg: ModelConfig, positions, mrope_positions=None):
     return cos, sin, cos_local, sin_local
 
 
-def forward(
+def forward(params, lora, input_ids, cfg: ModelConfig, **kw):
+    """Decoder forward with trace-time NF4 dispatch resolution.
+
+    Callers that reach forward() outside loss_fn (inference decode,
+    GRPO logps, VLM losses) used to take the fused Pallas NF4 kernel
+    unconditionally; at small token counts XLA's dequantize+dot is
+    measurably faster (r4 decode: the fused training-tiled kernel at
+    m=8 is ~4x slower than unfused). When no nf4_dispatch_mode context
+    is active, resolve one here from the same HBM-budget reasoning as
+    loss_fn (deterministic given avals+cfg, so remat's trace cache
+    stays correct)."""
+    from ..ops.qlora_matmul import current_nf4_mode, nf4_dispatch_mode
+
+    if current_nf4_mode() is None:
+        n_tokens = input_ids.shape[0] * input_ids.shape[1]
+        mode = resolve_nf4_mode(params, cfg, n_tokens)
+        if mode is not None:
+            with nf4_dispatch_mode(mode):
+                return _forward_impl(params, lora, input_ids, cfg, **kw)
+    return _forward_impl(params, lora, input_ids, cfg, **kw)
+
+
+def _forward_impl(
     params: Dict[str, Any],
     lora: Optional[Dict[str, Any]],
     input_ids: jnp.ndarray,               # [B, T] int32

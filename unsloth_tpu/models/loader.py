@@ -59,13 +59,38 @@ class LanguageModel:
     def config(self) -> ModelConfig:
         return self.cfg
 
-    def for_inference(self) -> "LanguageModel":
-        """(reference: models/llama.py:3807) — toggles decode mode."""
+    def for_inference(self, decode_cache: Any = None) -> "LanguageModel":
+        """(reference: models/llama.py:3807) — toggles decode mode.
+
+        decode_cache: opt-in decode-time dequant cache (the TPU answer to
+        the reference's 4-bit ``fast_gemv``, kernels/utils.py:765-982 —
+        see inference/decode_cache.py): "auto" spends spare HBM
+        dequantizing NF4 weights to persistent dense bf16 so the decode
+        loop skips the per-step VPU nibble decode; a number = that many
+        extra GB; None (default) = off. Training state is untouched —
+        ``for_training()`` restores the NF4 tree."""
         self._mode = "inference"
+        if decode_cache is not None:
+            from ..inference.decode_cache import (apply_decode_cache,
+                                                  decode_cache_summary)
+
+            if getattr(self, "_nf4_params", None) is None:
+                self._nf4_params = self.params
+            cached, stats = apply_decode_cache(
+                self._nf4_params, hbm_budget_gb=decode_cache)
+            self.params = cached
+            self._decode_cache_stats = stats
+            import logging
+
+            logging.getLogger("unsloth_tpu").info(
+                decode_cache_summary(stats))
         return self
 
     def for_training(self) -> "LanguageModel":
         self._mode = "training"
+        if getattr(self, "_nf4_params", None) is not None:
+            self.params = self._nf4_params
+            self._nf4_params = None
         return self
 
     def get_peft_model(self, **kwargs) -> "LanguageModel":

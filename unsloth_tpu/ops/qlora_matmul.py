@@ -425,6 +425,12 @@ def nf4_dispatch_mode(mode):
         _NF4_MODE = prev
 
 
+def current_nf4_mode():
+    """The active trace-time dispatch override (None when no
+    nf4_dispatch_mode context is open)."""
+    return _NF4_MODE
+
+
 def use_fused_nf4(q) -> bool:
     if _NF4_MODE == "unfused":
         return False
