@@ -223,6 +223,10 @@ def cmd_export(args) -> int:
 
         path = save_pretrained_gguf(model, args.output,
                                     quantization_method=args.quantization)
+    elif args.format == "lora":
+        # adapter-only export (reference save_method="lora"); the Studio
+        # export tab offers this for re-publishing a trained adapter
+        path = model.save_lora(args.output)
     else:
         path = model.save_pretrained_merged(args.output, tokenizer,
                                             save_method="merged_16bit")
@@ -344,7 +348,7 @@ def main(argv=None) -> int:
     p_export.add_argument("--adapter", default=None)
     p_export.add_argument("--output", required=True)
     p_export.add_argument("--format", default="merged",
-                          choices=["merged", "gguf"])
+                          choices=["merged", "lora", "gguf"])
     p_export.add_argument("--quantization", default="q8_0")
 
     p_models = sub.add_parser("models", help="search the model catalog")

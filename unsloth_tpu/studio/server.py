@@ -158,6 +158,8 @@ class TrainingJobManager:
             args.append("--packing")
         if config.get("save_model"):
             args.append("--save_model")
+        if config.get("load_in_4bit") is False:
+            args.append("--no_load_in_4bit")
         if config.get("resume_from"):
             # resume validation (reference: studio resume.py scan): the
             # checkpoint dir must exist and carry train state before we
