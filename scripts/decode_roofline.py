@@ -113,12 +113,27 @@ def main():
 
     dense_t = rows[0]["ps_per_element"]
     deq_t = rows[3]["ps_per_element"]
+    # Effective dense-read bandwidth exposes whether the chained-op
+    # microbench is measuring HBM at all: measured r5, 16 chained m=8
+    # matvecs run at ~19 GB/s effective (a ~1.8 ms per-op floor on the
+    # tunneled chip) while the REAL lax.while_loop decode reaches ~390
+    # GB/s — so when eff_bw is far below device bandwidth the per-op
+    # floor dominates and the variants tie; the loop-level numbers in
+    # bench_artifacts/r5/decode.json are the decisive measurement.
+    eff_bw_gbs = 2 * D * D / (rows[0]["time_us_per_op"] * 1e-6) / 1e9
+    floor_dominated = eff_bw_gbs < 200
     verdict = {
         "op": "roofline_verdict",
         "dense_read_ps_per_element": dense_t,
         "decode_ps_per_element": deq_t,
         "decode_over_dense_read": round(deq_t / dense_t, 2),
+        "dense_effective_gbs": round(eff_bw_gbs, 1),
+        "per_op_floor_dominated": floor_dominated,
         "conclusion": (
+            "microbench dominated by the tunneled chip's per-op floor "
+            "(all variants within ~10%); use the loop-level decode.json "
+            "dense vs plain-NF4 vs cached ratios as the roofline"
+            if floor_dominated else
             "decode-bound: exact in-kernel NF4 decode cannot reach dense "
             "speed at m<=8 on this chip" if deq_t > dense_t else
             "bandwidth-bound: a decode kernel could win"),
