@@ -3,6 +3,7 @@ live server backed by a tiny model (reference: studio inference API
 tests)."""
 
 import json
+import os
 import urllib.request
 
 import numpy as np
@@ -556,3 +557,36 @@ def test_responses_function_calls(server, monkeypatch):
              "output": "found it"}],
         "tools": tools, "max_output_tokens": 16, "temperature": 0})
     assert code == 200
+
+
+@pytest.mark.slow
+def test_cli_export_lora_roundtrip(tmp_path, capsys):
+    """`unsloth export --format lora` (the Studio export tab's
+    adapter-only option; reference save_method="lora"): train-shaped
+    adapter in, peft-compatible adapter dir out, loadable back."""
+    from tests.helpers import TINY_LLAMA, make_hf_checkpoint
+    from unsloth_tpu.cli import main
+    from unsloth_tpu.models.loader import FastLanguageModel
+
+    ckpt = str(tmp_path / "ckpt")
+    make_hf_checkpoint(ckpt, TINY_LLAMA)
+
+    # fabricate a trained adapter the way the studio worker leaves one
+    model, _ = FastLanguageModel.from_pretrained(ckpt, load_in_4bit=False,
+                                                 dtype="float32")
+    model.get_peft_model(r=4, lora_alpha=4)
+    adapter_in = str(tmp_path / "adapter_in")
+    model.save_lora(adapter_in)
+
+    out = str(tmp_path / "adapter_out")
+    rc = main(["export", "--model_name", ckpt, "--adapter", adapter_in,
+               "--output", out, "--format", "lora"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "adapter_model.safetensors"))
+    assert os.path.exists(os.path.join(out, "adapter_config.json"))
+
+    # the exported adapter loads back into a fresh model
+    model2, _ = FastLanguageModel.from_pretrained(
+        ckpt, load_in_4bit=False, dtype="float32")
+    model2.load_lora(out)
+    assert model2.lora is not None
