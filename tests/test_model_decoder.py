@@ -180,3 +180,29 @@ def test_tiled_mlp_matches_dense(rng, tiny_config, monkeypatch):
     h_tiled = fwd(params, None, ids, tiny_config, remat=False)
     np.testing.assert_allclose(np.asarray(h_dense), np.asarray(h_tiled),
                                atol=1e-5)
+
+
+def test_moe_remat_policies_match(rng):
+    """save_moe_out / save_attn_moe change only WHAT backward saves, not
+    the math: grads must match full remat exactly."""
+    cfg = ModelConfig(model_type="qwen3_moe", vocab_size=128, hidden_size=32,
+                      intermediate_size=64, num_layers=2, num_heads=2,
+                      num_kv_heads=2, qk_norm=True, num_experts=4,
+                      num_experts_per_tok=2, moe_intermediate_size=16,
+                      norm_topk_prob=True, max_position_embeddings=64)
+    params = init_params(cfg, rng)
+    from unsloth_tpu.models.params import init_lora_tree
+    lora = init_lora_tree(cfg, rng, r=2, alpha=2)
+    batch = {"input_ids": jax.random.randint(rng, (1, 8), 0, 128),
+             "labels": jax.random.randint(rng, (1, 8), 0, 128)}
+
+    def grads(policy):
+        return jax.grad(lambda l: loss_fn(params, l, batch, cfg, remat=True,
+                                          remat_policy=policy))(lora)
+
+    g_none = grads(None)
+    for policy in ("save_moe_out", "save_attn_moe"):
+        g_pol = grads(policy)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6), g_none, g_pol)

@@ -342,7 +342,15 @@ def _gdn_block(x, layer_p, cfg: ModelConfig, state=None, pad_mask=None,
 
 def mlp_block(x, layer_p, lora_p, cfg: ModelConfig, layer_idx: int):
     if cfg.layer_is_moe(layer_idx) and "experts" in layer_p:
-        out = moe_block(x, layer_p, cfg)
+        from jax.ad_checkpoint import checkpoint_name
+
+        # remat-policy tag: `save_moe_out` keeps this [B,T,D] in HBM so
+        # backward skips re-decoding + re-running ALL experts for the
+        # remat forward — at seq 1024 the in-kernel NF4 decode of every
+        # expert's weights is the per-layer fixed cost the moe_profile
+        # measured (scripts/moe_profile.py), and this removes one of its
+        # three per-step passes for ~6 MB/layer of residency.
+        out = checkpoint_name(moe_block(x, layer_p, cfg), "moe_out")
         if cfg.moe_shared_expert and "gate" in layer_p:
             # the shared expert always runs, added to the routed output
             # (llama4/deepseek: plain add; qwen3-next: scaled by
@@ -868,8 +876,14 @@ def _scan_layers(params, lora, x, cfg, cos, sin, segment_ids, positions,
 #:                      bandwidth). TPU-native form of the reference's
 #:                      offloaded gradient checkpointing
 #:                      (reference unsloth/models/_utils.py:356-382).
+#:   save_moe_out     — keep each MoE block's routed output in HBM
+#:                      (skips re-decoding + re-running every expert in
+#:                      the remat forward — the dominant fixed cost per
+#:                      MoE layer at small tokens-per-expert, measured in
+#:                      scripts/moe_profile.py; +[B,T,D] bf16 per layer)
+#:   save_attn_moe    — save_attn + save_moe_out combined
 REMAT_POLICIES = ("none", "save_attn", "offload_attn", "offload_qkv_attn",
-                  "offload_acts")
+                  "offload_acts", "save_moe_out", "save_attn_moe")
 
 _OFFLOAD_NAMES = {
     "offload_attn": ["attn_out"],
@@ -889,6 +903,10 @@ def resolve_remat_policy(spec):
         return None
     if spec == "save_attn":
         return cp.save_only_these_names("attn_out")
+    if spec == "save_moe_out":
+        return cp.save_only_these_names("moe_out")
+    if spec == "save_attn_moe":
+        return cp.save_only_these_names("attn_out", "moe_out")
     names = _OFFLOAD_NAMES.get(spec)
     if names is None:
         raise ValueError(
