@@ -36,6 +36,7 @@ from unsloth_tpu.models.params import init_lora_tree
 
 LAYERS = int(os.environ.get("PROF_LAYERS", "2"))
 STEPS = int(os.environ.get("PROF_STEPS", "6"))
+BATCH = int(os.environ.get("PROF_BATCH", "1"))
 OUT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "bench_artifacts", "r5",
     "moe_profile.jsonl")
@@ -65,7 +66,7 @@ def want(tag):
 def run(tag, cfg, params, seq, fwd_only=False, remat_policy=None):
     jax.clear_caches()
     key = jax.random.PRNGKey(0)
-    batch = make_packed_batch(cfg, key, 1, seq, packed=False)
+    batch = make_packed_batch(cfg, key, BATCH, seq, packed=False)
     lora = init_lora_tree(cfg, key, r=16, alpha=16, dtype=jnp.float32)
     tx = optax.adamw(1e-4)
     opt_state = tx.init(lora)
@@ -83,6 +84,7 @@ def run(tag, cfg, params, seq, fwd_only=False, remat_policy=None):
     tokens = batch["input_ids"].size
     mfu = 3 * flops_per_token(cfg, seq) * tokens / dt / V5E_BF16_PEAK_FLOPS
     rec = {"variant": tag, "layers": cfg.num_layers, "seq": seq,
+           "batch": BATCH,
            "step_ms": round(dt * 1e3, 2),
            "ms_per_layer": round(dt * 1e3 / cfg.num_layers, 2),
            "tokens_per_sec": round(tokens / dt, 1),
