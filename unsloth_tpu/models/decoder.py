@@ -989,6 +989,14 @@ def loss_fn(
     """SFT loss. batch: input_ids [B,T], labels [B,T] (-100 = ignore),
     optional positions / segment_ids. Labels are shifted internally
     (next-token prediction)."""
+    if remat_policy is None:
+        # UNSLOTH_REMAT_POLICY: named-policy escape hatch for trainers
+        # that don't thread the argument (read at trace time — callers
+        # that flip it between identical-aval jits must clear_caches(),
+        # same caveat as the NF4 flags).
+        import os
+
+        remat_policy = os.environ.get("UNSLOTH_REMAT_POLICY") or None
     input_ids = batch["input_ids"]
     labels = batch["labels"]
     n_tokens = input_ids.shape[0] * input_ids.shape[1]
