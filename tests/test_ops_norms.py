@@ -108,6 +108,26 @@ def test_layer_norm_pallas_matches_ref(rng):
                                    atol=1e-4, rtol=1e-4)
 
 
+def test_norm_pallas_is_opt_in(monkeypatch):
+    """Dispatch default is the XLA-fused jnp path even on TPU; the Pallas
+    kernels require UNSLOTH_PALLAS_NORM=1 (measured 2.1x slower fwd+bwd at
+    the llama 8K shape — bench_artifacts/r5/ln_crossover.jsonl)."""
+    import importlib
+
+    import jax as _jax
+
+    mod = importlib.import_module("unsloth_tpu.ops.rms_norm")
+
+    x = jnp.ones((4, 256), jnp.float32)
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("UNSLOTH_PALLAS_NORM", raising=False)
+    assert not mod._use_pallas(x)
+    monkeypatch.setenv("UNSLOTH_PALLAS_NORM", "1")
+    assert mod._use_pallas(x)
+    # lane alignment still gates the kernel even when opted in
+    assert not mod._use_pallas(jnp.ones((4, 100), jnp.float32))
+
+
 def test_layer_norm_none_bias(rng):
     import jax
     import jax.numpy as jnp

@@ -11,6 +11,14 @@ TPU design notes: rows are processed in blocks of (BLOCK_ROWS, D); the
 backward needs a cross-row reduction for dW, which we accumulate across
 sequential grid steps into a single output block (TPU grids execute
 sequentially, so revisiting an output block is well-defined).
+
+Dispatch: the PUBLIC ops default to the jnp path — XLA fuses the norm
+into neighbouring residual adds / matmul epilogues, and the standalone
+pallas_call is a fusion boundary that measured 2.1x slower fwd+bwd at
+the llama-8B 8K shape and never clearly faster at whisper/MiniLM shapes
+(r5, bench_artifacts/r5/ln_crossover.jsonl). UNSLOTH_PALLAS_NORM=1
+opts into the kernels; they remain the in-repo reference for the
+block-accumulated dW pattern and are parity-tested in interpret mode.
 """
 
 from __future__ import annotations
@@ -169,7 +177,11 @@ def _interpret() -> bool:
 def rms_norm(x, w, eps: float = 1e-6, gemma: bool = False):
     """Fused RMSNorm. x: [..., D]; w: [D].
 
-    Uses the Pallas kernel on TPU, jnp reference elsewhere/when disabled.
+    Default is the jnp path: XLA fuses it into the surrounding residual
+    adds / matmul epilogues, and the standalone Pallas kernel's fusion
+    boundary makes it 2.1x SLOWER fwd+bwd at the llama-8B 8K shape
+    (measured r5, bench_artifacts/r5/ln_crossover.jsonl). Set
+    UNSLOTH_PALLAS_NORM=1 to force the Pallas kernel.
     """
     return _dispatch_fwd(x, w, eps, gemma)
 
@@ -181,9 +193,13 @@ def _dispatch_fwd(x, w, eps, gemma):
 
 
 def _use_pallas(x) -> bool:
-    # Pallas path only on TPU with lane-aligned model dim.
+    # Pallas norms are opt-in (measured slower than XLA-fused jnp at every
+    # tested shape — see pallas_norm() in utils/env.py); TPU-only,
+    # lane-aligned model dim.
     import jax as _jax
 
+    if not env.pallas_norm():
+        return False
     if _jax.default_backend() != "tpu":
         return False
     return x.shape[-1] % 128 == 0
@@ -323,7 +339,8 @@ def _ln_bwd_pallas(x, w, g, eps, block_rows=None):
 def layer_norm(x, w, b, eps: float = 1e-5):
     """Fused LayerNorm. x: [..., D]; w, b: [D] (b may be zeros).
 
-    Pallas on TPU, jnp reference elsewhere."""
+    jnp (XLA-fused) by default; UNSLOTH_PALLAS_NORM=1 forces the Pallas
+    kernel (measured slower at whisper/llama shapes — see rms_norm)."""
     return _ln_dispatch(x, w, b, eps)
 
 

@@ -83,6 +83,19 @@ def disable_pallas() -> bool:
     return env_flag("UNSLOTH_DISABLE_PALLAS")
 
 
+def pallas_norm() -> bool:
+    """UNSLOTH_PALLAS_NORM: opt into the standalone Pallas RMSNorm/LayerNorm
+    kernels instead of the XLA-fused jnp path.
+
+    Measured r5 (bench_artifacts/r5/ln_crossover.jsonl): at the llama-8B
+    8K hot-path shape the Pallas norm fwd+bwd is 2.1x SLOWER than XLA's
+    fused jnp version (1189us vs 567us per norm) because the pallas_call
+    is a fusion boundary — XLA fuses the jnp norm into the surrounding
+    residual adds and matmul epilogues. Pallas never clearly won at any
+    tested shape (whisper/MiniLM/llama), so jnp is the default."""
+    return env_flag("UNSLOTH_PALLAS_NORM")
+
+
 def enable_logging() -> bool:
     """UNSLOTH_ENABLE_LOGGING: verbose mode (reference flag of same name)."""
     return env_flag("UNSLOTH_ENABLE_LOGGING")
