@@ -15,7 +15,8 @@ sequentially, so revisiting an output block is well-defined).
 Dispatch: the PUBLIC ops default to the jnp path — XLA fuses the norm
 into neighbouring residual adds / matmul epilogues, and the standalone
 pallas_call is a fusion boundary that measured 2.1x slower fwd+bwd at
-the llama-8B 8K shape and never clearly faster at whisper/MiniLM shapes
+the llama-8B 8K shape, with only one modest win (LayerNorm at the
+MiniLM shape, 0.89x) across all tested whisper/MiniLM/llama shapes
 (r5, bench_artifacts/r5/ln_crossover.jsonl). UNSLOTH_PALLAS_NORM=1
 opts into the kernels; they remain the in-repo reference for the
 block-accumulated dW pattern and are parity-tested in interpret mode.
@@ -193,8 +194,8 @@ def _dispatch_fwd(x, w, eps, gemma):
 
 
 def _use_pallas(x) -> bool:
-    # Pallas norms are opt-in (measured slower than XLA-fused jnp at every
-    # tested shape — see pallas_norm() in utils/env.py); TPU-only,
+    # Pallas norms are opt-in (measured slower than XLA-fused jnp at the
+    # hot-path shapes — see pallas_norm() in utils/env.py); TPU-only,
     # lane-aligned model dim.
     import jax as _jax
 

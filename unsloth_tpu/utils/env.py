@@ -91,8 +91,9 @@ def pallas_norm() -> bool:
     8K hot-path shape the Pallas norm fwd+bwd is 2.1x SLOWER than XLA's
     fused jnp version (1189us vs 567us per norm) because the pallas_call
     is a fusion boundary — XLA fuses the jnp norm into the surrounding
-    residual adds and matmul epilogues. Pallas never clearly won at any
-    tested shape (whisper/MiniLM/llama), so jnp is the default."""
+    residual adds and matmul epilogues. The only measured Pallas win is
+    LayerNorm at the MiniLM shape (0.89x) — small against the 1.5-2.1x
+    losses at the llama hot path, so jnp is the default."""
     return env_flag("UNSLOTH_PALLAS_NORM")
 
 
