@@ -116,7 +116,11 @@ def _supervise():
         start_new_session=True)
     line, reason = None, None
     try:
-        out, _ = child.communicate(timeout=max(60.0, budget - 30))
+        # 60s floor so jittery real budgets never go negative; min(budget,
+        # 60) lets tiny test budgets (test_bench_supervisor) expire in
+        # seconds instead of pinning the floor.
+        out, _ = child.communicate(timeout=max(min(budget, 60.0),
+                                               budget - 30))
         for candidate in (out or "").splitlines():
             candidate = candidate.strip()
             if candidate.startswith("{") and '"metric"' in candidate:

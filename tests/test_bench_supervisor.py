@@ -83,9 +83,9 @@ def test_total_failure_still_emits_parseable_line():
 @pytest.mark.slow
 def test_real_timeout_kills_child_group():
     """A child that sleeps past the budget is killed and the progress
-    snapshot is relayed. Budget 8s -> supervisor waits max(60, -22)=60s?
-    No: max(60.0, budget-30) keeps a 60s floor so tiny test budgets don't
-    go negative — this test therefore runs ~60s and is marked slow."""
+    snapshot is relayed. The supervisor waits max(min(budget, 60),
+    budget-30): real budgets keep a 60s floor, a tiny 8s test budget
+    expires in ~8s."""
     snap = {"metric": "m", "value": 9.0, "unit": "u",
             "vs_baseline": None, "detail": {}}
     got = run_supervisor({"progress": snap, "sleep": 120, "print": GOOD},
