@@ -212,6 +212,78 @@ def main_grpo(quick: bool):
         print(f"ours step memory_analysis failed: {str(e)[:200]}",
               file=sys.stderr)
 
+    # Rollout dispatch comparison (r5): the conservative baseline above
+    # grants TRL our on-device lax.while_loop rollout. A straight JAX
+    # port of TRL-without-vLLM inherits transformers.generate's dispatch
+    # shape instead: a HOST python loop issuing ONE jitted cached
+    # forward per generated token (reference basis: TRL's GRPOTrainer
+    # calls model.generate when use_vllm=False). Measure both rollouts
+    # at identical shapes so the artifact can carry the full TRL-
+    # practice round (host-loop rollout + unfused full-logits step)
+    # against ours.
+    N = n_prompts * G
+    roll_times = {}
+
+    def time_ours_rollout():
+        t0 = time.perf_counter()
+        rollout()  # returns host token lists — synced on return
+        return time.perf_counter() - t0
+
+    def time_host_loop_rollout():
+        from unsloth_tpu.inference.decode import (forward_with_cache,
+                                                  init_cache,
+                                                  logits_from_hidden)
+
+        prompt = jnp.asarray(np.array(
+            [p for p in prompt_ids for _ in range(G)], np.int32))
+
+        def prefill(params, lora, cache, prompt):
+            pos = jnp.broadcast_to(
+                jnp.arange(p_len, dtype=jnp.int32)[None], (N, p_len))
+            h, cache = forward_with_cache(params, lora, prompt, cfg,
+                                          cache, positions=pos)
+            logits = logits_from_hidden(params, h[:, -1:], cfg, lora)
+            return logits, cache
+
+        def step(params, lora, cache, tok, pos, key):
+            h, cache = forward_with_cache(
+                params, lora, tok, cfg, cache,
+                positions=jnp.broadcast_to(pos[None, None], (N, 1)))
+            logits = logits_from_hidden(params, h, cfg, lora)
+            nxt = jax.random.categorical(
+                key, logits[:, -1, :].astype(jnp.float32) / 0.9)
+            return nxt[:, None].astype(jnp.int32), cache
+
+        jprefill = jax.jit(prefill, donate_argnums=(2,))
+        jstep = jax.jit(step, donate_argnums=(2,))
+        root = jax.random.PRNGKey(0)
+
+        def one_gen():
+            cache = init_cache(cfg, N, p_len + c_len)
+            t0 = time.perf_counter()
+            logits, cache = jprefill(params, model.lora, cache, prompt)
+            tok = jnp.argmax(logits[:, -1, :], axis=-1)[
+                :, None].astype(jnp.int32)
+            for t in range(c_len - 1):
+                tok, cache = jstep(params, model.lora, cache, tok,
+                                   jnp.int32(p_len + t),
+                                   jax.random.fold_in(root, t))
+            np.asarray(tok)  # sync the host-loop chain
+            return time.perf_counter() - t0
+
+        one_gen()  # compile prefill + step
+        return min(one_gen() for _ in range(2))
+
+    try:
+        roll_times["ours_on_device_s"] = round(
+            min(time_ours_rollout() for _ in range(2)), 3)
+        roll_times["hf_generate_host_loop_s"] = round(
+            time_host_loop_rollout(), 3)
+    except Exception as e:  # noqa: BLE001
+        print(f"host-loop rollout measurement failed: {str(e)[:300]}",
+              file=sys.stderr)
+        roll_times = {}
+
     gen_tokens = n_prompts * G * c_len
     dt = results[True]
     from bench import weight_gb
@@ -247,6 +319,26 @@ def main_grpo(quick: bool):
                 "vs_baseline_trl_practice": (round(trl_time / dt, 3)
                                              if trl_time else None),
                 "step_peak_hbm_gb": step_hbm or None},
+            "rollout_dispatch": (lambda rt: {
+                "definition": "rollout wall time at identical shapes: "
+                              "ours = on-device lax.while_loop generate "
+                              "(zero host round-trips per token); "
+                              "hf_generate = host python loop, one "
+                              "jitted cached forward per token — the "
+                              "dispatch shape a JAX port of TRL-"
+                              "without-vLLM inherits from transformers."
+                              "generate; per-call tunnel dispatch is "
+                              "~2-4 ms (CLAUDE.md)",
+                **rt,
+                "rollout_speedup": (round(
+                    rt["hf_generate_host_loop_s"]
+                    / rt["ours_on_device_s"], 2)
+                    if rt else None),
+                "vs_baseline_trl_hf_generate": (round(
+                    (trl_time - rt["ours_on_device_s"]
+                     + rt["hf_generate_host_loop_s"]) / dt, 3)
+                    if rt and trl_time else None),
+            })(roll_times) if roll_times else None,
             "prefix_grouping_ablation": {
                 "definition": "identical round without the shared-prefix "
                               "grouped loss pass (prompt replicated per "

@@ -25,7 +25,7 @@ run_mode() {
 
 for m in "$@"; do
   case "$m" in
-    longctx|gpt_oss) run_mode "$m" 5400 ;;
+    longctx|gpt_oss|grpo) run_mode "$m" 5400 ;;
     *) run_mode "$m" 3600 ;;
   esac
 done
